@@ -1,0 +1,130 @@
+"""Differential conformance: our clean_content vs the reference's, byte-exact.
+
+Loads /root/reference/Lib/postprocessor.py directly (its fitz/PIL imports
+stubbed -- the non-extract clean path never touches them) and compares
+outputs on hypothesis-generated raw-OCR-shaped inputs plus the synthetic
+corpus generator's construct pool. This pins the engine to the actual
+reference behavior rather than to our reading of it.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deekseek_ocr___dockerized_api_ray.functions.cleaning import clean_content, clean_formula
+from deekseek_ocr___dockerized_api_ray.sources.corpus import generate_doc
+
+REF_PP = "/root/reference/Lib/postprocessor.py"
+
+
+def _load_reference_postprocessor():
+    for name in ("fitz", "PIL", "PIL.Image"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["PIL.Image"].Image = type("Image", (), {})  # annotation target
+    sys.modules["PIL"].Image = sys.modules["PIL.Image"]
+    pkg = types.ModuleType("refLib")
+    pkg.__path__ = [os.path.dirname(REF_PP)]
+    sys.modules["refLib"] = pkg
+    cfg = types.ModuleType("refLib.config")
+
+    class Config:  # the clean path never reads config fields
+        pass
+
+    cfg.Config = Config
+    sys.modules["refLib.config"] = cfg
+    spec = importlib.util.spec_from_file_location("refLib.postprocessor", REF_PP)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refLib.postprocessor"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+needs_ref = pytest.mark.skipif(not os.path.exists(REF_PP), reason="reference not present")
+
+
+@pytest.fixture(scope="module")
+def ref_pp():
+    mod = _load_reference_postprocessor()
+    return mod.PostProcessor(config=None)
+
+
+_fragments = st.sampled_from(
+    [
+        "<|ref|>", "<|/ref|>", "<|det|>", "<|/det|>", "image", "title", "table",
+        "[[1, 2, 3, 4]]", "[[9, 9, 1, 1]]", "[[1, 2, 3, 4], [5, 6, 7, 8]]",
+        "[[12, 5", "\n", "\n\n", "\n\n\n\n", "plain text ", "# Heading\n",
+        "<--- Page Split --->", "\n<--- Page Split --->\n", "<?end?of?sentence?>",
+        "<|endofsentence|>", "<｜end▁of▁sentence｜>",
+        "\\coloneqq", "\\eqqcolon", "\\[ x \\quad (1) \\]", "<center>c</center>",
+        "<|ref|>image<|/ref|><|det|>[[100, 100, 400, 300]]<|/det|>",
+        "<|ref|>footnote<|/ref|><|det|>[[5, 900, 990, 950]]<|/det|>",
+        "word ", "先忧 ", "<", ">", "|",
+    ]
+)
+_raw_texts = st.lists(_fragments, min_size=0, max_size=12).map("".join)
+
+
+@needs_ref
+@settings(max_examples=300, deadline=None)
+@given(content=_raw_texts, remove_splits=st.booleans())
+def test_clean_content_parity(ref_pp, content, remove_splits):
+    expected, imgs = ref_pp.clean_content(
+        content, extract_images=False, remove_page_splits=remove_splits
+    )
+    assert imgs == []
+    got = clean_content(content, remove_page_splits=remove_splits)
+    assert got == expected
+
+
+@needs_ref
+def test_clean_content_parity_on_corpus_spans(ref_pp):
+    # every text span the synthetic generator can emit, joined as the
+    # pipeline would, must clean identically
+    for i in range(200):
+        doc = generate_doc(i, seed=42)
+        texts = [s["text"] for s in sorted(doc["spans"], key=lambda s: s["offset"])]
+        joined = "\n\n<--- Page Split --->\n\n".join(texts)
+        expected, _ = ref_pp.clean_content(
+            joined, extract_images=False, remove_page_splits=True
+        )
+        assert clean_content(joined, remove_page_splits=True) == expected
+
+
+@needs_ref
+def test_match_tags_parity(ref_pp):
+    samples = [
+        "<|ref|>image<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>",
+        "a<|ref|>x<|/ref|><|det|>y<|/det|>b<|ref|>image<|/ref|><|det|>z<|/det|>",
+        "nothing here",
+        "<|ref|>nested image label<|/ref|><|det|>[[0, 0, 1, 1]]<|/det|>",
+    ]
+    from deekseek_ocr___dockerized_api_ray.functions.cleaning import match_tags
+
+    for s in samples:
+        assert match_tags(s) == ref_pp.match_tags(s)
+
+
+@needs_ref
+def test_clean_formula_parity():
+    # clean_formula lives in the eval batch script; execute just that def
+    import re as _re
+
+    src = open("/root/reference/docker/overrides/run_dpsk_ocr_eval_batch.py").read()
+    m = _re.search(r"def clean_formula.*?(?=\ndef )", src, _re.S)
+    ns = {"re": _re}
+    exec(m.group(0), ns)  # noqa: S102 -- test-only differential check
+    ref_fn = ns["clean_formula"]
+    for s in [
+        "\\[ E = mc^2 \\quad (1.2) \\]",
+        "pre \\[ a + b \\] post",
+        "\\[\\quad (x)\\]",
+        "no formula",
+        "\\[ one \\] mid \\[ two \\quad (3) \\]",
+    ]:
+        assert clean_formula(s) == ref_fn(s)
