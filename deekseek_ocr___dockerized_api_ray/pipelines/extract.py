@@ -58,10 +58,10 @@ def run_extract(
         batch_format="pyarrow",
         batch_size=span_batch_size,
     )
-    if ocr_concurrency is not None:
-        kwargs["concurrency"] = ocr_concurrency
-    else:
-        kwargs["concurrency"] = 4
+    # Autoscaling pool with min=1: a fixed pool equal to the CPU count
+    # starves the groupby shuffle (the pool reserves every CPU); min=1
+    # guarantees forward progress at any cluster size.
+    kwargs["concurrency"] = ocr_concurrency if ocr_concurrency is not None else (1, 8)
     ocrd = flat.map_batches(OCRStage, **kwargs)
     return reassemble(ocrd, mode=mode)
 

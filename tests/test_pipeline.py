@@ -1,0 +1,119 @@
+"""End-to-end flagship pipeline conformance (span-sequence equality).
+
+The invariant (BASELINE.json input_hint): per document, the engine's
+output spans must equal the reference-semantics oracle under
+(kind, text, media_ref, order), order = sorted offset. The oracle is
+the straight-line reference_extract_document, computed single-process.
+"""
+
+import pytest
+
+from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+    expected_table,
+    reference_extract_document,
+    run_extract,
+)
+from deekseek_ocr___dockerized_api_ray.sources.corpus import (
+    corpus_dataset,
+    generate_doc,
+    generate_documents,
+)
+
+N_DOCS = 120
+SEED = 42
+
+
+def _span_tuples(spans):
+    # order = sorted offset; compare (kind, text, media_ref, offset)
+    return [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in sorted(spans, key=lambda s: s["offset"])
+    ]
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session):
+    ds = run_extract(corpus_dataset(N_DOCS, SEED), mode="markdown")
+    rows = {r["doc_id"]: r for r in ds.take_all()}
+    assert len(rows) == N_DOCS
+    return rows
+
+
+def test_span_sequence_equality(extracted):
+    for i in range(N_DOCS):
+        doc = generate_doc(i, SEED)
+        exp = reference_extract_document(doc, "markdown")
+        got = extracted[doc["doc_id"]]
+        assert _span_tuples(got["spans"]) == _span_tuples(exp["spans"]), doc["doc_id"]
+
+
+def test_markdown_equality(extracted):
+    for i in range(N_DOCS):
+        doc = generate_doc(i, SEED)
+        exp = reference_extract_document(doc, "markdown")
+        got = extracted[doc["doc_id"]]
+        assert got["markdown"] == exp["markdown"], doc["doc_id"]
+        assert got["n_spans"] == exp["n_spans"]
+        assert got["n_errors"] == exp["n_errors"]
+
+
+def test_offsets_dense_and_ordered(extracted):
+    for r in extracted.values():
+        offs = [s["offset"] for s in sorted(r["spans"], key=lambda s: s["offset"])]
+        assert offs == list(range(len(offs)))
+
+
+def test_custom_mode_is_raw(ray_session):
+    # custom => raw output, no cleaning (pdf_to_markdown_cli.py:354-360)
+    ds = run_extract(corpus_dataset(20, SEED), mode="custom")
+    rows = {r["doc_id"]: r for r in ds.take_all()}
+    for i in range(20):
+        doc = generate_doc(i, SEED)
+        exp = reference_extract_document(doc, "custom")
+        assert rows[doc["doc_id"]]["markdown"] == exp["markdown"]
+    # raw output retains the page-split markers for multi-span docs
+    multi = [r for r in rows.values() if r["n_spans"] > 1]
+    assert any("<--- Page Split --->" in r["markdown"] for r in multi)
+
+
+def test_error_row_semantics_m15(ray_session):
+    # poison two media refs: the span text must become the reference's
+    # inline error string and the job must complete (start_server.py:464-466)
+    docs = [generate_doc(i, SEED) for i in range(30)]
+    refs = [s["media_ref"] for d in docs for s in d["spans"] if s["media_ref"]]
+    fail = {refs[0], refs[5]}
+    ds = run_extract(corpus_dataset(30, SEED), mode="markdown", fail_refs=fail)
+    rows = {r["doc_id"]: r for r in ds.take_all()}
+    assert len(rows) == 30
+    n_err = sum(r["n_errors"] for r in rows.values())
+    assert n_err == 2
+    for d in docs:
+        exp = reference_extract_document(d, "markdown", fail_refs=fail)
+        got = rows[d["doc_id"]]
+        assert _span_tuples(got["spans"]) == _span_tuples(exp["spans"])
+
+
+def test_parallelism_invariance(ray_session):
+    # same corpus through 1 block vs many blocks -> identical rows
+    a = run_extract(corpus_dataset(40, SEED, parallelism=1), mode="markdown").take_all()
+    b = run_extract(corpus_dataset(40, SEED, parallelism=16), mode="markdown").take_all()
+    ka = {r["doc_id"]: (tuple(_span_tuples(r["spans"])), r["markdown"]) for r in a}
+    kb = {r["doc_id"]: (tuple(_span_tuples(r["spans"])), r["markdown"]) for r in b}
+    assert ka == kb
+
+
+def test_expected_table_matches_generator():
+    t = expected_table(10, SEED)
+    assert t.num_rows == 10
+    assert t.column("doc_id").to_pylist()[0] == "doc-000000"
+
+
+def test_generate_documents_deterministic():
+    t1 = generate_documents(15, SEED)
+    t2 = generate_documents(15, SEED)
+    assert t1.equals(t2)
+    # shuffled span order: at least one doc stores spans out of offset order
+    assert any(
+        [s["offset"] for s in spans] != sorted(s["offset"] for s in spans)
+        for spans in t1.column("spans").to_pylist()
+    )
