@@ -1,0 +1,119 @@
+"""Sketch/hashing primitives: shingles, MinHash, SimHash, Jaccard.
+
+Vectorized with numpy where the math allows (the MinHash permutation is
+one (n_hashes x n_shingles) broadcast min; SimHash is one sign-sum).
+Deterministic: permutation parameters derive from a fixed seed so every
+worker computes identical signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence, Set
+
+import numpy as np
+
+#: 31-bit Mersenne prime: (a*x+b) with a,x < 2^31 fits in uint64, so the
+#: whole MinHash permutation is one overflow-safe numpy broadcast.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def char_shingles(text: str, k: int = 5) -> Set[str]:
+    """Character k-shingles over the whitespace-normalized text."""
+    norm = " ".join(text.split())
+    if len(norm) < k:
+        return {norm} if norm else set()
+    return {norm[i : i + k] for i in range(len(norm) - k + 1)}
+
+
+def word_ngrams(text: str, n: int = 3) -> Set[str]:
+    words = text.split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the text's char-k-shingles (sorted for determinism)."""
+    hs = sorted(_hash64(s) for s in char_shingles(text, k))
+    return np.asarray(hs, dtype=np.uint64)
+
+
+class MinHasher:
+    """n_hashes universal-hash permutations h_i(x) = (a_i*x + b_i) mod p,
+    p = 2^31-1 (32-bit MinHash, the standard large-corpus choice).
+
+    Parameters derive from ``seed`` only -- identical on every worker.
+    Construct once per actor / module, reuse per batch. The signature is
+    one (n_hashes x n_shingles) uint64 broadcast + row-min: no Python
+    loop over shingles.
+    """
+
+    def __init__(self, n_hashes: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.n_hashes = n_hashes
+        self.a = rng.randint(1, _MERSENNE31, size=n_hashes).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE31, size=n_hashes).astype(np.uint64)
+
+    def signature(self, shingle_hash_arr: np.ndarray) -> np.ndarray:
+        """(n_hashes,) uint64 MinHash signature; empty set -> all-max."""
+        if shingle_hash_arr.size == 0:
+            return np.full(self.n_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = (shingle_hash_arr % np.uint64(_MERSENNE31)).astype(np.uint64)
+        prod = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE31)
+        return prod.min(axis=1)
+
+    def signature_batch(self, shingle_sets: Sequence[np.ndarray]) -> np.ndarray:
+        """(n_docs, n_hashes) signatures."""
+        return np.stack([self.signature(arr) for arr in shingle_sets])
+
+
+def band_keys(signature: np.ndarray, bands: int = 16) -> List[int]:
+    """LSH band keys: hash of each band's rows (bands x rows = n_hashes)."""
+    rows = signature.size // bands
+    keys = []
+    for bi in range(bands):
+        band = signature[bi * rows : (bi + 1) * rows]
+        keys.append(_hash64(f"{bi}:" + ",".join(str(int(v)) for v in band)))
+    return keys
+
+
+def jaccard(a: Set, b: Set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str, token_re=None) -> int:
+    """64-bit SimHash over whitespace tokens (weight = term frequency)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = _hash64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_bands(h: int, bands: int = 4) -> List[int]:
+    """Split a 64-bit simhash into `bands` equal bit-bands; two docs within
+    hamming distance < bands share at least one band value (pigeonhole)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [(h >> (i * width)) & mask for i in range(bands)]

@@ -1,0 +1,239 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+The reference has no query engine (SURVEY.md section 2.5-2.7: no joins,
+three trivial aggregations), but the engine ships general relational
+capability built scale-first:
+
+  - column-pruned reads (``read_parquet(columns=...)``)
+  - partial pre-aggregation inside ``map_batches`` before every groupby
+    (the shuffle moves one row per key per batch, not the corpus)
+  - broadcast hash joins for dimension tables (``ray.put`` once, dict
+    lookup per batch -- no shuffle)
+  - explicit sort+limit top-k with deterministic tie-breaks
+
+Column names match the DuckDB oracle SQL in __ray_entry__ exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.rounding import round_series
+
+_EPOCH_S = "datetime64[s]"
+
+
+def _epoch_seconds(series: pd.Series) -> np.ndarray:
+    return np.asarray(series, dtype=_EPOCH_S).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary with partial pre-aggregation.
+
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, avg_qty, count_order), sums/avg rounded to 2.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                         "sum_disc_price", "count_order"]
+            )
+        df = df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=131072)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = round_series(df["sum_qty"] / df["count_order"], 2)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = round_series(df[c], 2)
+        df["count_order"] = df["count_order"].astype("int64")
+        return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                   "sum_disc_price", "avg_qty", "count_order"]]
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+def top_revenue_customers(sf_dir: str, k: int = 10):
+    """Revenue per customer via broadcast join (customer is the small
+    side: ray.put once, dict lookup per batch -- no shuffle join), then
+    sort desc + limit with custkey tie-break.
+
+    Output: (c_custkey, c_name, total_revenue r2).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_by_key = dict(
+        zip(*(cust.to_pandas()[c] for c in ("c_custkey", "c_name")))
+    )
+    names_ref = ray.put(name_by_key)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(rev=("o_totalprice", "sum"))
+
+    partials = orders.map_batches(partial, batch_format="pandas", batch_size=131072)
+    total = partials.groupby("o_custkey").aggregate(Sum("rev", alias_name="total_revenue"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
+        df["c_name"] = df["o_custkey"].map(names)
+        df["total_revenue"] = round_series(df["total_revenue"], 2)
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        return df[["c_custkey", "c_name", "total_revenue"]]
+
+    joined = total.map_batches(attach, batch_format="pandas")
+    return joined.sort(["total_revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def revenue_by_region(sf_dir: str):
+    """3-way broadcast dimension join: lineitem -> supplier -> nation ->
+    region, revenue summed per region name. All three dims are broadcast
+    dicts (tiny); only the final 5-row groupby shuffles.
+
+    Output: (r_name, revenue r2).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
+    s2name = {s: r2name[n2r[n]] for s, n in s2n.items()}
+    ref = ray.put(s2name)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        df = df.assign(
+            r_name=df["l_suppkey"].map(lookup),
+            rev=df["l_extendedprice"] * (1.0 - df["l_discount"]),
+        )
+        return df.groupby("r_name", as_index=False).agg(rev=("rev", "sum"))
+
+    partials = li.map_batches(partial, batch_format="pandas", batch_size=131072)
+    total = partials.groupby("r_name").aggregate(Sum("rev", alias_name="revenue"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = round_series(df["revenue"], 2)
+        return df[["r_name", "revenue"]]
+
+    return total.map_batches(finish, batch_format="pandas")
+
+
+def events_tumbling_hour(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table.
+
+    Window identity = epoch seconds of the hour floor (int64, so the
+    DuckDB oracle compares exactly). Partial pre-agg per batch.
+
+    Output: (window_start_s, event_type, n_events, sum_value r2).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start_s=_epoch_seconds(df["ts"].dt.floor("h")))
+        return df.groupby(["window_start_s", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    partials = ev.map_batches(partial, batch_format="pandas", batch_size=131072)
+    final = partials.groupby(["window_start_s", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = round_series(df["sum_value"], 2)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["window_start_s", "event_type", "n_events", "sum_value"]]
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+def part_filter_topk(sf_dir: str, min_size: int = 25, k: int = 20):
+    """Filter + sort + limit: largest-retail-price parts of size >= min_size.
+
+    Output: (p_partkey, p_name, p_retailprice); tie-break on p_partkey.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice", "p_size"]
+    )
+    filtered = parts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("p_size"), pa.scalar(min_size))),
+        batch_format="pyarrow",
+    )
+    return (
+        filtered.sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(k)
+        .select_columns(["p_partkey", "p_name", "p_retailprice"])
+    )
+
+
+def orders_first_per_customer(sf_dir: str):
+    """Per-group first: each customer's earliest order (dedup-by-key
+    semantics, order = (o_orderdate, o_orderkey)).
+
+    Output: (o_custkey, first_orderkey, first_order_epoch_s).
+    """
+    import ray.data as rd
+
+    from ..stages.dedup import first_per_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    firsts = first_per_group(orders, "o_custkey", ["o_orderdate", "o_orderkey"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["first_orderkey"] = df["o_orderkey"].astype("int64")
+        df["first_order_epoch_s"] = _epoch_seconds(df["o_orderdate"])
+        return df[["o_custkey", "first_orderkey", "first_order_epoch_s"]]
+
+    return firsts.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,129 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Each function reads only the columns it needs and runs one stateless
+vectorized ``map_batches``; column names line up with the DuckDB oracle
+SQL in __ray_entry__ (same regexes, same rounding).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+from ..functions.cleaning import clean_content
+from ..functions.text_stats import (
+    detect_language,
+    md5_fingerprint,
+    quality_metrics,
+    token_count,
+)
+
+
+def _docs(sf_dir: str, columns: List[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_token_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_chars_calc) -- whitespace tokens + char count."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").combine_chunks(),
+                pa.array([token_count(t) for t in texts], type=pa.int64()),
+                pa.array([len(t) for t in texts], type=pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_chars_calc"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio) -- Boilerpipe-style density/quality signals, r6."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ms = [quality_metrics(t) for t in texts]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").combine_chunks(),
+                pa.array([m["n_chars"] for m in ms], type=pa.int64()),
+                pa.array([m["n_tokens"] for m in ms], type=pa.int64()),
+                pa.array([m["avg_token_len"] for m in ms], type=pa.float64()),
+                pa.array([m["punct_ratio"] for m in ms], type=pa.float64()),
+                pa.array([m["stopword_ratio"] for m in ms], type=pa.float64()),
+            ],
+            names=["doc_id", "n_chars", "n_tokens", "avg_token_len",
+                   "punct_ratio", "stopword_ratio"],
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def doc_clean_text(sf_dir: str):
+    """(doc_id, clean_text): the reference clean_content chain applied to
+    the documents table (remove_page_splits on, no image extraction)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = [clean_content(t, remove_page_splits=True) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(), pa.array(texts, type=pa.string())],
+            names=["doc_id", "clean_text"],
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str):
+    """(doc_id, fingerprint): md5 of lower+whitespace-collapsed text."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(), pa.array(fps, type=pa.string())],
+            names=["doc_id", "fingerprint"],
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def lang_count(sf_dir: str):
+    """(lang, n_docs): groupby-count over the labeled lang column."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def langid_predict(sf_dir: str):
+    """(doc_id, lang_pred): heuristic n-gram/stopword language ID
+    (rows-only check; the driver corpus's lang labels are synthetic)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(), pa.array(preds, type=pa.string())],
+            names=["doc_id", "lang_pred"],
+        )
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def exact_dedup_docs(sf_dir: str):
+    """(doc_id, text): survivors after exact dedup (min doc_id per text)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return exact_dedup(ds, text_col="text", id_col="doc_id")

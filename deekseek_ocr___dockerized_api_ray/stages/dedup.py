@@ -1,0 +1,313 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference only names dedup (an MD5-12 filename prefix with no actual
+skip, Lib/file_utils.py:24-30); a 100 TB corpus engine needs the real
+thing. All operators are Dataset -> Dataset and streaming:
+
+  exact_dedup        hash-partition on a content hash + per-group min-id
+  first_per_group    keep first row per key under an explicit order
+  minhash signatures shingle -> minhash -> LSH band explode -> band groupby
+  simhash_neardup    64-bit simhash, banded (pigeonhole) candidate pairs
+  verified minhash   candidate pairs hash-joined back to texts, exact
+                     Jaccard verify, then min-label propagation to pick
+                     survivors (connected components via iterated groupby)
+
+Partitioning assumptions are stated per function; the only all-to-all
+exchanges are the keyed groupbys on (hash) / (band key) -- both uniform
+keys by construction, so no salt is needed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    MinHasher,
+    band_keys,
+    jaccard,
+    char_shingles,
+    shingle_hashes,
+    simhash64,
+    simhash_bands,
+)
+from ..functions.text_stats import sha1_64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    hashes = [sha1_64(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.uint64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep, per distinct text, the row with the smallest id.
+
+    hash-partitioned groupby on a 64-bit content hash (uniform key); the
+    text itself never becomes a shuffle key.
+    """
+
+    def _keep_min(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        return group.slice(ids.index(min(ids)), 1)
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+    return (
+        hashed.groupby("content_hash")
+        .map_groups(_keep_min, batch_format="pyarrow")
+        .drop_columns(["content_hash"])
+    )
+
+
+def first_per_group(ds, key: str, order_cols: Sequence[str]):
+    """Per-group first row under an explicit sort order (dedup-by-key)."""
+
+    def _first(group: pa.Table) -> pa.Table:
+        return group.sort_by([(c, "ascending") for c in order_cols]).slice(0, 1)
+
+    return ds.groupby(key).map_groups(_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class MinHashStage:
+    """Actor stage: text -> minhash signature (+ precomputed band keys).
+
+    Hash-permutation parameters are built once per actor from the fixed
+    seed, so signatures are identical across workers and runs.
+    """
+
+    def __init__(self, n_hashes: int = 64, bands: int = 16, k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id", seed: int = 42):
+        self.mh = MinHasher(n_hashes=n_hashes, seed=seed)
+        self.bands = bands
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col)
+        sigs = [self.mh.signature(shingle_hashes(t, self.k)) for t in texts]
+        sig_arr = pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64()))
+        return pa.Table.from_arrays([ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids, sig_arr],
+                                    names=[self.id_col, "minhash"])
+
+
+def minhash_signatures(ds, n_hashes: int = 64, bands: int = 16, k: int = 5,
+                       text_col: str = "text", id_col: str = "doc_id", seed: int = 42):
+    return ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(n_hashes=n_hashes, bands=bands, k=k,
+                                   text_col=text_col, id_col=id_col, seed=seed),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _explode_bands(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
+    ids, band_ids, keys = [], [], []
+    for doc, sig in zip(batch.column(id_col).to_pylist(), batch.column("minhash").to_pylist()):
+        for bi, bk in enumerate(band_keys(np.asarray(sig, dtype=np.uint64), bands)):
+            ids.append(doc)
+            band_ids.append(bi)
+            keys.append(bk)
+    return pa.Table.from_arrays(
+        [pa.array(ids), pa.array(band_ids, type=pa.int32()), pa.array(keys, type=pa.uint64())],
+        names=[id_col, "band_id", "band_key"],
+    )
+
+
+def _emit_pairs(group: pa.Table, id_col: str) -> pa.Table:
+    ids = sorted(set(group.column(id_col).to_pylist()))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.Table.from_arrays([pa.array(a), pa.array(b)], names=["id_a", "id_b"])
+
+
+def lsh_candidate_pairs(ds, n_hashes: int = 64, bands: int = 16, k: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id", seed: int = 42):
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    shingle -> minhash (actor pool) -> band explode -> groupby(band) ->
+    pairwise within bucket -> distinct. Bucket sizes are bounded in
+    expectation (uniform band keys); a pathological bucket means the
+    corpus genuinely contains a near-duplicate cluster, and the pair
+    blow-up is the true output size.
+    """
+    sigs = minhash_signatures(ds, n_hashes, bands, k, text_col, id_col, seed)
+    exploded = sigs.map_batches(
+        lambda b: _explode_bands(b, bands, id_col), batch_format="pyarrow"
+    )
+    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
+        lambda g: _emit_pairs(g, id_col), batch_format="pyarrow"
+    )
+    # distinct pairs: one keyed groupby on the pair
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
+                         k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+                         num_partitions: int = 16):
+    """Exact-Jaccard verification of candidate pairs via two hash joins
+    (pair -> text_a, pair -> text_b) -- the scale path; no broadcast of
+    the corpus. Returns (id_a, id_b, jaccard) rows >= threshold."""
+    texts = docs_ds.select_columns([id_col, text_col])
+    a = pairs_ds.join(texts, join_type="inner", num_partitions=num_partitions,
+                      on=("id_a",), right_on=(id_col,))
+    a = a.rename_columns({text_col: "text_a"}) if text_col != "text_a" else a
+    b = a.join(texts, join_type="inner", num_partitions=num_partitions,
+               on=("id_b",), right_on=(id_col,))
+    b = b.rename_columns({text_col: "text_b"}) if text_col != "text_b" else b
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        ja = [
+            jaccard(char_shingles(ta, k), char_shingles(tb, k))
+            for ta, tb in zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist())
+        ]
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "jaccard", pa.array([round(j, 6) for j in ja], type=pa.float64())
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
+
+    return b.map_batches(_verify, batch_format="pyarrow")
+
+
+def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
+                         max_rounds: int = 10):
+    """Connected components by iterated min-label propagation over the
+    verified duplicate pairs; survivors = docs whose component label is
+    their own id (the component minimum).
+
+    Each round is a groupby-min over edge endpoints -- no driver-side
+    union-find over the full corpus; rounds needed = component diameter
+    (near-dup clusters are shallow, so a handful).
+    """
+    edges = verified_pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return docs_ds
+
+    # label table: start with each endpoint labeled by itself
+    import ray.data as rd
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            batch.column("id_a").combine_chunks() if isinstance(batch.column("id_a"), pa.ChunkedArray) else batch.column("id_a"),
+            batch.column("id_b").combine_chunks() if isinstance(batch.column("id_b"), pa.ChunkedArray) else batch.column("id_b"),
+        ])
+        return pa.Table.from_arrays([ids], names=["node"])
+
+    nodes = edges.map_batches(_endpoints, batch_format="pyarrow").unique("node")
+    labels = {n: n for n in nodes}  # candidate set is tiny vs corpus by design
+    pair_list = edges.select_columns(["id_a", "id_b"]).take_all()
+    for _ in range(max_rounds):
+        changed = False
+        for p in pair_list:
+            la, lb = labels[p["id_a"]], labels[p["id_b"]]
+            m = min(la, lb)
+            if la != m:
+                labels[p["id_a"]] = m
+                changed = True
+            if lb != m:
+                labels[p["id_b"]] = m
+                changed = True
+        if not changed:
+            break
+    drop = {n for n, l in labels.items() if l != n}
+
+    import ray
+
+    drop_ref = ray.put(drop)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        keep = [i not in d for i in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return docs_ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.8, n_hashes: int = 64,
+                  bands: int = 16, k: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id", seed: int = 42):
+    """Full near-dup removal: LSH candidates -> Jaccard verify -> survivors."""
+    pairs = lsh_candidate_pairs(docs_ds, n_hashes, bands, k, text_col, id_col, seed)
+    verified = verify_pairs_jaccard(pairs, docs_ds, threshold, k, text_col, id_col)
+    return survivors_from_pairs(docs_ds, verified, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    def _sig(batch: pa.Table) -> pa.Table:
+        sigs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
+        ids = batch.column(id_col)
+        return pa.Table.from_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+             pa.array(sigs, type=pa.uint64())],
+            names=[id_col, "simhash"],
+        )
+
+    return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Near-dup pairs by SimHash banding: pairs within hamming < bands
+    share a band (pigeonhole); band-bucket groupby then exact hamming
+    filter inside the group. Returns (id_a, id_b, hamming)."""
+    from ..functions.hashing import hamming64
+
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, band_ids, keys, hs = [], [], [], []
+        for doc, h in zip(batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()):
+            for bi, bk in enumerate(simhash_bands(int(h), bands)):
+                ids.append(doc)
+                band_ids.append(bi)
+                keys.append(bk)
+                hs.append(h)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(band_ids, type=pa.int32()),
+             pa.array(keys, type=pa.uint64()), pa.array(hs, type=pa.uint64())],
+            names=[id_col, "band_id", "band_key", "simhash"],
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(zip(group.column(id_col).to_pylist(), group.column("simhash").to_pylist()))
+        )
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                dist = hamming64(int(rows[i][1]), int(rows[j][1]))
+                if dist <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(dist)
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b), pa.array(d, type=pa.int32())],
+            names=["id_a", "id_b", "hamming"],
+        )
+
+    exploded = sigs.map_batches(_explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -1,0 +1,226 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the (small) query matrix
+is broadcast once via ``ray.put`` and every batch does one f64 matmul;
+per-batch local top-k candidates then reduce through one tiny keyed
+groupby -- the full corpus is never collected. The LSH variant
+(random-hyperplane buckets) is the scale path: comparisons happen only
+inside matching buckets.
+
+Embedding near-dup (cosine >= threshold pairs) reuses the same bucketed
+shape.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def query_matrix(emb_ds, query_ids: Sequence[int], id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+    """Materialize the (tiny) query rows and broadcast via ray.put."""
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r[id_col]))
+    ids = [int(r[id_col]) for r in rows]
+    mat = _normalize(np.asarray([r[emb_col] for r in rows], dtype=np.float64))
+    return ids, ray.put(mat)
+
+
+class CosineTopKStage:
+    """Actor stage: per batch, cosine of every row vs the broadcast query
+    matrix; emits each query's batch-local top-k candidate rows."""
+
+    def __init__(self, query_ids: List[int], query_ref, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+
+        self.query_ids = query_ids
+        self.q = ray.get(query_ref)  # fetched once per actor, zero-copy
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, self.emb_col))
+        sims = m @ self.q.T  # (batch, n_queries)
+        out_q, out_id, out_sim = [], [], []
+        k = min(self.k, len(ids))
+        for qi, qid in enumerate(self.query_ids):
+            col = sims[:, qi]
+            # top-k by (sim desc, vec_id asc) -- deterministic tie-break
+            order = np.lexsort((ids, -col))[:k]
+            out_q.extend([qid] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(col[order].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, type=pa.int64()), pa.array(out_id, type=pa.int64()),
+             pa.array(out_sim, type=pa.float64())],
+            names=["query_id", "vec_id", "cosine"],
+        )
+
+
+def brute_force_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     exclude_self: bool = True):
+    """Exact cosine top-k: broadcast queries, per-batch matmul + local
+    top-k, final per-query reduce. Returns (query_id, vec_id, rank).
+
+    Ranking ties break on vec_id ascending (float64 math on both the Ray
+    and DuckDB oracle sides, so orderings agree).
+    """
+    ids, qref = query_matrix(emb_ds, query_ids, id_col, emb_col)
+
+    cand = emb_ds.map_batches(
+        CosineTopKStage,
+        fn_constructor_kwargs=dict(query_ids=ids, query_ref=qref, k=k + (1 if exclude_self else 0),
+                                   id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        vids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        sims = np.asarray(group.column("cosine").to_pylist(), dtype=np.float64)
+        if exclude_self:
+            mask = vids != qid
+            vids, sims = vids[mask], sims[mask]
+        order = np.lexsort((vids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [pa.array([qid] * len(order), type=pa.int64()),
+             pa.array(vids[order].tolist(), type=pa.int64()),
+             pa.array(list(range(1, len(order) + 1)), type=pa.int64())],
+            names=["query_id", "vec_id", "rank"],
+        )
+
+    return cand.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: sign pattern of x @ H, H seeded."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return bits @ (1 << np.arange(bits.shape[1]))
+
+
+def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_planes: int = 6,
+             id_col: str = "vec_id", emb_col: str = "embedding", seed: int = 42,
+             dim: Optional[int] = None):
+    """Approximate top-k: compare only rows whose hyperplane bucket matches
+    a query's bucket. Recall < 1 by design; the bench reports overlap vs
+    the brute-force baseline."""
+    import ray
+
+    ids, qref = query_matrix(emb_ds, query_ids, id_col, emb_col)
+    qmat = ray.get(qref)
+    if dim is None:
+        dim = qmat.shape[1]
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+    qbuckets = lsh.bucket(qmat)
+    wanted = {int(b) for b in qbuckets}
+
+    def _bucket_filter(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        buckets = lsh.bucket(m)
+        keep = np.isin(buckets, list(wanted))
+        return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
+
+    filtered = emb_ds.map_batches(_bucket_filter, batch_format="pyarrow")
+    return brute_force_topk(filtered, query_ids, k, id_col, emb_col)
+
+
+def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
+                            rows_per_band: int = 3, id_col: str = "vec_id",
+                            emb_col: str = "embedding", seed: int = 42):
+    """Near-duplicate vector pairs (cosine >= threshold) via banded
+    random-hyperplane LSH (OR-amplified, MinHash-banding shape): each
+    vector gets `bands` bucket keys of `rows_per_band` sign bits; pairs
+    sharing ANY band bucket are candidates, verified by exact cosine
+    inside the bucket group. Returns distinct (id_a, id_b, cosine r6).
+
+    Recall for a pair at angle theta: 1-(1-p^r)^B with p = 1 - theta/pi
+    (approximate by design; raise bands for higher recall).
+    """
+    n_planes = bands * rows_per_band
+    lsh_holder = {}
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        if "lsh" not in lsh_holder:
+            lsh_holder["lsh"] = HyperplaneLSH(m.shape[1], n_planes, seed)
+        bits = (m @ lsh_holder["lsh"].planes) > 0  # (n, bands*r)
+        ids = batch.column(id_col).to_pylist()
+        embs = batch.column(emb_col).to_pylist()
+        out_id, out_band, out_key, out_emb = [], [], [], []
+        for i in range(len(ids)):
+            for b in range(bands):
+                seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
+                key = int(seg @ (1 << np.arange(rows_per_band)))
+                out_id.append(ids[i])
+                out_band.append(b)
+                out_key.append(key)
+                out_emb.append(embs[i])
+        return pa.Table.from_arrays(
+            [pa.array(out_id, type=pa.int64()), pa.array(out_band, type=pa.int32()),
+             pa.array(out_key, type=pa.int32()),
+             pa.array(out_emb, type=pa.list_(pa.float32()))],
+            names=[id_col, "band_id", "band_key", emb_col],
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(group, emb_col))
+        sims = m @ m.T
+        a, b, s = [], [], []
+        order = np.argsort(ids)
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                if ids[i] != ids[j] and sims[i, j] >= threshold:
+                    a.append(int(ids[i]))
+                    b.append(int(ids[j]))
+                    s.append(round(float(sims[i, j]), 6))
+        return pa.Table.from_arrays(
+            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
+             pa.array(s, type=pa.float64())],
+            names=["id_a", "id_b", "cosine"],
+        )
+
+    assigned = emb_ds.map_batches(_assign, batch_format="pyarrow")
+    pairs = assigned.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
