@@ -1,0 +1,184 @@
+"""Benchmark harness (driver-run per round -> BENCH_r{N}.json).
+
+Headline: the flagship interleaved-extraction pipeline (explode -> mock
+OCR actor pool -> keyed reassembly -> finalize) over the deterministic
+synthetic corpus at fix-m scale (10x the sf dir's documents row count),
+consumed by write_parquet. Sub-queries: representative operators.
+
+  python bench.py               # one JSON line, $RAY_GRAFT_CPUS CPUs (default 32)
+  python bench.py --scaling     # same job at N and 4N CPUs (default 4 and
+                                # 16; override BENCH_SCALE_LO/HI) in fresh
+                                # processes, alternated BENCH_SCALE_ROUNDS
+                                # times, min per level -> scaling efficiency
+
+Corpus generation is cached under /tmp and warmed untimed, so timings
+measure compute + shuffle, not first-touch generation. The compute pool
+is 3/4 of the CPUs at every level so an N-vs-4N pair compares exactly
+4x the compute actors (see run_bench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def _n_docs() -> int:
+    import pyarrow.parquet as pq
+
+    base = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    # fix-m tier: 120x the sf's doc count with the "bench" span profile
+    # (realistic 10-24-span documents) so the job runs long enough to be
+    # compute-bound (scaling measurements need work >> fixed startup cost)
+    return base * 120
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from deekseek_ocr___dockerized_api_ray.pipelines.extract import run_extract
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_tumbling_hour,
+        q1_pricing_summary,
+    )
+    from deekseek_ocr___dockerized_api_ray.sources.corpus import (
+        cached_corpus_path,
+        read_corpus,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import lsh_candidate_pairs
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import brute_force_topk
+
+    n_docs = _n_docs()
+    corpus_path = cached_corpus_path(n_docs, SEED, profile="bench")  # generate-once, untimed
+
+    # warm the page cache with one untimed read
+    read_corpus(corpus_path).count()
+
+    queries: dict[str, float] = {}
+
+    # headline: flagship extraction, sink = partitioned parquet.
+    # tmpfs sink: on a real cluster output goes to distributed storage
+    # whose bandwidth scales with nodes; a single local disk would make
+    # the scaling measurement IO-bound, which is not what's under test.
+    # Best-of-2: this sandbox is a shared box with ~2x wall-time noise;
+    # min-of-k is the standard way to measure compute under co-tenancy.
+    out_dir = f"/dev/shm/bench_extract_out_{NUM_CPUS}"
+    extract_sec = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        # fixed-size pool (autoscaling from 1 actor never ramps up within
+        # a short job) sized to 3/4 of the CPUs at EVERY level, so an
+        # N-vs-4N comparison has exactly 4x the compute actors and the
+        # remaining CPUs absorb read/write tasks at both levels
+        ds = run_extract(read_corpus(corpus_path), mode="markdown",
+                         ocr_concurrency=max(2, (3 * NUM_CPUS) // 4))
+        ds.write_parquet(out_dir)
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
+    queries["extract_flagship"] = round(extract_sec, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        result = {
+            "metric": "flagship extraction wall time (mock-OCR, span-equal pipeline)",
+            "value": round(extract_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / extract_sec, 1),
+        }
+        ray.shutdown()
+        return result
+
+    t0 = time.perf_counter()
+    q1_pricing_summary(SF_DIR).count()
+    queries["q1_pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    events_tumbling_hour(SF_DIR).count()
+    queries["events_tumbling_hour"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    lsh_candidate_pairs(docs).count()
+    queries["minhash_candidates"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+    queries["ann_topk"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship extraction wall time (mock-OCR, span-equal pipeline)",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1", BENCH_REPS="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        time.sleep(8)  # let the previous Ray session's workers/shm fully drain
+        return json.loads(out.strip().splitlines()[-1])
+
+    # alternate the two levels twice and take the min per level: this box
+    # is co-tenant-noisy and subprocess order otherwise biases the ratio.
+    # N=4 vs 4N=16: the 32-logical-core box saturates memory bandwidth
+    # near full occupancy (a single-node artifact -- real 4N-node clusters
+    # add bandwidth with nodes), so the 4-vs-16 pair measures the
+    # engine's scaling rather than the box's ceiling.
+    lo, hi = int(os.environ.get("BENCH_SCALE_LO", "4")), int(os.environ.get("BENCH_SCALE_HI", "16"))
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+    runs = [r for _ in range(rounds) for r in (run_at(lo), run_at(hi))]
+    r_lo = min((r for r in runs if r["num_cpus"] == lo), key=lambda r: r["value"])
+    r_hi = min((r for r in runs if r["num_cpus"] == hi), key=lambda r: r["value"])
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency (N={lo} vs 4N={hi} CPUs, same input)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "n_docs": r_lo["n_docs"],
+        "all_secs": {f"run{i}_cpus{r['num_cpus']}": r["value"] for i, r in enumerate(runs)},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

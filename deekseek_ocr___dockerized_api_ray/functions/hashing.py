@@ -37,10 +37,38 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer (vectorized, uint64 wraparound) -- avalanches the
+    clustered polynomial rolling-hash values into uniform [0, 2^64)."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the text's char-k-shingles (sorted for determinism)."""
-    hs = sorted(_hash64(s) for s in char_shingles(text, k))
-    return np.asarray(hs, dtype=np.uint64)
+    """uint64 hashes of the text's distinct char-k-shingles.
+
+    Fully vectorized: codepoints via utf-32 view, sliding windows, one
+    polynomial dot per window (natural mod-2^64 wraparound), murmur
+    finalize, np.unique. No per-shingle Python or digest calls.
+    """
+    norm = " ".join(text.split())
+    if not norm:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    k = min(k, len(codes))
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = 1
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * np.uint64(1099511628211)  # FNV prime, wraps
+    with np.errstate(over="ignore"):
+        h = (win * pows).sum(axis=1, dtype=np.uint64)
+    return np.unique(_mix64(h))
 
 
 class MinHasher:
@@ -73,13 +101,17 @@ class MinHasher:
 
 
 def band_keys(signature: np.ndarray, bands: int = 16) -> List[int]:
-    """LSH band keys: hash of each band's rows (bands x rows = n_hashes)."""
+    """LSH band keys: one mixed polynomial fold per band (vectorized)."""
     rows = signature.size // bands
-    keys = []
-    for bi in range(bands):
-        band = signature[bi * rows : (bi + 1) * rows]
-        keys.append(_hash64(f"{bi}:" + ",".join(str(int(v)) for v in band)))
-    return keys
+    seg = signature[: bands * rows].reshape(bands, rows).astype(np.uint64)
+    pows = np.empty(rows, dtype=np.uint64)
+    pows[0] = 1
+    for i in range(1, rows):
+        pows[i] = pows[i - 1] * np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        h = (seg * pows).sum(axis=1, dtype=np.uint64)
+        h += np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return _mix64(h).tolist()
 
 
 def jaccard(a: Set, b: Set) -> float:
@@ -91,20 +123,18 @@ def jaccard(a: Set, b: Set) -> float:
 
 
 def simhash64(text: str, token_re=None) -> int:
-    """64-bit SimHash over whitespace tokens (weight = term frequency)."""
+    """64-bit SimHash over whitespace tokens (weight = term frequency).
+
+    One blake2b per token, then a single vectorized sign-sum over the
+    (n_tokens, 64) bit matrix.
+    """
     tokens = text.split()
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = _hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hs = np.asarray([_hash64(t) for t in tokens], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def hamming64(a: int, b: int) -> int:

@@ -4,33 +4,142 @@ Reference lifecycle (SURVEY.md section 3.1): upload PDF -> rasterize
 pages -> per-page vLLM OCR -> join with page-split marker -> client-side
 clean_content. One job at a time, in-memory state, nothing resumable.
 
-Engine pipeline (streaming, every stage backpressured):
+Two physical strategies, same semantics (both span-equal vs the oracle):
 
-    read corpus (doc_id, spans)
-      -> map_batches(explode_spans)           # doc -> span rows (skew defense)
-      -> map_batches(OCRStage, concurrency=N) # stateful actor pool, media rows only
-      -> groupby(doc_id).map_groups(build_document)  # THE one keyed shuffle
-      [-> write_parquet(out)]
+``fused`` (default -- cheap/CPU OCR backends):
+    read corpus -> map_batches(FusedExtractStage, actor pool)
+    A document's spans are already co-located in its input row, so when
+    per-span cost is small the whole explode/OCR/reassemble/clean chain
+    runs inside ONE actor-pool stage. Zero shuffles; scales linearly.
+
+``exploded`` (heavy per-span backends, e.g. real GPU OCR at ~1 s/page):
+    read -> map_batches(explode)          # span rows: skew defense
+         -> map_batches(OCRStage, pool)   # batched model inference
+         -> bucketed keyed reassembly     # the one all-to-all exchange
+    Exploding makes the GPU work unit a span, so a 200-page document
+    cannot monopolize an actor (the reference's single-job failure mode,
+    docker/start_server.py:456-466). Reassembly groups by a 64-bucket
+    hash of doc_id and rebuilds every document of a bucket in one call
+    (cheaper than one map_groups call per document).
 
 ``reference_extract_document`` is the deliberately naive single-process
-oracle: a straight-line re-statement of the reference semantics used by
-the test suite to compute expected outputs independently of the
+oracle used by tests to compute expected outputs independently of the
 distributed machinery (FIXTURES.md section 3).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Set, Union
+from typing import Dict, List, Optional, Set, Union
 
 import pyarrow as pa
 
 from ..functions.cleaning import clean_content, join_pages, page_error_text, strip_server_eos
 from ..functions.mock_ocr import mock_ocr_text
-from ..schema import EXTRACTED_SCHEMA
+from ..functions.text_stats import sha1_64
+from ..schema import EXTRACTED_SCHEMA, SPAN_LIST
 from ..sources.corpus import read_corpus
 from ..stages.explode import explode
-from ..stages.ocr import OCRStage
+from ..stages.ocr import OCRStage, make_backend
 from ..stages.reassemble import reassemble
+
+_ERROR_PREFIX = "[Error processing page "
+
+
+def _build_extracted_rows(doc_ids: List[str], docs_spans: List[List[dict]],
+                          mode: str) -> pa.Table:
+    """Assemble EXTRACTED_SCHEMA rows from per-doc span dicts (already
+    OCR'd, sorted by offset)."""
+    markdowns, n_spans, n_errors = [], [], []
+    for spans in docs_spans:
+        joined = join_pages([s["text"] for s in spans])
+        if mode == "custom":
+            markdowns.append(joined)  # raw output, no cleaning
+        else:
+            markdowns.append(clean_content(joined, remove_page_splits=True))
+        n_spans.append(len(spans))
+        n_errors.append(sum(1 for s in spans if s["text"].startswith(_ERROR_PREFIX)))
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(docs_spans, type=SPAN_LIST),
+            pa.array(markdowns, type=pa.string()),
+            pa.array(n_spans, type=pa.int32()),
+            pa.array(n_errors, type=pa.int32()),
+        ],
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+class FusedExtractStage:
+    """Whole-document extraction in one actor-pool stage (fused path).
+
+    Per doc (page loop analog, docker/start_server.py:456-467): sort
+    spans by offset, OCR media spans through the backend (per-span error
+    -> reference error string, M15), join + clean per mode.
+    """
+
+    def __init__(self, mode: str = "markdown", backend: str = "mock",
+                 fail_refs: Optional[Set[str]] = None):
+        self.mode = mode
+        self.backend = make_backend(backend, mode, fail_refs=fail_refs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        all_spans = batch.column("spans").to_pylist()
+        out_spans: List[List[dict]] = []
+        for spans in all_spans:
+            spans = sorted(spans, key=lambda s: s["offset"])
+            processed = []
+            for s in spans:
+                if s["kind"] == "text":
+                    text = s["text"]
+                else:
+                    try:
+                        text = strip_server_eos(self.backend.generate_one(s["media_ref"]))
+                    except Exception as e:
+                        text = page_error_text(s["offset"] + 1, str(e))
+                processed.append(
+                    {"kind": s["kind"], "text": text,
+                     "media_ref": s["media_ref"], "offset": s["offset"]}
+                )
+            out_spans.append(processed)
+        return _build_extracted_rows(doc_ids, out_spans, self.mode)
+
+
+def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64):
+    """Exploded-path reassembly: one hash bucket (many docs) per group
+    call instead of one call per doc -- same keyed-shuffle semantics,
+    ~n_docs/n_buckets fewer Python/Arrow round-trips."""
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [sha1_64(d) % n_buckets for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    def _build_bucket(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+        doc_col = g.column("doc_id").to_pylist()
+        kinds = g.column("kind").to_pylist()
+        texts = g.column("text").to_pylist()
+        refs = g.column("media_ref").to_pylist()
+        offs = g.column("offset").to_pylist()
+        doc_ids: List[str] = []
+        docs_spans: List[List[dict]] = []
+        start = 0
+        for i in range(1, len(doc_col) + 1):
+            if i == len(doc_col) or doc_col[i] != doc_col[start]:
+                doc_ids.append(doc_col[start])
+                docs_spans.append(
+                    [
+                        {"kind": kinds[j], "text": texts[j],
+                         "media_ref": refs[j], "offset": offs[j]}
+                        for j in range(start, i)
+                    ]
+                )
+                start = i
+        return _build_extracted_rows(doc_ids, docs_spans, mode)
+
+    bucketed = flat_ds.map_batches(_add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_build_bucket, batch_format="pyarrow")
 
 
 def run_extract(
@@ -38,31 +147,61 @@ def run_extract(
     *,
     mode: str = "markdown",
     backend: str = "mock",
+    strategy: str = "fused",
     span_batch_size: int = 1024,
-    ocr_concurrency: Optional[int] = None,
+    doc_batch_size: int = 256,
+    ocr_concurrency: Optional[object] = None,
     fail_refs: Optional[Set[str]] = None,
+    reassemble_buckets: int = 64,
 ):
     """Build the (lazy) extraction Dataset for a corpus path or Dataset.
 
-    ``ocr_concurrency=None`` lets Ray autoscale the stage as plain tasks
-    would -- we still pass a callable class so backend state is built
-    once per actor. Consumption (write/iter/count) is the caller's
-    choice; nothing here materializes.
+    strategy="fused" (default): no shuffle; right when per-span cost is
+    small. strategy="exploded": span-level work units + keyed reassembly;
+    right for expensive stateful backends (GPU OCR) and extreme doc skew.
+    Consumption (write/iter/count) is the caller's choice.
     """
-    import ray.data  # noqa: F401  (Dataset type only)
-
     ds = read_corpus(source) if isinstance(source, str) else source
+    concurrency = ocr_concurrency if ocr_concurrency is not None else (1, 8)
+
+    if strategy == "fused":
+        return ds.map_batches(
+            FusedExtractStage,
+            fn_constructor_kwargs=dict(mode=mode, backend=backend, fail_refs=fail_refs),
+            batch_format="pyarrow",
+            batch_size=doc_batch_size,
+            concurrency=concurrency,
+        )
+
+    if strategy != "exploded":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     flat = explode(ds)
-    kwargs = dict(
+    ocrd = flat.map_batches(
+        OCRStage,
         fn_constructor_kwargs=dict(mode=mode, backend=backend, fail_refs=fail_refs),
         batch_format="pyarrow",
         batch_size=span_batch_size,
+        concurrency=concurrency,
     )
-    # Autoscaling pool with min=1: a fixed pool equal to the CPU count
-    # starves the groupby shuffle (the pool reserves every CPU); min=1
-    # guarantees forward progress at any cluster size.
-    kwargs["concurrency"] = ocr_concurrency if ocr_concurrency is not None else (1, 8)
-    ocrd = flat.map_batches(OCRStage, **kwargs)
+    return _bucketed_reassemble(ocrd, mode, reassemble_buckets)
+
+
+def run_extract_per_doc_groups(source, mode: str = "markdown", backend: str = "mock",
+                               fail_refs: Optional[Set[str]] = None,
+                               ocr_concurrency: Optional[object] = None):
+    """Exploded path with the textbook one-group-per-document reassembly
+    (stages/reassemble.py) -- kept as the semantic baseline the bucketed
+    variant is tested against."""
+    ds = read_corpus(source) if isinstance(source, str) else source
+    flat = explode(ds)
+    ocrd = flat.map_batches(
+        OCRStage,
+        fn_constructor_kwargs=dict(mode=mode, backend=backend, fail_refs=fail_refs),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=ocr_concurrency if ocr_concurrency is not None else (1, 8),
+    )
     return reassemble(ocrd, mode=mode)
 
 
@@ -104,7 +243,7 @@ def reference_extract_document(
         markdown = joined
     else:
         markdown = clean_content(joined, remove_page_splits=True)
-    n_errors = sum(1 for s in out_spans if s["text"].startswith("[Error processing page "))
+    n_errors = sum(1 for s in out_spans if s["text"].startswith(_ERROR_PREFIX))
     return {
         "doc_id": doc["doc_id"],
         "spans": out_spans,

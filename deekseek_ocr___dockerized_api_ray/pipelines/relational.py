@@ -36,7 +36,8 @@ def q1_pricing_summary(sf_dir: str):
     sum_disc_price, avg_qty, count_order), sums/avg rounded to 2.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.agg import grouped_agg
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -45,28 +46,20 @@ def q1_pricing_summary(sf_dir: str):
     )
     cutoff = pd.Timestamp("1998-09-02")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff]
-        if df.empty:
-            return pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-                         "sum_disc_price", "count_order"]
-            )
-        df = df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return g
+        return df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=131072)
-    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("count_order", alias_name="count_order"),
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=131072)
+    final = grouped_agg(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": ("l_quantity", "size"),
+        },
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,7 +82,8 @@ def top_revenue_customers(sf_dir: str, k: int = 10):
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.agg import grouped_agg
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     name_by_key = dict(
@@ -99,11 +93,7 @@ def top_revenue_customers(sf_dir: str, k: int = 10):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_custkey", as_index=False).agg(rev=("o_totalprice", "sum"))
-
-    partials = orders.map_batches(partial, batch_format="pandas", batch_size=131072)
-    total = partials.groupby("o_custkey").aggregate(Sum("rev", alias_name="total_revenue"))
+    total = grouped_agg(orders, ["o_custkey"], {"total_revenue": ("o_totalprice", "sum")})
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         names = ray.get(names_ref)
@@ -125,9 +115,10 @@ def revenue_by_region(sf_dir: str):
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     import pyarrow.parquet as pq
+
+    from ..stages.agg import grouped_agg
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
@@ -143,16 +134,15 @@ def revenue_by_region(sf_dir: str):
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
-        df = df.assign(
+        return df.assign(
             r_name=df["l_suppkey"].map(lookup),
             rev=df["l_extendedprice"] * (1.0 - df["l_discount"]),
         )
-        return df.groupby("r_name", as_index=False).agg(rev=("rev", "sum"))
 
-    partials = li.map_batches(partial, batch_format="pandas", batch_size=131072)
-    total = partials.groupby("r_name").aggregate(Sum("rev", alias_name="revenue"))
+    prepped = li.map_batches(prep, batch_format="pandas", batch_size=131072)
+    total = grouped_agg(prepped, ["r_name"], {"revenue": ("rev", "sum")}, n_buckets=8)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = round_series(df["revenue"], 2)
@@ -170,20 +160,19 @@ def events_tumbling_hour(sf_dir: str):
     Output: (window_start_s, event_type, n_events, sum_value r2).
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.agg import grouped_agg
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(window_start_s=_epoch_seconds(df["ts"].dt.floor("h")))
-        return df.groupby(["window_start_s", "event_type"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
-        )
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(window_start_s=_epoch_seconds(df["ts"].dt.floor("h")))
 
-    partials = ev.map_batches(partial, batch_format="pandas", batch_size=131072)
-    final = partials.groupby(["window_start_s", "event_type"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+    prepped = ev.map_batches(prep, batch_format="pandas", batch_size=131072)
+    final = grouped_agg(
+        prepped,
+        ["window_start_s", "event_type"],
+        {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -99,11 +99,10 @@ def doc_fingerprint(sf_dir: str):
 
 def lang_count(sf_dir: str):
     """(lang, n_docs): groupby-count over the labeled lang column."""
-    import ray.data as rd
-    from ray.data.aggregate import Count
+    from ..stages.agg import grouped_agg
 
     ds = _docs(sf_dir, ["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return grouped_agg(ds, ["lang"], {"n_docs": ("lang", "size")}, n_buckets=8)
 
 
 def langid_predict(sf_dir: str):

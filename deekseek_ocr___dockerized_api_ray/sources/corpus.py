@@ -73,12 +73,16 @@ def _doc_id(i: int) -> str:
     return f"doc-{i:06d}"
 
 
-def _span_count(rng: random.Random) -> int:
+def _span_count(rng: random.Random, profile: str = "default") -> int:
     # Long-tailed: most docs 2-8 spans, some 9-30, a few heavyweight 50-200
     # (skew fixture for size-aware repartitioning, FIXTURES.md section 1).
+    # "bench" profile models realistic multi-page documents (10-24 spans,
+    # same heavy tail) so benchmark jobs are compute-bound.
     r = rng.random()
     if r < 0.02:
         return rng.randint(50, 200)
+    if profile == "bench":
+        return rng.randint(10, 24)
     if r < 0.10:
         return rng.randint(9, 30)
     return rng.randint(2, 8)
@@ -96,11 +100,11 @@ def _text_span(rng: random.Random) -> str:
     return "".join(parts)
 
 
-def generate_doc(doc_index: int, seed: int = 42) -> Dict:
-    """One document row; pure function of (doc_index, seed)."""
+def generate_doc(doc_index: int, seed: int = 42, profile: str = "default") -> Dict:
+    """One document row; pure function of (doc_index, seed, profile)."""
     rng = random.Random(f"{seed}:{doc_index}")
     doc_id = _doc_id(doc_index)
-    n = _span_count(rng)
+    n = _span_count(rng, profile)
     spans = []
     media_ordinal = 0
     for off in range(n):
@@ -123,9 +127,9 @@ def generate_doc(doc_index: int, seed: int = 42) -> Dict:
     return {"doc_id": doc_id, "spans": spans}
 
 
-def docs_table(indices: Iterable[int], seed: int = 42) -> pa.Table:
+def docs_table(indices: Iterable[int], seed: int = 42, profile: str = "default") -> pa.Table:
     """Arrow table of documents for the given indices."""
-    rows = [generate_doc(i, seed) for i in indices]
+    rows = [generate_doc(i, seed, profile) for i in indices]
     return pa.Table.from_arrays(
         [
             pa.array([r["doc_id"] for r in rows], type=pa.string()),
@@ -135,9 +139,9 @@ def docs_table(indices: Iterable[int], seed: int = 42) -> pa.Table:
     )
 
 
-def generate_documents(n_docs: int, seed: int = 42) -> pa.Table:
+def generate_documents(n_docs: int, seed: int = 42, profile: str = "default") -> pa.Table:
     """Whole corpus as one Arrow table (driver-side; small scales only)."""
-    return docs_table(range(n_docs), seed)
+    return docs_table(range(n_docs), seed, profile)
 
 
 def media_row(media_ref: str, kind: str) -> Dict:
@@ -174,7 +178,8 @@ def media_table_for_docs(docs: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(refs, schema=MEDIA_SCHEMA)
 
 
-def corpus_dataset(n_docs: int, seed: int = 42, parallelism: Optional[int] = None):
+def corpus_dataset(n_docs: int, seed: int = 42, parallelism: Optional[int] = None,
+                   profile: str = "default"):
     """The corpus as a Ray Dataset, generated in parallel.
 
     ``range(n) -> map_batches(gen)``: each batch generates its own doc
@@ -187,29 +192,32 @@ def corpus_dataset(n_docs: int, seed: int = 42, parallelism: Optional[int] = Non
         parallelism = max(1, min(200, n_docs // 250))
 
     def _gen(batch: pa.Table) -> pa.Table:
-        return docs_table(batch.column("id").to_pylist(), seed)
+        return docs_table(batch.column("id").to_pylist(), seed, profile)
 
     return rd.range(n_docs, override_num_blocks=parallelism).map_batches(
         _gen, batch_format="pyarrow"
     )
 
 
-def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> str:
+def write_corpus(out_dir: str, n_docs: int, seed: int = 42,
+                 profile: str = "default") -> str:
     """Materialize the corpus to Parquet (Lance-schema twin) at out_dir."""
-    ds = corpus_dataset(n_docs, seed)
+    ds = corpus_dataset(n_docs, seed, profile=profile)
     ds.write_parquet(out_dir)
     return out_dir
 
 
-def cached_corpus_path(n_docs: int, seed: int = 42, root: str = "/tmp/deekseek_corpus") -> str:
-    """Generate-once cache for benches/queries: /tmp/..._{n}_{seed}/ ."""
+def cached_corpus_path(n_docs: int, seed: int = 42, root: str = "/tmp/deekseek_corpus",
+                       profile: str = "default") -> str:
+    """Generate-once cache for benches/queries, keyed by (n, seed, profile)."""
     import os
 
-    path = f"{root}/n{n_docs}_s{seed}"
+    suffix = "" if profile == "default" else f"_{profile}"
+    path = f"{root}/n{n_docs}_s{seed}{suffix}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
-        write_corpus(path, n_docs, seed)
+        write_corpus(path, n_docs, seed, profile)
         with open(marker, "w") as f:
             f.write("ok")
     return path

@@ -46,34 +46,49 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
     return batch.append_column(out_col, pa.array(hashes, type=pa.uint64()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 256):
     """Keep, per distinct text, the row with the smallest id.
 
-    hash-partitioned groupby on a 64-bit content hash (uniform key); the
-    text itself never becomes a shuffle key.
+    Keyed shuffle on ``content_hash % n_buckets`` (uniform 64-bit hash;
+    the text itself never becomes a shuffle key); within each bucket one
+    vectorized sort + drop_duplicates handles every hash group at once.
     """
+    import pandas as pd
 
-    def _keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        return group.slice(ids.index(min(ids)), 1)
+    def _hash_bucket(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch, text_col)
+        bucket = pc.cast(
+            pc.bit_wise_and(b.column("content_hash"), pa.scalar(n_buckets - 1, pa.uint64())),
+            pa.int32(),
+        )
+        return b.append_column("bucket", bucket)
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    def _keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(["content_hash", id_col]).drop_duplicates("content_hash")
+        return out.drop(columns=["content_hash", "bucket"])
+
+    hashed = ds.map_batches(_hash_bucket, batch_format="pyarrow")
+    return hashed.groupby("bucket").map_groups(_keep_min, batch_format="pandas")
+
+
+def first_per_group(ds, key: str, order_cols: Sequence[str], n_buckets: int = 256):
+    """Per-group first row under an explicit sort order (dedup-by-key).
+    Bucketed: one shuffle on hash(key), one vectorized
+    sort+drop_duplicates per bucket."""
+    import pandas as pd
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        buckets = [sha1_64(str(v)) % n_buckets for v in batch.column(key).to_pylist()]
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    def _first(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values([key, *order_cols]).drop_duplicates(key)
+        return out.drop(columns=["bucket"])
+
+    return ds.map_batches(_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        _first, batch_format="pandas"
     )
-    return (
-        hashed.groupby("content_hash")
-        .map_groups(_keep_min, batch_format="pyarrow")
-        .drop_columns(["content_hash"])
-    )
-
-
-def first_per_group(ds, key: str, order_cols: Sequence[str]):
-    """Per-group first row under an explicit sort order (dedup-by-key)."""
-
-    def _first(group: pa.Table) -> pa.Table:
-        return group.sort_by([(c, "ascending") for c in order_cols]).slice(0, 1)
-
-    return ds.groupby(key).map_groups(_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -128,37 +143,83 @@ def _explode_bands(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
     )
 
 
-def _emit_pairs(group: pa.Table, id_col: str) -> pa.Table:
-    ids = sorted(set(group.column(id_col).to_pylist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.Table.from_arrays([pa.array(a), pa.array(b)], names=["id_a", "id_b"])
-
-
 def lsh_candidate_pairs(ds, n_hashes: int = 64, bands: int = 16, k: int = 5,
-                        text_col: str = "text", id_col: str = "doc_id", seed: int = 42):
+                        text_col: str = "text", id_col: str = "doc_id", seed: int = 42,
+                        n_buckets: int = 256):
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band.
 
-    shingle -> minhash (actor pool) -> band explode -> groupby(band) ->
-    pairwise within bucket -> distinct. Bucket sizes are bounded in
-    expectation (uniform band keys); a pathological bucket means the
-    corpus genuinely contains a near-duplicate cluster, and the pair
-    blow-up is the true output size.
+    shingle -> minhash (actor pool) -> band explode -> ONE keyed shuffle
+    on ``band_key % n_buckets`` (each group call handles a whole bucket
+    of band-buckets, pairing within each band vectorized-ish) -> distinct
+    within a second bucketed groupby using Arrow's native group_by.
+
+    Grouping by a hash bucket instead of the raw (band_id, band_key)
+    pair turns ~n_docs*bands tiny map_groups calls into n_buckets calls;
+    the shuffle volume is identical. Expected bucket size is uniform
+    (mixed 64-bit band keys); a pathological band bucket means the
+    corpus genuinely contains a giant near-duplicate cluster and the
+    pair blow-up is the true output size.
     """
     sigs = minhash_signatures(ds, n_hashes, bands, k, text_col, id_col, seed)
     exploded = sigs.map_batches(
         lambda b: _explode_bands(b, bands, id_col), batch_format="pyarrow"
     )
-    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: _emit_pairs(g, id_col), batch_format="pyarrow"
-    )
-    # distinct pairs: one keyed groupby on the pair
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("band_key"), pa.scalar(n_buckets - 1, pa.uint64())),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", bucket)
+
+    def _pairs_in_bucket(group: pa.Table) -> pa.Table:
+        g = group.sort_by(
+            [("band_id", "ascending"), ("band_key", "ascending"), (id_col, "ascending")]
+        )
+        bids = g.column("band_id").to_pylist()
+        keys = g.column("band_key").to_pylist()
+        ids = g.column(id_col).to_pylist()
+        a, b = [], []
+        start = 0
+        n = len(ids)
+        for i in range(1, n + 1):
+            if i == n or bids[i] != bids[start] or keys[i] != keys[start]:
+                members = sorted(set(ids[start:i]))
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        a.append(members[x])
+                        b.append(members[y])
+                start = i
+        id_type = group.schema.field(id_col).type
+        return pa.Table.from_arrays(
+            [pa.array(a, type=id_type), pa.array(b, type=id_type)], names=["id_a", "id_b"]
+        )
+
+    bucketed = exploded.map_batches(_add_bucket, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(_pairs_in_bucket, batch_format="pyarrow")
+    return distinct_rows(pairs, ["id_a", "id_b"], n_buckets=n_buckets)
+
+
+def distinct_rows(ds, cols: Sequence[str], n_buckets: int = 256):
+    """DISTINCT over ``cols``: bucket by a row hash, then Arrow-native
+    group_by within each bucket (one call per bucket, not per key)."""
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in cols:
+            vals = batch.column(c).to_pylist()
+            col_h = np.asarray([sha1_64(str(v)) for v in vals], dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1099511628211) + col_h
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def _distinct(group: pa.Table) -> pa.Table:
+        return group.select(list(cols)).group_by(list(cols)).aggregate([])
+
+    bucketed = ds.map_batches(_add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_distinct, batch_format="pyarrow")
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
@@ -310,4 +371,4 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
 
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
     pairs = exploded.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return distinct_rows(pairs, ["id_a", "id_b", "hamming"])

@@ -219,8 +219,8 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
             names=["id_a", "id_b", "cosine"],
         )
 
+    from .dedup import distinct_rows
+
     assigned = emb_ds.map_batches(_assign, batch_format="pyarrow")
     pairs = assigned.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return distinct_rows(pairs, ["id_a", "id_b", "cosine"])

@@ -102,6 +102,40 @@ def test_parallelism_invariance(ray_session):
     assert ka == kb
 
 
+def test_strategies_agree(ray_session):
+    # fused (no shuffle), exploded (bucketed reassembly) and the per-doc
+    # map_groups baseline must produce identical documents
+    from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+        run_extract_per_doc_groups,
+    )
+
+    def key(rows):
+        return {
+            r["doc_id"]: (tuple(_span_tuples(r["spans"])), r["markdown"],
+                          r["n_spans"], r["n_errors"])
+            for r in rows
+        }
+
+    fused = key(run_extract(corpus_dataset(60, SEED), strategy="fused").take_all())
+    exploded = key(
+        run_extract(corpus_dataset(60, SEED), strategy="exploded",
+                    reassemble_buckets=7).take_all()
+    )
+    baseline = key(run_extract_per_doc_groups(corpus_dataset(60, SEED)).take_all())
+    assert fused == exploded == baseline
+    assert len(fused) == 60
+
+
+def test_exploded_strategy_matches_oracle(ray_session):
+    rows = run_extract(corpus_dataset(25, SEED), strategy="exploded").take_all()
+    got = {r["doc_id"]: r for r in rows}
+    for i in range(25):
+        doc = generate_doc(i, SEED)
+        exp = reference_extract_document(doc, "markdown")
+        assert _span_tuples(got[doc["doc_id"]]["spans"]) == _span_tuples(exp["spans"])
+        assert got[doc["doc_id"]]["markdown"] == exp["markdown"]
+
+
 def test_expected_table_matches_generator():
     t = expected_table(10, SEED)
     assert t.num_rows == 10
