@@ -37,6 +37,16 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _fnv_powers(k: int) -> np.ndarray:
+    """[FNV_prime^0 .. ^{k-1}] with deliberate uint64 wraparound."""
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, k):
+            pows[i] = pows[i - 1] * np.uint64(1099511628211)
+    return pows
+
+
 def _mix64(h: np.ndarray) -> np.ndarray:
     """murmur3 finalizer (vectorized, uint64 wraparound) -- avalanches the
     clustered polynomial rolling-hash values into uniform [0, 2^64)."""
@@ -62,10 +72,7 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     k = min(k, len(codes))
     win = np.lib.stride_tricks.sliding_window_view(codes, k)
-    pows = np.empty(k, dtype=np.uint64)
-    pows[0] = 1
-    for i in range(1, k):
-        pows[i] = pows[i - 1] * np.uint64(1099511628211)  # FNV prime, wraps
+    pows = _fnv_powers(k)
     with np.errstate(over="ignore"):
         h = (win * pows).sum(axis=1, dtype=np.uint64)
     return np.unique(_mix64(h))
@@ -104,10 +111,7 @@ def band_keys(signature: np.ndarray, bands: int = 16) -> List[int]:
     """LSH band keys: one mixed polynomial fold per band (vectorized)."""
     rows = signature.size // bands
     seg = signature[: bands * rows].reshape(bands, rows).astype(np.uint64)
-    pows = np.empty(rows, dtype=np.uint64)
-    pows[0] = 1
-    for i in range(1, rows):
-        pows[i] = pows[i - 1] * np.uint64(1099511628211)
+    pows = _fnv_powers(rows)
     with np.errstate(over="ignore"):
         h = (seg * pows).sum(axis=1, dtype=np.uint64)
         h += np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)

@@ -33,7 +33,16 @@ from typing import Dict, List, Optional, Set, Union
 
 import pyarrow as pa
 
-from ..functions.cleaning import clean_content, join_pages, page_error_text, strip_server_eos
+from ..functions.cleaning import (
+    PAGE_SPLIT_BATCH,
+    clean_content,
+    clean_content_batch_script,
+    has_model_eos,
+    join_pages,
+    page_error_text,
+    strip_model_eos,
+    strip_server_eos,
+)
 from ..functions.mock_ocr import mock_ocr_text
 from ..functions.text_stats import sha1_64
 from ..schema import EXTRACTED_SCHEMA, SPAN_LIST
@@ -45,17 +54,42 @@ from ..stages.reassemble import reassemble
 _ERROR_PREFIX = "[Error processing page "
 
 
+def _doc_markdown(doc_id: str, spans: List[dict], mode: str,
+                  extract_images: bool, media_dims_fn) -> str:
+    """Join + clean one doc's processed spans (reference API path).
+
+    extract_images=True replicates M6 (Lib/postprocessor.py:66-139): the
+    doc's MEDIA spans play the role of the rasterized page list, so the
+    reference's modulo page-pairing quirk maps to ``img_idx % n_media``;
+    link names are deterministic ``{doc_id}_img{i}.jpg``.
+    """
+    joined = join_pages([s["text"] for s in spans])
+    if mode == "custom":
+        return joined  # raw output, no cleaning
+    page_dims = None
+    if extract_images:
+        page_dims = [
+            media_dims_fn(s["media_ref"]) for s in spans if s["media_ref"]
+        ]
+    return clean_content(
+        joined,
+        extract_images=extract_images,
+        page_dims=page_dims,
+        link_name_fn=lambda i: f"{doc_id}_img{i}.jpg",
+        remove_page_splits=True,
+    )
+
+
 def _build_extracted_rows(doc_ids: List[str], docs_spans: List[List[dict]],
-                          mode: str) -> pa.Table:
+                          mode: str, extract_images: bool = False,
+                          media_dims_fn=None) -> pa.Table:
     """Assemble EXTRACTED_SCHEMA rows from per-doc span dicts (already
     OCR'd, sorted by offset)."""
+    if extract_images and media_dims_fn is None:
+        from ..sources.corpus import fixture_media_dims as media_dims_fn
     markdowns, n_spans, n_errors = [], [], []
-    for spans in docs_spans:
-        joined = join_pages([s["text"] for s in spans])
-        if mode == "custom":
-            markdowns.append(joined)  # raw output, no cleaning
-        else:
-            markdowns.append(clean_content(joined, remove_page_splits=True))
+    for doc_id, spans in zip(doc_ids, docs_spans):
+        markdowns.append(_doc_markdown(doc_id, spans, mode, extract_images, media_dims_fn))
         n_spans.append(len(spans))
         n_errors.append(sum(1 for s in spans if s["text"].startswith(_ERROR_PREFIX)))
     return pa.Table.from_arrays(
@@ -79,8 +113,11 @@ class FusedExtractStage:
     """
 
     def __init__(self, mode: str = "markdown", backend: str = "mock",
-                 fail_refs: Optional[Set[str]] = None):
+                 fail_refs: Optional[Set[str]] = None, max_pages: int = 0,
+                 extract_images: bool = False):
         self.mode = mode
+        self.max_pages = max_pages
+        self.extract_images = extract_images
         self.backend = make_backend(backend, mode, fail_refs=fail_refs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -89,6 +126,10 @@ class FusedExtractStage:
         out_spans: List[List[dict]] = []
         for spans in all_spans:
             spans = sorted(spans, key=lambda s: s["offset"])
+            if self.max_pages > 0:
+                # O1: MAX_PAGES truncation (start_server.py:444-450) --
+                # the page-list slice maps to the first max_pages spans
+                spans = spans[: self.max_pages]
             processed = []
             for s in spans:
                 if s["kind"] == "text":
@@ -103,10 +144,12 @@ class FusedExtractStage:
                      "media_ref": s["media_ref"], "offset": s["offset"]}
                 )
             out_spans.append(processed)
-        return _build_extracted_rows(doc_ids, out_spans, self.mode)
+        return _build_extracted_rows(doc_ids, out_spans, self.mode,
+                                     self.extract_images)
 
 
-def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64):
+def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64,
+                         extract_images: bool = False):
     """Exploded-path reassembly: one hash bucket (many docs) per group
     call instead of one call per doc -- same keyed-shuffle semantics,
     ~n_docs/n_buckets fewer Python/Arrow round-trips."""
@@ -136,7 +179,7 @@ def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64):
                     ]
                 )
                 start = i
-        return _build_extracted_rows(doc_ids, docs_spans, mode)
+        return _build_extracted_rows(doc_ids, docs_spans, mode, extract_images)
 
     bucketed = flat_ds.map_batches(_add_bucket, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(_build_bucket, batch_format="pyarrow")
@@ -153,6 +196,8 @@ def run_extract(
     ocr_concurrency: Optional[object] = None,
     fail_refs: Optional[Set[str]] = None,
     reassemble_buckets: int = 64,
+    max_pages: int = 0,
+    extract_images: bool = False,
 ):
     """Build the (lazy) extraction Dataset for a corpus path or Dataset.
 
@@ -167,7 +212,8 @@ def run_extract(
     if strategy == "fused":
         return ds.map_batches(
             FusedExtractStage,
-            fn_constructor_kwargs=dict(mode=mode, backend=backend, fail_refs=fail_refs),
+            fn_constructor_kwargs=dict(mode=mode, backend=backend, fail_refs=fail_refs,
+                                       max_pages=max_pages, extract_images=extract_images),
             batch_format="pyarrow",
             batch_size=doc_batch_size,
             concurrency=concurrency,
@@ -177,6 +223,13 @@ def run_extract(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     flat = explode(ds)
+    if max_pages > 0:
+        import pyarrow.compute as pc
+
+        flat = flat.map_batches(
+            lambda t: t.filter(pc.less(t.column("offset"), pa.scalar(max_pages, pa.int32()))),
+            batch_format="pyarrow",
+        )
     ocrd = flat.map_batches(
         OCRStage,
         fn_constructor_kwargs=dict(mode=mode, backend=backend, fail_refs=fail_refs),
@@ -184,7 +237,8 @@ def run_extract(
         batch_size=span_batch_size,
         concurrency=concurrency,
     )
-    return _bucketed_reassemble(ocrd, mode, reassemble_buckets)
+    return _bucketed_reassemble(ocrd, mode, reassemble_buckets,
+                                extract_images=extract_images)
 
 
 def run_extract_per_doc_groups(source, mode: str = "markdown", backend: str = "mock",
@@ -210,7 +264,8 @@ def run_extract_per_doc_groups(source, mode: str = "markdown", backend: str = "m
 # ---------------------------------------------------------------------------
 
 def reference_extract_document(
-    doc: Dict, mode: str = "markdown", fail_refs: Optional[Set[str]] = None
+    doc: Dict, mode: str = "markdown", fail_refs: Optional[Set[str]] = None,
+    max_pages: int = 0, extract_images: bool = False,
 ) -> Dict:
     """Straight-line restatement of the reference pipeline for ONE doc.
 
@@ -224,6 +279,8 @@ def reference_extract_document(
     """
     fail_refs = fail_refs or set()
     spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    if max_pages > 0:
+        spans = spans[:max_pages]
     out_spans = []
     for s in spans:
         if s["kind"] == "text":
@@ -238,11 +295,10 @@ def reference_extract_document(
         out_spans.append(
             {"kind": s["kind"], "text": text, "media_ref": s["media_ref"], "offset": s["offset"]}
         )
-    joined = join_pages([s["text"] for s in out_spans])
-    if mode == "custom":
-        markdown = joined
-    else:
-        markdown = clean_content(joined, remove_page_splits=True)
+    markdown = _doc_markdown(doc["doc_id"], out_spans, mode, extract_images, None
+                             if not extract_images else
+                             __import__("deekseek_ocr___dockerized_api_ray.sources.corpus",
+                                        fromlist=["fixture_media_dims"]).fixture_media_dims)
     n_errors = sum(1 for s in out_spans if s["text"].startswith(_ERROR_PREFIX))
     return {
         "doc_id": doc["doc_id"],
@@ -259,3 +315,96 @@ def expected_table(n_docs: int, seed: int = 42, mode: str = "markdown") -> pa.Ta
 
     rows = [reference_extract_document(generate_doc(i, seed), mode) for i in range(n_docs)]
     return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Batch-script path (run_dpsk_ocr_pdf.py) -- optional mode
+# ---------------------------------------------------------------------------
+
+BATCH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("raw_text", pa.string()),    # contents_det (W3 *_det.mmd)
+        ("clean_text", pa.string()),  # contents (W3 *.mmd)
+        ("n_kept", pa.int32()),
+        ("n_dropped", pa.int32()),
+    ]
+)
+
+#: per-page suffix the batch script appends: content + "\n" + page_num + "\n"
+#: with page_num = "\n<--- Page Split --->" (run_dpsk_ocr_pdf.py:312-314)
+_BATCH_SUFFIX = "\n\n<--- Page Split --->\n"
+
+
+def batch_script_document(doc: Dict, mode: str = "markdown",
+                          skip_repeat: bool = True) -> Dict:
+    """Naive oracle for the batch-script path (run_dpsk_ocr_pdf.py:296-341).
+
+    Interleaved mapping: every span is a "page"; media spans are OCR'd
+    with the fullwidth model EOS; SKIP_REPEAT drops media pages whose
+    output lacks it (text spans always count as kept). ``jdx`` (the link
+    page index) counts KEPT pages only, matching the script's counter.
+    """
+    from ..functions.mock_ocr import mock_ocr_text_batch
+
+    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    raw_parts, clean_parts = [], []
+    jdx = 0
+    dropped = 0
+    for s in spans:
+        if s["kind"] == "text":
+            content = s["text"]
+        else:
+            content = mock_ocr_text_batch(s["media_ref"], mode)
+            if has_model_eos(content):
+                content = strip_model_eos(content)
+            elif skip_repeat:
+                dropped += 1
+                continue
+        raw_parts.append(content + _BATCH_SUFFIX)
+        clean_parts.append(clean_content_batch_script(content, jdx) + _BATCH_SUFFIX)
+        jdx += 1
+    return {
+        "doc_id": doc["doc_id"],
+        "raw_text": "".join(raw_parts),
+        "clean_text": "".join(clean_parts),
+        "n_kept": jdx,
+        "n_dropped": dropped,
+    }
+
+
+class BatchScriptExtractStage:
+    """Fused actor stage for the batch-script path (same dataflow shape
+    as FusedExtractStage; semantics of run_dpsk_ocr_pdf.py)."""
+
+    def __init__(self, mode: str = "markdown", skip_repeat: bool = True):
+        from ..functions.mock_ocr import mock_ocr_text_batch
+
+        self.mode = mode
+        self.skip_repeat = skip_repeat
+        self._ocr = mock_ocr_text_batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            rows.append(
+                batch_script_document({"doc_id": doc_id, "spans": spans},
+                                      self.mode, self.skip_repeat)
+            )
+        return pa.Table.from_pylist(rows, schema=BATCH_SCHEMA)
+
+
+def run_extract_batch_script(source, *, mode: str = "markdown",
+                             skip_repeat: bool = True,
+                             doc_batch_size: int = 256,
+                             concurrency=(1, 8)):
+    """Batch-script-path pipeline: (doc_id, raw_text, clean_text, ...)."""
+    ds = read_corpus(source) if isinstance(source, str) else source
+    return ds.map_batches(
+        BatchScriptExtractStage,
+        fn_constructor_kwargs=dict(mode=mode, skip_repeat=skip_repeat),
+        batch_format="pyarrow",
+        batch_size=doc_batch_size,
+        concurrency=concurrency,
+    )

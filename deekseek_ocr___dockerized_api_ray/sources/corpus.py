@@ -167,6 +167,14 @@ def media_row(media_ref: str, kind: str) -> Dict:
     }
 
 
+def fixture_media_dims(media_ref: str) -> "tuple[int, int]":
+    """(width, height) of a fixture media payload -- the deterministic
+    stand-in for a media-table dims lookup (production: broadcast the
+    media table's (ref -> dims) map via ray.put)."""
+    h = int.from_bytes(hashlib.sha256(media_ref.encode()).digest()[:8], "big")
+    return _DIM_CASES[h % len(_DIM_CASES)]
+
+
 def media_table_for_docs(docs: pa.Table) -> pa.Table:
     refs: List[Dict] = []
     for spans in docs.column("spans").to_pylist():

@@ -224,10 +224,20 @@ def distinct_rows(ds, cols: Sequence[str], n_buckets: int = 256):
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
                          k: int = 5, text_col: str = "text", id_col: str = "doc_id",
-                         num_partitions: int = 16):
+                         num_partitions: Optional[int] = None):
     """Exact-Jaccard verification of candidate pairs via two hash joins
     (pair -> text_a, pair -> text_b) -- the scale path; no broadcast of
-    the corpus. Returns (id_a, id_b, jaccard) rows >= threshold."""
+    the corpus. Returns (id_a, id_b, jaccard) rows >= threshold.
+
+    num_partitions defaults to half the cluster CPUs: the join's
+    hash-shuffle aggregators each need a slot, and over-partitioning a
+    small cluster deadlocks the executor.
+    """
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
     texts = docs_ds.select_columns([id_col, text_col])
     a = pairs_ds.join(texts, join_type="inner", num_partitions=num_partitions,
                       on=("id_a",), right_on=(id_col,))

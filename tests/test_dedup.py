@@ -1,0 +1,131 @@
+"""Dedup operators: exact, first-per-group, MinHash+LSH (candidates,
+verify, survivors), SimHash, distinct."""
+
+import pyarrow as pa
+import pytest
+
+from deekseek_ocr___dockerized_api_ray.functions.hashing import (
+    MinHasher,
+    char_shingles,
+    hamming64,
+    jaccard,
+    shingle_hashes,
+    simhash64,
+    simhash_bands,
+)
+from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+    distinct_rows,
+    exact_dedup,
+    first_per_group,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    simhash_neardup_pairs,
+    verify_pairs_jaccard,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun of october"
+)
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    # 3 exact copies of BASE, 2 near-copies (1-word edit), rest distinct
+    rows = []
+    for i in range(3):
+        rows.append({"doc_id": f"d{i:03d}", "text": BASE})
+    rows.append({"doc_id": "d100", "text": BASE.replace("october", "november")})
+    rows.append({"doc_id": "d101", "text": BASE.replace("cat", "kitten")})
+    for i in range(40):
+        rows.append(
+            {"doc_id": f"u{i:03d}",
+             "text": f"unique document number {i} talking about topic-{i*7} and "
+                     f"entity-{i*13} with completely different content words {i}"}
+        )
+    return rows
+
+
+def test_exact_dedup(dup_corpus):
+    out = exact_dedup(_docs_ds(dup_corpus)).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    # of the 3 exact copies only min id d000 survives; near-copies stay
+    assert "d000" in ids and "d001" not in ids and "d002" not in ids
+    assert "d100" in ids and "d101" in ids
+    assert len(out) == len(dup_corpus) - 2
+
+
+def test_first_per_group(ray_session):
+    rows = [
+        {"k": "a", "ord": 2, "v": "second"},
+        {"k": "a", "ord": 1, "v": "first"},
+        {"k": "b", "ord": 9, "v": "only"},
+        {"k": "a", "ord": 3, "v": "third"},
+    ]
+    out = first_per_group(_docs_ds(rows), "k", ["ord"]).take_all()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {"a": "first", "b": "only"}
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(128, 42)
+    a = BASE
+    b = BASE.replace("october", "november")
+    true = jaccard(char_shingles(a), char_shingles(b))
+    est = float(
+        (mh.signature(shingle_hashes(a)) == mh.signature(shingle_hashes(b))).mean()
+    )
+    assert abs(true - est) < 0.15
+    assert true > 0.8
+
+
+def test_lsh_finds_planted_neardups(dup_corpus):
+    pairs = lsh_candidate_pairs(_docs_ds(dup_corpus)).take_all()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact copies must be candidates
+    assert ("d000", "d001") in pairset
+    assert ("d000", "d002") in pairset
+    # near-copies (jaccard ~0.9) must be candidates
+    assert ("d000", "d100") in pairset
+
+
+def test_verify_and_survivors(dup_corpus):
+    ds = _docs_ds(dup_corpus)
+    pairs = lsh_candidate_pairs(ds)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.8).take_all()
+    vset = {(r["id_a"], r["id_b"]) for r in verified}
+    assert ("d000", "d001") in vset
+    for r in verified:
+        assert r["jaccard"] >= 0.8
+
+    survivors = minhash_dedup(ds, threshold=0.8).take_all()
+    ids = {r["doc_id"] for r in survivors}
+    # the whole near-dup cluster collapses to its min id
+    assert "d000" in ids
+    assert {"d001", "d002", "d100", "d101"} & ids == set()
+    assert all(f"u{i:03d}" in ids for i in range(40))
+
+
+def test_simhash_neardup(dup_corpus):
+    h1 = simhash64(BASE)
+    h2 = simhash64(BASE.replace("october", "november"))
+    assert hamming64(h1, h2) <= 10
+    assert len(simhash_bands(h1, 4)) == 4
+    pairs = simhash_neardup_pairs(_docs_ds(dup_corpus), max_hamming=6).take_all()
+    pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("d000", "d001") in pairset  # identical -> hamming 0
+    for r in pairs:
+        assert r["hamming"] <= 6
+
+
+def test_distinct_rows(ray_session):
+    rows = [{"a": i % 3, "b": i % 2} for i in range(60)]
+    out = distinct_rows(_docs_ds(rows), ["a", "b"]).take_all()
+    assert len(out) == 6
+    assert len({(r["a"], r["b"]) for r in out}) == 6

@@ -1,0 +1,85 @@
+"""Similarity search: brute-force cosine top-k (exact vs numpy ground
+truth), LSH ANN recall, banded embedding near-dup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+
+DIM = 16
+N = 300
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    m = rng.normal(size=(N, DIM)).astype(np.float32)
+    # plant a near-duplicate pair: vec 250 ~ vec 0
+    m[250] = m[0] + rng.normal(scale=0.01, size=DIM).astype(np.float32)
+    t = pa.Table.from_arrays(
+        [
+            pa.array(range(N), type=pa.int64()),
+            pa.array([row.tolist() for row in m], type=pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    return rd.from_arrow(t), m
+
+
+def _numpy_topk(m, qids, k):
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = mm @ mm[q]
+        sims[q] = -np.inf
+        order = np.lexsort((np.arange(N), -sims))[:k]
+        out[q] = list(order)
+    return out
+
+
+def test_brute_force_matches_numpy(emb_ds):
+    ds, m = emb_ds
+    qids = [0, 5, 17]
+    rows = brute_force_topk(ds, qids, k=8).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    expected = _numpy_topk(m, qids, 8)
+    for q in qids:
+        ranked = [v for _, v in sorted(got[q])]
+        assert ranked == expected[q], f"query {q}"
+    # the planted near-dup is rank 1 for query 0
+    assert got[0] and sorted(got[0])[0][1] == 250
+
+
+def test_lsh_topk_recall(emb_ds):
+    ds, m = emb_ds
+    qids = [0, 5]
+    exact = _numpy_topk(m, qids, 10)
+    rows = lsh_topk(ds, qids, k=10, n_planes=4).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # approximate: recall > 0 and everything returned is a valid id
+    for q in qids:
+        assert got.get(q), f"query {q} returned nothing"
+        assert len(got[q] & set(exact[q])) >= 1
+    # the near-identical vector shares query 0's bucket by construction
+    assert 250 in got[0]
+
+
+def test_embedding_neardup_finds_planted_pair(emb_ds):
+    ds, _ = emb_ds
+    rows = embedding_neardup_pairs(ds, threshold=0.98).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (0, 250) in pairs
+    for r in rows:
+        assert r["cosine"] >= 0.98

@@ -1,0 +1,108 @@
+"""Text-analysis primitives + the agg helper."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+    round_half_away,
+    round_series,
+)
+from deekseek_ocr___dockerized_api_ray.functions.text_stats import (
+    bpe_token_count,
+    detect_language,
+    md5_fingerprint,
+    normalize_for_fingerprint,
+    quality_metrics,
+    rolling_fingerprint,
+    sha1_64,
+    token_count,
+)
+
+
+def test_token_count():
+    assert token_count("one two  three\nfour") == 4
+    assert token_count("") == 0
+    assert token_count("   ") == 0
+
+
+def test_bpe_token_count():
+    assert bpe_token_count("it's a test-case 123") >= 6
+    assert bpe_token_count("") == 0
+
+
+def test_quality_metrics():
+    m = quality_metrics("the cat, and dog.")
+    assert m["n_chars"] == 17
+    assert m["n_tokens"] == 4
+    assert m["punct_ratio"] == round_half_away(2 / 17, 6)
+    assert m["stopword_ratio"] == round_half_away(2 / 4, 6)
+    empty = quality_metrics("")
+    assert empty["avg_token_len"] == 0.0
+
+
+def test_detect_language():
+    assert detect_language("the cat and the dog went to the park in the morning") == "en"
+    assert detect_language("der Hund und die Katze sind nicht mit der Maus im Haus") == "de"
+    assert detect_language("le chat et le chien sont dans la maison avec les enfants") == "fr"
+    assert detect_language("el perro y el gato no las casas por una ventana") == "es"
+    assert detect_language("今天天气很好我们一起去公园散步吧") == "zh"
+    assert detect_language("") == "und"
+    assert detect_language("12345 67890 !!!") == "und"
+
+
+def test_fingerprints():
+    assert normalize_for_fingerprint("  A\tB\nC ") == " a b c "
+    assert md5_fingerprint("A  b") == md5_fingerprint("a b")
+    assert md5_fingerprint("x") != md5_fingerprint("y")
+    assert rolling_fingerprint("abc") == rolling_fingerprint("ABC")
+    assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
+    assert sha1_64("x") != sha1_64("y")
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    vals = [0.125, 0.135, 2.675, -0.125, 1.0005, 0.0000005, 123.456789]
+    for v in vals:
+        for d in (2, 6):
+            got = round_half_away(v, d)
+            exp = duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), {d})").fetchone()[0]
+            assert got == exp, (v, d, got, exp)
+    s = round_series(pd.Series(vals), 2)
+    for v, r in zip(vals, s):
+        assert r == round_half_away(v, 2)
+
+
+def test_grouped_agg_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.agg import grouped_agg
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k1": rng.randint(0, 7, 5000),
+            "k2": rng.choice(["x", "y", "z"], 5000),
+            "v": rng.normal(size=5000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = (
+        grouped_agg(ds, ["k1", "k2"], {"s": ("v", "sum"), "n": ("v", "size"),
+                                       "mx": ("v", "max")})
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size"), mx=("v", "max"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert np.allclose(out["s"].to_numpy(), exp["s"].to_numpy())
+    assert np.allclose(out["mx"].to_numpy(), exp["mx"].to_numpy())
