@@ -113,6 +113,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = run_extract(_corpus(sf_dir), mode="markdown")
         return out.select_columns(["doc_id", "markdown", "n_spans", "n_errors"])
 
+    def extract_markdown_images(sf_dir: str):
+        # M6 link-rewrite mode (extract_images=True)
+        out = run_extract(_corpus(sf_dir), mode="markdown", extract_images=True)
+        return out.select_columns(["doc_id", "markdown", "n_spans", "n_errors"])
+
+    def extract_batch_script(sf_dir: str):
+        # run_dpsk_ocr_pdf.py path: fullwidth EOS + SKIP_REPEAT + .mmd columns
+        from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+            run_extract_batch_script,
+        )
+
+        return run_extract_batch_script(_corpus(sf_dir))
+
+    def grounding_boxes(sf_dir: str):
+        # structured grounding-span table from OCR'd exploded spans
+        from deekseek_ocr___dockerized_api_ray.stages.explode import explode
+        from deekseek_ocr___dockerized_api_ray.stages.grounding_spans import (
+            grounding_spans,
+        )
+        from deekseek_ocr___dockerized_api_ray.stages.ocr import OCRStage
+
+        flat = explode(_corpus(sf_dir))
+        ocrd = flat.map_batches(
+            OCRStage, fn_constructor_kwargs=dict(mode="markdown"),
+            batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
+        )
+        return grounding_spans(ocrd)
+
     def media_pipeline(sf_dir: str):
         import ray.data as rd
 
@@ -144,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (non-SQL: mock-OCR + reference clean chain)
         "extract_interleaved": extract_interleaved,
         "extract_markdown": extract_markdown,
+        "extract_markdown_images": extract_markdown_images,
+        "extract_batch_script": extract_batch_script,
+        "grounding_boxes": grounding_boxes,
         "media_tiling_plan": media_pipeline,
         # text analysis over documents (SQL-oracled)
         "doc_token_stats": text.doc_token_stats,
