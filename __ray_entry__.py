@@ -52,7 +52,7 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from deekseek_ocr___dockerized_api_ray.pipelines import relational, text
+    from deekseek_ocr___dockerized_api_ray.pipelines import relational, text, windows
     from deekseek_ocr___dockerized_api_ray.pipelines.extract import run_extract
     from deekseek_ocr___dockerized_api_ray.sources.corpus import (
         generate_documents,
@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup": emb_neardup,
         # relational (SQL-oracled)
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "events_sessionize": windows.events_sessionize,
+        "events_sliding_hour": windows.events_sliding_hour,
         "top_revenue_customers": relational.top_revenue_customers,
         "revenue_by_region": relational.revenue_by_region,
         "events_tumbling_hour": relational.events_tumbling_hour,
@@ -313,6 +316,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, revenue, orderdate_s, o_custkey FROM (
+              SELECT l.l_orderkey AS l_orderkey,
+                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                     CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+                     o.o_custkey AS o_custkey
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderdate < TIMESTAMP '1995-03-15'
+              GROUP BY 1, 3, 4)
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "events_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_sliding_hour": """
+            SELECT ws AS window_start_s, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM (
+              SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - s.i * 1800 AS ws,
+                     event_type, value
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+            GROUP BY 1, 2
         """,
         "events_tumbling_hour": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,

@@ -226,3 +226,63 @@ def orders_first_per_customer(sf_dir: str):
         return df[["o_custkey", "first_orderkey", "first_order_epoch_s"]]
 
     return firsts.map_batches(finish, batch_format="pandas")
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """Large-large hash join: lineitem JOIN orders on the order key via
+    ``Dataset.join`` (both sides big -- no broadcast), then grouped
+    revenue and top-k. Partition count adapts to the cluster so the
+    join's shuffle aggregators always fit.
+
+    Output: (l_orderkey, revenue r2, orderdate_s, o_custkey).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    num_partitions = max(2, cpus // 2)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff = pd.Timestamp("1995-03-15")
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"] < cutoff]
+        return df.assign(orderdate_s=_epoch_seconds(df["o_orderdate"]))[
+            ["o_orderkey", "o_custkey", "orderdate_s"]
+        ]
+
+    orders = orders.map_batches(prep_orders, batch_format="pandas", batch_size=131072)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))[
+            ["l_orderkey", "rev"]
+        ]
+
+    li = li.map_batches(prep_li, batch_format="pandas", batch_size=131072)
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    total = grouped_agg(
+        joined, ["l_orderkey", "orderdate_s", "o_custkey"], {"revenue": ("rev", "sum")}
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = round_series(df["revenue"], 2)
+        return df[["l_orderkey", "revenue", "orderdate_s", "o_custkey"]]
+
+    return (
+        total.map_batches(finish, batch_format="pandas")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
