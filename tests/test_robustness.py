@@ -1,0 +1,96 @@
+"""Robustness: seed-independence, pathological skew, edge-shaped inputs."""
+
+import pyarrow as pa
+import pytest
+
+from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+    reference_extract_document,
+    run_extract,
+)
+from deekseek_ocr___dockerized_api_ray.schema import DOCUMENTS_SCHEMA, SPAN_LIST
+from deekseek_ocr___dockerized_api_ray.sources.corpus import corpus_dataset, generate_doc
+
+
+def _tuples(spans):
+    return [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in sorted(spans, key=lambda s: s["offset"])
+    ]
+
+
+@pytest.mark.parametrize("seed", [7, 1234, 999983])
+def test_other_seeds_match_oracle(ray_session, seed):
+    # the conformance must not be a seed-42 artifact
+    rows = run_extract(corpus_dataset(25, seed), mode="markdown").take_all()
+    got = {r["doc_id"]: r for r in rows}
+    for i in range(25):
+        doc = generate_doc(i, seed)
+        exp = reference_extract_document(doc, "markdown")
+        assert _tuples(got[doc["doc_id"]]["spans"]) == _tuples(exp["spans"])
+        assert got[doc["doc_id"]]["markdown"] == exp["markdown"]
+
+
+def _manual_ds(rows):
+    import ray.data as rd
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            pa.array([r["spans"] for r in rows], type=SPAN_LIST),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    return rd.from_arrow(t)
+
+
+def test_pathological_skew_doc(ray_session):
+    # one 3000-span whale among minnows; both strategies must finish and agree
+    whale = {
+        "doc_id": "whale",
+        "spans": [
+            {"kind": "pdf_page" if i % 3 == 0 else "text",
+             "text": "" if i % 3 == 0 else f"text {i}",
+             "media_ref": f"media://whale/{i}" if i % 3 == 0 else "",
+             "offset": i}
+            for i in range(3000)
+        ],
+    }
+    minnows = [generate_doc(i, 5) for i in range(10)]
+    ds_rows = [whale] + minnows
+    fused = run_extract(_manual_ds(ds_rows), mode="markdown").take_all()
+    exploded = run_extract(_manual_ds(ds_rows), mode="markdown",
+                           strategy="exploded").take_all()
+    kf = {r["doc_id"]: r["markdown"] for r in fused}
+    ke = {r["doc_id"]: r["markdown"] for r in exploded}
+    assert kf == ke
+    exp = reference_extract_document(whale, "markdown")
+    assert kf["whale"] == exp["markdown"]
+    w = next(r for r in fused if r["doc_id"] == "whale")
+    assert w["n_spans"] == 3000
+
+
+def test_edge_shaped_docs(ray_session):
+    rows = [
+        {"doc_id": "one-span", "spans": [
+            {"kind": "text", "text": "solo", "media_ref": "", "offset": 0}]},
+        {"doc_id": "all-media", "spans": [
+            {"kind": "image", "text": "", "media_ref": "media://am/0", "offset": 0},
+            {"kind": "pdf_page", "text": "", "media_ref": "media://am/1", "offset": 1}]},
+        {"doc_id": "empty-texts", "spans": [
+            {"kind": "text", "text": "", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "", "media_ref": "", "offset": 1}]},
+    ]
+    got = {r["doc_id"]: r for r in run_extract(_manual_ds(rows)).take_all()}
+    for doc in rows:
+        exp = reference_extract_document(doc, "markdown")
+        assert got[doc["doc_id"]]["markdown"] == exp["markdown"]
+        assert _tuples(got[doc["doc_id"]]["spans"]) == _tuples(exp["spans"])
+    assert got["one-span"]["markdown"] == "solo"
+    # empty page texts join to pure page-split markers -> cleaned to empty
+    assert got["empty-texts"]["markdown"] == ""
+
+
+def test_empty_corpus(ray_session):
+    ds = _manual_ds([])
+    out = run_extract(ds).take_all()
+    assert out == []
