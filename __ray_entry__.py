@@ -126,6 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run_extract_batch_script(_corpus(sf_dir))
 
+    def extract_eval(sf_dir: str):
+        # run_dpsk_ocr_eval_batch.py path: per-span raw + eval cleanup
+        from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+            run_extract_eval,
+        )
+
+        return run_extract_eval(_corpus(sf_dir))
+
     def grounding_boxes(sf_dir: str):
         # structured grounding-span table from OCR'd exploded spans
         from deekseek_ocr___dockerized_api_ray.stages.explode import explode
@@ -174,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_markdown": extract_markdown,
         "extract_markdown_images": extract_markdown_images,
         "extract_batch_script": extract_batch_script,
+        "extract_eval": extract_eval,
         "grounding_boxes": grounding_boxes,
         "media_tiling_plan": media_pipeline,
         # text analysis over documents (SQL-oracled)

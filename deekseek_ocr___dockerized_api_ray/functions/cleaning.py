@@ -261,6 +261,26 @@ def strip_center_tags(text: str) -> str:
     return text.replace("<center>", "").replace("</center>", "")
 
 
+def eval_clean_page(content: str) -> str:
+    """Eval-batch-script per-image cleaning (run_dpsk_ocr_eval_batch.py:
+    172-174): clean_formula, then for EVERY grounding tag (the eval
+    script's re_match does not split out image tags, :71-80) remove the
+    tag and chain the newline + <center> replaces PER ITERATION -- so a
+    page with no tags gets no newline/center cleanup at all (reference
+    quirk, reproduced deliberately). No EOS strip on this path."""
+    content = clean_formula(content)
+    matches = TAG_PATTERN.findall(content)
+    for m in matches:
+        content = (
+            content.replace(m[0], "")
+            .replace("\n\n\n\n", "\n\n")
+            .replace("\n\n\n", "\n\n")
+            .replace("<center>", "")
+            .replace("</center>", "")
+        )
+    return content
+
+
 def clean_content_batch_script(content: str, page_idx: int) -> str:
     """The batch-script per-page cleaning variant (run_dpsk_ocr_pdf.py:302-336):
     image tags -> ``![](images/{page}_{idx}.jpg)\\n`` links (replace ALL

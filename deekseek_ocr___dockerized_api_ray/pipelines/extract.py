@@ -408,3 +408,69 @@ def run_extract_batch_script(source, *, mode: str = "markdown",
         batch_size=doc_batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-batch path (run_dpsk_ocr_eval_batch.py) -- optional mode
+# ---------------------------------------------------------------------------
+
+EVAL_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
+        ("media_ref", pa.string()),
+        ("raw_text", pa.string()),    # *_det.md (verbatim model output, EOS kept)
+        ("clean_text", pa.string()),  # *.md (clean_formula + per-tag cleanup)
+    ]
+)
+
+
+def eval_document_rows(doc: Dict, mode: str = "markdown") -> List[Dict]:
+    """Naive oracle for the eval path: one output row per span ("image"),
+    raw output verbatim (no EOS strip on this path,
+    run_dpsk_ocr_eval_batch.py:165-180) + eval_clean_page cleanup."""
+    from ..functions.cleaning import eval_clean_page
+    from ..functions.mock_ocr import mock_ocr_text_batch
+
+    rows = []
+    for s in sorted(doc["spans"], key=lambda x: x["offset"]):
+        raw = s["text"] if s["kind"] == "text" else mock_ocr_text_batch(s["media_ref"], mode)
+        rows.append(
+            {
+                "doc_id": doc["doc_id"],
+                "offset": s["offset"],
+                "media_ref": s["media_ref"],
+                "raw_text": raw,
+                "clean_text": eval_clean_page(raw),
+            }
+        )
+    return rows
+
+
+class EvalExtractStage:
+    """Fused actor stage for the eval-batch path (per-span output rows)."""
+
+    def __init__(self, mode: str = "markdown"):
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: List[Dict] = []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            rows.extend(eval_document_rows({"doc_id": doc_id, "spans": spans}, self.mode))
+        if not rows:
+            return EVAL_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=EVAL_SCHEMA)
+
+
+def run_extract_eval(source, *, mode: str = "markdown",
+                     doc_batch_size: int = 256, concurrency=(1, 8)):
+    """Eval-batch-path pipeline: per-span (doc_id, offset, raw, clean)."""
+    ds = read_corpus(source) if isinstance(source, str) else source
+    return ds.map_batches(
+        EvalExtractStage,
+        fn_constructor_kwargs=dict(mode=mode),
+        batch_format="pyarrow",
+        batch_size=doc_batch_size,
+        concurrency=concurrency,
+    )

@@ -120,3 +120,26 @@ def test_batch_script_skip_repeat_off(ray_session):
     exp = batch_script_document(generate_doc(3, SEED), skip_repeat=False)
     got = next(r for r in rows if r["doc_id"] == exp["doc_id"])
     assert got["raw_text"] == exp["raw_text"]
+
+
+def test_eval_batch_path(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+        eval_document_rows,
+        run_extract_eval,
+    )
+
+    rows = run_extract_eval(corpus_dataset(25, SEED)).take_all()
+    got = {(r["doc_id"], r["offset"]): r for r in rows}
+    n_expected = 0
+    for i in range(25):
+        doc = generate_doc(i, SEED)
+        for exp in eval_document_rows(doc):
+            g = got[(exp["doc_id"], exp["offset"])]
+            assert g["raw_text"] == exp["raw_text"]
+            assert g["clean_text"] == exp["clean_text"]
+            n_expected += 1
+    assert len(rows) == n_expected
+    # raw keeps the model EOS token (no strip on the eval path)
+    from deekseek_ocr___dockerized_api_ray.functions.cleaning import EOS_MODEL
+
+    assert any(EOS_MODEL in r["raw_text"] for r in rows)

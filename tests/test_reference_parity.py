@@ -128,3 +128,41 @@ def test_clean_formula_parity():
         "\\[ one \\] mid \\[ two \\quad (3) \\]",
     ]:
         assert clean_formula(s) == ref_fn(s)
+
+
+@needs_ref
+def test_eval_clean_page_parity():
+    # differential check vs the eval script's own functions + its exact
+    # per-tag cleanup loop (run_dpsk_ocr_eval_batch.py:165-180)
+    import re as _re
+
+    from deekseek_ocr___dockerized_api_ray.functions.cleaning import eval_clean_page
+    from deekseek_ocr___dockerized_api_ray.functions.mock_ocr import mock_ocr_text_batch
+
+    src = open("/root/reference/docker/overrides/run_dpsk_ocr_eval_batch.py").read()
+    ns = {"re": _re}
+    for name in ("clean_formula", "re_match"):
+        m = _re.search(rf"def {name}.*?(?=\ndef |\nclass )", src, _re.S)
+        exec(m.group(0), ns)  # noqa: S102 -- test-only differential check
+
+    def ref_eval_clean(content):
+        content = ns["clean_formula"](content)
+        _, mathes_other = ns["re_match"](content)
+        for a_match_other in mathes_other:
+            content = (
+                content.replace(a_match_other, "")
+                .replace("\n\n\n\n", "\n\n")
+                .replace("\n\n\n", "\n\n")
+                .replace("<center>", "")
+                .replace("</center>", "")
+            )
+        return content
+
+    samples = [
+        "plain page, no tags, with\n\n\n\nruns and <center>kept</center>",
+        "<|ref|>title<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>x\n\n\n\ny<center>z</center>",
+        "\\[ E = mc^2 \\quad (1.2) \\]<|ref|>image<|/ref|><|det|>[[9, 9, 1, 1]]<|/det|>",
+        "",
+    ] + [mock_ocr_text_batch(f"media://p/{i}", "markdown") for i in range(50)]
+    for s in samples:
+        assert eval_clean_page(s) == ref_eval_clean(s)
