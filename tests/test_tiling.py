@@ -72,3 +72,33 @@ def test_presets():
     assert t.PRESETS["gundam"].image_size == 640
     assert t.PRESETS["gundam"].crop_mode is True
     assert t.PRESETS["tiny"].crop_mode is False
+
+
+def test_count_tiles_hypothesis_parity_vs_reference():
+    """Property test: our count_tiles equals the reference's own function
+    (executed from /root/reference source) across the whole realistic
+    dimension range."""
+    import os
+    import re as _re
+
+    import pytest as _pytest
+
+    ref_path = "/root/reference/docker/overrides/process/image_process.py"
+    if not os.path.exists(ref_path):
+        _pytest.skip("reference not present")
+    src = open(ref_path).read()
+    m = _re.search(r"def find_closest_aspect_ratio.*?(?=\ndef dynamic_preprocess)", src, _re.S)
+    ns = {"MIN_CROPS": 2, "MAX_CROPS": 6}
+    exec("MIN_CROPS=2\nMAX_CROPS=6\n" + m.group(0), ns)  # noqa: S102 -- differential
+    ref_count = ns["count_tiles"]
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=400, deadline=None)
+    @given(w=st_.integers(min_value=1, max_value=12000),
+           h=st_.integers(min_value=1, max_value=12000))
+    def check(w, h):
+        assert t.count_tiles(w, h) == tuple(ref_count(w, h, image_size=640))
+
+    check()
