@@ -121,6 +121,87 @@ class FusedExtractStage:
         self.backend = make_backend(backend, mode, fail_refs=fail_refs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.extract_images:
+            return self._call_vectorized(batch)
+        return self._call_rowwise(batch)
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Default path: Arrow list flatten + one vectorized sort, no
+        per-span Python dicts (those dominated the hot loop)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        doc_ids = batch.column("doc_id").to_pylist()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        # one vectorized sort by (doc, offset) restores per-doc span order
+        order = pc.sort_indices(
+            pa.table({"p": parent, "o": flat.field("offset")}),
+            sort_keys=[("p", "ascending"), ("o", "ascending")],
+        )
+        parent_np = pc.take(parent, order).to_numpy(zero_copy_only=False)
+        kinds = pc.take(flat.field("kind"), order)
+        texts = pc.take(flat.field("text"), order).to_pylist()
+        refs = pc.take(flat.field("media_ref"), order)
+        offs = pc.take(flat.field("offset"), order)
+
+        if self.max_pages > 0:
+            # O1: MAX_PAGES truncation (start_server.py:444-450) -- keep
+            # the first max_pages spans of each doc (offsets are dense)
+            keep = pc.less(offs, pa.scalar(self.max_pages, pa.int32()))
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            parent_np = parent_np[keep_np]
+            kinds = kinds.filter(keep)
+            refs = refs.filter(keep)
+            offs = offs.filter(keep)
+            texts = [t for t, k in zip(texts, keep_np) if k]
+
+        kinds_np = kinds.to_numpy(zero_copy_only=False)
+        refs_list = refs.to_pylist()
+        offs_np = offs.to_numpy(zero_copy_only=False)
+        media_idx = np.nonzero(kinds_np != "text")[0]
+        for i in media_idx:
+            try:
+                texts[i] = strip_server_eos(self.backend.generate_one(refs_list[i]))
+            except Exception as e:  # M15: inline error string, job continues
+                texts[i] = page_error_text(int(offs_np[i]) + 1, str(e))
+
+        # doc boundaries -> list offsets (some docs may have 0 spans kept)
+        counts = np.bincount(parent_np, minlength=len(doc_ids))
+        list_offsets = np.zeros(len(doc_ids) + 1, dtype=np.int32)
+        np.cumsum(counts, out=list_offsets[1:])
+        struct = pa.StructArray.from_arrays(
+            [kinds, pa.array(texts, type=pa.string()), refs, offs],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans_out = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct)
+
+        markdowns, n_errors = [], []
+        for d in range(len(doc_ids)):
+            lo, hi = list_offsets[d], list_offsets[d + 1]
+            doc_texts = texts[lo:hi]
+            joined = join_pages(doc_texts)
+            if self.mode == "custom":
+                markdowns.append(joined)
+            else:
+                markdowns.append(clean_content(joined, remove_page_splits=True))
+            n_errors.append(sum(1 for t in doc_texts if t.startswith(_ERROR_PREFIX)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, type=pa.string()),
+                spans_out,
+                pa.array(markdowns, type=pa.string()),
+                pa.array(counts.astype(np.int32)),
+                pa.array(n_errors, type=pa.int32()),
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
+
+    def _call_rowwise(self, batch: pa.Table) -> pa.Table:
+        """extract_images path (per-doc media-dims context needed)."""
         doc_ids = batch.column("doc_id").to_pylist()
         all_spans = batch.column("spans").to_pylist()
         out_spans: List[List[dict]] = []

@@ -197,7 +197,9 @@ def corpus_dataset(n_docs: int, seed: int = 42, parallelism: Optional[int] = Non
     import ray.data as rd
 
     if parallelism is None:
-        parallelism = max(1, min(200, n_docs // 250))
+        # cap at 64 blocks: enough parallelism for any sandbox level while
+        # keeping per-task scheduling cost amortized over big blocks
+        parallelism = max(1, min(64, n_docs // 500))
 
     def _gen(batch: pa.Table) -> pa.Table:
         return docs_table(batch.column("id").to_pylist(), seed, profile)
