@@ -163,11 +163,22 @@ class FusedExtractStage:
         refs_list = refs.to_pylist()
         offs_np = offs.to_numpy(zero_copy_only=False)
         media_idx = np.nonzero(kinds_np != "text")[0]
-        for i in media_idx:
+        if len(media_idx):
+            media_refs = [refs_list[i] for i in media_idx]
             try:
-                texts[i] = strip_server_eos(self.backend.generate_one(refs_list[i]))
-            except Exception as e:  # M15: inline error string, job continues
-                texts[i] = page_error_text(int(offs_np[i]) + 1, str(e))
+                # one BATCHED inference call per batch (the GPU shape,
+                # run_dpsk_ocr_pdf.py:284-287 single llm.generate)
+                results = self.backend.generate(media_refs)
+                for i, r in zip(media_idx, results):
+                    texts[i] = strip_server_eos(r)
+            except Exception:
+                # isolate the poisoned rows: per-row fallback preserving
+                # the reference's per-page error semantics (M15)
+                for i in media_idx:
+                    try:
+                        texts[i] = strip_server_eos(self.backend.generate_one(refs_list[i]))
+                    except Exception as e:
+                        texts[i] = page_error_text(int(offs_np[i]) + 1, str(e))
 
         # doc boundaries -> list offsets (some docs may have 0 spans kept)
         counts = np.bincount(parent_np, minlength=len(doc_ids))
@@ -240,27 +251,79 @@ def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64,
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     def _build_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
-        doc_col = g.column("doc_id").to_pylist()
-        kinds = g.column("kind").to_pylist()
+        n = g.num_rows
+        if n == 0:
+            return EXTRACTED_SCHEMA.empty_table()
+        doc_arr = g.column("doc_id")
+        if isinstance(doc_arr, pa.ChunkedArray):
+            doc_arr = doc_arr.combine_chunks()
+        if extract_images:
+            # per-doc media-dims context -> row-wise build
+            doc_col = doc_arr.to_pylist()
+            kinds_l = g.column("kind").to_pylist()
+            texts_l = g.column("text").to_pylist()
+            refs_l = g.column("media_ref").to_pylist()
+            offs_l = g.column("offset").to_pylist()
+            doc_ids: List[str] = []
+            docs_spans: List[List[dict]] = []
+            start = 0
+            for i in range(1, n + 1):
+                if i == n or doc_col[i] != doc_col[start]:
+                    doc_ids.append(doc_col[start])
+                    docs_spans.append(
+                        [
+                            {"kind": kinds_l[j], "text": texts_l[j],
+                             "media_ref": refs_l[j], "offset": offs_l[j]}
+                            for j in range(start, i)
+                        ]
+                    )
+                    start = i
+            return _build_extracted_rows(doc_ids, docs_spans, mode, extract_images)
+
+        # vectorized: doc boundaries via one shifted comparison, ListArray
+        # rebuild -- no per-span Python objects
+        same = pc.equal(doc_arr.slice(1), doc_arr.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.nonzero(~same)[0] + 1))
+        list_offsets = np.concatenate((starts, [n])).astype(np.int32)
+        doc_id_arr = doc_arr.take(pa.array(starts))
         texts = g.column("text").to_pylist()
-        refs = g.column("media_ref").to_pylist()
-        offs = g.column("offset").to_pylist()
-        doc_ids: List[str] = []
-        docs_spans: List[List[dict]] = []
-        start = 0
-        for i in range(1, len(doc_col) + 1):
-            if i == len(doc_col) or doc_col[i] != doc_col[start]:
-                doc_ids.append(doc_col[start])
-                docs_spans.append(
-                    [
-                        {"kind": kinds[j], "text": texts[j],
-                         "media_ref": refs[j], "offset": offs[j]}
-                        for j in range(start, i)
-                    ]
-                )
-                start = i
-        return _build_extracted_rows(doc_ids, docs_spans, mode, extract_images)
+        struct = pa.StructArray.from_arrays(
+            [
+                g.column("kind").combine_chunks() if isinstance(g.column("kind"), pa.ChunkedArray) else g.column("kind"),
+                pa.array(texts, type=pa.string()),
+                g.column("media_ref").combine_chunks() if isinstance(g.column("media_ref"), pa.ChunkedArray) else g.column("media_ref"),
+                g.column("offset").combine_chunks() if isinstance(g.column("offset"), pa.ChunkedArray) else g.column("offset"),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans_out = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct)
+        markdowns, n_errors, n_spans = [], [], []
+        for d in range(len(starts)):
+            lo, hi = list_offsets[d], list_offsets[d + 1]
+            doc_texts = texts[lo:hi]
+            joined = join_pages(doc_texts)
+            if mode == "custom":
+                markdowns.append(joined)
+            else:
+                markdowns.append(clean_content(joined, remove_page_splits=True))
+            n_errors.append(sum(1 for t in doc_texts if t.startswith(_ERROR_PREFIX)))
+            n_spans.append(hi - lo)
+        return pa.Table.from_arrays(
+            [
+                doc_id_arr,
+                spans_out,
+                pa.array(markdowns, type=pa.string()),
+                pa.array(n_spans, type=pa.int32()),
+                pa.array(n_errors, type=pa.int32()),
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
 
     bucketed = flat_ds.map_batches(_add_bucket, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(_build_bucket, batch_format="pyarrow")
@@ -282,9 +345,12 @@ def run_extract(
 ):
     """Build the (lazy) extraction Dataset for a corpus path or Dataset.
 
-    strategy="fused" (default): no shuffle; right when per-span cost is
-    small. strategy="exploded": span-level work units + keyed reassembly;
-    right for expensive stateful backends (GPU OCR) and extreme doc skew.
+    strategy="fused" (default): docs stay co-located; media spans are
+    OCR'd through the backend's BATCHED generate inside the stage (the
+    GPU-batching shape of run_dpsk_ocr_pdf.py:284-287), zero shuffles.
+    strategy="exploded": span-level work units + keyed reassembly --
+    correct under ANY row placement (e.g. after repartition(shuffle=True)
+    or whale-doc splitting), at the cost of shuffling every span row.
     Consumption (write/iter/count) is the caller's choice.
     """
     ds = read_corpus(source) if isinstance(source, str) else source
