@@ -171,6 +171,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_lsh(sf_dir: str):
         return lsh_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def distinct_flag_status(sf_dir: str):
+        # DISTINCT via the bucketed Arrow-native distinct operator
+        import ray.data as rd
+
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import distinct_rows
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+        )
+        return distinct_rows(li, ["l_returnflag", "l_linestatus"], n_buckets=8)
+
     def emb_neardup(sf_dir: str):
         # the synthetic embeddings are near-orthogonal random vectors;
         # 0.4 is the "near" threshold that actually fires on them
@@ -210,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": relational.revenue_by_region,
         "events_tumbling_hour": relational.events_tumbling_hour,
         "part_filter_topk": relational.part_filter_topk,
+        "distinct_flag_status": distinct_flag_status,
         "orders_first_per_customer": relational.orders_first_per_customer,
     }
 
@@ -376,6 +388,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name, p_retailprice FROM part
             WHERE p_size >= 25
             ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+        """,
+        "distinct_flag_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         """,
         "orders_first_per_customer": """
             SELECT o_custkey, first_orderkey, first_order_epoch_s FROM (

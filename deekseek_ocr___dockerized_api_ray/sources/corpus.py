@@ -234,7 +234,8 @@ def cached_corpus_path(n_docs: int, seed: int = 42, root: str = "/tmp/deekseek_c
 
 
 def read_corpus(path: str):
-    """Read the corpus: Lance in production, Parquet twin in the sandbox."""
+    """Read the corpus: Lance in production, Parquet twin in the sandbox;
+    JSONL accepted for interchange (see read_corpus_jsonl)."""
     import ray.data as rd
 
     if path.endswith(".lance"):
@@ -244,4 +245,40 @@ def read_corpus(path: str):
             raise NotImplementedError(
                 "lance is not installed in this sandbox; use the Parquet twin"
             )
+    if path.endswith((".jsonl", ".json")):
+        return read_corpus_jsonl(path)
     return rd.read_parquet(path)
+
+
+def read_corpus_jsonl(path: str):
+    """Interchange reader: JSON-lines of {"doc_id": ..., "spans": [...]}
+    coerced onto the exact corpus Arrow schema (missing span fields get
+    the column defaults: text "", media_ref "", sequential offsets)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+
+    def _coerce(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        fixed = []
+        for r in rows:
+            spans = []
+            for i, s in enumerate(r.get("spans") or []):
+                spans.append(
+                    {
+                        "kind": s.get("kind", "text"),
+                        "text": s.get("text") or "",
+                        "media_ref": s.get("media_ref") or "",
+                        "offset": int(s["offset"]) if s.get("offset") is not None else i,
+                    }
+                )
+            fixed.append({"doc_id": str(r["doc_id"]), "spans": spans})
+        return pa.Table.from_arrays(
+            [
+                pa.array([r["doc_id"] for r in fixed], type=pa.string()),
+                pa.array([r["spans"] for r in fixed], type=SPAN_LIST),
+            ],
+            schema=DOCUMENTS_SCHEMA,
+        )
+
+    return ds.map_batches(_coerce, batch_format="pyarrow")

@@ -87,3 +87,43 @@ def test_grounding_spans(ray_session):
     ).take_all()
     key = lambda r: (r["doc_id"], r["offset"], r["tag_index"], r["box_index"])
     assert sorted(map(key, rows)) == sorted(map(key, rows2))
+
+
+def test_read_corpus_jsonl(ray_session, tmp_path):
+    import json
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+        reference_extract_document,
+        run_extract,
+    )
+    from deekseek_ocr___dockerized_api_ray.sources.corpus import (
+        generate_doc,
+        read_corpus_jsonl,
+    )
+
+    docs = [generate_doc(i, 42) for i in range(8)]
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+        # a sparse row exercising the field defaults
+        f.write(json.dumps({"doc_id": "sparse", "spans": [{"kind": "text", "text": "hi"}]}) + "\n")
+    ds = read_corpus_jsonl(str(p))
+    out = {r["doc_id"]: r for r in run_extract(ds).take_all()}
+    assert len(out) == 9
+    for d in docs:
+        exp = reference_extract_document(d, "markdown")
+        assert out[d["doc_id"]]["markdown"] == exp["markdown"]
+    assert out["sparse"]["markdown"] == "hi"
+
+
+def test_configure_context(ray_session):
+    from ray.data import DataContext
+
+    from deekseek_ocr___dockerized_api_ray.runtime import configure_context
+
+    before = DataContext.get_current().target_max_block_size
+    ctx = configure_context(wide_binary=True)
+    assert ctx.target_max_block_size == 512 * 1024 * 1024
+    ctx.target_max_block_size = before  # restore for other tests
+    assert configure_context().execution_options.preserve_order is False
