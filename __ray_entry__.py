@@ -61,7 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from deekseek_ocr___dockerized_api_ray.stages.dedup import (
         lsh_candidate_pairs,
         minhash_dedup,
+        simhash_dedup,
         simhash_neardup_pairs,
+        verify_pairs_ngram_jaccard,
     )
     from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
         decode_media,
@@ -165,11 +167,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_pairs(sf_dir: str):
         return simhash_neardup_pairs(_docs_ds(sf_dir), max_hamming=3)
 
+    def simhash_survivors(sf_dir: str):
+        return simhash_dedup(_docs_ds(sf_dir), max_hamming=3)
+
+    def ngram_jaccard_pairs(sf_dir: str):
+        docs = _docs_ds(sf_dir)
+        return verify_pairs_ngram_jaccard(
+            lsh_candidate_pairs(docs), docs, threshold=0.3, n=3
+        )
+
     def ann_topk(sf_dir: str):
         return brute_force_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
     def ann_lsh(sf_dir: str):
         return lsh_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
+
+    def ann_ivf(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import ivf_topk
+
+        return ivf_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
+
+    def doc_bpe_tokens(sf_dir: str):
+        # BPE-ish subword counts (regex has lookahead: RE2-inexpressible)
+        import pyarrow as pa
+
+        from deekseek_ocr___dockerized_api_ray.functions.text_stats import (
+            bpe_token_count,
+        )
+
+        def stats(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.Table.from_arrays(
+                [batch.column("doc_id").combine_chunks(),
+                 pa.array([bpe_token_count(t) for t in texts], type=pa.int64())],
+                names=["doc_id", "n_bpe_tokens"],
+            )
+
+        return _docs_ds(sf_dir).map_batches(stats, batch_format="pyarrow")
 
     def distinct_flag_status(sf_dir: str):
         # DISTINCT via the bucketed Arrow-native distinct operator
@@ -208,9 +242,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": minhash_candidates,
         "minhash_survivors": minhash_survivors,
         "simhash_pairs": simhash_pairs,
+        "simhash_survivors": simhash_survivors,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         # similarity search
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "doc_bpe_tokens": doc_bpe_tokens,
         "emb_neardup": emb_neardup,
         # relational (SQL-oracled)
         "q1_pricing_summary": relational.q1_pricing_summary,

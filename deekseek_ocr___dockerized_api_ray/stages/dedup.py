@@ -382,3 +382,47 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
     pairs = exploded.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
     return distinct_rows(pairs, ["id_a", "id_b", "hamming"])
+
+
+def verify_pairs_ngram_jaccard(pairs_ds, docs_ds, threshold: float = 0.5,
+                               n: int = 3, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_partitions: Optional[int] = None):
+    """Word-n-gram Jaccard verification (the n-gram flavor of near-dup;
+    char-shingle flavor is verify_pairs_jaccard). Same two-hash-join
+    shape; returns (id_a, id_b, ngram_jaccard r6) rows >= threshold."""
+    from ..functions.hashing import word_ngrams
+
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
+    texts = docs_ds.select_columns([id_col, text_col])
+    a = pairs_ds.join(texts, join_type="inner", num_partitions=num_partitions,
+                      on=("id_a",), right_on=(id_col,))
+    a = a.rename_columns({text_col: "text_a"})
+    b = a.join(texts, join_type="inner", num_partitions=num_partitions,
+               on=("id_b",), right_on=(id_col,))
+    b = b.rename_columns({text_col: "text_b"})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        ja = [
+            jaccard(word_ngrams(ta, n), word_ngrams(tb, n))
+            for ta, tb in zip(batch.column("text_a").to_pylist(),
+                              batch.column("text_b").to_pylist())
+        ]
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "ngram_jaccard", pa.array([round(j, 6) for j in ja], type=pa.float64())
+        )
+        return out.filter(pc.greater_equal(out.column("ngram_jaccard"), pa.scalar(threshold)))
+
+    return b.map_batches(_verify, batch_format="pyarrow")
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3, bands: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """SimHash near-dup REMOVAL: banded pairs -> min-label components ->
+    survivors (same component collapse as minhash_dedup)."""
+    pairs = simhash_neardup_pairs(docs_ds, max_hamming, bands, text_col, id_col)
+    return survivors_from_pairs(docs_ds, pairs, id_col)

@@ -224,3 +224,33 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
     assigned = emb_ds.map_batches(_assign, batch_format="pyarrow")
     pairs = assigned.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
     return distinct_rows(pairs, ["id_a", "id_b", "cosine"])
+
+
+def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
+             seed: int = 42):
+    """IVF-style ANN: vectors are assigned to the nearest of ``n_lists``
+    deterministic centroids (seeded gaussian directions, normalized --
+    a fixed codebook, no training pass); a query probes only its
+    ``n_probe`` closest lists. Exact cosine within probed lists.
+
+    Recall < 1 by design; report overlap vs brute_force_topk to measure.
+    """
+    import ray
+
+    ids, qref = query_matrix(emb_ds, query_ids, id_col, emb_col)
+    qmat = ray.get(qref)
+    dim = qmat.shape[1]
+    rng = np.random.RandomState(seed)
+    centroids = _normalize(rng.normal(size=(n_lists, dim)))
+    q_lists = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probed = {int(l) for row in q_lists for l in row}
+
+    def _list_filter(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        assign = np.argmax(m @ centroids.T, axis=1)
+        keep = np.isin(assign, list(probed))
+        return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
+
+    filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
+    return brute_force_topk(filtered, query_ids, k, id_col, emb_col)

@@ -129,3 +129,27 @@ def test_distinct_rows(ray_session):
     out = distinct_rows(_docs_ds(rows), ["a", "b"]).take_all()
     assert len(out) == 6
     assert len({(r["a"], r["b"]) for r in out}) == 6
+
+
+def test_ngram_jaccard_verify(dup_corpus):
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        verify_pairs_ngram_jaccard,
+    )
+
+    ds = _docs_ds(dup_corpus)
+    pairs = lsh_candidate_pairs(ds)
+    verified = verify_pairs_ngram_jaccard(pairs, ds, threshold=0.5, n=3).take_all()
+    vset = {(r["id_a"], r["id_b"]) for r in verified}
+    assert ("d000", "d001") in vset  # identical docs: ngram jaccard 1.0
+    for r in verified:
+        assert r["ngram_jaccard"] >= 0.5
+
+
+def test_simhash_dedup_survivors(dup_corpus):
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import simhash_dedup
+
+    out = simhash_dedup(_docs_ds(dup_corpus), max_hamming=6).take_all()
+    ids = {r["doc_id"] for r in out}
+    assert "d000" in ids
+    # the exact copies collapse (hamming 0); near-copies collapse iff within 6 bits
+    assert "d001" not in ids and "d002" not in ids

@@ -83,3 +83,20 @@ def test_embedding_neardup_finds_planted_pair(emb_ds):
     assert (0, 250) in pairs
     for r in rows:
         assert r["cosine"] >= 0.98
+
+
+def test_ivf_topk(emb_ds):
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import ivf_topk
+
+    ds, m = emb_ds
+    qids = [0, 5]
+    rows = ivf_topk(ds, qids, k=10, n_lists=8, n_probe=3).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact = _numpy_topk(m, qids, 10)
+    for q in qids:
+        assert got.get(q), f"query {q} returned nothing"
+        assert len(got[q] & set(exact[q])) >= 1  # nonzero recall
+    # the planted near-identical vector is in the same list as query 0
+    assert 250 in got[0]
