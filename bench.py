@@ -124,8 +124,31 @@ def run_bench() -> dict:
 
     t0 = time.perf_counter()
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+    exact = brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).take_all()
     queries["ann_topk"] = round(time.perf_counter() - t0, 3)
+
+    # approximate-ANN quality: recall vs the brute-force baseline
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import ivf_topk, lsh_topk
+
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def _recall(rows) -> float:
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        per_q = [
+            len(got.get(q, set()) & s) / max(1, len(s)) for q, s in exact_sets.items()
+        ]
+        return round(sum(per_q) / len(per_q), 3)
+
+    t0 = time.perf_counter()
+    queries["ann_lsh_recall"] = _recall(lsh_topk(emb, [0, 1, 2, 3, 4], k=10).take_all())
+    queries["ann_lsh"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    queries["ann_ivf_recall"] = _recall(ivf_topk(emb, [0, 1, 2, 3, 4], k=10).take_all())
+    queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "flagship extraction wall time (mock-OCR, span-equal pipeline)",

@@ -136,26 +136,43 @@ class HyperplaneLSH:
         return bits @ (1 << np.arange(bits.shape[1]))
 
 
-def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_planes: int = 6,
-             id_col: str = "vec_id", emb_col: str = "embedding", seed: int = 42,
+def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, bands: int = 8,
+             rows_per_band: int = 6, id_col: str = "vec_id",
+             emb_col: str = "embedding", seed: int = 42,
              dim: Optional[int] = None):
-    """Approximate top-k: compare only rows whose hyperplane bucket matches
-    a query's bucket. Recall < 1 by design; the bench reports overlap vs
-    the brute-force baseline."""
+    """Approximate top-k via banded (OR-amplified) hyperplane LSH: a row
+    is a candidate if ANY of its ``bands`` sign-bit band keys matches a
+    query's. Recall for a neighbor at angle theta ~ 1-(1-p^r)^B with
+    p = 1 - theta/pi: true near-neighbors (small theta) are found with
+    high probability, while near-orthogonal "neighbors" of random data
+    are inherently hard for LSH (their measured recall is low -- that is
+    the method, not a bug). Short bands (small r) degenerate to keeping
+    almost everything once several queries' keys union. The bench
+    reports measured recall AND the candidate fraction vs brute force."""
     import ray
 
     ids, qref = query_matrix(emb_ds, query_ids, id_col, emb_col)
     qmat = ray.get(qref)
     if dim is None:
         dim = qmat.shape[1]
+    n_planes = bands * rows_per_band
     lsh = HyperplaneLSH(dim, n_planes, seed)
-    qbuckets = lsh.bucket(qmat)
-    wanted = {int(b) for b in qbuckets}
+
+    def _band_keys(m: np.ndarray) -> np.ndarray:
+        bits = (m @ lsh.planes) > 0  # (n, bands*r)
+        keys = np.empty((m.shape[0], bands), dtype=np.int64)
+        weights = 1 << np.arange(rows_per_band)
+        for b in range(bands):
+            seg = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+            keys[:, b] = seg @ weights + (b << rows_per_band)  # band-salted
+        return keys
+
+    wanted = {int(v) for v in _band_keys(qmat).ravel()}
 
     def _bucket_filter(batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, emb_col))
-        buckets = lsh.bucket(m)
-        keep = np.isin(buckets, list(wanted))
+        keys = _band_keys(m)
+        keep = np.isin(keys, list(wanted)).any(axis=1)
         return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
 
     filtered = emb_ds.map_batches(_bucket_filter, batch_format="pyarrow")

@@ -64,7 +64,7 @@ def test_lsh_topk_recall(emb_ds):
     ds, m = emb_ds
     qids = [0, 5]
     exact = _numpy_topk(m, qids, 10)
-    rows = lsh_topk(ds, qids, k=10, n_planes=4).take_all()
+    rows = lsh_topk(ds, qids, k=10, bands=4, rows_per_band=2).take_all()
     got = {}
     for r in rows:
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
