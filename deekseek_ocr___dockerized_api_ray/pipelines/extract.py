@@ -240,15 +240,9 @@ class FusedExtractStage:
                                      self.extract_images)
 
 
-def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64,
-                         extract_images: bool = False):
-    """Exploded-path reassembly: one hash bucket (many docs) per group
-    call instead of one call per doc -- same keyed-shuffle semantics,
-    ~n_docs/n_buckets fewer Python/Arrow round-trips."""
-
-    def _add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [sha1_64(d) % n_buckets for d in batch.column("doc_id").to_pylist()]
-        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+def _make_bucket_builder(mode: str, extract_images: bool):
+    """The whole-bucket rebuild function shared by both exchange
+    implementations (Ray groupby shuffle and disk spill)."""
 
     def _build_bucket(group: pa.Table) -> pa.Table:
         import numpy as np
@@ -325,8 +319,39 @@ def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64,
             schema=EXTRACTED_SCHEMA,
         )
 
-    bucketed = flat_ds.map_batches(_add_bucket, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(_build_bucket, batch_format="pyarrow")
+    return _build_bucket
+
+
+def _add_doc_bucket(flat_ds, n_buckets: int):
+    def _add(batch: pa.Table) -> pa.Table:
+        buckets = [sha1_64(d) % n_buckets for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    return flat_ds.map_batches(_add, batch_format="pyarrow")
+
+
+def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64,
+                         extract_images: bool = False):
+    """Exploded-path reassembly via Ray's keyed shuffle: one hash bucket
+    (many docs) per group call instead of one call per doc."""
+    bucketed = _add_doc_bucket(flat_ds, n_buckets)
+    builder = _make_bucket_builder(mode, extract_images)
+    return bucketed.groupby("bucket").map_groups(builder, batch_format="pyarrow")
+
+
+def _spill_reassemble(flat_ds, mode: str, n_buckets: int, spill_dir: str,
+                      extract_images: bool = False):
+    """Exploded-path reassembly via the disk-based partitioned exchange
+    (stages/exchange.py): map-side bucket spill, one reduce task per
+    bucket -- no global sort. ~3-4x faster than the sort shuffle at
+    10M+ span rows on this box; on a cluster the spill dir is shared
+    storage (the standard external-shuffle layout)."""
+    from ..stages.exchange import partitioned_exchange
+
+    bucketed = _add_doc_bucket(flat_ds, n_buckets)
+    builder = _make_bucket_builder(mode, extract_images)
+    return partitioned_exchange(bucketed, "bucket", n_buckets, spill_dir,
+                                builder, EXTRACTED_SCHEMA)
 
 
 def run_extract(
@@ -342,6 +367,7 @@ def run_extract(
     reassemble_buckets: int = 64,
     max_pages: int = 0,
     extract_images: bool = False,
+    spill_dir: Optional[str] = None,
 ):
     """Build the (lazy) extraction Dataset for a corpus path or Dataset.
 
@@ -350,7 +376,10 @@ def run_extract(
     GPU-batching shape of run_dpsk_ocr_pdf.py:284-287), zero shuffles.
     strategy="exploded": span-level work units + keyed reassembly --
     correct under ANY row placement (e.g. after repartition(shuffle=True)
-    or whale-doc splitting), at the cost of shuffling every span row.
+    or whale-doc splitting). Reassembly exchange: Ray's sort shuffle by
+    default; pass ``spill_dir`` to use the disk-based partitioned
+    exchange instead (faster at tens of millions of span rows; NOTE:
+    it materializes the OCR'd spans to spill_dir at the barrier).
     Consumption (write/iter/count) is the caller's choice.
     """
     ds = read_corpus(source) if isinstance(source, str) else source
@@ -384,6 +413,9 @@ def run_extract(
         batch_size=span_batch_size,
         concurrency=concurrency,
     )
+    if spill_dir is not None:
+        return _spill_reassemble(ocrd, mode, reassemble_buckets, spill_dir,
+                                 extract_images=extract_images)
     return _bucketed_reassemble(ocrd, mode, reassemble_buckets,
                                 extract_images=extract_images)
 

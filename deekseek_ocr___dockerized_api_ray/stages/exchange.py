@@ -1,0 +1,114 @@
+"""Disk-based key-partitioned exchange (external shuffle).
+
+Ray Data's groupby shuffle is a global SORT -- correct, but for a
+bucketed key it pays an all-to-all sort of every row. This exchange is
+the classic map-side-partition / reduce-side-merge alternative:
+
+  map side:    every upstream task splits its batch by ``bucket`` and
+               appends one parquet file per touched bucket under
+               ``spill_dir/bucket=%05d/`` (unique filenames; no
+               coordination, no ordering)
+  barrier:     the writer Dataset is consumed (a shuffle IS a barrier)
+  reduce side: one task per bucket reads its directory and applies the
+               caller's reduce function to the whole bucket
+
+On one node the spill dir is local disk; on a cluster it is the shared
+filesystem / object store -- the same layout production engines use for
+external shuffle. Memory per reduce task = one bucket, so ``n_buckets``
+is chosen so corpus_size / n_buckets fits a worker's heap.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
+    """Map side: partition every batch by bucket into per-bucket parquet
+    appends. Returns total rows written (consumes the Dataset).
+
+    Refuses a dirty spill_dir: stale files from a previous map phase
+    would be read by the reduce side and silently inflate results.
+    """
+    for b in range(n_buckets):
+        bdir = os.path.join(spill_dir, f"bucket={b:05d}")
+        os.makedirs(bdir, exist_ok=True)
+        stale = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        if stale:
+            raise ValueError(
+                f"spill dir {bdir} already contains {len(stale)} parquet file(s); "
+                "pass a fresh directory or let partitioned_exchange(fresh=True) clean it"
+            )
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            buckets = batch.column(bucket_col)
+            for b in pc.unique(buckets).to_pylist():
+                part = batch.filter(pc.equal(buckets, pa.scalar(b, buckets.type)))
+                path = os.path.join(
+                    spill_dir, f"bucket={int(b):05d}", f"{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(part.drop_columns([bucket_col]), path)
+        return pa.Table.from_arrays(
+            [pa.array([batch.num_rows], type=pa.int64())], names=["rows"]
+        )
+
+    stats = ds.map_batches(_write, batch_format="pyarrow")
+    return int(stats.sum("rows") or 0)
+
+
+def reduce_buckets(spill_dir: str, n_buckets: int,
+                   reduce_fn: Callable[[pa.Table], pa.Table],
+                   empty_schema: Optional[pa.Schema] = None):
+    """Reduce side: a Dataset with one task per bucket; each reads its
+    whole bucket directory and applies ``reduce_fn`` to it."""
+    import ray.data as rd
+
+    def _reduce(batch: pa.Table) -> pa.Table:
+        outs = []
+        for b in batch.column("id").to_pylist():
+            bdir = os.path.join(spill_dir, f"bucket={int(b):05d}")
+            files = [os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")]
+            if not files:
+                continue
+            outs.append(reduce_fn(pa.concat_tables([pq.read_table(f) for f in files])))
+        if not outs:
+            return empty_schema.empty_table() if empty_schema is not None else pa.table({})
+        return pa.concat_tables(outs)
+
+    return rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        _reduce, batch_format="pyarrow", batch_size=1
+    )
+
+
+def partitioned_exchange(ds, bucket_col: str, n_buckets: int, spill_dir: str,
+                         reduce_fn: Callable[[pa.Table], pa.Table],
+                         empty_schema: Optional[pa.Schema] = None,
+                         fresh: bool = True):
+    """spill_write + reduce_buckets.
+
+    fresh=True (default) deletes any existing spill_dir first -- a stale
+    map phase mixed with a new one silently inflates results. Pass
+    fresh=False to reuse an INTACT map phase (e.g. re-running only the
+    reduce after a failure): spill_write is then skipped entirely if the
+    directory already has bucket files.
+    """
+    import shutil
+
+    has_existing = os.path.isdir(spill_dir) and any(
+        d.startswith("bucket=") and os.listdir(os.path.join(spill_dir, d))
+        for d in os.listdir(spill_dir)
+    )
+    if fresh:
+        if os.path.isdir(spill_dir):
+            shutil.rmtree(spill_dir)
+        spill_write(ds, bucket_col, n_buckets, spill_dir)
+    elif not has_existing:
+        spill_write(ds, bucket_col, n_buckets, spill_dir)
+    return reduce_buckets(spill_dir, n_buckets, reduce_fn, empty_schema)

@@ -151,3 +151,31 @@ def test_generate_documents_deterministic():
         [s["offset"] for s in spans] != sorted(s["offset"] for s in spans)
         for spans in t1.column("spans").to_pylist()
     )
+
+
+def test_spill_exchange_reassembly(ray_session, tmp_path):
+    # the disk-based partitioned exchange must agree with the sort-shuffle
+    # reassembly and the fused path exactly
+    spill = str(tmp_path / "spill")
+    a = run_extract(corpus_dataset(50, SEED), strategy="exploded",
+                    spill_dir=spill, reassemble_buckets=9).take_all()
+    b = run_extract(corpus_dataset(50, SEED), strategy="fused").take_all()
+    ka = {r["doc_id"]: (tuple(_span_tuples(r["spans"])), r["markdown"]) for r in a}
+    kb = {r["doc_id"]: (tuple(_span_tuples(r["spans"])), r["markdown"]) for r in b}
+    assert ka == kb
+    assert len(ka) == 50
+    import os
+
+    assert any(d.startswith("bucket=") for d in os.listdir(spill))
+
+
+def test_spill_exchange_dirty_dir_safe(ray_session, tmp_path):
+    # rerunning with the same spill dir must NOT mix stale and new files
+    spill = str(tmp_path / "spill2")
+    a = run_extract(corpus_dataset(20, SEED), strategy="exploded",
+                    spill_dir=spill, reassemble_buckets=4).take_all()
+    b = run_extract(corpus_dataset(20, SEED), strategy="exploded",
+                    spill_dir=spill, reassemble_buckets=4).take_all()
+    ka = {r["doc_id"]: (r["n_spans"], r["markdown"]) for r in a}
+    kb = {r["doc_id"]: (r["n_spans"], r["markdown"]) for r in b}
+    assert ka == kb
