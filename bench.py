@@ -107,6 +107,15 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
+    # exploded strategy via the disk-partitioned exchange (the GPU-backend
+    # dataflow shape), for the record alongside the fused headline
+    spill = f"/dev/shm/bench_spill_{NUM_CPUS}"  # tmpfs: see sink note above
+    t0 = time.perf_counter()
+    run_extract(read_corpus(corpus_path), mode="markdown", strategy="exploded",
+                ocr_concurrency=max(2, (3 * NUM_CPUS) // 4), spill_dir=spill).count()
+    queries["extract_exploded_spill"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(spill, ignore_errors=True)
+
     t0 = time.perf_counter()
     q1_pricing_summary(SF_DIR).count()
     queries["q1_pricing_summary"] = round(time.perf_counter() - t0, 3)
