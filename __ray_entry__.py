@@ -260,6 +260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hour": relational.events_tumbling_hour,
         "part_filter_topk": relational.part_filter_topk,
         "distinct_flag_status": distinct_flag_status,
+        "orders_semi_join": relational.orders_semi_join,
+        "orders_anti_join": relational.orders_anti_join,
+        "top2_orders_per_customer": relational.top2_orders_per_customer,
+        "events_user_reach": relational.events_user_reach,
+        "events_user_reach_hll": relational.events_user_reach_hll,
         "orders_first_per_customer": relational.orders_first_per_customer,
     }
 
@@ -429,6 +434,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_flag_status": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "orders_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "orders_anti_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "top2_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+            WHERE rk <= 2
+        """,
+        "events_user_reach": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "orders_first_per_customer": """
             SELECT o_custkey, first_orderkey, first_order_epoch_s FROM (

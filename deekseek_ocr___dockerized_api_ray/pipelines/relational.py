@@ -286,3 +286,168 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def _rich_customer_keys(sf_dir: str, min_acctbal: float = 5000.0):
+    """Broadcast key set: customers with acctbal > threshold (small side)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    keys = {
+        k for k, b in zip(cust.column("c_custkey").to_pylist(),
+                          cust.column("c_acctbal").to_pylist())
+        if b > min_acctbal
+    }
+    return ray.put(keys)
+
+
+def orders_semi_join(sf_dir: str, min_acctbal: float = 5000.0):
+    """SEMI join via broadcast key set (guide pattern: ship the key set,
+    filter inside map_batches -- no shuffle): orders whose customer has
+    acctbal > threshold. Output: (o_orderkey, o_custkey)."""
+    import ray
+    import ray.data as rd
+
+    ref = _rich_customer_keys(sf_dir, min_acctbal)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        return df[df["o_custkey"].isin(keys)]
+
+    return orders.map_batches(keep, batch_format="pandas", batch_size=131072)
+
+
+def orders_anti_join(sf_dir: str, min_acctbal: float = 5000.0):
+    """ANTI join, same broadcast shape: orders whose customer does NOT
+    have acctbal > threshold. Output: (o_orderkey, o_custkey)."""
+    import ray
+    import ray.data as rd
+
+    ref = _rich_customer_keys(sf_dir, min_acctbal)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def drop(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        return df[~df["o_custkey"].isin(keys)]
+
+    return orders.map_batches(drop, batch_format="pandas", batch_size=131072)
+
+
+def top2_orders_per_customer(sf_dir: str):
+    """Per-group top-k (window-rank shape): each customer's two highest-
+    price orders. One bucketed keyed shuffle; within each bucket a single
+    vectorized sort + groupby-head over all customers in the bucket.
+
+    Output: (o_custkey, o_orderkey, o_totalprice, rk).
+    """
+    import ray.data as rd
+
+    from ..functions.text_stats import sha1_64
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    n_buckets = 64
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["o_custkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
+        return df
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        df["rk"] = df.groupby("o_custkey").cumcount() + 1
+        out = df[df["rk"] <= 2].drop(columns=["bucket"])
+        out["rk"] = out["rk"].astype("int64")
+        return out[["o_custkey", "o_orderkey", "o_totalprice", "rk"]]
+
+    return orders.map_batches(bucket, batch_format="pandas", batch_size=131072) \
+                 .groupby("bucket").map_groups(topk, batch_format="pandas")
+
+
+def events_user_reach(sf_dir: str):
+    """Exact distinct-count per group: distinct users per event_type.
+    Partial per-batch dedup -> one bucketed reduce that counts distinct
+    (the general mergeable-state shape; for high-cardinality keys swap
+    the set for an HLL sketch, see events_user_reach_hll).
+
+    Output: (event_type, n_users).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"]).groupby(
+            "event_type", as_index=False
+        ).agg(n_users=("user_id", "size"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out[["event_type", "n_users"]]
+
+    # few event types -> every type fits one reduce call; key the shuffle
+    # by event_type hash directly
+    partials = ev.map_batches(partial, batch_format="pandas", batch_size=131072)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text_stats import sha1_64
+
+        df["bucket"] = [sha1_64(v) % 8 for v in df["event_type"]]
+        return df
+
+    return partials.map_batches(bucket, batch_format="pandas") \
+                   .groupby("bucket").map_groups(
+                       lambda df: reduce(df.drop(columns=["bucket"])),
+                       batch_format="pandas")
+
+
+def events_user_reach_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct users per event_type via mergeable HLL
+    sketches: one serialized sketch per (batch, type) -> merge in a tiny
+    reduce. ~1.6% relative error at p=12; the scale path when the exact
+    per-group set no longer fits a reduce task.
+
+    Output: (event_type, n_users_approx).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.sketch import HyperLogLog
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sketches = {}
+        for et, uid in zip(batch.column("event_type").to_pylist(),
+                           batch.column("user_id").to_pylist()):
+            sketches.setdefault(et, HyperLogLog(p)).add(str(uid))
+        return pa.Table.from_arrays(
+            [pa.array(list(sketches), type=pa.string()),
+             pa.array([s.serialize() for s in sketches.values()], type=pa.binary())],
+            names=["event_type", "sketch"],
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        merged = {}
+        for et, data in zip(batch.column("event_type").to_pylist(),
+                            batch.column("sketch").to_pylist()):
+            h = HyperLogLog.deserialize(data, p)
+            merged[et] = merged[et].merge(h) if et in merged else h
+        return pa.Table.from_arrays(
+            [pa.array(list(merged), type=pa.string()),
+             pa.array([int(round(s.estimate())) for s in merged.values()], type=pa.int64())],
+            names=["event_type", "n_users_approx"],
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    # event_type cardinality is tiny: a single merge task is the reduce
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                               batch_size=None)

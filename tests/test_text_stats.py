@@ -106,3 +106,27 @@ def test_grouped_agg_matches_pandas(ray_session):
     assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
     assert np.allclose(out["s"].to_numpy(), exp["s"].to_numpy())
     assert np.allclose(out["mx"].to_numpy(), exp["mx"].to_numpy())
+
+
+def test_hll_accuracy_and_merge():
+    from deekseek_ocr___dockerized_api_ray.functions.sketch import HyperLogLog
+
+    h = HyperLogLog(12)
+    h.add_many(str(i) for i in range(10_000))
+    assert abs(h.estimate() - 10_000) / 10_000 < 0.05
+
+    # merge(a, b) == sketch of the union
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_many(str(i) for i in range(5_000))
+    b.add_many(str(i) for i in range(2_500, 7_500))
+    merged = a.merge(b)
+    assert abs(merged.estimate() - 7_500) / 7_500 < 0.05
+
+    # serialize round-trip preserves the estimate exactly
+    rt = HyperLogLog.deserialize(merged.serialize(), 12)
+    assert rt.estimate() == merged.estimate()
+
+    # small-cardinality regime (linear counting) is near-exact
+    s = HyperLogLog(12)
+    s.add_many(str(i) for i in range(50))
+    assert abs(s.estimate() - 50) < 3
