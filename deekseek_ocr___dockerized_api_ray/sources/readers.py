@@ -86,3 +86,16 @@ def read_results(out_dir: str):
     if not files:
         return rd.read_parquet(out_dir)
     return rd.read_parquet(files)
+
+
+def list_results(out_dir: str, limit: int = 50):
+    """Result listing (O2, Lib/file_utils.py:106-122): completed output
+    partitions sorted by modification time, newest first, capped at
+    ``limit``. Returns [(partition_dir, mtime), ...]."""
+    entries = []
+    for d in os.listdir(out_dir):
+        if d.startswith("part=") and not d.endswith(".tmp"):
+            p = os.path.join(out_dir, d)
+            entries.append((p, os.path.getmtime(p)))
+    entries.sort(key=lambda e: e[1], reverse=True)
+    return entries[:limit]

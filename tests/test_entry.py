@@ -73,3 +73,16 @@ def test_all_queries_run_and_oracles_match(entrymod):
         if not a.equals(b):
             failures.append(f"{name}: value mismatch")
     assert not failures, failures
+
+
+@needs_data
+def test_hll_vs_exact_reach(entrymod, ray_session):
+    qs = entrymod.queries()
+    exact = {r["event_type"]: r["n_users"] for r in qs["events_user_reach"](SF).take_all()}
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in qs["events_user_reach_hll"](SF).take_all()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / max(1, v) < 0.05

@@ -127,3 +127,21 @@ def test_configure_context(ray_session):
     assert ctx.target_max_block_size == 512 * 1024 * 1024
     ctx.target_max_block_size = before  # restore for other tests
     assert configure_context().execution_options.preserve_order is False
+
+
+def test_list_results(tmp_path):
+    import os
+    import time
+
+    from deekseek_ocr___dockerized_api_ray.sources.readers import list_results
+
+    out = tmp_path / "out"
+    out.mkdir()
+    for i in range(5):
+        d = out / f"part={i:04d}"
+        d.mkdir()
+        os.utime(d, (1000 + i, 1000 + i))
+    (out / "part=9999.tmp").mkdir()  # in-flight: excluded
+    got = list_results(str(out), limit=3)
+    assert len(got) == 3
+    assert [os.path.basename(p) for p, _ in got] == ["part=0004", "part=0003", "part=0002"]
