@@ -52,7 +52,10 @@ TAG_PATTERN = re.compile(r"(<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>)", 
 #: Marker distinguishing image tags (Lib/postprocessor.py:36).
 IMAGE_REF_MARKER = "<|ref|>image<|/ref|>"
 #: det-extraction pattern inside an image tag (Lib/postprocessor.py:98).
-IMAGE_DET_PATTERN = re.compile(r"<\|ref\|>image<\|/ref\|><\|det\|>(.*?)<\|/det\|>", re.DOTALL)
+#: Deliberately NOT DOTALL: the reference's re.search there is flagless, so
+#: an image tag whose det payload contains a newline is left in place (the
+#: rewrite is skipped) -- we match that behavior exactly.
+IMAGE_DET_PATTERN = re.compile(r"<\|ref\|>image<\|/ref\|><\|det\|>(.*?)<\|/det\|>")
 
 # Truncated/incomplete trailing-tag cleanup -- 5 ordered regexes
 # (Lib/postprocessor.py:219-223). Order is semantic; do not reorder.

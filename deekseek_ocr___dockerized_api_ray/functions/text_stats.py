@@ -109,7 +109,7 @@ def md5_fingerprint(text: str) -> str:
     return hashlib.md5(normalize_for_fingerprint(text).encode("utf-8")).hexdigest()
 
 
-def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61 - 1) -> int:
+def rolling_fingerprint(text: str, window: int = 16, mod: int = (1 << 61) - 1) -> int:
     """Polynomial rolling hash over the normalized text (winnowing-style
     document fingerprint base); deterministic, no SQL oracle."""
     norm = normalize_for_fingerprint(text)

@@ -65,7 +65,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return b.append_column("bucket", bucket)
 
     def _keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(["content_hash", id_col]).drop_duplicates("content_hash")
+        # Dedup on the TEXT, not the truncated hash: two distinct texts
+        # colliding in 64 bits land in the same bucket but must both
+        # survive (birthday-bound hazard at 10^10+ docs). The hash leads
+        # the sort key so string comparisons only occur between
+        # hash-equal rows.
+        out = group.sort_values(["content_hash", text_col, id_col]).drop_duplicates(
+            ["content_hash", text_col]
+        )
         return out.drop(columns=["content_hash", "bucket"])
 
     hashed = ds.map_batches(_hash_bucket, batch_format="pyarrow")

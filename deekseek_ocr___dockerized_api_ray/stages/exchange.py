@@ -59,7 +59,19 @@ def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
             [pa.array([batch.num_rows], type=pa.int64())], names=["rows"]
         )
 
-    stats = ds.map_batches(_write, batch_format="pyarrow")
+    # The per-batch appends are a side effect: a retried map task would
+    # append a second copy of its bucket files and the reduce side would
+    # silently double-count. Retries are therefore DISABLED for the spill
+    # stage -- a task death fails the exchange loudly and the caller
+    # re-runs it against a fresh spill_dir. (A cluster-grade variant
+    # would use deterministic per-block filenames with overwrite
+    # semantics; single-node, fail-fast is the simpler correct choice.)
+    stats = ds.map_batches(
+        _write,
+        batch_format="pyarrow",
+        max_retries=0,
+        retry_exceptions=False,
+    )
     return int(stats.sum("rows") or 0)
 
 

@@ -130,6 +130,15 @@ def run_extract_checkpointed(
             import shutil
 
             shutil.rmtree(tmp_out)
+        if os.path.exists(final_out):
+            # Crash window: the previous run died after os.replace(tmp, final)
+            # but before mark_done -- the partition dir exists without a
+            # manifest entry. We only reach here when pid is NOT completed,
+            # so the dir is an orphan; remove it or os.replace below raises
+            # ENOTEMPTY and the job can never resume.
+            import shutil
+
+            shutil.rmtree(final_out)
         ds = ds.materialize()
         doc_count = ds.count()
         agg = ds.sum(["n_spans", "n_errors"])

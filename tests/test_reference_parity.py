@@ -166,3 +166,73 @@ def test_eval_clean_page_parity():
     ] + [mock_ocr_text_batch(f"media://p/{i}", "markdown") for i in range(50)]
     for s in samples:
         assert eval_clean_page(s) == ref_eval_clean(s)
+
+
+@needs_ref
+def test_image_rewrite_parity(ref_pp, tmp_path, monkeypatch):
+    """Differential check of the extract_images path: which tags get
+    rewritten to links, left in place, or error-substituted must match
+    the reference's extract_and_save_images exactly (link filenames are
+    timestamped in the reference, so both outputs are normalized to a
+    placeholder before comparing). Includes the newline-in-det-payload
+    case: the reference's det re.search is flagless (not DOTALL), so
+    such a tag is left untouched."""
+    import re as _re
+
+    from deekseek_ocr___dockerized_api_ray.functions.cleaning import (
+        match_tags,
+        rewrite_image_tags,
+    )
+
+    class _FakeCrop:
+        def save(self, path):
+            pass
+
+    class _FakePage:
+        def __init__(self, size):
+            self.size = size
+
+        def crop(self, box):
+            return _FakeCrop()
+
+    page_dims = [(850, 1100), (425, 550), (1700, 2200)]
+
+    def fake_pdf_to_images(pdf_path, dpi=None):
+        return [_FakePage(s) for s in page_dims]
+
+    monkeypatch.setattr(ref_pp, "pdf_to_images", fake_pdf_to_images)
+
+    link_re = _re.compile(r"!\[Extracted Image\]\(images/[^)]*\)")
+
+    samples = [
+        # ordinary single-box tag -> rewritten
+        "a<|ref|>image<|/ref|><|det|>[[100, 100, 400, 300]]<|/det|>b",
+        # newline INSIDE the det payload -> reference leaves the tag
+        "x<|ref|>image<|/ref|><|det|>[[100,\n 100, 400, 300]]<|/det|>y",
+        # degenerate box then valid box -> second box used
+        "m<|ref|>image<|/ref|><|det|>[[9, 9, 1, 1], [10, 10, 500, 500]]<|/det|>n",
+        # all boxes degenerate -> tag stays (no replacement, no error)
+        "q<|ref|>image<|/ref|><|det|>[[9, 9, 1, 1]]<|/det|>r",
+        # unparseable det payload -> '[Image - extraction failed]'
+        "u<|ref|>image<|/ref|><|det|>not a list<|/det|>v",
+        # two tags across the modulo page pairing
+        (
+            "p1 <|ref|>image<|/ref|><|det|>[[10, 10, 600, 600]]<|/det|> mid "
+            "<|ref|>image<|/ref|><|det|>[[20, 20, 700, 700]]<|/det|> p2 "
+            "<|ref|>image<|/ref|><|det|>[[30, 30, 800, 800]]<|/det|> end"
+        ),
+        # non-image tag untouched, image tag rewritten
+        "<|ref|>title<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>"
+        "<|ref|>image<|/ref|><|det|>[[50, 50, 900, 900]]<|/det|>",
+    ]
+    for content in samples:
+        expected, _paths = ref_pp.extract_and_save_images(
+            "/tmp/fake.pdf", content, output_dir=tmp_path
+        )
+        _, matches_images, _ = match_tags(content)
+        got = rewrite_image_tags(
+            content, matches_images, page_dims, lambda i: f"crop_{i}.jpg"
+        )
+        assert link_re.sub("![Extracted Image](images/X)", got) == link_re.sub(
+            "![Extracted Image](images/X)", expected
+        )
