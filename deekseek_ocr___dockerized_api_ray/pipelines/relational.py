@@ -74,9 +74,12 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def top_revenue_customers(sf_dir: str, k: int = 10):
-    """Revenue per customer via broadcast join (customer is the small
-    side: ray.put once, dict lookup per batch -- no shuffle join), then
-    sort desc + limit with custkey tie-break.
+    """Revenue per customer via a distributed hash join: orders are
+    pre-aggregated to ONE row per custkey (partial + bucketed reduce), so
+    the join ships only the aggregate side against the customer
+    dimension. Customer is a GROWING dimension (15M rows at sf100) and is
+    never materialized on the driver. Then sort desc + limit with custkey
+    tie-break.
 
     Output: (c_custkey, c_name, total_revenue r2).
     """
@@ -86,24 +89,26 @@ def top_revenue_customers(sf_dir: str, k: int = 10):
     from ..stages.agg import grouped_agg
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    name_by_key = dict(
-        zip(*(cust.to_pandas()[c] for c in ("c_custkey", "c_name")))
-    )
-    names_ref = ray.put(name_by_key)
-
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     total = grouped_agg(orders, ["o_custkey"], {"total_revenue": ("o_totalprice", "sum")})
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(names_ref)
-        df["c_name"] = df["o_custkey"].map(names)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    joined = total.map_batches(lambda b: b, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=max(2, cpus // 2),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["total_revenue"] = round_series(df["total_revenue"], 2)
         df = df.rename(columns={"o_custkey": "c_custkey"})
         return df[["c_custkey", "c_name", "total_revenue"]]
 
-    joined = total.map_batches(attach, batch_format="pandas")
-    return joined.sort(["total_revenue", "c_custkey"], descending=[True, False]).limit(k)
+    return (
+        joined.map_batches(finish, batch_format="pandas")
+        .sort(["total_revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def revenue_by_region(sf_dir: str):
@@ -289,7 +294,14 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
 
 
 def _rich_customer_keys(sf_dir: str, min_acctbal: float = 5000.0):
-    """Broadcast key set: customers with acctbal > threshold (small side)."""
+    """Broadcast key set: customers with acctbal > threshold.
+
+    Size bound: this ships a FILTERED key set (ints only, no payload)
+    via ``ray.put`` once -- ~8 bytes/key, so ~120 MB at sf100's 15M
+    customers worst-case. Acceptable for a semi/anti-join key set; if the
+    filter were unselective at larger scales, switch to the hash-join
+    shape used by top_revenue_customers.
+    """
     import pyarrow.parquet as pq
     import ray
 

@@ -267,57 +267,125 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
 
 
 def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
-                         max_rounds: int = 10):
-    """Connected components by iterated min-label propagation over the
-    verified duplicate pairs; survivors = docs whose component label is
-    their own id (the component minimum).
+                         max_rounds: int = 10, num_partitions: Optional[int] = None):
+    """Connected components by DISTRIBUTED iterated min-label propagation
+    over the verified duplicate pairs; survivors = docs whose component
+    label is their own id (the component minimum).
 
-    Each round is a groupby-min over edge endpoints -- no driver-side
-    union-find over the full corpus; rounds needed = component diameter
-    (near-dup clusters are shallow, so a handful).
+    Fully distributed -- the edge list is never collected on the driver
+    (web corpora are 30-50% near-dup, so at corpus scale the edge list is
+    billions of rows). Each round is two hash joins (edge endpoint ->
+    current label) plus one bucketed groupby-min over emitted messages;
+    rounds needed = component diameter (LSH dup clusters are near-cliques,
+    so a handful). Early exit on a per-round changed-label count of zero.
+
+    The final non-survivor filter is a broadcast of the drop-ID set when
+    it is small, else a bucketed hash anti-join against the label table.
     """
-    edges = verified_pairs_ds.select_columns(["id_a", "id_b"]).materialize()
-    if edges.count() == 0:
-        return docs_ds
-
-    # label table: start with each endpoint labeled by itself
+    import numpy as np
+    import ray
     import ray.data as rd
 
+    from .agg import grouped_agg
+
+    edges = verified_pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return docs_ds
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
+
+    def _cc(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    # initial labels: every endpoint labels itself (grouped-min dedups)
     def _endpoints(batch: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays([
-            batch.column("id_a").combine_chunks() if isinstance(batch.column("id_a"), pa.ChunkedArray) else batch.column("id_a"),
-            batch.column("id_b").combine_chunks() if isinstance(batch.column("id_b"), pa.ChunkedArray) else batch.column("id_b"),
-        ])
-        return pa.Table.from_arrays([ids], names=["node"])
+        ids = pa.concat_arrays([_cc(batch.column("id_a")), _cc(batch.column("id_b"))])
+        return pa.Table.from_arrays([ids, ids], names=["node", "label"])
 
-    nodes = edges.map_batches(_endpoints, batch_format="pyarrow").unique("node")
-    labels = {n: n for n in nodes}  # candidate set is tiny vs corpus by design
-    pair_list = edges.select_columns(["id_a", "id_b"]).take_all()
+    def _arrow(ds):
+        # grouped_agg emits pandas blocks; union/join peers must share the
+        # Arrow block type
+        return ds.map_batches(lambda b: b, batch_format="pyarrow")
+
+    labels = _arrow(grouped_agg(
+        edges.map_batches(_endpoints, batch_format="pyarrow"),
+        ["node"], {"label": ("label", "min")},
+    )).materialize()
+
+    def _messages(batch: pa.Table) -> pa.Table:
+        # edge (a, b) with labels (la, lb): both endpoints receive min(la, lb)
+        a = _cc(batch.column("id_a"))
+        b = _cc(batch.column("id_b"))
+        la = np.asarray(batch.column("label_a").to_pylist(), dtype=object)
+        lb = np.asarray(batch.column("label_b").to_pylist(), dtype=object)
+        m = pa.array(np.minimum(la, lb))
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, b]), pa.concat_arrays([m, m])],
+            names=["node", "label"],
+        )
+
     for _ in range(max_rounds):
-        changed = False
-        for p in pair_list:
-            la, lb = labels[p["id_a"]], labels[p["id_b"]]
-            m = min(la, lb)
-            if la != m:
-                labels[p["id_a"]] = m
-                changed = True
-            if lb != m:
-                labels[p["id_b"]] = m
-                changed = True
-        if not changed:
+        la = edges.join(labels, join_type="inner", num_partitions=num_partitions,
+                        on=("id_a",), right_on=("node",))
+        la = la.rename_columns({"label": "label_a"})
+        lab = la.join(labels, join_type="inner", num_partitions=num_partitions,
+                      on=("id_b",), right_on=("node",))
+        lab = lab.rename_columns({"label": "label_b"})
+        msgs = lab.map_batches(_messages, batch_format="pyarrow")
+        # self-message keeps isolated-in-this-round labels; groupby-min merges
+        new_labels = _arrow(grouped_agg(
+            msgs.union(labels), ["node"], {"label": ("label", "min")}
+        )).materialize()
+
+        # convergence: order-independent checksum over (node, label) rows
+        def _ck(batch: pa.Table) -> pa.Table:
+            s = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for n, l in zip(batch.column("node").to_pylist(),
+                                batch.column("label").to_pylist()):
+                    s += np.uint64(sha1_64(f"{n}\x00{l}"))
+            return pa.Table.from_arrays(
+                [pa.array([int(s)], type=pa.uint64())], names=["ck"]
+            )
+
+        old_ck = int(labels.map_batches(_ck, batch_format="pyarrow").sum("ck") or 0)
+        new_ck = int(new_labels.map_batches(_ck, batch_format="pyarrow").sum("ck") or 0)
+        labels = new_labels
+        if (old_ck & ((1 << 64) - 1)) == (new_ck & ((1 << 64) - 1)):
             break
-    drop = {n for n, l in labels.items() if l != n}
 
-    import ray
+    # non-survivors: label != node
+    drop_ds = labels.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("label"), b.column("node"))),
+        batch_format="pyarrow",
+    ).select_columns(["node"]).materialize()
+    n_drop = drop_ds.count()
 
-    drop_ref = ray.put(drop)
+    if n_drop <= 1_000_000:  # broadcast path: ship the key set once
+        drop_ref = ray.put(set(r["node"] for r in drop_ds.iter_rows()))
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        keep = [i not in d for i in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(keep, type=pa.bool_()))
+        def _filter(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            keep = [i not in d for i in batch.column(id_col).to_pylist()]
+            return batch.filter(pa.array(keep, type=pa.bool_()))
 
-    return docs_ds.map_batches(_filter, batch_format="pyarrow")
+        return docs_ds.map_batches(_filter, batch_format="pyarrow")
+
+    # scale path: hash anti-join (left join + null filter on the marker)
+    marked = drop_ds.map_batches(
+        lambda b: b.append_column("__dup", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    joined = docs_ds.join(marked, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(id_col,), right_on=("node",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("__dup"))).drop_columns(["__dup"]),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_dedup(docs_ds, threshold: float = 0.8, n_hashes: int = 64,

@@ -124,16 +124,26 @@ class OCRStage:
         refs = batch.column("media_ref").to_pylist()
         offsets = batch.column("offset").to_pylist()
 
-        for i, kind in enumerate(kinds):
-            if kind == "text":
-                continue
+        media_idx = [i for i, k in enumerate(kinds) if k != "text"]
+        if media_idx:
             try:
-                result = self.backend.generate_one(refs[i])
-                if self.strip_eos:
-                    result = strip_server_eos(result)
-                texts[i] = result
-            except Exception as e:  # M15: per-page error string, job continues
-                texts[i] = page_error_text(int(offsets[i]) + 1, str(e))
+                # one BATCHED inference call per batch -- the whole point
+                # of the exploded path is continuous batching on the GPU
+                # backend (vLLM max_num_seqs), matching the fused path and
+                # run_dpsk_ocr_pdf.py:284-287's single llm.generate
+                results = self.backend.generate([refs[i] for i in media_idx])
+                for i, r in zip(media_idx, results):
+                    texts[i] = strip_server_eos(r) if self.strip_eos else r
+            except Exception:
+                # isolate poisoned rows: per-row fallback preserving the
+                # reference's per-page error semantics (M15,
+                # docker/start_server.py:464-466)
+                for i in media_idx:
+                    try:
+                        result = self.backend.generate_one(refs[i])
+                        texts[i] = strip_server_eos(result) if self.strip_eos else result
+                    except Exception as e:
+                        texts[i] = page_error_text(int(offsets[i]) + 1, str(e))
 
         idx = batch.schema.get_field_index("text")
         return batch.set_column(idx, "text", pa.array(texts, type=pa.string()))
@@ -158,14 +168,17 @@ class BatchScriptOCRStage(OCRStage):
         texts = batch.column("text").to_pylist()
         refs = batch.column("media_ref").to_pylist()
         keep = [True] * len(kinds)
-        for i, kind in enumerate(kinds):
-            if kind == "text":
-                continue
-            raw = self.backend.generate_one(refs[i])
-            if has_model_eos(raw):
-                texts[i] = strip_model_eos(raw)
-            else:
-                keep[i] = False  # SKIP_REPEAT drop
+        media_idx = [i for i, k in enumerate(kinds) if k != "text"]
+        if media_idx:
+            # batched inference (run_dpsk_ocr_pdf.py:284-287); the batch
+            # script has no per-page error substitution, so a backend
+            # failure fails the task -- same as the reference script.
+            results = self.backend.generate([refs[i] for i in media_idx])
+            for i, raw in zip(media_idx, results):
+                if has_model_eos(raw):
+                    texts[i] = strip_model_eos(raw)
+                else:
+                    keep[i] = False  # SKIP_REPEAT drop
         idx = batch.schema.get_field_index("text")
         out = batch.set_column(idx, "text", pa.array(texts, type=pa.string()))
         return out.filter(pa.array(keep, type=pa.bool_()))

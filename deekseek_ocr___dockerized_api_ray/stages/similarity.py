@@ -191,56 +191,112 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
     Recall for a pair at angle theta: 1-(1-p^r)^B with p = 1 - theta/pi
     (approximate by design; raise bands for higher recall).
     """
+    import ray
+
     n_planes = bands * rows_per_band
     lsh_holder = {}
 
     def _assign(batch: pa.Table) -> pa.Table:
+        # SLIM shuffle rows: (id, band_id, band_key) only -- the embedding
+        # vector is NOT duplicated x bands through the exchange (that
+        # would make shuffle volume = bands x the corpus); vectors are
+        # rejoined onto the surviving candidate pairs by hash join below.
         m = _normalize(_batch_matrix(batch, emb_col))
         if "lsh" not in lsh_holder:
             lsh_holder["lsh"] = HyperplaneLSH(m.shape[1], n_planes, seed)
         bits = (m @ lsh_holder["lsh"].planes) > 0  # (n, bands*r)
-        ids = batch.column(id_col).to_pylist()
-        embs = batch.column(emb_col).to_pylist()
-        out_id, out_band, out_key, out_emb = [], [], [], []
-        for i in range(len(ids)):
-            for b in range(bands):
-                seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
-                key = int(seg @ (1 << np.arange(rows_per_band)))
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_key.append(key)
-                out_emb.append(embs[i])
+        n = len(m)
+        weights = 1 << np.arange(rows_per_band)
+        keys = bits.reshape(n, bands, rows_per_band) @ weights  # (n, bands)
+        ids = np.repeat(
+            np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64), bands
+        )
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.Table.from_arrays(
-            [pa.array(out_id, type=pa.int64()), pa.array(out_band, type=pa.int32()),
-             pa.array(out_key, type=pa.int32()),
-             pa.array(out_emb, type=pa.list_(pa.float32()))],
-            names=[id_col, "band_id", "band_key", emb_col],
+            [pa.array(ids, type=pa.int64()), pa.array(band_ids, type=pa.int32()),
+             pa.array(keys.reshape(-1).astype(np.int32), type=pa.int32())],
+            names=[id_col, "band_id", "band_key"],
         )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
-        m = _normalize(_batch_matrix(group, emb_col))
-        sims = m @ m.T
-        a, b, s = [], [], []
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if ids[i] != ids[j] and sims[i, j] >= threshold:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-                    s.append(round(float(sims[i, j]), 6))
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(int(v) for v in group.column(id_col).to_pylist()))
+        a, b = [], []
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                a.append(ids[ii])
+                b.append(ids[jj])
         return pa.Table.from_arrays(
-            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64()),
-             pa.array(s, type=pa.float64())],
-            names=["id_a", "id_b", "cosine"],
+            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64())],
+            names=["id_a", "id_b"],
         )
 
     from .dedup import distinct_rows
 
     assigned = emb_ds.map_batches(_assign, batch_format="pyarrow")
-    pairs = assigned.groupby(["band_id", "band_key"]).map_groups(_pairs, batch_format="pyarrow")
-    return distinct_rows(pairs, ["id_a", "id_b", "cosine"])
+    cand = assigned.groupby(["band_id", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    # dedup candidates BEFORE shipping any vectors (a pair sharing k bands
+    # appears k times)
+    pairs = distinct_rows(cand, ["id_a", "id_b"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+
+    # exact-cosine verify via two hash joins (pair -> emb_a, pair -> emb_b).
+    # Arrow's hash join rejects list<float> payloads, so vectors ride the
+    # join as fixed-size binary (zero-copy pack/unpack of the float32 buffer).
+    def _pack(batch: pa.Table) -> pa.Table:
+        arr = batch.column(emb_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.flatten(), dtype=np.float32)
+        n = len(arr)
+        width = (flat.size // n) * 4 if n else 4
+        packed = pa.Array.from_buffers(
+            pa.binary(width), n, [None, pa.py_buffer(flat.tobytes())]
+        )
+        return pa.Table.from_arrays(
+            [batch.column(id_col).combine_chunks(), packed], names=[id_col, "embb"]
+        )
+
+    def _unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        width = arr.type.byte_width
+        buf = arr.buffers()[1]
+        flat = np.frombuffer(buf, dtype=np.float32,
+                             count=len(arr) * width // 4,
+                             offset=arr.offset * width)
+        return flat.reshape(len(arr), -1).astype(np.float64)
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    nparts = max(2, cpus // 2)
+    embs = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        _pack, batch_format="pyarrow"
+    )
+    wa = pairs.join(embs, join_type="inner", num_partitions=nparts,
+                    on=("id_a",), right_on=(id_col,))
+    wa = wa.rename_columns({"embb": "emb_a"})
+    wb = wa.join(embs, join_type="inner", num_partitions=nparts,
+                 on=("id_b",), right_on=(id_col,))
+    wb = wb.rename_columns({"embb": "emb_b"})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["id_a", "id_b", "cosine"],
+            )
+        ma = _normalize(_unpack(batch.column("emb_a")))
+        mb = _normalize(_unpack(batch.column("emb_b")))
+        cos = np.einsum("ij,ij->i", ma, mb)
+        keep = cos >= threshold
+        out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column(
+            "cosine", pa.array([round(float(c), 6) for c in cos[keep]], type=pa.float64())
+        )
+
+    return wb.map_batches(_verify, batch_format="pyarrow")
 
 
 def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,

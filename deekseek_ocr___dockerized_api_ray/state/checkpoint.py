@@ -91,6 +91,83 @@ def plan_partitions(input_dir: str, n_partitions: int) -> List[List[str]]:
     return parts
 
 
+def _harden_fsspec_probe() -> None:
+    """Ray's path resolution probes ``fsspec.implementations.http`` and
+    only catches ModuleNotFoundError. With overlapped partitions, two
+    threads performing that FIRST (failing) import concurrently can see a
+    partially-initialized module and get a plain ImportError instead,
+    which escapes the probe and kills the partition. Either way the
+    answer is the same -- there is no usable HTTP filesystem -- so widen
+    the probe's failure handling to ImportError."""
+    try:
+        import ray.data.datasource.path_util as _pu
+    except ImportError:  # pragma: no cover - Ray internals moved
+        return
+    probe = getattr(_pu, "_is_http_filesystem", None)
+    if probe is None or getattr(probe, "_hardened", False):
+        return
+
+    def _safe(fs):
+        try:
+            return probe(fs)
+        except ImportError:
+            return False
+
+    _safe._hardened = True
+    _pu._is_http_filesystem = _safe
+
+
+def _run_one_partition(manifest: "CheckpointManifest", pid: int,
+                       files: Sequence[str], mode: str, backend: str,
+                       extract_kwargs: Dict) -> None:
+    """Process one partition: ONE streaming pass (read -> extract ->
+    write_parquet, no mid-pipeline materialization), then lineage counts
+    from the written files (row counts come from parquet footers; the
+    span/error sums read just those two int columns back -- a few KB per
+    partition, never the payload)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..pipelines.extract import run_extract
+
+    t0 = time.perf_counter()
+    ds = run_extract(rd.read_parquet(list(files)), mode=mode, backend=backend,
+                     **extract_kwargs)
+    final_out = manifest.partition_out(pid)
+    tmp_out = final_out + ".tmp"
+    if os.path.exists(tmp_out):  # stale from a killed run
+        shutil.rmtree(tmp_out)
+    if os.path.exists(final_out):
+        # Crash window: the previous run died after os.replace(tmp, final)
+        # but before mark_done -- the partition dir exists without a
+        # manifest entry. We only reach here when pid is NOT completed,
+        # so the dir is an orphan; remove it or os.replace below raises
+        # ENOTEMPTY and the job can never resume.
+        shutil.rmtree(final_out)
+    ds.write_parquet(tmp_out)  # streaming consumption with backpressure
+
+    stats = pq.read_table(tmp_out, columns=["n_spans", "n_errors"])
+    doc_count = stats.num_rows
+    import pyarrow.compute as pc
+
+    span_count = int(pc.sum(stats.column("n_spans")).as_py() or 0)
+    error_count = int(pc.sum(stats.column("n_errors")).as_py() or 0)
+
+    os.replace(tmp_out, final_out)
+    manifest.mark_done(
+        pid,
+        {
+            "partition_id": pid,
+            "doc_count": int(doc_count),
+            "span_count": span_count,
+            "error_count": error_count,
+            "wall_ms": (time.perf_counter() - t0) * 1000.0,
+            "status": "completed",
+        },
+    )
+
+
 def run_extract_checkpointed(
     input_dir: str,
     out_dir: str,
@@ -99,64 +176,45 @@ def run_extract_checkpointed(
     mode: str = "markdown",
     backend: str = "mock",
     stop_after: Optional[int] = None,
+    overlap: int = 2,
     **extract_kwargs,
 ) -> Dict:
     """Checkpointed flagship run: per-partition pipeline + manifest.
+
+    ``overlap`` partitions run concurrently (each is its own streaming
+    Dataset execution; Ray Data time-slices them across the cluster), so
+    utilization is not capped at one partition's parallelism and the tail
+    partition does not leave the cluster idle. Manifest/lineage files are
+    per-partition, so concurrent mark_done calls never touch the same
+    path.
 
     ``stop_after`` processes at most that many *incomplete* partitions
     then returns (the kill/resume test's crash injection point).
     Returns {"completed": [...], "skipped": [...], "lineage": Table}.
     """
-    import ray.data as rd
+    from concurrent.futures import ThreadPoolExecutor
 
-    from ..pipelines.extract import run_extract
+    _harden_fsspec_probe()
 
     manifest = CheckpointManifest(out_dir)
     parts = plan_partitions(input_dir, n_partitions)
     done = manifest.completed()
-    completed, skipped = [], []
-    processed = 0
-    for pid, files in enumerate(parts):
-        if pid in done:
-            skipped.append(pid)
-            continue
-        if stop_after is not None and processed >= stop_after:
-            break
-        t0 = time.perf_counter()
-        ds = run_extract(rd.read_parquet(files), mode=mode, backend=backend, **extract_kwargs)
-        final_out = manifest.partition_out(pid)
-        tmp_out = final_out + ".tmp"
-        if os.path.exists(tmp_out):  # stale from a killed run
-            import shutil
+    skipped = [pid for pid in range(len(parts)) if pid in done]
+    todo = [pid for pid in range(len(parts)) if pid not in done]
+    if stop_after is not None:
+        todo = todo[:stop_after]
 
-            shutil.rmtree(tmp_out)
-        if os.path.exists(final_out):
-            # Crash window: the previous run died after os.replace(tmp, final)
-            # but before mark_done -- the partition dir exists without a
-            # manifest entry. We only reach here when pid is NOT completed,
-            # so the dir is an orphan; remove it or os.replace below raises
-            # ENOTEMPTY and the job can never resume.
-            import shutil
-
-            shutil.rmtree(final_out)
-        ds = ds.materialize()
-        doc_count = ds.count()
-        agg = ds.sum(["n_spans", "n_errors"])
-        ds.write_parquet(tmp_out)
-        os.replace(tmp_out, final_out)
-        manifest.mark_done(
-            pid,
-            {
-                "partition_id": pid,
-                "doc_count": int(doc_count),
-                "span_count": int(agg["sum(n_spans)"]),
-                "error_count": int(agg["sum(n_errors)"]),
-                "wall_ms": (time.perf_counter() - t0) * 1000.0,
-                "status": "completed",
-            },
-        )
-        completed.append(pid)
-        processed += 1
+    completed: List[int] = []
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, overlap)) as pool:
+            futs = {
+                pid: pool.submit(_run_one_partition, manifest, pid, parts[pid],
+                                 mode, backend, extract_kwargs)
+                for pid in todo
+            }
+            for pid, fut in futs.items():
+                fut.result()  # re-raise the partition's failure, if any
+                completed.append(pid)
     return {
         "completed": completed,
         "skipped": skipped,
