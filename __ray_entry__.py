@@ -17,6 +17,8 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+from deekseek_ocr___dockerized_api_ray import oracles as _oracles
+
 _QUERY_IDS = [0, 1, 2, 3, 4]  # ANN queries: first five vec_ids
 _SEED = 42
 
@@ -221,6 +223,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 0.4 is the "near" threshold that actually fires on them
         return embedding_neardup_pairs(_emb_ds(sf_dir), threshold=0.4)
 
+    def emb_neardup_exact(sf_dir: str):
+        # exact all-pairs baseline (SQL-oracled); LSH variant above is the
+        # scale path this one validates
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            embedding_neardup_exact,
+        )
+
+        return embedding_neardup_exact(_emb_ds(sf_dir), threshold=0.4)
+
     return {
         # flagship extraction (non-SQL: mock-OCR + reference clean chain)
         "extract_interleaved": extract_interleaved,
@@ -250,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "doc_bpe_tokens": doc_bpe_tokens,
         "emb_neardup": emb_neardup,
+        "emb_neardup_exact": emb_neardup_exact,
         # relational (SQL-oracled)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -339,6 +351,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
         """,
+        # sketch/dedup oracles: SQL replicas of the exact hash math
+        # (see deekseek_ocr___dockerized_api_ray/oracles.py)
+        "minhash_candidates": _oracles.minhash_candidates_sql(),
+        "minhash_survivors": _oracles.minhash_survivors_sql(threshold=0.8),
+        "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
+        "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
+        "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
+        "langid_predict": _oracles.langid_predict_sql(),
+        "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

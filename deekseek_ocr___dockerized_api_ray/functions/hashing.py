@@ -34,7 +34,10 @@ def word_ngrams(text: str, n: int = 3) -> Set[str]:
 
 
 def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    """64-bit token hash == DuckDB's ``md5_number_lower`` (little-endian
+    read of the md5 digest's upper 8 bytes), so SimHash signatures are
+    replicable in the SQL oracle."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
 def _fnv_powers(k: int) -> np.ndarray:

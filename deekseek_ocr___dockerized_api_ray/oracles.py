@@ -1,0 +1,287 @@
+"""DuckDB oracle-SQL builders for the sketch/dedup/langid pipelines.
+
+These replicate, in pure ANSI-ish DuckDB SQL, the exact numeric
+semantics of the engine's Python/numpy implementations so the driver's
+rows+schema+value-hash comparison can cover them:
+
+  - shingle hashing: polynomial FNV fold over UTF-32 codepoints mod 2^64
+    + murmur3 finalizer (functions/hashing.shingle_hashes), done in
+    HUGEINT with an explicit 64x64->64 modmul decomposition (DuckDB has
+    no wrapping multiply)
+  - MinHash permutations: the (a*x+b) mod 2^31-1 universal hashes with
+    the a/b constants INLINED from the seeded numpy RNG at SQL-build
+    time (the RNG itself is not SQL-expressible, its output is)
+  - LSH candidates: pairs sharing a band = equality of the signature's
+    band SEGMENT (the engine's 64-bit band-key hash is an implementation
+    detail of the shuffle; segment equality is the semantic)
+  - SimHash: md5_number_lower token hashes (functions/hashing._hash64
+    uses the md5-upper-8-little-endian convention precisely so both
+    sides agree), sign-sum bits, pigeonhole banding == exact hamming
+    filter (hamming <= max_hamming guarantees a shared band, so the
+    banded candidate set is lossless)
+  - connected components: recursive transitive closure (UNION-dedup
+    recursion terminates); a doc survives iff nothing smaller is
+    reachable -- identical to min-label propagation convergence
+  - language ID: marker-word hit counts with the Python dict's
+    first-max-wins tie-break reproduced by CASE ordering
+"""
+
+from __future__ import annotations
+
+from .functions.hashing import _MERSENNE31, MinHasher
+
+_FNV = 1099511628211
+_M64 = 1 << 64
+_POWS = [pow(_FNV, j, _M64) for j in range(5)]
+_C1 = 0xFF51AFD7ED558CCD
+_C2 = 0xC4CEB9FE1A85EC53
+_LANGS = [
+    ("en", "the and of to in is you that it for was with his they at"),
+    ("de", "der die das und ist nicht ein eine ich sie mit von für auf"),
+    ("fr", "le la les et est une je vous pas pour dans qui sur avec"),
+    ("es", "el la los las y es una que no por para con su del se"),
+]
+
+
+def _modmul(h: str, c: int) -> str:
+    """SQL for (h * c) mod 2^64 with h < 2^64: split h into 32-bit halves
+    so every HUGEINT intermediate stays below 2^97."""
+    return (
+        f"CAST(( (({h}) % 4294967296)::HUGEINT * {c} + "
+        f"((( ({h}) >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296 ) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _mix64(col: str) -> str:
+    """murmur3 finalizer, matching functions/hashing._mix64."""
+    s1 = f"xor({col}, {col} >> 33)"
+    s2 = _modmul(s1, _C1)
+    s3 = f"xor({s2}, {s2} >> 33)"
+    s4 = _modmul(s3, _C2)
+    return f"xor({s4}, {s4} >> 33)"
+
+
+def _shingle_hash_ctes(k: int = 5) -> str:
+    """CTEs ending in ``sh(doc_id, h)``: distinct mixed shingle hashes per
+    doc, byte-identical to functions/hashing.shingle_hashes."""
+    poly = " + ".join(
+        f"unicode(substr(norm, i+{j}, 1))::HUGEINT * {_POWS[j]}" for j in range(k)
+    )
+    short_poly = " + ".join(
+        f"CASE WHEN length(norm) > {j} THEN unicode(substr(norm, {j+1}, 1))::HUGEINT * {_POWS[j]} ELSE 0 END"
+        for j in range(k - 1)
+    )
+    return f"""
+norm_t AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents),
+win AS (
+  SELECT doc_id, CAST(({poly}) % 18446744073709551616 AS UBIGINT) AS h0
+  FROM norm_t, unnest(range(1, length(norm) - {k - 2})) AS u(i)
+  WHERE length(norm) >= {k}
+),
+shrt AS (
+  SELECT doc_id, CAST(({short_poly}) % 18446744073709551616 AS UBIGINT) AS h0
+  FROM norm_t WHERE length(norm) BETWEEN 1 AND {k - 1}
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, {_mix64('h0')} AS h
+       FROM (SELECT * FROM win UNION ALL SELECT * FROM shrt))"""
+
+
+def _minhash_cand_ctes(n_hashes: int = 64, bands: int = 16, k: int = 5,
+                       seed: int = 42) -> str:
+    """CTEs ending in ``cand(id_a, id_b)``: distinct LSH candidate pairs,
+    matching stages/dedup.lsh_candidate_pairs."""
+    mh = MinHasher(n_hashes=n_hashes, seed=seed)
+    perm_vals = ",".join(
+        f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    rows = n_hashes // bands
+    return f"""{_shingle_hash_ctes(k)},
+perm(hid, a, b) AS (VALUES {perm_vals}),
+sig AS MATERIALIZED (
+  SELECT doc_id, hid, min((a * (h % {_MERSENNE31}) + b) % {_MERSENNE31}) AS mv
+  FROM sh CROSS JOIN perm GROUP BY doc_id, hid
+),
+bandseg AS MATERIALIZED (
+  SELECT doc_id, hid // {rows} AS band, list(mv ORDER BY hid) AS seg
+  FROM sig GROUP BY doc_id, hid // {rows}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandseg x JOIN bandseg y
+    ON x.band = y.band AND x.seg = y.seg AND x.doc_id < y.doc_id
+)"""
+
+
+def minhash_candidates_sql() -> str:
+    return f"WITH {_minhash_cand_ctes()}\nSELECT id_a, id_b FROM cand"
+
+
+def _char_jaccard_verified_ctes(threshold: float, k: int = 5) -> str:
+    """CTEs (appended after cand) ending in ``verified(id_a, id_b,
+    jaccard)``: exact char-k-shingle Jaccard >= threshold, matching
+    stages/dedup.verify_pairs_jaccard (shingles as strings)."""
+    return f""",
+vsh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(norm, i, {k}) AS s
+  FROM norm_t, unnest(range(1, length(norm) - {k - 2})) AS u(i)
+  WHERE length(norm) >= {k}
+  UNION
+  SELECT DISTINCT doc_id, norm AS s FROM norm_t WHERE length(norm) BETWEEN 1 AND {k - 1}
+),
+vcnt AS (SELECT doc_id, count(*) AS n FROM vsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN vsh x ON x.doc_id = c.id_a
+  JOIN vsh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+),
+verified AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         ROUND(COALESCE(i.ni, 0)::DOUBLE / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN vcnt na ON na.doc_id = c.id_a
+  JOIN vcnt nb ON nb.doc_id = c.id_b
+  WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / (na.n + nb.n - COALESCE(i.ni, 0)), 6) >= {threshold}
+)"""
+
+
+def _survivors_select(pairs_cte: str) -> str:
+    """Recursive-closure survivor selection over symmetric edges from
+    ``pairs_cte(id_a, id_b)``: a doc survives iff no smaller id is
+    reachable (== its min-label is itself)."""
+    return f""",
+sym AS (SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
+        UNION SELECT id_b, id_a FROM {pairs_cte}),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT d.doc_id, d.text FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM reach WHERE reach.src = d.doc_id AND reach.dst < d.doc_id)"""
+
+
+def minhash_survivors_sql(threshold: float = 0.8) -> str:
+    return (
+        f"WITH RECURSIVE {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        f"{_survivors_select('verified')}"
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.3, n: int = 3) -> str:
+    """LSH candidates verified by word-n-gram Jaccard, matching
+    stages/dedup.verify_pairs_ngram_jaccard (n-grams as strings; < n
+    words collapses to the single joined string)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""WITH {_minhash_cand_ctes()},
+wrds AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+ngr AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM wrds, unnest(range(1, len(w) - {n - 2})) AS u(i)
+  WHERE len(w) >= {n}
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+  FROM wrds WHERE len(w) BETWEEN 1 AND {n - 1}
+),
+gcnt AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
+ginter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN ngr x ON x.doc_id = c.id_a
+  JOIN ngr y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(i.ni, 0)::DOUBLE / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS ngram_jaccard
+FROM cand c
+LEFT JOIN ginter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN gcnt na ON na.doc_id = c.id_a
+JOIN gcnt nb ON nb.doc_id = c.id_b
+WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / (na.n + nb.n - COALESCE(i.ni, 0)), 6) >= {threshold}"""
+
+
+def _simhash_ctes() -> str:
+    """CTEs ending in ``ssig(doc_id, sim)``: the 64-bit SimHash of
+    functions/hashing.simhash64 (md5_number_lower token hashes, term
+    frequency weights, sign-sum bits; no tokens -> 0)."""
+    return """
+toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+bitsum AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+  GROUP BY doc_id, j
+),
+rawsig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << j::INTEGER) ELSE 0 END) % 18446744073709551616 AS UBIGINT) AS sim
+  FROM bitsum GROUP BY doc_id
+),
+ssig AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(r.sim, 0::UBIGINT) AS sim
+  FROM documents d LEFT JOIN rawsig r ON r.doc_id = d.doc_id
+)"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """All pairs within hamming <= max_hamming. The engine's 4x16-bit
+    banding is pigeonhole-lossless for max_hamming < 4, so the banded
+    candidate set equals the exact hamming ball and no band logic is
+    needed in the oracle."""
+    return f"""WITH {_simhash_ctes()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}"""
+
+
+def simhash_survivors_sql(max_hamming: int = 3) -> str:
+    return f"""WITH RECURSIVE {_simhash_ctes()},
+spairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+){_survivors_select('spairs')}"""
+
+
+def langid_predict_sql() -> str:
+    """Marker-word language ID matching functions/text_stats.detect_language:
+    CJK-share gate, then first-max-wins over the marker tables."""
+    word_class = "[a-zäöüßéèêàçñáíóú]+"
+    hit_cols = []
+    for lang, markers in _LANGS:
+        lst = ",".join(f"'{m}'" for m in markers.split())
+        hit_cols.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '{word_class}'), w -> w IN ({lst}))) AS h_{lang}"
+        )
+    first_max = " ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang, _ in _LANGS
+    )
+    return f"""WITH h AS (
+  SELECT doc_id, text, {", ".join(hit_cols)},
+         len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS n_cjk
+  FROM documents
+),
+m AS (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS best FROM h)
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 'und'
+            WHEN n_cjk::DOUBLE / greatest(length(text), 1) > 0.05 THEN 'zh'
+            WHEN best = 0 THEN 'und'
+            {first_max}
+            ELSE 'und' END AS lang_pred
+FROM m"""
+
+
+def emb_neardup_exact_sql(threshold: float = 0.4) -> str:
+    """Exact all-pairs cosine >= threshold (the brute-force baseline the
+    LSH-banded emb_neardup approximates). f64 math on both sides."""
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}"""

@@ -107,7 +107,8 @@ def lang_count(sf_dir: str):
 
 def langid_predict(sf_dir: str):
     """(doc_id, lang_pred): heuristic n-gram/stopword language ID
-    (rows-only check; the driver corpus's lang labels are synthetic)."""
+    (SQL-oracled: oracles.langid_predict_sql replicates the marker-word
+    counts and first-max-wins tie-break)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def lid(batch: pa.Table) -> pa.Table:

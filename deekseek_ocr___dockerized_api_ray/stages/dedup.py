@@ -34,6 +34,7 @@ from ..functions.hashing import (
     simhash64,
     simhash_bands,
 )
+from ..functions.rounding import round_half_away
 from ..functions.text_stats import sha1_64
 
 
@@ -259,7 +260,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             for ta, tb in zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist())
         ]
         out = batch.select(["id_a", "id_b"]).append_column(
-            "jaccard", pa.array([round(j, 6) for j in ja], type=pa.float64())
+            "jaccard", pa.array([round_half_away(j, 6) for j in ja], type=pa.float64())
         )
         return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(threshold)))
 
@@ -341,6 +342,8 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
         )).materialize()
 
         # convergence: order-independent checksum over (node, label) rows
+        # (emitted as wrapped int64 -- sum equality mod 2^64 is preserved
+        # and Arrow/Ray aggregate int64 natively)
         def _ck(batch: pa.Table) -> pa.Table:
             s = np.uint64(0)
             with np.errstate(over="ignore"):
@@ -348,7 +351,7 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
                                 batch.column("label").to_pylist()):
                     s += np.uint64(sha1_64(f"{n}\x00{l}"))
             return pa.Table.from_arrays(
-                [pa.array([int(s)], type=pa.uint64())], names=["ck"]
+                [pa.array([int(s.astype(np.int64))], type=pa.int64())], names=["ck"]
             )
 
         old_ck = int(labels.map_batches(_ck, batch_format="pyarrow").sum("ck") or 0)
@@ -488,7 +491,7 @@ def verify_pairs_ngram_jaccard(pairs_ds, docs_ds, threshold: float = 0.5,
                               batch.column("text_b").to_pylist())
         ]
         out = batch.select(["id_a", "id_b"]).append_column(
-            "ngram_jaccard", pa.array([round(j, 6) for j in ja], type=pa.float64())
+            "ngram_jaccard", pa.array([round_half_away(j, 6) for j in ja], type=pa.float64())
         )
         return out.filter(pc.greater_equal(out.column("ngram_jaccard"), pa.scalar(threshold)))
 

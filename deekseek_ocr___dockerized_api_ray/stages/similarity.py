@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.rounding import round_half_away
+
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
@@ -293,7 +295,7 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
         keep = cos >= threshold
         out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
         return out.append_column(
-            "cosine", pa.array([round(float(c), 6) for c in cos[keep]], type=pa.float64())
+            "cosine", pa.array([round_half_away(float(c), 6) for c in cos[keep]], type=pa.float64())
         )
 
     return wb.map_batches(_verify, batch_format="pyarrow")
@@ -327,3 +329,49 @@ def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,
 
     filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
     return brute_force_topk(filtered, query_ids, k, id_col, emb_col)
+
+
+def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
+                            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """EXACT all-pairs cosine >= threshold -- the brute-force baseline the
+    banded `embedding_neardup_pairs` approximates.
+
+    Shape: the normalized corpus matrix is broadcast ONCE via ``ray.put``
+    (ids + f64 matrix), then every batch does one matmul against it and
+    emits its (id_a < id_b) qualifying pairs -- zero shuffle, O(n^2)
+    compute. This is the small/medium-corpus exact path (corpus matrix
+    must fit the object store); at web scale use the LSH variant.
+    Returns (id_a, id_b, cosine r6).
+    """
+    import ray
+
+    ids_list, mats = [], []
+    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids_list.append(np.asarray(b.column(id_col).to_pylist(), dtype=np.int64))
+        mats.append(_normalize(_batch_matrix(b, emb_col)))
+    corpus_ids = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+    corpus = np.vstack(mats) if mats else np.empty((0, 0))
+    ref = ray.put((corpus_ids, corpus))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        sims = m @ cmat.T  # (batch, corpus)
+        # half-away r6 BEFORE the threshold compare (matches the oracle's
+        # WHERE ROUND(...) >= t)
+        r6 = np.where(sims >= 0,
+                      np.floor(sims * 1e6 + 0.5) / 1e6,
+                      -np.floor(-sims * 1e6 + 0.5) / 1e6)
+        mask = (rids[:, None] < cids[None, :]) & (r6 >= threshold)
+        ai, ci = np.nonzero(mask)
+        return pa.Table.from_arrays(
+            [pa.array(rids[ai], type=pa.int64()),
+             pa.array(cids[ci], type=pa.int64()),
+             pa.array(r6[ai, ci], type=pa.float64())],
+            names=["id_a", "id_b", "cosine"],
+        )
+
+    return emb_ds.map_batches(_pairs, batch_format="pyarrow")
