@@ -160,6 +160,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(media_table_for_docs(docs))
         return tiling_plan(decode_media(media))
 
+    def media_preprocess_plan(sf_dir: str):
+        # A4: pad geometry + token-run length per media row
+        import ray.data as rd
+
+        from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
+            preprocess_plan,
+        )
+
+        docs = generate_documents(_n_docs_for(sf_dir), _SEED)
+        media = rd.from_arrow(media_table_for_docs(docs))
+        return preprocess_plan(decode_media(media))
+
+    def doc_crops(sf_dir: str):
+        # W4: cropped-image rows for the extract_images path (payload
+        # replaced by its sha256 -- stable value hashing for the driver)
+        import hashlib
+
+        import pyarrow as pa
+
+        from deekseek_ocr___dockerized_api_ray.stages.crops import extract_crops
+
+        crops = extract_crops(run_extract(_corpus(sf_dir), mode="markdown"))
+
+        def fingerprint(batch: pa.Table) -> pa.Table:
+            shas = [hashlib.sha256(p).hexdigest()
+                    for p in batch.column("payload").to_pylist()]
+            return batch.drop_columns(["payload"]).append_column(
+                "payload_sha256", pa.array(shas, type=pa.string())
+            )
+
+        return crops.map_batches(fingerprint, batch_format="pyarrow")
+
     def minhash_candidates(sf_dir: str):
         return lsh_candidate_pairs(_docs_ds(sf_dir))
 
@@ -241,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_eval": extract_eval,
         "grounding_boxes": grounding_boxes,
         "media_tiling_plan": media_pipeline,
+        "media_preprocess_plan": media_preprocess_plan,
+        "doc_crops": doc_crops,
         # text analysis over documents (SQL-oracled)
         "doc_token_stats": text.doc_token_stats,
         "doc_quality": text.doc_quality,

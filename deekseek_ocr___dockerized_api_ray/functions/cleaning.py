@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 import urllib.parse
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, NamedTuple, Optional, Tuple
 
 from .grounding import parse_det_coords
 
@@ -130,20 +130,33 @@ def join_pages(page_texts: List[str]) -> str:
     return PAGE_SPLIT_JOIN.join(page_texts)
 
 
-def rewrite_image_tags(
+class CropSpec(NamedTuple):
+    """One successful image extraction: which page to crop where, and the
+    filename the markdown link points to (W4)."""
+
+    img_idx: int      # index among the doc's image tags
+    page_index: int   # modulo-paired page (Lib/postprocessor.py:105)
+    filename: str     # link_name_fn(total_extracted)
+    x1: int
+    y1: int
+    x2: int
+    y2: int
+
+
+def rewrite_image_tags_with_crops(
     content: str,
     matches_images: List[str],
     page_dims: List[Tuple[int, int]],
     link_name_fn: Callable[[int], str],
-) -> str:
-    """Image-tag -> markdown-link rewrite (extraction mode).
+) -> Tuple[str, List[CropSpec]]:
+    """Image-tag -> markdown-link rewrite + the crop plan (extraction mode).
 
-    Replicates extract_and_save_images (Lib/postprocessor.py:93-139)
-    minus the actual pixel crop (the engine stores crops via the media
-    stage; this function only decides replacement text):
+    Replicates extract_and_save_images (Lib/postprocessor.py:93-139); the
+    returned CropSpecs are exactly the crops the reference would save
+    (the pixel crop itself runs in stages/crops.py):
 
       - no pages available -> every image tag becomes ``[Image]``
-        (Lib/postprocessor.py:88-91)
+        (Lib/postprocessor.py:88-91), no crops
       - page paired by ``img_idx % n_pages`` (``:105`` -- the reference's
         modulo quirk, reproduced deliberately)
       - coords parsed from det content (reference uses ``eval``,
@@ -155,10 +168,11 @@ def rewrite_image_tags(
         first occurrence only (``:128``)
       - parse failure -> ``[Image - extraction failed]`` (``:134``)
     """
+    crops: List[CropSpec] = []
     if not page_dims:
         for tag in matches_images:
             content = content.replace(tag, "[Image]", 1)
-        return content
+        return content, crops
 
     total_extracted = 0
     for img_idx, img_tag in enumerate(matches_images):
@@ -181,11 +195,25 @@ def rewrite_image_tags(
                 encoded = urllib.parse.quote(image_filename)
                 markdown_link = f"\n![Extracted Image](images/{encoded})\n"
                 content = content.replace(img_tag, markdown_link, 1)
+                crops.append(CropSpec(img_idx, page_to_use, image_filename,
+                                      x1, y1, x2, y2))
                 total_extracted += 1
                 break
         except Exception:
             content = content.replace(img_tag, "[Image - extraction failed]", 1)
-    return content
+    return content, crops
+
+
+def rewrite_image_tags(
+    content: str,
+    matches_images: List[str],
+    page_dims: List[Tuple[int, int]],
+    link_name_fn: Callable[[int], str],
+) -> str:
+    """Text-only view of rewrite_image_tags_with_crops (M6)."""
+    out, _ = rewrite_image_tags_with_crops(content, matches_images, page_dims,
+                                           link_name_fn)
+    return out
 
 
 def clean_content(

@@ -131,3 +131,41 @@ def tiling_plan(media_ds, crop_mode: bool = True, batch_size: int = 4096):
         TilingPlanStage, fn_constructor_kwargs=dict(crop_mode=crop_mode),
         batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8),
     )
+
+
+class PreprocessPlanStage:
+    """A4 preprocessing plan per media row: the global-view pad geometry,
+    tile grid and token-sequence length the model-side preprocessing
+    will use (functions/preprocess.py; image_process.py:326-496). Pure
+    arithmetic on (width, height) -- the CPU-side work the reference
+    runs in its 64-thread pool, here an actor-pool batch stage."""
+
+    def __init__(self, crop_mode: bool = True):
+        self.crop_mode = crop_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.preprocess import image_token_run, pad_geometry
+
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        geos = [pad_geometry(w, h) for w, h in zip(ws, hs)]
+        runs = [image_token_run(w, h, crop_mode=self.crop_mode)
+                for w, h in zip(ws, hs)]
+        return (
+            batch.append_column("pad_resized_w", pa.array([g.resized_w for g in geos], type=pa.int32()))
+            .append_column("pad_resized_h", pa.array([g.resized_h for g in geos], type=pa.int32()))
+            .append_column("pad_x", pa.array([g.paste_x for g in geos], type=pa.int32()))
+            .append_column("pad_y", pa.array([g.paste_y for g in geos], type=pa.int32()))
+            .append_column("n_seq_tokens", pa.array(runs, type=pa.int32()))
+        )
+
+
+def preprocess_plan(media_ds, crop_mode: bool = True):
+    """Dataset wrapper: media rows (width, height, ...) -> + pad geometry
+    and token-run columns."""
+    return media_ds.map_batches(
+        PreprocessPlanStage,
+        fn_constructor_kwargs=dict(crop_mode=crop_mode),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -188,17 +188,21 @@ def test_image_rewrite_parity(ref_pp, tmp_path, monkeypatch):
         def save(self, path):
             pass
 
+    ref_crop_log = []
+
     class _FakePage:
-        def __init__(self, size):
+        def __init__(self, idx, size):
+            self.idx = idx
             self.size = size
 
         def crop(self, box):
+            ref_crop_log.append((self.idx, box))
             return _FakeCrop()
 
     page_dims = [(850, 1100), (425, 550), (1700, 2200)]
 
     def fake_pdf_to_images(pdf_path, dpi=None):
-        return [_FakePage(s) for s in page_dims]
+        return [_FakePage(i, s) for i, s in enumerate(page_dims)]
 
     monkeypatch.setattr(ref_pp, "pdf_to_images", fake_pdf_to_images)
 
@@ -225,14 +229,25 @@ def test_image_rewrite_parity(ref_pp, tmp_path, monkeypatch):
         "<|ref|>title<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|>"
         "<|ref|>image<|/ref|><|det|>[[50, 50, 900, 900]]<|/det|>",
     ]
+    from deekseek_ocr___dockerized_api_ray.functions.cleaning import (
+        rewrite_image_tags_with_crops,
+    )
+
     for content in samples:
+        ref_crop_log.clear()
         expected, _paths = ref_pp.extract_and_save_images(
             "/tmp/fake.pdf", content, output_dir=tmp_path
         )
         _, matches_images, _ = match_tags(content)
-        got = rewrite_image_tags(
+        got, crops = rewrite_image_tags_with_crops(
             content, matches_images, page_dims, lambda i: f"crop_{i}.jpg"
         )
+        assert rewrite_image_tags(
+            content, matches_images, page_dims, lambda i: f"crop_{i}.jpg"
+        ) == got
         assert link_re.sub("![Extracted Image](images/X)", got) == link_re.sub(
             "![Extracted Image](images/X)", expected
         )
+        # W4 parity: exactly the reference's crop calls, same pages and boxes
+        # (the reference also crops degenerate-then-valid lists identically)
+        assert [(c.page_index, (c.x1, c.y1, c.x2, c.y2)) for c in crops] == ref_crop_log
