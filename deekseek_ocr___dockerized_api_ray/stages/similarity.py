@@ -138,7 +138,7 @@ class HyperplaneLSH:
         return bits @ (1 << np.arange(bits.shape[1]))
 
 
-def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, bands: int = 8,
+def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, bands: int = 16,
              rows_per_band: int = 6, id_col: str = "vec_id",
              emb_col: str = "embedding", seed: int = 42,
              dim: Optional[int] = None):
