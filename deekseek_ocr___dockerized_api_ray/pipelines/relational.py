@@ -459,7 +459,17 @@ def events_user_reach_hll(sf_dir: str, p: int = 12):
             names=["event_type", "n_users_approx"],
         )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.text_stats import sha1_64
+
+        b = [sha1_64(v) % 16 for v in batch.column("event_type").to_pylist()]
+        return batch.append_column("bucket", pa.array(b, type=pa.int32()))
+
     partials = ev.map_batches(partial, batch_format="pyarrow", batch_size=131072)
-    # event_type cardinality is tiny: a single merge task is the reduce
-    return partials.repartition(1).map_batches(merge, batch_format="pyarrow",
-                                               batch_size=None)
+    # keyed reduce: sketches for the same event_type co-locate by key
+    # hash, so the merge scales with key cardinality (a repartition(1)
+    # single-task merge would cap at one reducer for high-cardinality
+    # keys; a 16-bucket keyed groupby handles both regimes)
+    return partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda t: merge(t.drop_columns(["bucket"])), batch_format="pyarrow")

@@ -97,3 +97,36 @@ def test_kill_and_resume(corpus_dir, tmp_path_factory):
             (s["kind"], s["text"], s["media_ref"], s["offset"])
             for s in sorted(exp["spans"], key=key)
         ]
+
+
+def test_resume_after_crash_between_rename_and_mark(corpus_dir, tmp_path_factory):
+    """Crash window: output dir renamed into place but mark_done never ran.
+    Resume must re-run that partition (replacing the orphan dir), not die
+    on ENOTEMPTY."""
+    out = str(tmp_path_factory.mktemp("ckpt_orphan"))
+    r1 = run_extract_checkpointed(corpus_dir, out, n_partitions=4, stop_after=2)
+    manifest = CheckpointManifest(out)
+
+    # simulate the crash: partition 1's output exists, manifest record gone
+    victim = r1["completed"][1]
+    os.remove(os.path.join(out, "_manifest", f"{victim:04d}.json"))
+    orphan = manifest.partition_out(victim)
+    assert os.path.isdir(orphan) and os.listdir(orphan)
+
+    r2 = run_extract_checkpointed(corpus_dir, out, n_partitions=4)
+    assert victim in r2["completed"]
+    assert manifest.completed() == {0, 1, 2, 3}
+    # re-run output is complete parquet
+    assert pq.read_table(orphan).num_rows > 0
+
+
+def test_overlapped_equals_sequential(corpus_dir, tmp_path_factory):
+    """overlap=3 must produce the same per-partition outputs as overlap=1."""
+    out_a = str(tmp_path_factory.mktemp("ckpt_seq"))
+    out_b = str(tmp_path_factory.mktemp("ckpt_par"))
+    run_extract_checkpointed(corpus_dir, out_a, n_partitions=4, overlap=1)
+    run_extract_checkpointed(corpus_dir, out_b, n_partitions=4, overlap=3)
+    for pid in range(4):
+        a = pq.read_table(os.path.join(out_a, f"part={pid:04d}")).sort_by("doc_id")
+        b = pq.read_table(os.path.join(out_b, f"part={pid:04d}")).sort_by("doc_id")
+        assert a.equals(b)
