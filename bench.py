@@ -37,8 +37,14 @@ def _n_docs() -> int:
     base = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
     # fix-m tier: 120x the sf's doc count with the "bench" span profile
     # (realistic 10-24-span documents) so the job runs long enough to be
-    # compute-bound (scaling measurements need work >> fixed startup cost)
-    return base * 120
+    # compute-bound (scaling measurements need work >> fixed startup cost).
+    # BENCH_DOCS_MULT stretches the job further; --scaling sets it to 2 so
+    # the fixed per-session overhead (~4-5 s: actor-pool startup + read
+    # first wave) stays a small fraction of even the 4N leg -- the
+    # criterion describes 10^12-doc jobs where startup amortizes to zero,
+    # and at 600k docs it is ~8% of the 16-CPU leg, which is what gets
+    # measured otherwise, not the engine's scaling.
+    return base * 120 * int(os.environ.get("BENCH_DOCS_MULT", "1"))
 
 
 def run_bench() -> dict:
@@ -175,7 +181,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1", BENCH_REPS="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1", BENCH_REPS="1",
+                   BENCH_DOCS_MULT=os.environ.get("BENCH_DOCS_MULT", "2"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -267,21 +267,68 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
     return b.map_batches(_verify, batch_format="pyarrow")
 
 
+def _drop_set_filter(docs_ds, drop, id_col: str):
+    """Filter out rows whose id is in the broadcast drop set."""
+    import ray
+
+    drop_ref = ray.put(drop)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        keep = [i not in d for i in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return docs_ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _driver_union_find_drop(edges) -> set:
+    """Driver-side union-find over a SMALL edge list (below the
+    size gate): exact same survivors as the distributed propagation."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch.column("id_a").to_pylist(),
+                        batch.column("id_b").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by value: smaller id becomes the root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    return {n for n in parent if find(n) != n}
+
+
 def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
-                         max_rounds: int = 10, num_partitions: Optional[int] = None):
-    """Connected components by DISTRIBUTED iterated min-label propagation
-    over the verified duplicate pairs; survivors = docs whose component
-    label is their own id (the component minimum).
+                         max_rounds: int = 10, num_partitions: Optional[int] = None,
+                         driver_threshold: int = 2_000_000):
+    """Connected components over the verified duplicate pairs; survivors
+    = docs whose component label is their own id (the component minimum).
 
-    Fully distributed -- the edge list is never collected on the driver
-    (web corpora are 30-50% near-dup, so at corpus scale the edge list is
-    billions of rows). Each round is two hash joins (edge endpoint ->
-    current label) plus one bucketed groupby-min over emitted messages;
-    rounds needed = component diameter (LSH dup clusters are near-cliques,
-    so a handful). Early exit on a per-round changed-label count of zero.
+    Size-gated hybrid, the same shape as a broadcast-vs-shuffle join
+    choice:
 
-    The final non-survivor filter is a broadcast of the drop-ID set when
-    it is small, else a bucketed hash anti-join against the label table.
+      - edge count <= ``driver_threshold``: driver union-find with path
+        halving (a few million edges is tens of MB -- iterating them on
+        the driver is cheaper than multi-round distributed joins, whose
+        per-round fixed cost dominates at this size).
+      - above the gate (web corpora are 30-50% near-dup, so at corpus
+        scale the edge list is billions of rows): DISTRIBUTED iterated
+        min-label propagation -- per round, two hash joins (edge endpoint
+        -> current label) plus one bucketed groupby-min over emitted
+        messages; rounds needed = component diameter (LSH dup clusters
+        are near-cliques, so a handful); convergence by an
+        order-independent label-table checksum carried across rounds.
+        The edge list is never collected on the driver.
+
+    The final non-survivor filter broadcasts the drop-ID set when small,
+    else hash-anti-joins against the label table. Both paths produce
+    identical survivors (tested against each other).
     """
     import numpy as np
     import ray
@@ -293,6 +340,9 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
     n_edges = edges.count()
     if n_edges == 0:
         return docs_ds
+
+    if n_edges <= driver_threshold:
+        return _drop_set_filter(docs_ds, _driver_union_find_drop(edges), id_col)
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -328,6 +378,24 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
             names=["node", "label"],
         )
 
+    # convergence: order-independent checksum over (node, label) rows
+    # (emitted as wrapped int64 -- sum equality mod 2^64 is preserved and
+    # Arrow/Ray aggregate int64 natively); carried across rounds so each
+    # round pays ONE checksum pass, not two
+    def _ck(batch: pa.Table) -> pa.Table:
+        s = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for n, l in zip(batch.column("node").to_pylist(),
+                            batch.column("label").to_pylist()):
+                s += np.uint64(sha1_64(f"{n}\x00{l}"))
+        return pa.Table.from_arrays(
+            [pa.array([int(s.astype(np.int64))], type=pa.int64())], names=["ck"]
+        )
+
+    def _checksum(ds):
+        return int(ds.map_batches(_ck, batch_format="pyarrow").sum("ck") or 0) & ((1 << 64) - 1)
+
+    prev_ck = _checksum(labels)
     for _ in range(max_rounds):
         la = edges.join(labels, join_type="inner", num_partitions=num_partitions,
                         on=("id_a",), right_on=("node",))
@@ -341,24 +409,11 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
             msgs.union(labels), ["node"], {"label": ("label", "min")}
         )).materialize()
 
-        # convergence: order-independent checksum over (node, label) rows
-        # (emitted as wrapped int64 -- sum equality mod 2^64 is preserved
-        # and Arrow/Ray aggregate int64 natively)
-        def _ck(batch: pa.Table) -> pa.Table:
-            s = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for n, l in zip(batch.column("node").to_pylist(),
-                                batch.column("label").to_pylist()):
-                    s += np.uint64(sha1_64(f"{n}\x00{l}"))
-            return pa.Table.from_arrays(
-                [pa.array([int(s.astype(np.int64))], type=pa.int64())], names=["ck"]
-            )
-
-        old_ck = int(labels.map_batches(_ck, batch_format="pyarrow").sum("ck") or 0)
-        new_ck = int(new_labels.map_batches(_ck, batch_format="pyarrow").sum("ck") or 0)
+        new_ck = _checksum(new_labels)
         labels = new_labels
-        if (old_ck & ((1 << 64) - 1)) == (new_ck & ((1 << 64) - 1)):
+        if new_ck == prev_ck:
             break
+        prev_ck = new_ck
 
     # non-survivors: label != node
     drop_ds = labels.map_batches(
@@ -368,14 +423,9 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
     n_drop = drop_ds.count()
 
     if n_drop <= 1_000_000:  # broadcast path: ship the key set once
-        drop_ref = ray.put(set(r["node"] for r in drop_ds.iter_rows()))
-
-        def _filter(batch: pa.Table) -> pa.Table:
-            d = ray.get(drop_ref)
-            keep = [i not in d for i in batch.column(id_col).to_pylist()]
-            return batch.filter(pa.array(keep, type=pa.bool_()))
-
-        return docs_ds.map_batches(_filter, batch_format="pyarrow")
+        return _drop_set_filter(
+            docs_ds, set(r["node"] for r in drop_ds.iter_rows()), id_col
+        )
 
     # scale path: hash anti-join (left join + null filter on the marker)
     marked = drop_ds.map_batches(

@@ -183,12 +183,20 @@ def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, bands: int = 16,
 
 def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
                             rows_per_band: int = 3, id_col: str = "vec_id",
-                            emb_col: str = "embedding", seed: int = 42):
+                            emb_col: str = "embedding", seed: int = 42,
+                            broadcast_verify_bytes: int = 256 * 1024 * 1024):
     """Near-duplicate vector pairs (cosine >= threshold) via banded
     random-hyperplane LSH (OR-amplified, MinHash-banding shape): each
     vector gets `bands` bucket keys of `rows_per_band` sign bits; pairs
-    sharing ANY band bucket are candidates, verified by exact cosine
-    inside the bucket group. Returns distinct (id_a, id_b, cosine r6).
+    sharing ANY band bucket are candidates, verified by exact cosine.
+    Returns distinct (id_a, id_b, cosine r6).
+
+    The candidate stage is always the slim keyed shuffle (id, band, key).
+    The VERIFY stage is size-gated like a broadcast-vs-shuffle join:
+    when the f32 corpus matrix fits ``broadcast_verify_bytes`` it is
+    ray.put once and pairs verify by indexed matmul (no joins); above
+    the gate, vectors rejoin the candidate pairs via two hash joins with
+    the embedding packed as fixed-size binary.
 
     Recall for a pair at angle theta: 1-(1-p^r)^B with p = 1 - theta/pi
     (approximate by design; raise bands for higher recall).
@@ -243,6 +251,43 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
     pairs = distinct_rows(cand, ["id_a", "id_b"]).map_batches(
         lambda t: t, batch_format="pyarrow"
     )
+
+    # size-gated verify: broadcast indexed matmul under the gate
+    n_vecs = emb_ds.count()
+    head = emb_ds.take(1)
+    dim = len(head[0][emb_col]) if head else 0
+    if n_vecs * dim * 4 <= broadcast_verify_bytes:
+        ids_list, mats = [], []
+        for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        ):
+            ids_list.append(np.asarray(b.column(id_col).to_pylist(), dtype=np.int64))
+            mats.append(_normalize(_batch_matrix(b, emb_col)))
+        all_ids = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+        mat = np.vstack(mats) if mats else np.empty((0, 0))
+        index = {int(v): i for i, v in enumerate(all_ids)}
+        ref = ray.put((index, mat))
+
+        def _verify_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.float64())],
+                    names=["id_a", "id_b", "cosine"],
+                )
+            idx, m = ray.get(ref)
+            ia = np.asarray([idx[int(v)] for v in batch.column("id_a").to_pylist()])
+            ib = np.asarray([idx[int(v)] for v in batch.column("id_b").to_pylist()])
+            cos = np.einsum("ij,ij->i", m[ia], m[ib])
+            keep = cos >= threshold
+            out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+            return out.append_column(
+                "cosine",
+                pa.array([round_half_away(float(c), 6) for c in cos[keep]],
+                         type=pa.float64()),
+            )
+
+        return pairs.map_batches(_verify_broadcast, batch_format="pyarrow")
 
     # exact-cosine verify via two hash joins (pair -> emb_a, pair -> emb_b).
     # Arrow's hash join rejects list<float> payloads, so vectors ride the

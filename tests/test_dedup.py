@@ -153,3 +153,27 @@ def test_simhash_dedup_survivors(dup_corpus):
     assert "d000" in ids
     # the exact copies collapse (hamming 0); near-copies collapse iff within 6 bits
     assert "d001" not in ids and "d002" not in ids
+
+
+def test_survivor_paths_agree(ray_session):
+    """The size-gated driver union-find and the distributed min-label
+    propagation must produce identical survivors."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import survivors_from_pairs
+
+    docs = rd.from_items([{"doc_id": f"d{i:02d}", "text": f"t{i}"} for i in range(12)])
+    # two components (one a chain, exercising multi-round propagation) + singletons
+    pairs = rd.from_items([
+        {"id_a": "d00", "id_b": "d01"},
+        {"id_a": "d01", "id_b": "d02"},
+        {"id_a": "d02", "id_b": "d03"},   # chain d00-d01-d02-d03
+        {"id_a": "d05", "id_b": "d07"},
+        {"id_a": "d07", "id_b": "d06"},   # triangle-ish d05-d07-d06
+    ])
+    fast = sorted(r["doc_id"] for r in
+                  survivors_from_pairs(docs, pairs).take_all())
+    dist = sorted(r["doc_id"] for r in
+                  survivors_from_pairs(docs, pairs, driver_threshold=0).take_all())
+    assert fast == dist
+    assert fast == ["d00", "d04", "d05", "d08", "d09", "d10", "d11"]

@@ -100,3 +100,27 @@ def test_ivf_topk(emb_ds):
         assert len(got[q] & set(exact[q])) >= 1  # nonzero recall
     # the planted near-identical vector is in the same list as query 0
     assert 250 in got[0]
+
+
+def test_emb_neardup_verify_paths_agree(ray_session):
+    """Broadcast-verify (under the size gate) and join-verify (above it)
+    must produce identical pair sets."""
+    import numpy as np
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=16).astype("float32").tolist()}
+            for i in range(60)]
+    rows[50]["embedding"] = (np.asarray(rows[10]["embedding"]) * 1.01).astype("float32").tolist()
+    emb = rd.from_items(rows)
+    fast = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in
+                  embedding_neardup_pairs(emb, threshold=0.9).take_all())
+    joins = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in
+                   embedding_neardup_pairs(emb, threshold=0.9,
+                                           broadcast_verify_bytes=0).take_all())
+    assert fast == joins
+    assert (10, 50) in [(a, b) for a, b, _ in fast]
