@@ -230,29 +230,66 @@ def distinct_rows(ds, cols: Sequence[str], n_buckets: int = 256):
     return bucketed.groupby("bucket").map_groups(_distinct, batch_format="pyarrow")
 
 
-def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
-                         k: int = 5, text_col: str = "text", id_col: str = "doc_id",
-                         num_partitions: Optional[int] = None):
-    """Exact-Jaccard verification of candidate pairs via two hash joins
-    (pair -> text_a, pair -> text_b) -- the scale path; no broadcast of
-    the corpus. Returns (id_a, id_b, jaccard) rows >= threshold.
+def _pair_texts(pairs_ds, docs_ds, text_col: str, id_col: str,
+                num_partitions: Optional[int],
+                broadcast_bytes: int) -> "object":
+    """Attach text_a/text_b to candidate pairs -- size-gated like a
+    broadcast-vs-shuffle join:
+
+      - corpus text volume (sampled-avg x count) under ``broadcast_bytes``:
+        ray.put one id->text dict, attach per batch (no joins).
+      - above the gate: two hash joins (pair -> text_a, pair -> text_b);
+        the corpus is never broadcast.
 
     num_partitions defaults to half the cluster CPUs: the join's
     hash-shuffle aggregators each need a slot, and over-partitioning a
     small cluster deadlocks the executor.
     """
-    if num_partitions is None:
-        import ray
+    import ray
 
+    n = docs_ds.count()
+    sample = docs_ds.take(min(50, n)) if n else []
+    avg = sum(len(r[text_col]) for r in sample) / max(1, len(sample))
+    if n * avg <= broadcast_bytes:
+        texts = {}
+        for b in docs_ds.select_columns([id_col, text_col]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        ):
+            texts.update(zip(b.column(id_col).to_pylist(),
+                             b.column(text_col).to_pylist()))
+        ref = ray.put(texts)
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            t = ray.get(ref)
+            ta = [t[i] for i in batch.column("id_a").to_pylist()]
+            tb = [t[i] for i in batch.column("id_b").to_pylist()]
+            return batch.append_column(
+                "text_a", pa.array(ta, type=pa.string())
+            ).append_column("text_b", pa.array(tb, type=pa.string()))
+
+        return pairs_ds.map_batches(_attach, batch_format="pyarrow")
+
+    if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(2, cpus // 2)
-    texts = docs_ds.select_columns([id_col, text_col])
-    a = pairs_ds.join(texts, join_type="inner", num_partitions=num_partitions,
+    texts_ds = docs_ds.select_columns([id_col, text_col])
+    a = pairs_ds.join(texts_ds, join_type="inner", num_partitions=num_partitions,
                       on=("id_a",), right_on=(id_col,))
     a = a.rename_columns({text_col: "text_a"}) if text_col != "text_a" else a
-    b = a.join(texts, join_type="inner", num_partitions=num_partitions,
+    b = a.join(texts_ds, join_type="inner", num_partitions=num_partitions,
                on=("id_b",), right_on=(id_col,))
-    b = b.rename_columns({text_col: "text_b"}) if text_col != "text_b" else b
+    return b.rename_columns({text_col: "text_b"}) if text_col != "text_b" else b
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
+                         k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+                         num_partitions: Optional[int] = None,
+                         broadcast_bytes: int = 256 * 1024 * 1024):
+    """Exact-Jaccard verification of candidate pairs; pair texts attach
+    via the size-gated broadcast-or-join helper (_pair_texts). Returns
+    (id_a, id_b, jaccard) rows >= threshold."""
+    b = _pair_texts(pairs_ds, docs_ds, text_col, id_col, num_partitions,
+                    broadcast_bytes)
 
     def _verify(batch: pa.Table) -> pa.Table:
         ja = [
@@ -515,24 +552,16 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
 def verify_pairs_ngram_jaccard(pairs_ds, docs_ds, threshold: float = 0.5,
                                n: int = 3, text_col: str = "text",
                                id_col: str = "doc_id",
-                               num_partitions: Optional[int] = None):
+                               num_partitions: Optional[int] = None,
+                               broadcast_bytes: int = 256 * 1024 * 1024):
     """Word-n-gram Jaccard verification (the n-gram flavor of near-dup;
-    char-shingle flavor is verify_pairs_jaccard). Same two-hash-join
-    shape; returns (id_a, id_b, ngram_jaccard r6) rows >= threshold."""
+    char-shingle flavor is verify_pairs_jaccard). Same size-gated
+    broadcast-or-join text attach; returns (id_a, id_b, ngram_jaccard r6)
+    rows >= threshold."""
     from ..functions.hashing import word_ngrams
 
-    if num_partitions is None:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        num_partitions = max(2, cpus // 2)
-    texts = docs_ds.select_columns([id_col, text_col])
-    a = pairs_ds.join(texts, join_type="inner", num_partitions=num_partitions,
-                      on=("id_a",), right_on=(id_col,))
-    a = a.rename_columns({text_col: "text_a"})
-    b = a.join(texts, join_type="inner", num_partitions=num_partitions,
-               on=("id_b",), right_on=(id_col,))
-    b = b.rename_columns({text_col: "text_b"})
+    b = _pair_texts(pairs_ds, docs_ds, text_col, id_col, num_partitions,
+                    broadcast_bytes)
 
     def _verify(batch: pa.Table) -> pa.Table:
         ja = [

@@ -177,3 +177,30 @@ def test_survivor_paths_agree(ray_session):
                   survivors_from_pairs(docs, pairs, driver_threshold=0).take_all())
     assert fast == dist
     assert fast == ["d00", "d04", "d05", "d08", "d09", "d10", "d11"]
+
+
+def test_verify_text_attach_paths_agree(ray_session):
+    """Broadcast text attach (under the gate) and join attach (above it)
+    must verify identically. (The join path needs enough pairs that no
+    hash partition is empty -- Ray 2.49's hash join errors on
+    schema-less empty partitions, which real above-the-gate workloads
+    never produce.)"""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import verify_pairs_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    docs = rd.from_items(
+        [{"doc_id": f"d{i:02d}", "text": f"{base} {i}"} for i in range(20)]
+        + [{"doc_id": "x00", "text": "completely different content here entirely"}]
+    )
+    pairs = rd.from_items(
+        [{"id_a": f"d{i:02d}", "id_b": f"d{i+1:02d}"} for i in range(19)]
+        + [{"id_a": "d00", "id_b": "x00"}]
+    )
+    fast = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                  verify_pairs_jaccard(pairs, docs, threshold=0.5).take_all())
+    joins = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                   verify_pairs_jaccard(pairs, docs, threshold=0.5,
+                                        broadcast_bytes=0).take_all())
+    assert fast == joins and len(fast) == 19
