@@ -138,6 +138,22 @@ def run_bench() -> dict:
     queries["minhash_candidates"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import minhash_dedup
+
+    minhash_dedup(docs, threshold=0.8).count()
+    queries["minhash_survivors"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    embedding_neardup_pairs(
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.4
+    ).count()
+    queries["emb_neardup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     exact = brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).take_all()
     queries["ann_topk"] = round(time.perf_counter() - t0, 3)
