@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_join": relational.orders_semi_join,
         "orders_anti_join": relational.orders_anti_join,
         "top2_orders_per_customer": relational.top2_orders_per_customer,
+        "events_last_order_asof": relational.events_last_order_asof,
         "events_user_reach": relational.events_user_reach,
         "events_user_reach_hll": relational.events_user_reach_hll,
         "orders_first_per_customer": relational.orders_first_per_customer,
@@ -384,6 +385,18 @@ def oracle_sql() -> dict[str, str]:
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "events_last_order_asof": """
+            WITH od AS (
+              SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   od.o_orderkey AS last_orderkey,
+                   CAST(floor(epoch(od.o_orderdate)) AS BIGINT) AS last_order_date_s
+            FROM events e ASOF JOIN od
+              ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
         """,
         # sketch/dedup oracles: SQL replicas of the exact hash math
         # (see deekseek_ocr___dockerized_api_ray/oracles.py)

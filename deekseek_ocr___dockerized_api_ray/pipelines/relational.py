@@ -473,3 +473,86 @@ def events_user_reach_hll(sf_dir: str, p: int = 12):
     return partials.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(
             lambda t: merge(t.drop_columns(["bucket"])), batch_format="pyarrow")
+
+
+def events_last_order_asof(sf_dir: str, n_buckets: int = 64):
+    """AS-OF JOIN: for each event, the user's most recent order at event
+    time (greatest o_orderdate <= ts; ties on date broken by MIN
+    o_orderkey via a pre-dedup).
+
+    Custom-operator composition per the cogroup pattern: both sides are
+    tagged and bucketed on hash(user) -- ONE keyed shuffle co-locates a
+    user's events and orders -- then each bucket runs a single vectorized
+    ``pandas.merge_asof`` (sorted by time, by=user) over all users in the
+    bucket. No global sort, no driver materialization; the partitioning
+    assumption is only that one bucket's rows fit a task (salt n_buckets
+    up for hot users).
+
+    Output: (event_id, user_id, ts_s, last_orderkey, last_order_date_s);
+    events with no prior order are dropped (inner as-of).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("Int64"),
+            "t": np.asarray(df["ts"], dtype="datetime64[us]"),
+            "o_orderkey": pd.Series([pd.NA] * len(df), dtype="Int64"),
+            "side": 0,
+        })
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["o_custkey"].astype("int64"),
+            "event_id": pd.Series([pd.NA] * len(df), dtype="Int64"),
+            "t": np.asarray(df["o_orderdate"], dtype="datetime64[us]"),
+            "o_orderkey": df["o_orderkey"].astype("Int64"),
+            "side": 1,
+        })
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0]
+        right = group[group["side"] == 1]
+        if left.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts_s",
+                                         "last_orderkey", "last_order_date_s"])
+        if right.empty:
+            merged = left.iloc[0:0]
+        else:
+            # tie-dedup: MIN orderkey per (user, date), deterministic
+            right = (right.sort_values(["user_id", "t", "o_orderkey"])
+                     .drop_duplicates(["user_id", "t"], keep="first"))
+            merged = pd.merge_asof(
+                left.sort_values("t"),
+                right[["user_id", "t", "o_orderkey"]].sort_values("t")
+                    .rename(columns={"o_orderkey": "last_orderkey", "t": "od"}),
+                left_on="t", right_on="od", by="user_id",
+                direction="backward", allow_exact_matches=True,
+            )
+            merged = merged[merged["last_orderkey"].notna()]
+        if merged.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts_s",
+                                         "last_orderkey", "last_order_date_s"])
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "ts_s": np.asarray(merged["t"], dtype="datetime64[s]").astype("int64"),
+            "last_orderkey": merged["last_orderkey"].astype("int64"),
+            "last_order_date_s": np.asarray(merged["od"], dtype="datetime64[s]").astype("int64"),
+        })
+
+    both = ev.map_batches(tag_events, batch_format="pandas", batch_size=131072).union(
+        orders.map_batches(tag_orders, batch_format="pandas", batch_size=131072)
+    )
+    return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")

@@ -179,3 +179,37 @@ def test_spill_exchange_dirty_dir_safe(ray_session, tmp_path):
     ka = {r["doc_id"]: (r["n_spans"], r["markdown"]) for r in a}
     kb = {r["doc_id"]: (r["n_spans"], r["markdown"]) for r in b}
     assert ka == kb
+
+
+def test_asof_join_interleaved(ray_session, tmp_path):
+    """As-of semantics on genuinely interleaved times: each event picks
+    the greatest order date <= its ts, ties on date -> min orderkey,
+    events before any order are dropped (inner as-of)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_last_order_asof,
+    )
+
+    ts = lambda s: pd.Timestamp(s)
+    events = pa.Table.from_pylist([
+        {"event_id": 1, "user_id": 7, "ts": ts("2024-01-01 10:00"), "event_type": "x", "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": ts("2024-01-03 10:00"), "event_type": "x", "value": 1.0},
+        {"event_id": 3, "user_id": 7, "ts": ts("2024-01-05 10:00"), "event_type": "x", "value": 1.0},
+        {"event_id": 4, "user_id": 8, "ts": ts("2024-01-02 00:00"), "event_type": "x", "value": 1.0},  # before any order
+        {"event_id": 5, "user_id": 9, "ts": ts("2024-01-02 00:00"), "event_type": "x", "value": 1.0},  # user with no orders
+    ])
+    orders = pa.Table.from_pylist([
+        {"o_orderkey": 100, "o_custkey": 7, "o_orderdate": ts("2024-01-02 00:00")},
+        {"o_orderkey": 101, "o_custkey": 7, "o_orderdate": ts("2024-01-04 00:00")},
+        {"o_orderkey": 102, "o_custkey": 7, "o_orderdate": ts("2024-01-04 00:00")},  # tie -> min 101
+        {"o_orderkey": 103, "o_custkey": 8, "o_orderdate": ts("2024-01-03 00:00")},
+    ])
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    got = {r["event_id"]: r["last_orderkey"]
+           for r in events_last_order_asof(str(tmp_path)).take_all()}
+    assert got == {2: 100, 3: 101}
