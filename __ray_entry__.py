@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti_join": relational.orders_anti_join,
         "top2_orders_per_customer": relational.top2_orders_per_customer,
         "events_last_order_asof": relational.events_last_order_asof,
+        "events_followups_range": relational.events_followups_range,
         "events_user_reach": relational.events_user_reach,
         "events_user_reach_hll": relational.events_user_reach_hll,
         "orders_first_per_customer": relational.orders_first_per_customer,
@@ -385,6 +386,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "events_followups_range": """
+            SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
         """,
         "events_last_order_asof": """
             WITH od AS (

@@ -556,3 +556,70 @@ def events_last_order_asof(sf_dir: str, n_buckets: int = 64):
         orders.map_batches(tag_orders, batch_format="pandas", batch_size=131072)
     )
     return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
+def events_followups_range(sf_dir: str, window_s: int = 86400, n_buckets: int = 64):
+    """RANGE self-join: for each event, the same user's strictly-later
+    events within ``window_s`` seconds ((ts, ts + window]).
+
+    Custom-operator composition: ONE keyed shuffle on hash(user)
+    co-locates each user's events; within a bucket the rows are sorted by
+    (user, ts, event_id) and the per-row candidate range comes from two
+    vectorized ``searchsorted`` bounds clamped to the user's segment --
+    the pair explosion is a ``np.repeat`` + concatenated aranges, no
+    Python loop over rows. Partitioning assumption: one bucket's events
+    fit a task (salt n_buckets up for hot users).
+
+    Output: (user_id, event_id_a, event_id_b).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bucket=(df["user_id"].astype("int64") % n_buckets).astype("int32"))
+        return df
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(columns=["user_id", "event_id_a", "event_id_b"])
+        # user segments: ts is sorted only WITHIN a user's run (the array
+        # is a per-user sawtooth), so bounds are computed per segment --
+        # one vectorized searchsorted over each segment's queries; the
+        # Python loop is per USER, not per row
+        seg_change = np.nonzero(np.diff(uid))[0] + 1
+        seg_starts = np.concatenate(([0], seg_change))
+        seg_ends = np.concatenate((seg_change, [n]))
+        w = np.int64(window_s) * 1_000_000
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for a, b in zip(seg_starts, seg_ends):
+            seg = ts[a:b]
+            lo[a:b] = a + np.searchsorted(seg, seg, side="right")
+            hi[a:b] = a + np.searchsorted(seg, seg + w, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(columns=["user_id", "event_id_a", "event_id_b"])
+        src = np.repeat(np.arange(n), counts)
+        # concatenated aranges lo[i]..hi[i]
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        dst = (np.arange(total) - np.repeat(offsets, counts)) + np.repeat(lo, counts)
+        return pd.DataFrame({
+            "user_id": uid[src],
+            "event_id_a": eid[src],
+            "event_id_b": eid[dst],
+        })
+
+    return (
+        ev.map_batches(bucket, batch_format="pandas", batch_size=131072)
+        .groupby("bucket")
+        .map_groups(lambda df: pairs(df.drop(columns=["bucket"])), batch_format="pandas")
+    )

@@ -213,3 +213,29 @@ def test_asof_join_interleaved(ray_session, tmp_path):
     got = {r["event_id"]: r["last_orderkey"]
            for r in events_last_order_asof(str(tmp_path)).take_all()}
     assert got == {2: 100, 3: 101}
+
+
+def test_range_join_followups(ray_session, tmp_path):
+    """Range self-join: strictly-later same-user events within the window;
+    boundary at exactly +window included, equal-ts excluded."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_followups_range,
+    )
+
+    ts = lambda s: pd.Timestamp(s)
+    events = pa.Table.from_pylist([
+        {"event_id": 1, "user_id": 7, "ts": ts("2024-01-01 00:00:00")},
+        {"event_id": 2, "user_id": 7, "ts": ts("2024-01-01 00:00:00")},  # equal ts: no pair either way
+        {"event_id": 3, "user_id": 7, "ts": ts("2024-01-01 01:00:00")},
+        {"event_id": 4, "user_id": 7, "ts": ts("2024-01-02 00:00:00")},  # exactly +1d from 1/2: included
+        {"event_id": 5, "user_id": 7, "ts": ts("2024-01-03 00:00:01")},  # beyond every window
+        {"event_id": 6, "user_id": 8, "ts": ts("2024-01-01 00:30:00")},  # other user
+    ])
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    got = sorted((r["event_id_a"], r["event_id_b"])
+                 for r in events_followups_range(str(tmp_path), window_s=86400).take_all())
+    assert got == [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
