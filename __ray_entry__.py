@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.doc_quality,
         "doc_clean_text": text.doc_clean_text,
         "doc_fingerprint": text.doc_fingerprint,
+        "doc_repetition": text.doc_repetition,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
         # dedup
@@ -384,6 +385,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "doc_repetition": r"""
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+            ),
+            lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+            lstats AS (
+              SELECT doc_id,
+                     sum(cnt) AS n_lines,
+                     count(*) AS n_distinct,
+                     sum(cnt * length(line)) AS total_chars,
+                     sum((cnt - 1) * length(line)) AS dup_chars
+              FROM lc GROUP BY 1
+            ),
+            w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
+                         length(text) AS n_chars FROM documents),
+            g AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram, n_chars
+              FROM w, unnest(range(1, len(ws))) AS u(i)
+              WHERE len(ws) >= 2
+            ),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt,
+                          any_value(n_chars) AS n_chars FROM g GROUP BY 1, 2),
+            topg AS (
+              SELECT doc_id, (cnt * length(gram))::DOUBLE / n_chars AS frac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rk
+              FROM gc
+            )
+            SELECT d.doc_id,
+                   ROUND(CASE WHEN s.n_lines > 0
+                         THEN (s.n_lines - s.n_distinct)::DOUBLE / s.n_lines
+                         ELSE 0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN s.total_chars > 0
+                         THEN s.dup_chars::DOUBLE / s.total_chars
+                         ELSE 0 END, 6) AS dup_line_char_frac,
+                   ROUND(COALESCE(t.frac, 0), 6) AS top_2gram_char_frac
+            FROM documents d
+            LEFT JOIN lstats s ON s.doc_id = d.doc_id
+            LEFT JOIN (SELECT doc_id, frac FROM topg WHERE rk = 1) t
+              ON t.doc_id = d.doc_id
+        """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
         """,

@@ -122,3 +122,44 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = (1 << 61) - 1) -
 def sha1_64(text: str) -> int:
     """Stable 64-bit content hash (exact-dedup key)."""
     return int.from_bytes(hashlib.sha1(text.encode("utf-8")).digest()[:8], "big")
+
+
+def repetition_metrics(text: str) -> Dict[str, float]:
+    """Gopher-style repetition signals (Rae et al. 2021, section A1.1):
+    duplicate-line fractions and the top word-2-gram character fraction.
+    Exact SQL-replicable definitions (see __ray_entry__.oracle_sql):
+
+      dup_line_frac       (n_lines - n_distinct_lines) / n_lines
+      dup_line_char_frac  chars in repeat occurrences of a line /
+                          total line chars: sum((cnt-1)*len) / sum(cnt*len)
+      top_2gram_char_frac count(top 2-gram) * len(top 2-gram) /
+                          len(text); ties -> lexicographically smallest
+
+    All r6 half-away; empty denominators -> 0.0.
+    """
+    from collections import Counter
+
+    from .rounding import round_half_away
+
+    lines = text.split("\n")
+    n_lines = len(lines)
+    line_counts = Counter(lines)
+    dup_line_frac = (n_lines - len(line_counts)) / n_lines if n_lines else 0.0
+    total_line_chars = sum(len(ln) for ln in lines)
+    dup_chars = sum((c - 1) * len(ln) for ln, c in line_counts.items())
+    dup_line_char_frac = dup_chars / total_line_chars if total_line_chars else 0.0
+
+    words = TOKEN_RE.findall(text)
+    top_frac = 0.0
+    if len(words) >= 2 and text:
+        grams = Counter(
+            " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+        )
+        best_cnt = max(grams.values())
+        best = min(g for g, c in grams.items() if c == best_cnt)
+        top_frac = best_cnt * len(best) / len(text)
+    return {
+        "dup_line_frac": round_half_away(dup_line_frac, 6),
+        "dup_line_char_frac": round_half_away(dup_line_char_frac, 6),
+        "top_2gram_char_frac": round_half_away(top_frac, 6),
+    }

@@ -127,3 +127,24 @@ def exact_dedup_docs(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     return exact_dedup(ds, text_col="text", id_col="doc_id")
+
+
+def doc_repetition(sf_dir: str):
+    """(doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac):
+    Gopher-style repetition quality signals (SQL-oracled)."""
+    from ..functions.text_stats import repetition_metrics
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ms = [repetition_metrics(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(),
+             pa.array([m["dup_line_frac"] for m in ms], type=pa.float64()),
+             pa.array([m["dup_line_char_frac"] for m in ms], type=pa.float64()),
+             pa.array([m["top_2gram_char_frac"] for m in ms], type=pa.float64())],
+            names=["doc_id", "dup_line_frac", "dup_line_char_frac",
+                   "top_2gram_char_frac"],
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")

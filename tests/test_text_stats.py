@@ -130,3 +130,22 @@ def test_hll_accuracy_and_merge():
     s = HyperLogLog(12)
     s.add_many(str(i) for i in range(50))
     assert abs(s.estimate() - 50) < 3
+
+
+def test_repetition_metrics():
+    from deekseek_ocr___dockerized_api_ray.functions.text_stats import (
+        repetition_metrics,
+    )
+
+    m = repetition_metrics("a b\na b\nc d c d c d")
+    # 3 lines, 2 distinct -> 1/3; dup chars = 3 of 17 line chars;
+    # top 2-gram "c d" occurs 3x (len 3) over 19 text chars
+    assert m["dup_line_frac"] == 0.333333
+    assert m["dup_line_char_frac"] == round(3 / 17, 6)
+    assert m["top_2gram_char_frac"] == round(9 / 19, 6)
+    assert repetition_metrics("") == {
+        "dup_line_frac": 0.0, "dup_line_char_frac": 0.0, "top_2gram_char_frac": 0.0,
+    }
+    # tie on count -> lexicographically smallest gram wins (deterministic)
+    t = repetition_metrics("b a a b")
+    assert t["top_2gram_char_frac"] == round(1 * 3 / 7, 6)
