@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clean_text": text.doc_clean_text,
         "doc_fingerprint": text.doc_fingerprint,
         "doc_repetition": text.doc_repetition,
+        "corpus_top_ngrams": text.corpus_top_ngrams,
+        "doc_length_quantiles": text.doc_length_quantiles,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
         # dedup
@@ -385,6 +387,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "doc_length_quantiles": """
+            SELECT lang, ROUND(quantile_cont(length(text), 0.25), 6) AS p25,
+                   ROUND(quantile_cont(length(text), 0.50), 6) AS p50,
+                   ROUND(quantile_cont(length(text), 0.75), 6) AS p75
+            FROM documents GROUP BY lang
+        """,
+        "corpus_top_ngrams": r"""
+            WITH w AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+            g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+                  FROM w, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2)
+            SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+        """,
         "doc_repetition": r"""
             WITH lines AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents

@@ -148,3 +148,94 @@ def doc_repetition(sf_dir: str):
         )
 
     return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def corpus_top_ngrams(sf_dir: str, n: int = 2, k: int = 50):
+    """Corpus-wide top-k word n-grams by total occurrence count (the
+    heavy-hitter statistic used for tokenizer/vocab work).
+
+    Combiner shape: per-batch Counter partial (one row per (gram, batch)
+    crosses the wire, not one per occurrence) -> bucketed keyed reduce ->
+    global sort + limit with a lexicographic tie-break.
+
+    Output: (gram, n_occurrences).
+    """
+    from collections import Counter
+
+    from ..functions.text_stats import TOKEN_RE
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            words = TOKEN_RE.findall(t)
+            c.update(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+        return pa.Table.from_arrays(
+            [pa.array(list(c.keys()), type=pa.string()),
+             pa.array(list(c.values()), type=pa.int64())],
+            names=["gram", "n_occurrences"],
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    total = grouped_agg(partials, ["gram"], {"n_occurrences": ("n_occurrences", "sum")})
+
+    def cast(df):
+        df["n_occurrences"] = df["n_occurrences"].astype("int64")
+        return df
+
+    return (
+        total.map_batches(cast, batch_format="pandas")
+        .sort(["n_occurrences", "gram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_length_quantiles(sf_dir: str):
+    """(lang, p25, p50, p75): exact linear-interpolation quantiles of doc
+    character length per language.
+
+    Bucketed-by-lang keyed shuffle; each group computes its quantiles
+    with one vectorized numpy percentile (numpy 'linear' == DuckDB
+    quantile_cont). Exact per-group quantiles require the group's values
+    in one task -- fine for per-LANG groups (bounded cardinality, value
+    vector = 8 bytes/doc); for unbounded groups switch to a mergeable
+    quantile sketch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+    from ..functions.text_stats import sha1_64
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        langs = batch.column("lang")
+        lens = pc.utf8_length(batch.column("text"))
+        bucket = pa.array([sha1_64(v) % 8 for v in langs.to_pylist()], type=pa.int32())
+        return pa.Table.from_arrays(
+            [langs.combine_chunks(), lens.combine_chunks()
+             if isinstance(lens, pa.ChunkedArray) else lens, bucket],
+            names=["lang", "n_chars", "bucket"],
+        )
+
+    def quant(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in group.groupby("lang", sort=False):
+            v = g["n_chars"].to_numpy(dtype=np.float64)
+            p25, p50, p75 = np.percentile(v, [25, 50, 75], method="linear")
+            out.append({"lang": lang,
+                        "p25": round_half_away(float(p25), 6),
+                        "p50": round_half_away(float(p50), 6),
+                        "p75": round_half_away(float(p75), 6)})
+        return pd.DataFrame(out, columns=["lang", "p25", "p50", "p75"])
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: quant(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
