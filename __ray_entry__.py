@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": text.doc_repetition,
         "corpus_top_ngrams": text.corpus_top_ngrams,
         "doc_length_quantiles": text.doc_length_quantiles,
+        "stratified_sample": text.stratified_sample,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
         # dedup
@@ -387,6 +388,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(doc_id::VARCHAR) % 10000 <
+                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                            WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500
+                            WHEN 'zh' THEN 10000 ELSE 0 END
+        """,
         "doc_length_quantiles": """
             SELECT lang, ROUND(quantile_cont(length(text), 0.25), 6) AS p25,
                    ROUND(quantile_cont(length(text), 0.50), 6) AS p50,

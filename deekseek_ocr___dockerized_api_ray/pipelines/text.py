@@ -239,3 +239,31 @@ def doc_length_quantiles(sf_dir: str):
         .groupby("bucket")
         .map_groups(lambda df: quant(df.drop(columns=["bucket"])), batch_format="pandas")
     )
+
+
+def stratified_sample(sf_dir: str, rates: dict | None = None, mod: int = 10000):
+    """Deterministic per-language stratified sample: keep a doc iff
+    ``md5_number_lower(doc_id) % mod < mod * rate[lang]`` -- the standard
+    reproducible hash-gate for data mixing (same doc always lands on the
+    same side, independent of partitioning/row order; no RNG state).
+
+    Output: (doc_id, lang). Languages absent from ``rates`` keep 0.
+    """
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    rates = rates or {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 1.0}
+    cuts = {lang: int(mod * r) for lang, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = []
+        for d, lang in zip(ids, langs):
+            # hash the DECIMAL-STRING form so the SQL oracle's implicit
+            # int->varchar cast computes the identical md5
+            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little")
+            mask.append(h % mod < cuts.get(lang, 0))
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
