@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_ngrams": text.corpus_top_ngrams,
         "doc_length_quantiles": text.doc_length_quantiles,
         "stratified_sample": text.stratified_sample,
+        "doc_scrub_pii": text.doc_scrub_pii,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
         # dedup
@@ -388,6 +389,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "doc_scrub_pii": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+                     regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+              FROM documents),
+            e AS (
+              SELECT doc_id, n_urls,
+                     len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                     regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+              FROM u)
+            SELECT doc_id,
+                   regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+                   n_urls, n_emails,
+                   len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) AS n_phones
+            FROM e
+        """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE md5_number_lower(doc_id::VARCHAR) % 10000 <

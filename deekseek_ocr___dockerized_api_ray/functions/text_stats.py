@@ -163,3 +163,30 @@ def repetition_metrics(text: str) -> Dict[str, float]:
         "dup_line_char_frac": round_half_away(dup_line_char_frac, 6),
         "top_2gram_char_frac": round_half_away(top_frac, 6),
     }
+
+
+#: RE2-safe scrub patterns (no lookaround) -- identical semantics in
+#: Python re and DuckDB regexp_replace/extract_all.
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+URL_RE = re.compile(r"https?://[^\s]+")
+PHONE_RE = re.compile(r"\+?[0-9][0-9()\-\. ]{7,}[0-9]")
+
+#: Pattern strings for the SQL oracle (same source text as above).
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PAT = r"https?://[^\s]+"
+PHONE_PAT = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+
+
+def scrub_pii(text: str) -> Dict[str, object]:
+    """Scrub emails/URLs/phone-shaped runs to placeholder tokens and
+    count them (C4/CCNet-style web cleanup). Order matters and is fixed:
+    URL first (emails inside URLs scrub as part of the URL), then email,
+    then phone -- the SQL oracle applies the same order."""
+    n_urls = len(URL_RE.findall(text))
+    out = URL_RE.sub("<URL>", text)
+    n_emails = len(EMAIL_RE.findall(out))
+    out = EMAIL_RE.sub("<EMAIL>", out)
+    n_phones = len(PHONE_RE.findall(out))
+    out = PHONE_RE.sub("<PHONE>", out)
+    return {"scrubbed": out, "n_urls": n_urls, "n_emails": n_emails,
+            "n_phones": n_phones}

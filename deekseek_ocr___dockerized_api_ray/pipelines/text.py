@@ -267,3 +267,25 @@ def stratified_sample(sf_dir: str, rates: dict | None = None, mod: int = 10000):
         return batch.filter(pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_scrub_pii(sf_dir: str):
+    """(doc_id, scrubbed, n_urls, n_emails, n_phones): emails/URLs/phone
+    runs replaced by placeholder tokens (SQL-oracled; fixed URL ->
+    email -> phone order)."""
+    from ..functions.text_stats import scrub_pii
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        rs = [scrub_pii(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(),
+             pa.array([r["scrubbed"] for r in rs], type=pa.string()),
+             pa.array([r["n_urls"] for r in rs], type=pa.int64()),
+             pa.array([r["n_emails"] for r in rs], type=pa.int64()),
+             pa.array([r["n_phones"] for r in rs], type=pa.int64())],
+            names=["doc_id", "scrubbed", "n_urls", "n_emails", "n_phones"],
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

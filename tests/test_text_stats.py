@@ -149,3 +149,19 @@ def test_repetition_metrics():
     # tie on count -> lexicographically smallest gram wins (deterministic)
     t = repetition_metrics("b a a b")
     assert t["top_2gram_char_frac"] == round(1 * 3 / 7, 6)
+
+
+def test_scrub_pii():
+    from deekseek_ocr___dockerized_api_ray.functions.text_stats import scrub_pii
+
+    r = scrub_pii("mail me at a.b+c@example.org or visit https://ex.com/a?b=1 "
+                  "or call +1 (555) 123-4567 now")
+    assert r["scrubbed"] == "mail me at <EMAIL> or visit <URL> or call <PHONE> now"
+    assert (r["n_urls"], r["n_emails"], r["n_phones"]) == (1, 1, 1)
+    # email inside a URL scrubs as part of the URL (URL-first order)
+    r2 = scrub_pii("see https://x.com/mail?to=a@b.co end")
+    assert r2["scrubbed"] == "see <URL> end"
+    assert (r2["n_urls"], r2["n_emails"], r2["n_phones"]) == (1, 0, 0)
+    assert scrub_pii("nothing here") == {
+        "scrubbed": "nothing here", "n_urls": 0, "n_emails": 0, "n_phones": 0,
+    }
