@@ -48,13 +48,23 @@ def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
 
     def _write(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            buckets = batch.column(bucket_col)
-            for b in pc.unique(buckets).to_pylist():
-                part = batch.filter(pc.equal(buckets, pa.scalar(b, buckets.type)))
+            # ONE sort by bucket, then contiguous zero-copy slices per
+            # touched bucket (a filter per touched bucket would rescan
+            # the whole batch n_touched times)
+            order = pc.sort_indices(batch.column(bucket_col))
+            sorted_batch = batch.take(order)
+            bvals = sorted_batch.column(bucket_col).to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            uniq, starts = np.unique(bvals, return_index=True)
+            bounds = list(starts) + [len(bvals)]
+            body = sorted_batch.drop_columns([bucket_col])
+            for b, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
                 path = os.path.join(
                     spill_dir, f"bucket={int(b):05d}", f"{uuid.uuid4().hex}.parquet"
                 )
-                pq.write_table(part.drop_columns([bucket_col]), path)
+                pq.write_table(body.slice(lo, hi - lo), path,
+                               compression="zstd", compression_level=1)
         return pa.Table.from_arrays(
             [pa.array([batch.num_rows], type=pa.int64())], names=["rows"]
         )
