@@ -192,6 +192,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return crops.map_batches(fingerprint, batch_format="pyarrow")
 
+    def pack_plan(sf_dir: str):
+        # token-budget sequence packing (greedy next-fit per hash shard;
+        # rows-only check -- iterative packing is not SQL-expressible)
+        from deekseek_ocr___dockerized_api_ray.stages.packing import pack_sequences
+
+        return pack_sequences(_docs_ds(sf_dir), max_tokens=512, n_shards=16)
+
     def minhash_candidates(sf_dir: str):
         return lsh_candidate_pairs(_docs_ds(sf_dir))
 
@@ -285,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text.doc_length_quantiles,
         "stratified_sample": text.stratified_sample,
         "doc_scrub_pii": text.doc_scrub_pii,
+        "pack_plan": pack_plan,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
         # dedup

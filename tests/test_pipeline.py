@@ -239,3 +239,33 @@ def test_range_join_followups(ray_session, tmp_path):
     got = sorted((r["event_id_a"], r["event_id_b"])
                  for r in events_followups_range(str(tmp_path), window_s=86400).take_all())
     assert got == [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+
+
+def test_pack_sequences(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.packing import pack_sequences
+
+    docs = rd.from_items([
+        {"doc_id": f"d{i:02d}", "text": " ".join(["w"] * n)}
+        for i, n in enumerate([100, 200, 700, 900, 5000, 50, 60])
+    ])
+    rows = pack_sequences(docs, max_tokens=1000, n_shards=1).take_all()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # deterministic doc_id order: d00(100)+d01(200)+d02(700) fill bin 0;
+    # d03(900) bin 1; d04(5000) oversize own bin; d05+d06 next bin
+    assert by_doc["d00"]["bin_id"] == by_doc["d01"]["bin_id"] == by_doc["d02"]["bin_id"]
+    assert by_doc["d03"]["bin_id"] != by_doc["d00"]["bin_id"]
+    assert by_doc["d04"]["oversize"] and sum(
+        1 for r in rows if r["bin_id"] == by_doc["d04"]["bin_id"]) == 1
+    assert by_doc["d05"]["bin_id"] == by_doc["d06"]["bin_id"]
+    # no bin over budget (except oversize singletons)
+    fills = {}
+    for r in rows:
+        if not r["oversize"]:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(v <= 1000 for v in fills.values())
+    # determinism across runs and shard counts partitioning
+    again = pack_sequences(docs, max_tokens=1000, n_shards=1).take_all()
+    assert sorted(map(tuple, (r.values() for r in rows))) == sorted(
+        map(tuple, (r.values() for r in again)))
