@@ -169,3 +169,101 @@ def preprocess_plan(media_ds, crop_mode: bool = True):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def _try_fitz():
+    try:
+        import fitz  # noqa: F401
+
+        return fitz
+    except ImportError:
+        return None
+
+
+class PdfRasterizeStage:
+    """S2: PDF payload -> one row per page with PNG bytes + dims
+    (docker/start_server.py:383-409 semantics: env-clamped DPI, zoom =
+    dpi/72, ``get_pixmap(matrix=Matrix(zoom, zoom), alpha=False)``,
+    ``tobytes("png")``).
+
+    PyMuPDF (fitz) is the real backend; absent (this sandbox), payloads
+    must be FAKEPDF fixtures (``FAKEPDF0`` magic + uint32 page count +
+    per-page uint32 w,h at 72 dpi) which rasterize to FAKEPNG rows with
+    the SAME zoom math -- the Ray-side plumbing (batch shape, per-page
+    explode, dims columns) is identical either way.
+    """
+
+    _FAKE_PDF_MAGIC = b"FAKEPDF0"
+
+    def __init__(self, dpi: Optional[int] = None):
+        from ..config import effective_dpi
+
+        self.dpi = effective_dpi() if dpi is None else dpi
+        self.fitz = _try_fitz()
+
+    def _pages_fake(self, payload: bytes):
+        from ..config import raster_zoom
+
+        zoom = raster_zoom(self.dpi)
+        n = struct.unpack("<I", payload[8:12])[0]
+        out = []
+        for i in range(n):
+            w, h = struct.unpack("<II", payload[12 + 8 * i : 20 + 8 * i])
+            pw, ph = int(w * zoom), int(h * zoom)
+            png = (_FAKE_MAGIC + struct.pack("<II", pw, ph)
+                   + payload[12 + 8 * i : 20 + 8 * i])
+            out.append((i, pw, ph, png))
+        return out
+
+    def _pages_fitz(self, payload: bytes):
+        from ..config import raster_zoom
+
+        fitz = self.fitz
+        zoom = raster_zoom(self.dpi)
+        matrix = fitz.Matrix(zoom, zoom)
+        doc = fitz.open(stream=payload, filetype="pdf")
+        out = []
+        for i in range(doc.page_count):
+            pix = doc[i].get_pixmap(matrix=matrix, alpha=False)
+            out.append((i, pix.width, pix.height, pix.tobytes("png")))
+        doc.close()
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, pages, ws, hs, pngs = [], [], [], [], []
+        for ref, payload in zip(batch.column("media_ref").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if payload.startswith(self._FAKE_PDF_MAGIC):
+                rows = self._pages_fake(payload)
+            elif self.fitz is not None:
+                rows = self._pages_fitz(payload)
+            else:
+                raise NotImplementedError(
+                    "real PDF rasterization requires PyMuPDF (not in this "
+                    "sandbox); payload is not a FAKEPDF fixture"
+                )
+            for i, w, h, png in rows:
+                refs.append(ref)
+                pages.append(i)
+                ws.append(w)
+                hs.append(h)
+                pngs.append(png)
+        return pa.Table.from_arrays(
+            [pa.array(refs, type=pa.string()),
+             pa.array(pages, type=pa.int32()),
+             pa.array(ws, type=pa.int32()),
+             pa.array(hs, type=pa.int32()),
+             pa.array(pngs, type=pa.binary())],
+            names=["media_ref", "page", "width", "height", "png"],
+        )
+
+
+def rasterize_pdfs(pdf_ds, dpi: Optional[int] = None):
+    """PDF rows (media_ref, payload) -> page rows; actor pool (fitz doc
+    handles are stateful)."""
+    return pdf_ds.map_batches(
+        PdfRasterizeStage,
+        fn_constructor_kwargs=dict(dpi=dpi),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -108,3 +108,93 @@ def test_crop_stage_uses_pil_when_payload_fn_given(fake_pil):
     assert len(rows) == 1
     assert rows[0]["payload"].startswith(b"JPEGBYTES:")
     assert rows[0]["filename"] == "d0_img0.jpg"
+
+
+def _fake_pdf(n_pages, dims):
+    import struct
+
+    payload = b"FAKEPDF0" + struct.pack("<I", n_pages)
+    for w, h in dims:
+        payload += struct.pack("<II", w, h)
+    return payload
+
+
+def test_pdf_rasterize_fixture_path(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.multimodal import rasterize_pdfs
+
+    pdf = rd.from_items([
+        {"media_ref": "p0", "payload": _fake_pdf(2, [(612, 792), (100, 50)])},
+    ])
+    rows = sorted(rasterize_pdfs(pdf, dpi=144).take_all(), key=lambda r: r["page"])
+    # zoom = 144/72 = 2.0
+    assert [(r["width"], r["height"]) for r in rows] == [(1224, 1584), (200, 100)]
+    for r in rows:
+        assert r["png"].startswith(b"FAKEPNG0")
+        w, h = struct.unpack("<II", r["png"][8:16])
+        assert (w, h) == (r["width"], r["height"])
+
+
+def test_pdf_rasterize_fitz_branch(monkeypatch):
+    """Fake fitz module drives the real-PyMuPDF branch: open(stream=),
+    Matrix(zoom, zoom), get_pixmap(matrix, alpha=False), tobytes."""
+    import sys
+    import types
+
+    import pyarrow as pa
+
+    calls = {}
+
+    class _FakePix:
+        def __init__(self, w, h):
+            self.width, self.height = w, h
+
+        def tobytes(self, fmt):
+            assert fmt == "png"
+            return b"PNG:%dx%d" % (self.width, self.height)
+
+    class _FakePage:
+        def __init__(self, w, h):
+            self._w, self._h = w, h
+
+        def get_pixmap(self, matrix=None, alpha=None):
+            assert alpha is False
+            calls["matrix"] = matrix
+            return _FakePix(int(self._w * matrix.z), int(self._h * matrix.z))
+
+    class _FakeDoc:
+        page_count = 2
+
+        def __getitem__(self, i):
+            return _FakePage(612, 792)
+
+        def close(self):
+            calls["closed"] = True
+
+    class _Matrix:
+        def __init__(self, zx, zy):
+            assert zx == zy
+            self.z = zx
+
+    fitz = types.ModuleType("fitz")
+    fitz.Matrix = _Matrix
+
+    def _open(stream=None, filetype=None):
+        assert filetype == "pdf" and stream == b"%PDF-real"
+        return _FakeDoc()
+
+    fitz.open = _open
+    monkeypatch.setitem(sys.modules, "fitz", fitz)
+
+    from deekseek_ocr___dockerized_api_ray.stages.multimodal import PdfRasterizeStage
+
+    stage = PdfRasterizeStage(dpi=216)  # zoom = 3.0
+    out = stage(pa.Table.from_pylist(
+        [{"media_ref": "r", "payload": b"%PDF-real"}])).to_pylist()
+    assert len(out) == 2
+    assert (out[0]["width"], out[0]["height"]) == (1836, 2376)
+    assert out[0]["png"] == b"PNG:1836x2376"
+    assert calls["matrix"].z == 3.0 and calls["closed"]

@@ -94,3 +94,30 @@ def test_empty_corpus(ray_session):
     ds = _manual_ds([])
     out = run_extract(ds).take_all()
     assert out == []
+
+
+def test_exploded_batched_fallback_on_poisoned_rows(ray_session):
+    """Exploded path: the batched generate call fails for a batch with a
+    poisoned ref; the per-row fallback must isolate ONLY the poisoned
+    span as an error string (M15) and keep every other span correct."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.extract import (
+        reference_extract_document,
+        run_extract,
+    )
+    from deekseek_ocr___dockerized_api_ray.sources.corpus import (
+        corpus_dataset,
+        generate_doc,
+    )
+
+    docs = [generate_doc(i, 42) for i in range(25)]
+    refs = [s["media_ref"] for d in docs for s in d["spans"] if s["media_ref"]]
+    fail = {refs[3]}
+    got = {r["doc_id"]: r for r in
+           run_extract(corpus_dataset(25, 42), mode="markdown",
+                       strategy="exploded", fail_refs=fail).take_all()}
+    assert sum(r["n_errors"] for r in got.values()) == 1
+    for d in docs:
+        exp = reference_extract_document(d, "markdown", fail_refs=fail)
+        g = got[d["doc_id"]]
+        assert [s["text"] for s in sorted(g["spans"], key=lambda s: s["offset"])] == [
+            s["text"] for s in sorted(exp["spans"], key=lambda s: s["offset"])]
