@@ -172,6 +172,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(media_table_for_docs(docs))
         return preprocess_plan(decode_media(media))
 
+    def pdf_page_plan(sf_dir: str):
+        # S2 -> A4/A5 chain: FAKEPDF payloads -> per-page rasterize rows
+        # -> pad geometry + token plan per page (rows-only check)
+        import ray.data as rd
+
+        from deekseek_ocr___dockerized_api_ray.sources.corpus import (
+            pdf_table_for_docs,
+        )
+        from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
+            preprocess_plan,
+            rasterize_pdfs,
+        )
+
+        docs = generate_documents(_n_docs_for(sf_dir), _SEED)
+        pdfs = rd.from_arrow(pdf_table_for_docs(docs))
+        plan = preprocess_plan(rasterize_pdfs(pdfs, dpi=144))
+        return plan.drop_columns(["png"])  # payload stays pipeline-internal
+
     def doc_crops(sf_dir: str):
         # W4: cropped-image rows for the extract_images path (payload
         # replaced by its sha256 -- stable value hashing for the driver)
@@ -282,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_tiling_plan": media_pipeline,
         "media_preprocess_plan": media_preprocess_plan,
         "doc_crops": doc_crops,
+        "pdf_page_plan": pdf_page_plan,
         # text analysis over documents (SQL-oracled)
         "doc_token_stats": text.doc_token_stats,
         "doc_quality": text.doc_quality,

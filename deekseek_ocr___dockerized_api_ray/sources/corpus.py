@@ -282,3 +282,25 @@ def read_corpus_jsonl(path: str):
         )
 
     return ds.map_batches(_coerce, batch_format="pyarrow")
+
+
+def pdf_table_for_docs(docs: pa.Table) -> pa.Table:
+    """One FAKEPDF payload per document: page dims = the doc's media
+    spans' fixture dims at 72 dpi (S2 fixture twin; the rasterize stage
+    scales them by dpi/72). Docs without media spans are omitted."""
+    ids, payloads = [], []
+    for doc_id, spans in zip(docs.column("doc_id").to_pylist(),
+                             docs.column("spans").to_pylist()):
+        dims = [fixture_media_dims(s["media_ref"]) for s in
+                sorted(spans, key=lambda s: s["offset"]) if s["media_ref"]]
+        if not dims:
+            continue
+        payload = b"FAKEPDF0" + struct.pack("<I", len(dims))
+        for w, h in dims:
+            payload += struct.pack("<II", w, h)
+        ids.append(doc_id)
+        payloads.append(payload)
+    return pa.Table.from_arrays(
+        [pa.array(ids, type=pa.string()), pa.array(payloads, type=pa.binary())],
+        names=["media_ref", "payload"],
+    )

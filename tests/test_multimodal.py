@@ -70,3 +70,35 @@ def test_frame_sampling():
     assert out[0] == [0, 10, 20, 30]
     assert out[1] == [0]
     assert out[2] == []
+
+
+def test_pdf_chain_dims_consistent(ray_session):
+    """S2->A4 chain: rasterized page dims = fixture dims x zoom, and the
+    token plan over them equals the direct computation."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.functions.preprocess import image_token_run
+    from deekseek_ocr___dockerized_api_ray.sources.corpus import (
+        fixture_media_dims,
+        generate_documents,
+        pdf_table_for_docs,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
+        preprocess_plan,
+        rasterize_pdfs,
+    )
+
+    docs = generate_documents(30, 42)
+    pdfs = rd.from_arrow(pdf_table_for_docs(docs))
+    rows = preprocess_plan(rasterize_pdfs(pdfs, dpi=144)).take_all()
+    assert rows
+    media_by_doc = {}
+    for doc_id, spans in zip(docs.column("doc_id").to_pylist(),
+                             docs.column("spans").to_pylist()):
+        media_by_doc[doc_id] = [fixture_media_dims(s["media_ref"]) for s in
+                                sorted(spans, key=lambda s: s["offset"])
+                                if s["media_ref"]]
+    for r in rows:
+        w72, h72 = media_by_doc[r["media_ref"]][r["page"]]
+        assert (r["width"], r["height"]) == (w72 * 2, h72 * 2)  # zoom 144/72
+        assert r["n_seq_tokens"] == image_token_run(r["width"], r["height"])

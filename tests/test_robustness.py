@@ -121,3 +121,31 @@ def test_exploded_batched_fallback_on_poisoned_rows(ray_session):
         g = got[d["doc_id"]]
         assert [s["text"] for s in sorted(g["spans"], key=lambda s: s["offset"])] == [
             s["text"] for s in sorted(exp["spans"], key=lambda s: s["offset"])]
+
+
+def test_extract_survives_task_death(ray_session, tmp_path):
+    """Fault tolerance: a mid-pipeline task that kills its worker process
+    once must be retried by Ray and produce byte-identical results."""
+    import os
+
+    import pyarrow as pa
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.extract import run_extract
+
+    marker = str(tmp_path / "died_once")
+
+    def chaos(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)  # hard worker death, not an exception
+        return batch
+
+    src = corpus_dataset(40, 42).map_batches(chaos, batch_format="pyarrow")
+    rows = run_extract(src, mode="markdown").take_all()
+    got = {r["doc_id"]: r["markdown"] for r in rows}
+    assert len(got) == 40
+    for i in range(40):
+        doc = generate_doc(i, 42)
+        exp = reference_extract_document(doc, "markdown")
+        assert got[doc["doc_id"]] == exp["markdown"]
+    assert os.path.exists(marker)
