@@ -54,7 +54,12 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from deekseek_ocr___dockerized_api_ray.pipelines import relational, text, windows
+    from deekseek_ocr___dockerized_api_ray.pipelines import (
+        analytics,
+        relational,
+        text,
+        windows,
+    )
     from deekseek_ocr___dockerized_api_ray.pipelines.extract import run_extract
     from deekseek_ocr___dockerized_api_ray.sources.corpus import (
         generate_documents,
@@ -346,6 +351,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_reach": relational.events_user_reach,
         "events_user_reach_hll": relational.events_user_reach_hll,
         "orders_first_per_customer": relational.orders_first_per_customer,
+        # windowed analytics + TPC-H-shaped reports (SQL-oracled)
+        "events_lag_delta": analytics.events_lag_delta,
+        "customer_running_revenue": analytics.customer_running_revenue,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "order_priority_counts": analytics.order_priority_counts,
+        "nation_volume_q5": analytics.nation_volume_q5,
+        "promo_revenue_q14": analytics.promo_revenue_q14,
+        "large_orders_q18": analytics.large_orders_q18,
+        "user_event_pivot": analytics.user_event_pivot,
     }
 
 
@@ -648,5 +662,83 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate, o_orderkey) AS rn
               FROM orders)
             WHERE rn = 1
+        """,
+        "events_lag_delta": """
+            SELECT event_id, user_id, delta_us FROM (
+              SELECT event_id, user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+              FROM events)
+            WHERE delta_us IS NOT NULL
+        """,
+        "customer_running_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+            FROM orders
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "nation_volume_q5": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "promo_revenue_q14": """
+            SELECT ROUND(100.0 * promo / total, 6) AS promo_revenue_pct FROM (
+              SELECT SUM(CASE WHEN p_type = 'PROMO'
+                              THEN rev ELSE 0 END) AS promo,
+                     SUM(rev) AS total
+              FROM (SELECT l_partkey,
+                           SUM(l_extendedprice * (1 - l_discount)) AS rev
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l_shipdate <  TIMESTAMP '1998-01-01'
+                    GROUP BY l_partkey)
+              JOIN part ON l_partkey = p_partkey)
+        """,
+        "large_orders_q18": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   ROUND(total_qty, 2) AS total_qty
+            FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(l_quantity) > 150) q
+            JOIN orders ON q.l_orderkey = o_orderkey
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 100
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view')     AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY user_id
         """,
     }

@@ -1,0 +1,408 @@
+"""Windowed analytics and multi-join reporting queries.
+
+Window functions (LAG, running SUM) follow the engine's partitioned-log
+pattern (see pipelines/windows.py): ONE bucketed keyed shuffle on the
+partition key, then a vectorized per-bucket kernel over the sorted
+frame -- never a per-user Python loop and never a driver materialize.
+
+The TPC-H-shaped reports (q4/q5/q6/q14/q18 analogues over the driver's
+synthetic tables) demonstrate the engine's join ladder:
+
+  - fact-to-fact:       pre-aggregate the fact to one row per key, then
+                        ``Dataset.join`` (hash exchange on both sides)
+  - growing dimension:  ``Dataset.join`` (customer/part grow with sf)
+  - tiny dimension:     ``ray.put`` broadcast dict (supplier/nation/region)
+
+Summation order inside a group is not bitwise-stable across engines;
+all money outputs are rounded (half away from zero, DuckDB ROUND
+convention) before comparison, same as the rest of the relational suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.rounding import round_series
+from ..stages.agg import grouped_agg
+
+_TS_US = 1_000_000
+
+
+def _cpus() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+
+
+def _join_partitions(expected_rows: int) -> int:
+    """Hash-join partition count: scale with the cluster but never above
+    ~1 partition per 50 expected build rows (Ray 2.49's hash join raises
+    ArrowInvalid on EMPTY partitions; tiny test inputs hit that with
+    cluster-sized partition counts)."""
+    return int(max(2, min(_cpus() // 2, max(2, expected_rows // 50))))
+
+
+def _user_bucket(df: pd.DataFrame, col: str, n_buckets: int) -> pd.DataFrame:
+    h = df[col].to_numpy(dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+def events_lag_delta(sf_dir: str, n_buckets: int = 64):
+    """LAG window: microseconds since the user's previous event.
+
+    Per-user total order is (ts, event_id); the first event of each user
+    has no predecessor and is dropped (matches QUALIFY delta IS NOT NULL).
+    Output: (event_id, user_id, delta_us).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def lag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        same_user = np.empty(len(df), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = user[1:] == user[:-1]
+        delta = np.empty(len(df), dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[same_user],
+            "user_id": user[same_user],
+            "delta_us": delta[same_user],
+        })
+        return out
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    return bucketed.groupby("bucket").map_groups(lag_bucket, batch_format="pandas")
+
+
+def customer_running_revenue(sf_dir: str, n_buckets: int = 64):
+    """Running SUM window: cumulative order revenue per customer in
+    (o_orderdate, o_orderkey) order. Sequential cumsum inside the sorted
+    partition matches SUM() OVER (... ROWS UNBOUNDED PRECEDING) bitwise
+    because both add in the same order.
+
+    Output: (o_orderkey, o_custkey, running_revenue r2).
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def running_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        run = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "running_revenue": round_series(run, 2).to_numpy(),
+        })
+
+    bucketed = orders.map_batches(
+        lambda df: _user_bucket(df, "o_custkey", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    return bucketed.groupby("bucket").map_groups(running_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped reports
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H q6 analogue: a pure filter + global sum -- the cheapest
+    possible shape (pruned 4-column read, per-batch vectorized predicate,
+    one scalar aggregate; no shuffle at all).
+
+    Output: one row (revenue r2).
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = np.asarray(df["l_shipdate"], dtype="datetime64[us]")
+        disc = df["l_discount"].to_numpy()
+        mask = ((ship >= lo) & (ship < hi)
+                & (disc >= 0.05) & (disc <= 0.07)
+                & (df["l_quantity"].to_numpy() < 24.0))
+        rev = (df["l_extendedprice"].to_numpy()[mask] * disc[mask]).sum()
+        return pd.DataFrame({"rev": [rev]})
+
+    total = li.map_batches(partial, batch_format="pandas", batch_size=131072).sum("rev")
+    return pd.DataFrame({"revenue": [round_series(pd.Series([total]), 2).iloc[0]]})
+
+
+def order_priority_counts(sf_dir: str):
+    """TPC-H q4 analogue: orders with at least one line item shipped
+    after the order date, counted per priority. The EXISTS is computed
+    as a pre-aggregated max(l_shipdate) per orderkey (fact reduced to
+    one row per key BEFORE the join), then one hash join against orders.
+
+    Output: (o_orderpriority, n_orders).
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    max_ship = grouped_agg(li, ["l_orderkey"], {"max_ship": ("l_shipdate", "max")})
+    n_orders_est = orders.count()
+    joined = orders.join(
+        max_ship, join_type="inner", num_partitions=_join_partitions(n_orders_est),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (np.asarray(df["max_ship"], dtype="datetime64[us]")
+                > np.asarray(df["o_orderdate"], dtype="datetime64[us]"))
+        return df.loc[keep, ["o_orderpriority"]].assign(one=np.int64(1))
+
+    filtered = joined.map_batches(late, batch_format="pandas")
+    counts = grouped_agg(filtered, ["o_orderpriority"],
+                         {"n_orders": ("one", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df[["o_orderpriority", "n_orders"]]
+
+    return counts.map_batches(finish, batch_format="pandas")
+
+
+def nation_volume_q5(sf_dir: str):
+    """TPC-H q5 analogue: revenue per nation from 1996 orders where the
+    supplying nation equals the customer's nation.
+
+    Join ladder: orders JOIN customer (growing dim -> hash join);
+    lineitem gets s_nationkey from a broadcast supplier dict (tiny dim);
+    then ONE fact-to-fact hash join on orderkey; nation names from a
+    broadcast dict at the end (25 rows).
+
+    Output: (n_name, revenue r2) sorted by revenue desc.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
+    n2name = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    s2n_ref = ray.put(s2n)
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        od = np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+        return df.loc[(od >= lo) & (od < hi), ["o_orderkey", "o_custkey"]]
+
+    orders_96 = orders.map_batches(filter_orders, batch_format="pandas")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    n_orders_est = orders.count()
+    o_with_nat = orders_96.join(
+        cust, join_type="inner", num_partitions=_join_partitions(n_orders_est),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def attach_supplier_nation(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(s2n_ref)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "s_nationkey": df["l_suppkey"].map(lookup).to_numpy(dtype=np.int32),
+            "rev": (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy(),
+        })
+
+    li_nat = li.map_batches(attach_supplier_nation, batch_format="pandas",
+                            batch_size=131072)
+
+    joined = li_nat.join(
+        o_with_nat, join_type="inner", num_partitions=_join_partitions(n_orders_est),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["s_nationkey"].to_numpy() == df["c_nationkey"].to_numpy(dtype=np.int32)
+        return df.loc[keep, ["s_nationkey", "rev"]].rename(
+            columns={"s_nationkey": "n_nationkey"})
+
+    rev = grouped_agg(
+        joined.map_batches(same_nation, batch_format="pandas"),
+        ["n_nationkey"], {"revenue": ("rev", "sum")}, n_buckets=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df["n_nationkey"].map(n2name)
+        df["revenue"] = round_series(df["revenue"], 2)
+        return df[["n_name", "revenue"]]
+
+    return (rev.map_batches(finish, batch_format="pandas")
+               .sort(["revenue", "n_name"], descending=[True, False]))
+
+
+def promo_revenue_q14(sf_dir: str):
+    """TPC-H q14 analogue: percentage of 1997 revenue from PROMO parts.
+
+    lineitem is pre-aggregated to one revenue row per partkey (the only
+    shuffle), then hash-joined against the part dimension (part GROWS
+    with sf -- never a driver dict), then two scalar sums.
+
+    Output: one row (promo_revenue_pct r6).
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ship = np.asarray(df["l_shipdate"], dtype="datetime64[us]")
+        m = (ship >= lo) & (ship < hi)
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy()[m],
+            "rev": (df["l_extendedprice"].to_numpy()[m]
+                    * (1.0 - df["l_discount"].to_numpy()[m])),
+        })
+
+    per_part = grouped_agg(
+        li.map_batches(prep, batch_format="pandas", batch_size=131072),
+        ["l_partkey"], {"rev": ("rev", "sum")},
+    )
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    n_parts_est = part.count()
+    joined = per_part.join(
+        part, join_type="inner", num_partitions=_join_partitions(n_parts_est),
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        promo = df["p_type"].to_numpy() == "PROMO"
+        rev = df["rev"].to_numpy()
+        return pd.DataFrame({"promo_rev": [rev[promo].sum()], "total_rev": [rev.sum()]})
+
+    parts = joined.map_batches(split, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    sums = parts.aggregate(Sum("promo_rev"), Sum("total_rev"))
+    pct = 100.0 * sums["sum(promo_rev)"] / sums["sum(total_rev)"]
+    return pd.DataFrame(
+        {"promo_revenue_pct": [round_series(pd.Series([pct]), 6).iloc[0]]})
+
+
+def large_orders_q18(sf_dir: str, min_qty: float = 150.0, k: int = 100):
+    """TPC-H q18 analogue: orders whose total line-item quantity exceeds
+    min_qty, with order metadata; top-k by quantity.
+
+    Shape: partial+bucketed sum of quantity per orderkey, HAVING filter
+    applied inside the reduce output (so only qualifying keys reach the
+    join), hash join against orders, sort + limit.
+
+    Output: (o_orderkey, o_custkey, o_totalprice, total_qty r2).
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    qty = grouped_agg(li, ["l_orderkey"], {"total_qty": ("l_quantity", "sum")})
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["total_qty"] > min_qty].copy()
+        df["total_qty"] = round_series(df["total_qty"], 2)
+        return df
+
+    big = qty.map_batches(having, batch_format="pandas")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n_est = max(64, orders.count() // 5)  # qualifying keys are a small subset
+    joined = big.join(
+        orders, join_type="inner", num_partitions=_join_partitions(n_est),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"l_orderkey": "o_orderkey"})
+        return df[["o_orderkey", "o_custkey", "o_totalprice", "total_qty"]]
+
+    return (joined.map_batches(finish, batch_format="pandas")
+                  .sort(["total_qty", "o_orderkey"], descending=[True, False])
+                  .limit(k))
+
+
+def user_event_pivot(sf_dir: str):
+    """Pivot: per-user event counts spread into one column per event
+    type (the 5 types are a FIXED schema, not data-driven). Pure
+    partial+reduce -- boolean indicator sums inside map_batches, one
+    bucketed keyed reduce.
+
+    Output: (user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    n_total).
+    """
+    import ray.data as rd
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy()})
+        for t in types:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        out["n_total"] = np.int64(1)
+        return out
+
+    prepped = ev.map_batches(indicators, batch_format="pandas", batch_size=131072)
+    spec = {f"n_{t}": (f"n_{t}", "sum") for t in types}
+    spec["n_total"] = ("n_total", "sum")
+    agg = grouped_agg(prepped, ["user_id"], spec)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if c != "user_id":
+                df[c] = df[c].astype("int64")
+        return df[["user_id"] + [f"n_{t}" for t in types] + ["n_total"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

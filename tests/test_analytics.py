@@ -1,0 +1,54 @@
+"""Kernel-level edge cases for the windowed analytics operators (the
+full queries are oracle-swept in test_entry.py)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+@needs_data
+def test_lag_delta_drops_single_event_users(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import events_lag_delta
+
+    df = events_lag_delta(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    per_user = ev.groupby("user_id").size()
+    # each user contributes (n_events - 1) lag rows
+    assert len(df) == int((per_user - 1).sum())
+    assert (df["delta_us"] >= 0).all()
+
+
+@needs_data
+def test_running_revenue_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        customer_running_revenue,
+    )
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import round_series
+
+    got = (customer_running_revenue(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    ref = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).copy()
+    ref["running_revenue"] = round_series(
+        ref.groupby("o_custkey", sort=False)["o_totalprice"].cumsum(), 2)
+    ref = ref.sort_values("o_orderkey").reset_index(drop=True)
+    assert np.array_equal(got["o_orderkey"].to_numpy(), ref["o_orderkey"].to_numpy())
+    assert np.allclose(got["running_revenue"].to_numpy(),
+                       ref["running_revenue"].to_numpy())
+
+
+@needs_data
+def test_user_pivot_rows_sum_to_total(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import user_event_pivot
+
+    df = user_event_pivot(SF).to_pandas()
+    parts = df[["n_click", "n_error", "n_purchase", "n_signup", "n_view"]].sum(axis=1)
+    assert (parts == df["n_total"]).all()
