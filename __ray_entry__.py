@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from deekseek_ocr___dockerized_api_ray.pipelines import (
         analytics,
         relational,
+        scale_ops,
         text,
         windows,
     )
@@ -360,6 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_q14": analytics.promo_revenue_q14,
         "large_orders_q18": analytics.large_orders_q18,
         "user_event_pivot": analytics.user_event_pivot,
+        # sketch-pruned scale paths (exact output, SQL-oracled)
+        "orders_bloom_semi_join": scale_ops.orders_bloom_semi_join,
+        "token_doc_freq": scale_ops.token_doc_freq,
+        "cms_top_ngrams": scale_ops.cms_top_ngrams,
     }
 
 
@@ -740,5 +745,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'view')     AS n_view,
                    COUNT(*) AS n_total
             FROM events GROUP BY user_id
+        """,
+        "orders_bloom_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal >= 7000)
+        """,
+        "token_doc_freq": r"""
+            WITH t AS (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                FROM documents))
+            SELECT token, COUNT(*) AS df FROM t GROUP BY token
+            ORDER BY df DESC, token ASC LIMIT 200
+        """,
+        "cms_top_ngrams": r"""
+            WITH w AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+            g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+                  FROM w, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2)
+            SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 30
         """,
     }

@@ -1,4 +1,4 @@
-"""Mergeable sketches: HyperLogLog distinct-count.
+"""Mergeable sketches: HyperLogLog distinct-count, Count-Min frequency.
 
 The combiner pattern for aggregates the guide calls out: emit one
 serialized sketch per batch, merge sketches in a tiny reduce --
@@ -58,3 +58,113 @@ class HyperLogLog:
     @classmethod
     def deserialize(cls, data: bytes, p: int = 12) -> "HyperLogLog":
         return cls(p, np.frombuffer(data, dtype=np.uint8))
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+class CountMinSketch:
+    """Count-Min frequency sketch: d rows of w counters; an item's
+    estimate is the MIN of its d counters, so estimates only ever
+    OVERCOUNT (never undercount) -- the property the heavy-hitter
+    candidate cut relies on. Merge = elementwise sum. Updates are
+    vectorized: callers pass pre-hashed uint64 item keys + counts, the
+    d row indices derive from the key via seeded splitmix64.
+    """
+
+    def __init__(self, d: int = 4, w: int = 1 << 16,
+                 table: "np.ndarray | None" = None):
+        self.d, self.w = d, w
+        self.table = (table.copy() if table is not None
+                      else np.zeros((d, w), dtype=np.int64))
+
+    def _indices(self, keys: "np.ndarray") -> "np.ndarray":
+        """(d, n) counter indices for pre-hashed uint64 keys."""
+        rows = []
+        for j in range(self.d):
+            with np.errstate(over="ignore"):
+                hj = _splitmix64(keys + np.uint64(0x9E3779B9 * (j + 1)))
+            rows.append((hj % np.uint64(self.w)).astype(np.int64))
+        return np.stack(rows)
+
+    def update(self, keys: "np.ndarray", counts: "np.ndarray") -> None:
+        idx = self._indices(np.asarray(keys, dtype=np.uint64))
+        counts = np.asarray(counts, dtype=np.int64)
+        for j in range(self.d):
+            np.add.at(self.table[j], idx[j], counts)
+
+    def estimate(self, keys: "np.ndarray") -> "np.ndarray":
+        idx = self._indices(np.asarray(keys, dtype=np.uint64))
+        ests = np.stack([self.table[j][idx[j]] for j in range(self.d)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.d, self.w) == (other.d, other.w)
+        return CountMinSketch(self.d, self.w, self.table + other.table)
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, d: int = 4, w: int = 1 << 16) -> "CountMinSketch":
+        return cls(d, w, np.frombuffer(data, dtype=np.int64).reshape(d, w))
+
+
+class BloomFilter:
+    """Bloom filter over int64 keys with k double-hashed probes into an
+    m-bit array (m a power of two). Build is mergeable (bitwise OR of
+    partials); probe is fully vectorized. False positives only -- a
+    probe=True answer still needs the exact verify join, a probe=False
+    answer is definitive, which is what makes it a safe pre-shuffle
+    pruner for semi joins.
+    """
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 4,
+                 bits: "np.ndarray | None" = None):
+        assert m_bits % 8 == 0 and (m_bits & (m_bits - 1)) == 0
+        self.m_bits, self.k = m_bits, k
+        self.bits = (bits.copy() if bits is not None
+                     else np.zeros(m_bits // 8, dtype=np.uint8))
+
+    def _positions(self, keys: "np.ndarray") -> "np.ndarray":
+        """(k, n) bit positions via double hashing h1 + i*h2."""
+        keys = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+        h1 = _splitmix64(keys)
+        h2 = _splitmix64(keys ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        mask = np.uint64(self.m_bits - 1)
+        out = []
+        for i in range(self.k):
+            with np.errstate(over="ignore"):
+                out.append(((h1 + np.uint64(i) * h2) & mask).astype(np.int64))
+        return np.stack(out)
+
+    def add(self, keys: "np.ndarray") -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         (np.uint8(1) << (pos & 7).astype(np.uint8)))
+
+    def probe(self, keys: "np.ndarray") -> "np.ndarray":
+        pos = self._positions(keys)
+        hit = np.ones(pos.shape[1], dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            hit &= (self.bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1 > 0
+        return hit
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.m_bits, self.k) == (other.m_bits, other.k)
+        return BloomFilter(self.m_bits, self.k, self.bits | other.bits)
+
+    def serialize(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, m_bits: int = 1 << 20,
+                    k: int = 4) -> "BloomFilter":
+        return cls(m_bits, k, np.frombuffer(data, dtype=np.uint8))

@@ -1,0 +1,96 @@
+"""Property tests for the mergeable sketches (Bloom, Count-Min) and
+the sketch-pruned pipelines built on them (oracle-swept in
+test_entry.py; these pin the sketch guarantees themselves)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deekseek_ocr___dockerized_api_ray.functions.sketch import (  # noqa: E402
+    BloomFilter,
+    CountMinSketch,
+)
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+def test_bloom_no_false_negatives_and_merge():
+    keys = np.arange(0, 20_000, dtype=np.int64)
+    a, b = BloomFilter(), BloomFilter()
+    a.add(keys[:10_000])
+    b.add(keys[10_000:])
+    merged = a.merge(b)
+    assert merged.probe(keys).all()  # Bloom guarantee: no false negatives
+    # merge == build-all-at-once
+    full = BloomFilter()
+    full.add(keys)
+    assert np.array_equal(merged.bits, full.bits)
+    # false-positive rate stays tiny at this load factor
+    fp = merged.probe(np.arange(1_000_000, 1_100_000, dtype=np.int64)).mean()
+    assert fp < 0.01
+
+
+def test_bloom_roundtrip():
+    bf = BloomFilter(1 << 16, 3)
+    bf.add(np.array([1, 2, 3], dtype=np.int64))
+    back = BloomFilter.deserialize(bf.serialize(), 1 << 16, 3)
+    assert np.array_equal(bf.bits, back.bits)
+
+
+def test_cms_overestimates_only_and_merge():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    counts = rng.integers(1, 50, size=5000).astype(np.int64)
+    half = 2500
+    a, b = CountMinSketch(), CountMinSketch()
+    a.update(keys[:half], counts[:half])
+    b.update(keys[half:], counts[half:])
+    merged = a.merge(b)
+    # exact totals per unique key
+    import collections
+
+    exact = collections.Counter()
+    for k, c in zip(keys.tolist(), counts.tolist()):
+        exact[k] += c
+    uniq = np.fromiter(exact.keys(), dtype=np.uint64, count=len(exact))
+    true = np.fromiter(exact.values(), dtype=np.int64, count=len(exact))
+    est = merged.estimate(uniq)
+    assert (est >= true).all()  # CMS never undercounts
+    # with w=65536 and ~5k keys, estimates are near-exact
+    assert np.mean(est - true) < 1.0
+    back = CountMinSketch.deserialize(merged.serialize())
+    assert (back.estimate(uniq) == est).all()
+
+
+@needs_data
+def test_cms_top_ngrams_equals_exact(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import cms_top_ngrams
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import corpus_top_ngrams
+
+    approx_path = cms_top_ngrams(SF, k=30).to_pandas().reset_index(drop=True)
+    exact_path = corpus_top_ngrams(SF, k=30).to_pandas().reset_index(drop=True)
+    assert approx_path.equals(exact_path)
+
+
+@needs_data
+def test_bloom_semi_join_matches_plain_filter(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        orders_bloom_semi_join,
+    )
+
+    got = (orders_bloom_semi_join(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    rich = set(cust.loc[cust["c_acctbal"] >= 7000.0, "c_custkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    ref = (orders[orders["o_custkey"].isin(rich)]
+           .sort_values("o_orderkey").reset_index(drop=True))
+    assert got[["o_orderkey", "o_custkey"]].equals(ref)
