@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi_join": scale_ops.orders_bloom_semi_join,
         "token_doc_freq": scale_ops.token_doc_freq,
         "cms_top_ngrams": scale_ops.cms_top_ngrams,
+        "label_centroids": scale_ops.label_centroids,
+        "hist_length_quantiles": scale_ops.hist_length_quantiles,
+        "revenue_rollup": analytics.revenue_rollup,
+        "events_value_histogram": analytics.events_value_histogram,
     }
 
 
@@ -765,5 +769,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM w, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2)
             SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC LIMIT 30
+        """,
+        "label_centroids": """
+            SELECT label, i AS dim, ROUND(AVG(embedding[i]), 6) AS centroid
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY label, i
+        """,
+        "hist_length_quantiles": """
+            SELECT lang, ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+            FROM documents GROUP BY lang
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   ROUND(SUM(rev), 2) AS revenue
+            FROM (SELECT r_name, n_name,
+                         l_extendedprice * (1 - l_discount) AS rev
+                  FROM lineitem
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey)
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "events_value_histogram": """
+            SELECT floor(value / 25.0) * 25.0 AS bin_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1
         """,
     }

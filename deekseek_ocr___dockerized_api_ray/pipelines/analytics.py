@@ -406,3 +406,84 @@ def user_event_pivot(sf_dir: str):
         return df[["user_id"] + [f"n_{t}" for t in types] + ["n_total"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): per-(region, nation) revenue plus
+    per-region subtotals and a grand total, with 'ALL' as the rollup
+    marker. The fact scan aggregates to the (region, nation) grain
+    distributed (broadcast dims + partial/bucketed reduce); subtotals
+    derive from that ~25-row aggregate on the driver -- rollup levels of
+    a small key space never justify extra shuffles.
+
+    Output: (r_name, n_name, revenue r2).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
+    n2name = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
+    s2names = {s: (r2name[n2r[n]], n2name[n]) for s, n in s2n.items()}
+    ref = ray.put(s2names)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        names = df["l_suppkey"].map(lookup)
+        return pd.DataFrame({
+            "r_name": names.str[0],
+            "n_name": names.str[1],
+            "rev": (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy(),
+        })
+
+    base = grouped_agg(
+        li.map_batches(prep, batch_format="pandas", batch_size=131072),
+        ["r_name", "n_name"], {"revenue": ("rev", "sum")}, n_buckets=8,
+    ).to_pandas()  # ~|nation| rows: the rollup grain, not the fact table
+
+    region = base.groupby("r_name", as_index=False)["revenue"].sum()
+    region["n_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "revenue": [base["revenue"].sum()]})
+    out = pd.concat([base, region, total], ignore_index=True)
+    out["revenue"] = round_series(out["revenue"], 2)
+    return (out[["r_name", "n_name", "revenue"]]
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+def events_value_histogram(sf_dir: str, bin_width: float = 25.0):
+    """Fixed-width histogram of the event value distribution: bins of
+    ``bin_width`` keyed by floor(value / width) * width. Pure
+    partial+reduce; the histogram itself is the (tiny) shuffle payload.
+
+    Output: (bin_start, n_events, sum_value r2).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def binit(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        return pd.DataFrame({"bin_start": np.floor(v / bin_width) * bin_width,
+                             "value": v})
+
+    binned = ev.map_batches(binit, batch_format="pandas", batch_size=131072)
+    agg = grouped_agg(binned, ["bin_start"],
+                      {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+                      n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = round_series(df["sum_value"], 2)
+        return df[["bin_start", "n_events", "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -217,3 +217,117 @@ def cms_top_ngrams(sf_dir: str, n: int = 2, k: int = 30,
     return (total.map_batches(cast, batch_format="pandas")
                  .sort(["n_occurrences", "gram"], descending=[True, False])
                  .limit(k))
+
+
+def label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding vectors (the k-means update
+    step, and the trained-codebook path for the IVF index). Vector
+    aggregation follows the combiner shape: each batch emits ONE
+    (label, sum_vec, n) partial -- a float64 matmul-free groupby-sum of
+    the stacked float32 block -- and the tiny reduce averages them.
+
+    Output: (label, dim, centroid r6), dim 1-based to match SQL list
+    indexing.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(-1, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        uniq, starts = np.unique(labels[order], return_index=True)
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(labels)))
+        return pa.Table.from_arrays(
+            [pa.array(uniq.astype(np.int64)),
+             pa.array(list(sums), type=pa.list_(pa.float64())),
+             pa.array(counts.astype(np.int64))],
+            names=["label", "sum_vec", "n"],
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for label, g in df.groupby("label", sort=False):
+            vec = np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0)
+            mean = vec / g["n"].sum()
+            frames.append(pd.DataFrame({
+                "label": np.int64(label),
+                "dim": np.arange(1, len(mean) + 1, dtype=np.int64),
+                "centroid": mean,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["label"].to_numpy(dtype=np.int64) % 4).astype(np.int32)
+        return df
+
+    out = (partials.map_batches(bucket, batch_format="pandas")
+                   .groupby("bucket").map_groups(reduce, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_series
+
+        df["centroid"] = round_series(df["centroid"], 6)
+        return df[["label", "dim", "centroid"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def hist_length_quantiles(sf_dir: str):
+    """EXACT per-language length quantiles from a mergeable integer
+    histogram -- the scale path for quantiles over integer-valued
+    columns. The shuffle payload is (lang, n_chars, count) histogram
+    cells (bounded by the number of DISTINCT lengths, not by row count);
+    order statistics and quantile_cont interpolation are computed from
+    cumulative counts per language on the tiny reduced histogram.
+
+    Output: (lang, p25, p50, p75) -- identical to the sort-based
+    ``doc_length_quantiles``.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    hist = grouped_agg(ds, ["lang", "n_chars"],
+                       {"cnt": ("n_chars", "size")}, n_buckets=16)
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values("n_chars")
+            vals = g["n_chars"].to_numpy(dtype=np.float64)
+            cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+            ntot = int(cum[-1])
+
+            def order_stat(j: int) -> float:
+                return float(vals[np.searchsorted(cum, j + 1)])
+
+            out = {"lang": lang}
+            for name, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75)):
+                h = (ntot - 1) * q
+                lo = int(np.floor(h))
+                x0 = order_stat(lo)
+                x1 = order_stat(min(lo + 1, ntot - 1))
+                out[name] = round_half_away(x0 + (h - lo) * (x1 - x0), 6)
+            rows.append(out)
+        return pd.DataFrame(rows, columns=["lang", "p25", "p50", "p75"])
+
+    def lang_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["b2"] = np.fromiter((sha1_64(s) % 4 for s in df["lang"]),
+                               dtype=np.int64, count=len(df)).astype(np.int32)
+        return df
+
+    return (hist.map_batches(lang_bucket, batch_format="pandas")
+                .groupby("b2").map_groups(quantiles, batch_format="pandas"))
