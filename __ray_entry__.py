@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_length_quantiles": scale_ops.hist_length_quantiles,
         "revenue_rollup": analytics.revenue_rollup,
         "events_value_histogram": analytics.events_value_histogram,
+        "events_props_stats": analytics.events_props_stats,
+        "kmeans_assign": scale_ops.kmeans_assign,
     }
 
 
@@ -798,5 +800,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "events_props_stats": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "kmeans_assign": """
+            WITH c AS MATERIALIZED (
+              SELECT label, i, AVG(embedding[i]) AS cv
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+              GROUP BY label, i
+            ),
+            d AS (
+              SELECT e.vec_id, c.label,
+                     SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+              FROM embeddings e, c
+              GROUP BY e.vec_id, c.label
+            )
+            SELECT vec_id, label AS assigned_label FROM d
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, label) = 1
         """,
     }

@@ -487,3 +487,38 @@ def events_value_histogram(sf_dir: str, bin_width: float = 25.0):
         return df[["bin_start", "n_events", "sum_value"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` payload,
+    pull the integer field ``k``, aggregate per event type. The parse is
+    a vectorized C-regex extract (pandas ``str.extract``) -- the props
+    schema here is flat {"k": int}; swap in a real JSON kernel
+    (pyarrow/simdjson) for nested payloads, the pipeline shape stays.
+
+    Output: (event_type, n_events, sum_k, min_k, max_k).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "k": k.astype("int64").to_numpy(),
+        })
+
+    parsed = ev.map_batches(extract, batch_format="pandas", batch_size=131072)
+    agg = grouped_agg(parsed, ["event_type"],
+                      {"n_events": ("k", "size"), "sum_k": ("k", "sum"),
+                       "min_k": ("k", "min"), "max_k": ("k", "max")},
+                      n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_events", "sum_k", "min_k", "max_k"):
+            df[c] = df[c].astype("int64")
+        return df[["event_type", "n_events", "sum_k", "min_k", "max_k"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

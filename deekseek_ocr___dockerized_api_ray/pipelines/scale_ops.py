@@ -331,3 +331,76 @@ def hist_length_quantiles(sf_dir: str):
 
     return (hist.map_batches(lang_bucket, batch_format="pandas")
                 .groupby("b2").map_groups(quantiles, batch_format="pandas"))
+
+
+def kmeans_assign(sf_dir: str):
+    """One Lloyd assignment step against TRAINED centroids (the per-label
+    means): each vector goes to the centroid minimizing squared Euclidean
+    distance, lowest label on ties.
+
+    The centroid table (k x dim, tiny) is computed distributed (same
+    combiner as ``label_centroids``), collected once, and broadcast via
+    ``ray.put``; assignment is a per-batch vectorized (n, k, dim)
+    squared-diff reduction. This is the trained-codebook path for the
+    IVF index (stages/similarity.py uses a seeded random codebook).
+
+    Output: (vec_id, assigned_label).
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        uniq, starts = np.unique(labels[order], return_index=True)
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(labels)))
+        return pa.Table.from_arrays(
+            [pa.array(uniq.astype(np.int64)),
+             pa.array(list(sums), type=pa.list_(pa.float64())),
+             pa.array(counts.astype(np.int64))],
+            names=["label", "sum_vec", "n"],
+        )
+
+    # centroid table is k x dim -- collecting it is the broadcast step
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).take_all()
+    acc: dict = {}
+    for row in parts:
+        lab = int(row["label"])
+        vec = np.asarray(row["sum_vec"], dtype=np.float64)
+        if lab in acc:
+            acc[lab] = (acc[lab][0] + vec, acc[lab][1] + int(row["n"]))
+        else:
+            acc[lab] = (vec, int(row["n"]))
+    labels_sorted = sorted(acc)
+    centroids = np.stack([acc[lab][0] / acc[lab][1] for lab in labels_sorted])
+    cent_ref = ray.put((np.asarray(labels_sorted, dtype=np.int64), centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        labs, cents = _ray.get(cent_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = cents.shape[1]
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        # explicit (e - c)^2 reduction (same arithmetic as the SQL oracle,
+        # unlike the ||e||^2 - 2ec + ||c||^2 expansion)
+        diff = mat[:, None, :] - cents[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        nearest = labs[np.argmin(dist, axis=1)]
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(nearest)],
+            names=["vec_id", "assigned_label"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
