@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": analytics.events_value_histogram,
         "events_props_stats": analytics.events_props_stats,
         "kmeans_assign": scale_ops.kmeans_assign,
+        "lapsed_customers_except": analytics.lapsed_customers_except,
+        "customer_rank_in_nation": analytics.customer_rank_in_nation,
     }
 
 
@@ -825,5 +827,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label AS assigned_label FROM d
             QUALIFY row_number() OVER (
               PARTITION BY vec_id ORDER BY dist, label) = 1
+        """,
+        "lapsed_customers_except": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        """,
+        "customer_rank_in_nation": """
+            SELECT c_custkey, c_nationkey,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rk
+            FROM customer
         """,
     }

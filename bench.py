@@ -181,6 +181,19 @@ def run_bench() -> dict:
     queries["ann_ivf_recall"] = _recall(ivf_topk(emb, [0, 1, 2, 3, 4], k=10).take_all())
     queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
 
+    # representative additions: the 3-table distributed join ladder and
+    # the CMS-pruned heavy-hitter pass
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import nation_volume_q5
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import cms_top_ngrams
+
+    t0 = time.perf_counter()
+    nation_volume_q5(SF_DIR).count()
+    queries["nation_volume_q5"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cms_top_ngrams(SF_DIR).count()
+    queries["cms_top_ngrams"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "flagship extraction wall time (mock-OCR, span-equal pipeline)",
         "value": round(extract_sec, 3),

@@ -522,3 +522,74 @@ def events_props_stats(sf_dir: str):
         return df[["event_type", "n_events", "sum_k", "min_k", "max_k"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def lapsed_customers_except(sf_dir: str):
+    """Set difference (EXCEPT): customers who ordered in 1996 but not in
+    1997. Both sides reduce to distinct keys via the partial+bucketed
+    combiner (year flags aggregated per custkey in ONE pass over orders,
+    no self-join, no second scan), so the "except" is a vectorized flag
+    test inside the reduce.
+
+    Output: (o_custkey,).
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    lo96 = np.datetime64("1996-01-01", "us")
+    lo97 = np.datetime64("1997-01-01", "us")
+    lo98 = np.datetime64("1998-01-01", "us")
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        od = np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "in96": ((od >= lo96) & (od < lo97)).astype(np.int64),
+            "in97": ((od >= lo97) & (od < lo98)).astype(np.int64),
+        })
+
+    prepped = orders.map_batches(flags, batch_format="pandas", batch_size=131072)
+    agg = grouped_agg(prepped, ["o_custkey"],
+                      {"n96": ("in96", "sum"), "n97": ("in97", "sum")})
+
+    def except_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["n96"].to_numpy() > 0) & (df["n97"].to_numpy() == 0)
+        return df.loc[keep, ["o_custkey"]]
+
+    return agg.map_batches(except_filter, batch_format="pandas")
+
+
+def customer_rank_in_nation(sf_dir: str, n_buckets: int = 16):
+    """Per-group window rank: customers ranked inside their nation by
+    account balance (desc, custkey tie-break). Bucketed keyed shuffle on
+    the partition key + one vectorized groupby-cumcount per bucket.
+
+    Output: (c_custkey, c_nationkey, rk).
+    """
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["c_nationkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                            ascending=[True, False, True])
+        rk = df.groupby("c_nationkey", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(),
+            "c_nationkey": df["c_nationkey"].to_numpy(),
+            "rk": rk.to_numpy(dtype=np.int64),
+        })
+
+    bucketed = cust.map_batches(add_bucket, batch_format="pandas",
+                                batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
