@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": scale_ops.kmeans_assign,
         "lapsed_customers_except": analytics.lapsed_customers_except,
         "customer_rank_in_nation": analytics.customer_rank_in_nation,
+        # approximate by design -> rows-only driver check; error bound
+        # pinned by tests/test_sketches.py
+        "events_value_quantiles": scale_ops.events_value_quantiles,
     }
 
 

@@ -168,3 +168,73 @@ class BloomFilter:
     def deserialize(cls, data: bytes, m_bits: int = 1 << 20,
                     k: int = 4) -> "BloomFilter":
         return cls(m_bits, k, np.frombuffer(data, dtype=np.uint8))
+
+
+class QuantileSketch:
+    """Mergeable weighted quantile summary (merge-and-prune family):
+    at most ``b`` (value, weight) entries kept sorted by value. Per-batch
+    build is exact (weight 1 per value, compressed once); merge is
+    concat + re-compress. Rank error is O(total/b) per merge level --
+    with b=1024 and the two-level partial/reduce topology the engine
+    uses, p50/p95 land within ~1% rank of exact (pinned by test).
+    """
+
+    def __init__(self, b: int = 1024,
+                 values: "np.ndarray | None" = None,
+                 weights: "np.ndarray | None" = None):
+        self.b = b
+        self.values = (np.array([], dtype=np.float64)
+                       if values is None else np.asarray(values, dtype=np.float64))
+        self.weights = (np.array([], dtype=np.float64)
+                        if weights is None else np.asarray(weights, dtype=np.float64))
+
+    @classmethod
+    def from_values(cls, vals: "np.ndarray", b: int = 1024) -> "QuantileSketch":
+        vals = np.sort(np.asarray(vals, dtype=np.float64))
+        sk = cls(b, vals, np.ones(len(vals), dtype=np.float64))
+        sk._compress()
+        return sk
+
+    def _compress(self) -> None:
+        if len(self.values) <= self.b:
+            return
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0  # entry midpoints
+        # resample at b evenly spaced rank positions; accumulate the
+        # weight of each inter-position span onto its nearest kept entry
+        targets = (np.arange(self.b) + 0.5) * total / self.b
+        idx = np.searchsorted(cum, targets, side="left")
+        idx = np.clip(idx, 0, len(self.values) - 1)
+        keep_vals = self.values[idx]
+        # weight per kept entry = span of total weight it represents
+        w = np.full(self.b, total / self.b, dtype=np.float64)
+        # collapse duplicate indices (heavy single values)
+        uniq, start = np.unique(idx, return_index=True)
+        sums = np.add.reduceat(w, start)
+        self.values = self.values[uniq]
+        self.weights = sums
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        vals = np.concatenate([self.values, other.values])
+        wts = np.concatenate([self.weights, other.weights])
+        order = np.argsort(vals, kind="stable")
+        out = QuantileSketch(self.b, vals[order], wts[order])
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        if len(self.values) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights)
+        target = q * cum[-1]
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(self.values[min(i, len(self.values) - 1)])
+
+    def serialize(self) -> bytes:
+        return np.concatenate([self.values, self.weights]).tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, b: int = 1024) -> "QuantileSketch":
+        arr = np.frombuffer(data, dtype=np.float64)
+        half = len(arr) // 2
+        return cls(b, arr[:half], arr[half:])

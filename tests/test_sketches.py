@@ -94,3 +94,21 @@ def test_bloom_semi_join_matches_plain_filter(ray_session):
     ref = (orders[orders["o_custkey"].isin(rich)]
            .sort_values("o_orderkey").reset_index(drop=True))
     assert got[["o_orderkey", "o_custkey"]].equals(ref)
+
+
+@needs_data
+def test_events_value_quantiles_error_bound(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        events_value_quantiles,
+    )
+
+    got = events_value_quantiles(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for et, g in ev.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy())
+        for col, q in (("p50", 0.50), ("p95", 0.95), ("p99", 0.99)):
+            est = got.loc[et, col]
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) < 0.02, (et, col, rank)
