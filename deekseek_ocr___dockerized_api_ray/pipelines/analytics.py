@@ -197,15 +197,21 @@ def order_priority_counts(sf_dir: str):
     return counts.map_batches(finish, batch_format="pandas")
 
 
-def nation_volume_q5(sf_dir: str):
+def nation_volume_q5(sf_dir: str, broadcast_rows: int = 5_000_000):
     """TPC-H q5 analogue: revenue per nation from 1996 orders where the
     supplying nation equals the customer's nation.
 
-    Join ladder: orders JOIN customer (growing dim -> hash join);
-    lineitem gets s_nationkey from a broadcast supplier dict (tiny dim);
-    then ONE fact-to-fact hash join on orderkey; nation names from a
-    broadcast dict at the end (25 rows).
+    Size-gated like the engine's other broadcast-vs-shuffle hybrids:
 
+    - Under the gate (filtered orders fit a driver/worker dict): build
+      orderkey -> customer-nation ONCE (orders joined to customer via
+      two pruned column reads), ``ray.put`` it, and reduce the whole
+      query to a single zero-shuffle pass over lineitem + an 8-bucket
+      aggregate. The year filter keeps this side ~1/6 of orders.
+    - Above the gate: orders JOIN customer (growing dim -> hash join),
+      then ONE fact-to-fact hash join lineitem->orders on orderkey.
+
+    supplier/nation are tiny dims -> broadcast dicts on both paths.
     Output: (n_name, revenue r2) sorted by revenue desc.
     """
     import ray
@@ -221,6 +227,59 @@ def nation_volume_q5(sf_dir: str):
     lo = np.datetime64("1996-01-01", "us")
     hi = np.datetime64("1997-01-01", "us")
 
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["s_nationkey"].to_numpy() == df["c_nationkey"].to_numpy(dtype=np.int32)
+        return df.loc[keep, ["s_nationkey", "rev"]].rename(
+            columns={"s_nationkey": "n_nationkey"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df["n_nationkey"].map(n2name)
+        df["revenue"] = round_series(df["revenue"], 2)
+        return df[["n_name", "revenue"]]
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_rows:
+        # broadcast path: one pruned read of each dim column pair, one
+        # dict, one streaming pass over the fact table
+        from ..functions.lookup import VecLookup
+
+        ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        od = ot.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        okey = ot.column("o_orderkey").to_numpy(zero_copy_only=False)[m]
+        ocust = ot.column("o_custkey").to_numpy(zero_copy_only=False)[m]
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+        cust_lut = VecLookup(ct.column("c_custkey").to_numpy(zero_copy_only=False),
+                             ct.column("c_nationkey").to_numpy(zero_copy_only=False))
+        onat, _ = cust_lut.lookup(ocust)  # FK is total: every cust resolves
+        o2nat_ref = ray.put(VecLookup(okey, onat))
+        sup_lut_ref = ray.put(
+            VecLookup(sup.column("s_suppkey").to_numpy(zero_copy_only=False),
+                      sup.column("s_nationkey").to_numpy(zero_copy_only=False)))
+
+        def one_pass(df: pd.DataFrame) -> pd.DataFrame:
+            o_lut: VecLookup = ray.get(o2nat_ref)
+            s_lut: VecLookup = ray.get(sup_lut_ref)
+            cn, found = o_lut.lookup(df["l_orderkey"].to_numpy())
+            sn, _ = s_lut.lookup(df["l_suppkey"].to_numpy())
+            keep = found & (sn == cn)
+            rev = (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy()[keep]
+            return pd.DataFrame({"n_nationkey": sn[keep].astype(np.int32),
+                                 "rev": rev})
+
+        matched = li.map_batches(one_pass, batch_format="pandas", batch_size=131072)
+        rev = grouped_agg(matched, ["n_nationkey"],
+                          {"revenue": ("rev", "sum")}, n_buckets=8)
+        return (rev.map_batches(finish, batch_format="pandas")
+                   .sort(["revenue", "n_name"], descending=[True, False]))
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -232,15 +291,9 @@ def nation_volume_q5(sf_dir: str):
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
-    n_orders_est = orders.count()
     o_with_nat = orders_96.join(
-        cust, join_type="inner", num_partitions=_join_partitions(n_orders_est),
+        cust, join_type="inner", num_partitions=_join_partitions(n_orders),
         on=("o_custkey",), right_on=("c_custkey",),
-    )
-
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
     def attach_supplier_nation(df: pd.DataFrame) -> pd.DataFrame:
@@ -255,25 +308,14 @@ def nation_volume_q5(sf_dir: str):
                             batch_size=131072)
 
     joined = li_nat.join(
-        o_with_nat, join_type="inner", num_partitions=_join_partitions(n_orders_est),
+        o_with_nat, join_type="inner", num_partitions=_join_partitions(n_orders),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
-
-    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df["s_nationkey"].to_numpy() == df["c_nationkey"].to_numpy(dtype=np.int32)
-        return df.loc[keep, ["s_nationkey", "rev"]].rename(
-            columns={"s_nationkey": "n_nationkey"})
 
     rev = grouped_agg(
         joined.map_batches(same_nation, batch_format="pandas"),
         ["n_nationkey"], {"revenue": ("rev", "sum")}, n_buckets=8,
     )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_name"] = df["n_nationkey"].map(n2name)
-        df["revenue"] = round_series(df["revenue"], 2)
-        return df[["n_name", "revenue"]]
-
     return (rev.map_batches(finish, batch_format="pandas")
                .sort(["revenue", "n_name"], descending=[True, False]))
 
@@ -426,29 +468,34 @@ def revenue_rollup(sf_dir: str):
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
+    from ..functions.lookup import VecLookup
+
     n2name = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
     n2r = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
     r2name = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
-    s2names = {s: (r2name[n2r[n]], n2name[n]) for s, n in s2n.items()}
-    ref = ray.put(s2names)
+    # int nationkey through the shuffle; names attach at the 25-row grain
+    lut_ref = ray.put(VecLookup(
+        sup.column("s_suppkey").to_numpy(zero_copy_only=False),
+        sup.column("s_nationkey").to_numpy(zero_copy_only=False)))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        names = df["l_suppkey"].map(lookup)
+        lut: VecLookup = ray.get(lut_ref)
+        nkey, _ = lut.lookup(df["l_suppkey"].to_numpy())
         return pd.DataFrame({
-            "r_name": names.str[0],
-            "n_name": names.str[1],
+            "n_key": nkey,
             "rev": (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy(),
         })
 
     base = grouped_agg(
         li.map_batches(prep, batch_format="pandas", batch_size=131072),
-        ["r_name", "n_name"], {"revenue": ("rev", "sum")}, n_buckets=8,
+        ["n_key"], {"revenue": ("rev", "sum")}, n_buckets=8,
     ).to_pandas()  # ~|nation| rows: the rollup grain, not the fact table
+    base["r_name"] = base["n_key"].map(lambda n: r2name[n2r[int(n)]])
+    base["n_name"] = base["n_key"].map(n2name)
+    base = base[["r_name", "n_name", "revenue"]]
 
     region = base.groupby("r_name", as_index=False)["revenue"].sum()
     region["n_name"] = "ALL"

@@ -125,14 +125,20 @@ def revenue_by_region(sf_dir: str):
 
     from ..stages.agg import grouped_agg
 
+    from ..functions.lookup import VecLookup
+
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
     n2r = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
     r2name = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
-    s2name = {s: r2name[n2r[n]] for s, n in s2n.items()}
-    ref = ray.put(s2name)
+    # suppkey -> regionkey as a vectorized int lookup; region NAME only
+    # attaches at the 5-row finish stage (strings never cross the shuffle)
+    s_nat = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    s2r_ref = ray.put(VecLookup(
+        sup.column("s_suppkey").to_numpy(zero_copy_only=False),
+        np.fromiter((n2r[int(n)] for n in s_nat), dtype=np.int64, count=len(s_nat)),
+    ))
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -140,16 +146,18 @@ def revenue_by_region(sf_dir: str):
     )
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        return df.assign(
-            r_name=df["l_suppkey"].map(lookup),
-            rev=df["l_extendedprice"] * (1.0 - df["l_discount"]),
-        )
+        lut: VecLookup = ray.get(s2r_ref)
+        rkey, _ = lut.lookup(df["l_suppkey"].to_numpy())
+        return pd.DataFrame({
+            "r_key": rkey,
+            "rev": (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy(),
+        })
 
     prepped = li.map_batches(prep, batch_format="pandas", batch_size=131072)
-    total = grouped_agg(prepped, ["r_name"], {"revenue": ("rev", "sum")}, n_buckets=8)
+    total = grouped_agg(prepped, ["r_key"], {"revenue": ("rev", "sum")}, n_buckets=8)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["r_name"] = df["r_key"].map(r2name)
         df["revenue"] = round_series(df["revenue"], 2)
         return df[["r_name", "revenue"]]
 

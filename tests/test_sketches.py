@@ -112,3 +112,12 @@ def test_events_value_quantiles_error_bound(ray_session):
             est = got.loc[et, col]
             rank = np.searchsorted(vals, est) / len(vals)
             assert abs(rank - q) < 0.02, (et, col, rank)
+
+
+def test_veclookup_hits_and_misses():
+    from deekseek_ocr___dockerized_api_ray.functions.lookup import VecLookup
+
+    lut = VecLookup(np.array([5, 1, 9]), np.array([50, 10, 90]))
+    vals, found = lut.lookup(np.array([1, 2, 9, 100, 5]))
+    assert found.tolist() == [True, False, True, False, True]
+    assert vals[found].tolist() == [10, 90, 50]
