@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": scale_ops.kmeans_assign,
         "lapsed_customers_except": analytics.lapsed_customers_except,
         "customer_rank_in_nation": analytics.customer_rank_in_nation,
+        "active_both_years_intersect": analytics.active_both_years_intersect,
+        "events_moving_avg": analytics.events_moving_avg,
+        "events_outliers_zscore": analytics.events_outliers_zscore,
         # approximate by design -> rows-only driver check; error bound
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
@@ -845,5 +848,31 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY c_nationkey
                                       ORDER BY c_acctbal DESC, c_custkey) AS rk
             FROM customer
+        """,
+        "active_both_years_intersect": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+            FROM events
+        """,
+        "events_outliers_zscore": """
+            WITH s AS MATERIALIZED (
+              SELECT event_type, AVG(value) AS mu,
+                     STDDEV_SAMP(value) AS sd
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type, value,
+                   ROUND((value - mu) / sd, 6) AS zscore
+            FROM events e JOIN s USING (event_type)
+            WHERE ABS(value - mu) > 3.0 * sd
         """,
     }

@@ -640,3 +640,114 @@ def customer_rank_in_nation(sf_dir: str, n_buckets: int = 16):
     bucketed = cust.map_batches(add_bucket, batch_format="pandas",
                                 batch_size=131072)
     return bucketed.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+def active_both_years_intersect(sf_dir: str):
+    """Set intersection (INTERSECT): customers who ordered in BOTH 1996
+    and 1997 -- same one-pass year-flag combiner as
+    ``lapsed_customers_except``, different flag test in the reduce.
+
+    Output: (o_custkey,).
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    lo96 = np.datetime64("1996-01-01", "us")
+    lo97 = np.datetime64("1997-01-01", "us")
+    lo98 = np.datetime64("1998-01-01", "us")
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        od = np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "in96": ((od >= lo96) & (od < lo97)).astype(np.int64),
+            "in97": ((od >= lo97) & (od < lo98)).astype(np.int64),
+        })
+
+    prepped = orders.map_batches(flags, batch_format="pandas", batch_size=131072)
+    agg = grouped_agg(prepped, ["o_custkey"],
+                      {"n96": ("in96", "sum"), "n97": ("in97", "sum")})
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["n96"].to_numpy() > 0) & (df["n97"].to_numpy() > 0)
+        return df.loc[keep, ["o_custkey"]]
+
+    return agg.map_batches(both, batch_format="pandas")
+
+
+def events_moving_avg(sf_dir: str, window: int = 3, n_buckets: int = 64):
+    """Framed window function: per-user moving average of ``value`` over
+    the current + 2 preceding events ((ts, event_id) order). Same
+    bucketed-partition pattern as the other window kernels; the rolling
+    mean is one vectorized pandas groupby-rolling per bucket.
+
+    Output: (event_id, user_id, mavg r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def mavg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        m = (df.groupby("user_id", sort=False)["value"]
+               .rolling(window, min_periods=1).mean()
+               .reset_index(drop=True))
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "mavg": round_series(m, 6).to_numpy(),
+        })
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    return bucketed.groupby("bucket").map_groups(mavg_bucket, batch_format="pandas")
+
+
+def events_outliers_zscore(sf_dir: str, z: float = 3.0):
+    """Two-pass normalized filter: per-type mean/stddev (combiner agg on
+    sum/sumsq), broadcast the 5-row stats, then one streaming pass keeps
+    events with |value - mu| > z * sigma.
+
+    Output: (event_id, event_type, value, zscore r6).
+    """
+    import ray
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": np.int64(1), "s1": v, "s2": v * v,
+        })
+
+    agg = grouped_agg(ev.map_batches(moments, batch_format="pandas",
+                                     batch_size=131072),
+                      ["event_type"],
+                      {"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+                      n_buckets=4).to_pandas()  # one row per event type
+    n = agg["n"].to_numpy(dtype=np.float64)
+    mu = agg["s1"].to_numpy() / n
+    # sample variance from the merged moments (ddof=1, like stddev_samp)
+    var = (agg["s2"].to_numpy() - n * mu * mu) / (n - 1.0)
+    stats = {t: (m, float(np.sqrt(v)))
+             for t, m, v in zip(agg["event_type"], mu, var)}
+    stats_ref = ray.put(stats)
+
+    def keep_outliers(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        mus = df["event_type"].map(lambda t: st[t][0]).to_numpy()
+        sds = df["event_type"].map(lambda t: st[t][1]).to_numpy()
+        zs = (df["value"].to_numpy() - mus) / sds
+        keep = np.abs(zs) > z
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["zscore"] = round_series(pd.Series(zs[keep]), 6).to_numpy()
+        return out
+
+    return ev.map_batches(keep_outliers, batch_format="pandas", batch_size=131072)
