@@ -157,27 +157,77 @@ def q6_forecast_revenue(sf_dir: str):
     return pd.DataFrame({"revenue": [round_series(pd.Series([total]), 2).iloc[0]]})
 
 
-def order_priority_counts(sf_dir: str):
+def order_priority_counts(sf_dir: str, broadcast_rows: int = 50_000_000):
     """TPC-H q4 analogue: orders with at least one line item shipped
-    after the order date, counted per priority. The EXISTS is computed
-    as a pre-aggregated max(l_shipdate) per orderkey (fact reduced to
-    one row per key BEFORE the join), then one hash join against orders.
+    after the order date, counted per priority.
+
+    Under the gate (orders bitmap fits workers; 1 bit per order --
+    50M orders = 6 MiB), the EXISTS is a mergeable BITMAP: broadcast
+    (orderkey -> row index, orderdate), stream lineitem ONCE emitting a
+    per-batch packed bitmap of orders seen with a late line item, OR the
+    tiny bitmap partials, count per priority vectorized. Zero shuffles.
+
+    Above the gate: pre-aggregated max(l_shipdate) per orderkey (fact
+    reduced to one row per key BEFORE the join) + one hash join.
 
     Output: (o_orderpriority, n_orders).
     """
+    import ray
     import ray.data as rd
+    import pyarrow.parquet as pq
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df[["o_orderpriority", "n_orders"]]
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_rows:
+        from ..functions.lookup import VecLookup
+
+        ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        okey = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        odate = (ot.column("o_orderdate").to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        order = np.argsort(okey, kind="stable")
+        okey_s, odate_s = okey[order], odate[order]
+        idx_lut = VecLookup(okey_s, np.arange(len(okey_s), dtype=np.int64))
+        ref = ray.put((idx_lut, odate_s))
+        nbytes = (len(okey_s) + 7) // 8
+
+        def bitmap_partial(df: pd.DataFrame) -> pd.DataFrame:
+            lut, odates = ray.get(ref)
+            idx, found = lut.lookup(df["l_orderkey"].to_numpy())
+            ship = np.asarray(df["l_shipdate"], dtype="datetime64[us]").astype(np.int64)
+            late_idx = idx[found & (ship > odates[idx])]
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            np.bitwise_or.at(bits, late_idx >> 3,
+                             (np.uint8(1) << (late_idx & 7).astype(np.uint8)))
+            return pd.DataFrame({"bits": [bits.tobytes()]})
+
+        parts = li.map_batches(bitmap_partial, batch_format="pandas",
+                               batch_size=131072).take_all()
+        merged = np.zeros(nbytes, dtype=np.uint8)
+        for row in parts:
+            merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+        has_late = (np.unpackbits(merged, bitorder="little")[: len(okey_s)]
+                    .astype(bool))
+        prio = ot.column("o_orderpriority").to_pandas().to_numpy()[order]
+        out = (pd.DataFrame({"o_orderpriority": prio[has_late]})
+               .groupby("o_orderpriority", as_index=False).size()
+               .rename(columns={"size": "n_orders"}))
+        return finish(out)
+
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
-
     max_ship = grouped_agg(li, ["l_orderkey"], {"max_ship": ("l_shipdate", "max")})
-    n_orders_est = orders.count()
     joined = orders.join(
-        max_ship, join_type="inner", num_partitions=_join_partitions(n_orders_est),
+        max_ship, join_type="inner", num_partitions=_join_partitions(n_orders),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -189,11 +239,6 @@ def order_priority_counts(sf_dir: str):
     filtered = joined.map_batches(late, batch_format="pandas")
     counts = grouped_agg(filtered, ["o_orderpriority"],
                          {"n_orders": ("one", "sum")}, n_buckets=8)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_orders"] = df["n_orders"].astype("int64")
-        return df[["o_orderpriority", "n_orders"]]
-
     return counts.map_batches(finish, batch_format="pandas")
 
 
@@ -320,16 +365,24 @@ def nation_volume_q5(sf_dir: str, broadcast_rows: int = 5_000_000):
                .sort(["revenue", "n_name"], descending=[True, False]))
 
 
-def promo_revenue_q14(sf_dir: str):
+def promo_revenue_q14(sf_dir: str, broadcast_rows: int = 20_000_000):
     """TPC-H q14 analogue: percentage of 1997 revenue from PROMO parts.
 
-    lineitem is pre-aggregated to one revenue row per partkey (the only
-    shuffle), then hash-joined against the part dimension (part GROWS
-    with sf -- never a driver dict), then two scalar sums.
+    IMPORTANT numeric detail on both paths: revenue is summed PER
+    PARTKEY first and the promo/total split happens on those per-part
+    subtotals -- the same grouping the oracle uses -- so the float
+    summation tree agrees to ~1e-12 relative.
+
+    Under the gate, the part dimension ships as a broadcast
+    (partkey -> is_promo) VecLookup and the whole query is one streaming
+    pass + driver division. Above it: per-partkey combiner agg (the only
+    shuffle) hash-joined against part, then two scalar sums.
 
     Output: one row (promo_revenue_pct r6).
     """
+    import ray
     import ray.data as rd
+    import pyarrow.parquet as pq
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -352,19 +405,42 @@ def promo_revenue_q14(sf_dir: str):
         ["l_partkey"], {"rev": ("rev", "sum")},
     )
 
-    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
-    n_parts_est = part.count()
-    joined = per_part.join(
-        part, join_type="inner", num_partitions=_join_partitions(n_parts_est),
-        on=("l_partkey",), right_on=("p_partkey",),
-    )
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_parts <= broadcast_rows:
+        from ..functions.lookup import VecLookup
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        promo = df["p_type"].to_numpy() == "PROMO"
-        rev = df["rev"].to_numpy()
-        return pd.DataFrame({"promo_rev": [rev[promo].sum()], "total_rev": [rev.sum()]})
+        pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        promo = (pt.column("p_type").to_pandas().to_numpy() == "PROMO")
+        lut_ref = ray.put(VecLookup(
+            pt.column("p_partkey").to_numpy(zero_copy_only=False),
+            promo.astype(np.int64)))
 
-    parts = joined.map_batches(split, batch_format="pandas")
+        def split_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            lut: VecLookup = ray.get(lut_ref)
+            is_promo, found = lut.lookup(df["l_partkey"].to_numpy())
+            rev = df["rev"].to_numpy()
+            keep = found
+            p = rev[keep & (is_promo == 1)].sum()
+            t = rev[keep].sum()
+            return pd.DataFrame({"promo_rev": [p], "total_rev": [t]})
+
+        parts = per_part.map_batches(split_bcast, batch_format="pandas")
+    else:
+        part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_type"])
+        joined = per_part.join(
+            part, join_type="inner", num_partitions=_join_partitions(n_parts),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+        def split(df: pd.DataFrame) -> pd.DataFrame:
+            promo = df["p_type"].to_numpy() == "PROMO"
+            rev = df["rev"].to_numpy()
+            return pd.DataFrame({"promo_rev": [rev[promo].sum()],
+                                 "total_rev": [rev.sum()]})
+
+        parts = joined.map_batches(split, batch_format="pandas")
+
     from ray.data.aggregate import Sum
 
     sums = parts.aggregate(Sum("promo_rev"), Sum("total_rev"))

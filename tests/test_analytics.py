@@ -52,3 +52,35 @@ def test_user_pivot_rows_sum_to_total(ray_session):
     df = user_event_pivot(SF).to_pandas()
     parts = df[["n_click", "n_error", "n_purchase", "n_signup", "n_view"]].sum(axis=1)
     assert (parts == df["n_total"]).all()
+
+
+@needs_data
+def test_q4_q14_gated_paths_agree(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        order_priority_counts,
+        promo_revenue_q14,
+    )
+
+    def as_pd(r):
+        return r.to_pandas() if hasattr(r, "to_pandas") else r
+
+    fast4 = (as_pd(order_priority_counts(SF))
+             .sort_values("o_orderpriority").reset_index(drop=True))
+    join4 = (as_pd(order_priority_counts(SF, broadcast_rows=0))
+             .sort_values("o_orderpriority").reset_index(drop=True))
+    assert fast4.equals(join4)
+
+    fast14 = promo_revenue_q14(SF)
+    join14 = promo_revenue_q14(SF, broadcast_rows=0)
+    assert fast14["promo_revenue_pct"].iloc[0] == join14["promo_revenue_pct"].iloc[0]
+
+
+@needs_data
+def test_q5_gated_paths_agree(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import nation_volume_q5
+
+    fast = nation_volume_q5(SF).to_pandas().reset_index(drop=True)
+    join = nation_volume_q5(SF, broadcast_rows=0).to_pandas().reset_index(drop=True)
+    assert fast.equals(join)
