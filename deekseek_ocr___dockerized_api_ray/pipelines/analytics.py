@@ -797,17 +797,19 @@ def events_outliers_zscore(sf_dir: str, z: float = 3.0):
                          columns=["event_id", "event_type", "value"])
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-reduce inside the batch: the partial is <=5 rows (one per
+        # event type), so the global reduce is a driver concat+groupby
+        # over n_batches*5 rows -- no shuffle for this grain
         v = df["value"].to_numpy()
-        return pd.DataFrame({
-            "event_type": df["event_type"].to_numpy(),
-            "n": np.int64(1), "s1": v, "s2": v * v,
-        })
+        return (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                              "n": np.int64(1), "s1": v, "s2": v * v})
+                .groupby("event_type", as_index=False)
+                .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")))
 
-    agg = grouped_agg(ev.map_batches(moments, batch_format="pandas",
-                                     batch_size=131072),
-                      ["event_type"],
-                      {"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
-                      n_buckets=4).to_pandas()  # one row per event type
+    agg = (ev.map_batches(moments, batch_format="pandas", batch_size=131072)
+             .to_pandas()
+             .groupby("event_type", as_index=False)
+             .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")))
     n = agg["n"].to_numpy(dtype=np.float64)
     mu = agg["s1"].to_numpy() / n
     # sample variance from the merged moments (ddof=1, like stddev_samp)
