@@ -10,8 +10,16 @@ synthetic tables) demonstrate the engine's join ladder:
 
   - fact-to-fact:       pre-aggregate the fact to one row per key, then
                         ``Dataset.join`` (hash exchange on both sides)
-  - growing dimension:  ``Dataset.join`` (customer/part grow with sf)
+  - growing dimension:  ``Dataset.join`` (customer/part grow with sf);
+                        SIZE-GATED: below ``broadcast_rows`` the dim (or
+                        a derived bitmap / VecLookup of it) broadcasts
+                        via ``ray.put`` and the query collapses to one
+                        zero-shuffle streaming pass (q4/q5/q14); the
+                        join path stays live above the gate and is
+                        pinned by path-equivalence tests
   - tiny dimension:     ``ray.put`` broadcast dict (supplier/nation/region)
+  - q18 deliberately keeps the un-gated fact-fact hash join as the
+    representative of that shape
 
 Summation order inside a group is not bitwise-stable across engines;
 all money outputs are rounded (half away from zero, DuckDB ROUND
