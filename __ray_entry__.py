@@ -223,6 +223,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(_docs_ds(sf_dir), max_tokens=512, n_shards=16)
 
+    def incremental_dedup(sf_dir: str):
+        # two-step ingestion against a fresh on-disk hash index: even
+        # doc_ids first, then odd; returns the SECOND ingest's survivors
+        # (odd-id docs whose text never appeared among even ids)
+        import uuid
+
+        import pyarrow.compute as pc
+
+        from deekseek_ocr___dockerized_api_ray.stages.incremental import (
+            ingest_dedup,
+        )
+
+        idx = f"/tmp/dedup_index_{uuid.uuid4().hex}"
+
+        def half(parity: int):
+            return _docs_ds(sf_dir).map_batches(
+                lambda b, p=parity: b.filter(
+                    pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), p)),
+                batch_format="pyarrow",
+            )
+
+        ingest_dedup(half(0), idx).materialize()
+        return ingest_dedup(half(1), idx)
+
     def minhash_candidates(sf_dir: str):
         return lsh_candidate_pairs(_docs_ds(sf_dir))
 
@@ -322,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_predict": text.langid_predict,
         # dedup
         "exact_dedup_docs": text.exact_dedup_docs,
+        "incremental_dedup": incremental_dedup,
         "minhash_candidates": minhash_candidates,
         "minhash_survivors": minhash_survivors,
         "simhash_pairs": simhash_pairs,
@@ -864,6 +889,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
             FROM events
+        """,
+        "incremental_dedup": """
+            WITH a AS MATERIALIZED (
+              SELECT text FROM documents WHERE doc_id % 2 = 0),
+            b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM b WHERE text NOT IN (SELECT text FROM a))
+            WHERE rn = 1
         """,
         "events_outliers_zscore": """
             WITH s AS MATERIALIZED (

@@ -1,0 +1,64 @@
+"""Incremental dedup index: two-step ingestion must equal one-shot
+exact dedup, the index must accumulate, and re-ingesting the same data
+must yield zero survivors."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+@needs_data
+def test_two_step_ingest_equals_one_shot(ray_session, tmp_path):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.incremental import ingest_dedup
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = docs[docs["doc_id"] % 2 == 0]
+    b = docs[docs["doc_id"] % 2 == 1]
+    idx_dir = str(tmp_path / "index")
+
+    surv_a = ingest_dedup(rd.from_pandas(a), idx_dir).to_pandas()
+    surv_b = ingest_dedup(rd.from_pandas(b), idx_dir).to_pandas()
+
+    # survivors of A: distinct texts within A
+    assert set(surv_a["text"]) == set(a["text"])
+    # survivors of B: texts of B never seen in A
+    assert set(surv_b["text"]) == set(b["text"]) - set(a["text"])
+    # union covers every distinct text exactly once
+    both = pd.concat([surv_a, surv_b])
+    assert sorted(both["text"]) == sorted(set(docs["text"]))
+    # first-ingestion-wins + min-id-within-ingest
+    for _, row in surv_a.iterrows():
+        dups = a[a["text"] == row["text"]]
+        assert row["doc_id"] == dups["doc_id"].min()
+
+    # index accumulated one file set per ingest
+    files = [f for f in os.listdir(idx_dir) if f.endswith(".parquet")]
+    assert len(files) >= 2
+
+    # re-ingesting everything yields zero survivors
+    surv_again = ingest_dedup(rd.from_pandas(docs), idx_dir).to_pandas()
+    assert len(surv_again) == 0
+
+
+@needs_data
+def test_ingest_matches_exact_dedup_operator(ray_session, tmp_path):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import exact_dedup
+    from deekseek_ocr___dockerized_api_ray.stages.incremental import ingest_dedup
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    one_shot = exact_dedup(docs).to_pandas()
+    inc = ingest_dedup(docs, str(tmp_path / "idx")).to_pandas()
+    # single ingest == one-shot exact dedup (same min-id-per-text rule)
+    assert (sorted(inc["doc_id"].tolist())
+            == sorted(one_shot["doc_id"].tolist()))
