@@ -1,0 +1,60 @@
+"""Small-file compaction for partitioned parquet output.
+
+A long-running checkpointed job (state/checkpoint.py) accumulates many
+small files -- one or more per partition attempt -- and small files are
+the classic read-amplification killer at 100 TB (footer parse + open
+per file; row-group pruning can't help a 2 MB file). Compaction rewrites
+a directory to ~``target_rows`` rows per file while PRESERVING rows
+exactly, and is itself resumable: output goes to a tmp dir that is
+atomically renamed over the source only after the row-count check
+passes, so a killed compaction leaves the source untouched.
+
+Streaming shape: read_parquet (pruned nothing -- compaction is by
+definition a full copy) -> repartition to ceil(total/target) blocks ->
+write_parquet. No driver materialization at any size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+def compact_parquet(src_dir: str, target_rows: int = 1_000_000,
+                    min_files: int = 2) -> dict:
+    """Compact ``src_dir`` in place. Returns a stats dict
+    (files_before, files_after, rows). No-op (files_after ==
+    files_before) when the directory already has fewer than
+    ``min_files`` files or fewer rows than ``target_rows``."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    stats = {"files_before": len(files), "files_after": len(files), "rows": rows}
+    if len(files) < min_files or rows <= target_rows and len(files) == 1:
+        return stats
+
+    n_out = max(1, (rows + target_rows - 1) // target_rows)
+    tmp = f"{src_dir.rstrip('/')}.compact_{uuid.uuid4().hex}"
+    ds = rd.read_parquet(files)
+    ds.repartition(n_out).write_parquet(tmp)
+
+    out_files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    out_rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+                   for f in out_files)
+    if out_rows != rows:  # refuse to replace on any row-count drift
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {out_rows} != {rows}; source untouched")
+
+    backup = f"{src_dir.rstrip('/')}.precompact_{uuid.uuid4().hex}"
+    os.replace(src_dir, backup)
+    os.replace(tmp, src_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+    stats["files_after"] = len(out_files)
+    return stats
