@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": scale_ops.kmeans_assign,
         "lapsed_customers_except": analytics.lapsed_customers_except,
         "customer_rank_in_nation": analytics.customer_rank_in_nation,
+        "small_quantity_revenue_q17": analytics.small_quantity_revenue_q17,
         "active_both_years_intersect": analytics.active_both_years_intersect,
         "events_moving_avg": analytics.events_moving_avg,
         "events_outliers_zscore": analytics.events_outliers_zscore,
@@ -873,6 +874,15 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY c_nationkey
                                       ORDER BY c_acctbal DESC, c_custkey) AS rk
             FROM customer
+        """,
+        "small_quantity_revenue_q17": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN (SELECT l_partkey AS pk,
+                         0.2 * AVG(l_quantity) AS thresh
+                  FROM lineitem GROUP BY l_partkey) t
+              ON l.l_partkey = t.pk
+            WHERE l.l_quantity < t.thresh
         """,
         "active_both_years_intersect": """
             SELECT DISTINCT o_custkey FROM orders

@@ -13,11 +13,12 @@ import numpy as np
 
 
 class VecLookup:
-    """Sorted-array int64 -> int64 map with miss detection."""
+    """Sorted-array int64-key -> value map with miss detection. Values
+    keep their numpy dtype (int64 keys are the only requirement)."""
 
     def __init__(self, keys: "np.ndarray", values: "np.ndarray"):
         keys = np.asarray(keys, dtype=np.int64)
-        values = np.asarray(values, dtype=np.int64)
+        values = np.asarray(values)
         order = np.argsort(keys, kind="stable")
         self.keys = keys[order]
         self.values = values[order]

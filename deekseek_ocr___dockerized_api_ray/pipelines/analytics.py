@@ -837,3 +837,70 @@ def events_outliers_zscore(sf_dir: str, z: float = 3.0):
         return out
 
     return ev.map_batches(keep_outliers, batch_format="pandas", batch_size=131072)
+
+
+def small_quantity_revenue_q17(sf_dir: str, broadcast_rows: int = 20_000_000):
+    """TPC-H q17 analogue (correlated aggregate subquery): average
+    yearly revenue lost if small orders (quantity below 20% of the
+    part's average quantity) weren't filled.
+
+    Pass 1 computes avg(l_quantity) per partkey with the combiner agg;
+    under the gate those per-part thresholds broadcast as a float
+    VecLookup and pass 2 is one streaming filter+sum over lineitem.
+    Above the gate the thresholds hash-join back instead. The correlated
+    subquery never becomes a self-join either way.
+
+    Output: one row (avg_yearly r2).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    per_part = grouped_agg(li, ["l_partkey"],
+                           {"s_qty": ("l_quantity", "sum"),
+                            "n_qty": ("l_quantity", "size")})
+
+    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(),
+            "thresh": 0.2 * df["s_qty"].to_numpy() / df["n_qty"].to_numpy(),
+        })
+
+    thr = per_part.map_batches(thresholds, batch_format="pandas")
+
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_parts <= broadcast_rows:
+        from ..functions.lookup import VecLookup
+
+        tdf = thr.to_pandas()  # one row per partkey, gated
+        lut_ref = ray.put(VecLookup(tdf["l_partkey"].to_numpy(),
+                                    tdf["thresh"].to_numpy()))
+
+        def small_rev(df: pd.DataFrame) -> pd.DataFrame:
+            lut: VecLookup = ray.get(lut_ref)
+            t, found = lut.lookup(df["l_partkey"].to_numpy())
+            keep = found & (df["l_quantity"].to_numpy() < t)
+            return pd.DataFrame(
+                {"rev": [df["l_extendedprice"].to_numpy()[keep].sum()]})
+
+        parts = li.map_batches(small_rev, batch_format="pandas",
+                               batch_size=131072)
+    else:
+        joined = li.join(
+            thr, join_type="inner", num_partitions=_join_partitions(n_parts),
+            on=("l_partkey",), right_on=("l_partkey",),
+        )
+
+        def small_rev_join(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["l_quantity"].to_numpy() < df["thresh"].to_numpy()
+            return pd.DataFrame(
+                {"rev": [df["l_extendedprice"].to_numpy()[keep].sum()]})
+
+        parts = joined.map_batches(small_rev_join, batch_format="pandas")
+
+    total = parts.sum("rev")
+    return pd.DataFrame(
+        {"avg_yearly": [round_series(pd.Series([total / 7.0]), 2).iloc[0]]})
