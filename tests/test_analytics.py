@@ -84,3 +84,30 @@ def test_q5_gated_paths_agree(ray_session):
     fast = nation_volume_q5(SF).to_pandas().reset_index(drop=True)
     join = nation_volume_q5(SF, broadcast_rows=0).to_pandas().reset_index(drop=True)
     assert fast.equals(join)
+
+
+def test_grouped_agg_skew_resilient(ray_session):
+    """A 90%-hot key must not break or mis-aggregate the combiner:
+    partial aggregation collapses the hot key to one row per batch
+    BEFORE the shuffle, so no reducer ever sees the raw hot rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.agg import grouped_agg
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 1000, n))
+    vals = rng.random(n)
+    df = pd.DataFrame({"k": keys.astype(np.int64), "v": vals})
+
+    got = (grouped_agg(rd.from_pandas(df), ["k"],
+                       {"s": ("v", "sum"), "n": ("v", "size")})
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ref = (df.groupby("k", as_index=False)
+             .agg(s=("v", "sum"), n=("v", "size"))
+             .sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == ref["k"].tolist()
+    assert got["n"].astype(int).tolist() == ref["n"].tolist()
+    assert np.allclose(got["s"].to_numpy(), ref["s"].to_numpy())
