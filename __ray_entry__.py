@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lapsed_customers_except": analytics.lapsed_customers_except,
         "customer_rank_in_nation": analytics.customer_rank_in_nation,
         "small_quantity_revenue_q17": analytics.small_quantity_revenue_q17,
+        "returned_item_report_q10": analytics.returned_item_report_q10,
+        "discounted_brand_revenue_q19": analytics.discounted_brand_revenue_q19,
         "active_both_years_intersect": analytics.active_both_years_intersect,
         "events_moving_avg": analytics.events_moving_avg,
         "events_outliers_zscore": analytics.events_outliers_zscore,
@@ -874,6 +876,25 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY c_nationkey
                                       ORDER BY c_acctbal DESC, c_custkey) AS rk
             FROM customer
+        """,
+        "returned_item_report_q10": """
+            SELECT c_custkey, c_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "discounted_brand_revenue_q19": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity < 15)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+                   AND l_quantity >= 15)
         """,
         "small_quantity_revenue_q17": """
             SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly

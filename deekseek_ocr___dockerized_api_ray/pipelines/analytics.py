@@ -904,3 +904,105 @@ def small_quantity_revenue_q17(sf_dir: str, broadcast_rows: int = 20_000_000):
     total = parts.sum("rev")
     return pd.DataFrame(
         {"avg_yearly": [round_series(pd.Series([total / 7.0]), 2).iloc[0]]})
+
+
+def returned_item_report_q10(sf_dir: str, k: int = 20):
+    """TPC-H q10 analogue: customers ranked by revenue lost to returned
+    items (l_returnflag = 'R'). lineitem filters and
+    pre-aggregates to one revenue row per orderkey; the orderkey ->
+    custkey hop and the customer name attach both ride ``Dataset.join``
+    (both sides keyed, customer a growing dimension); final sort+limit.
+
+    Output: (c_custkey, c_name, revenue r2).
+    """
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_returnflag"].to_numpy() == "R"
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy()[m],
+            "rev": (df["l_extendedprice"].to_numpy()[m]
+                    * (1.0 - df["l_discount"].to_numpy()[m])),
+        })
+
+    per_order = grouped_agg(
+        li.map_batches(returned, batch_format="pandas", batch_size=131072),
+        ["l_orderkey"], {"rev": ("rev", "sum")},
+    )
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    with_cust = per_order.join(
+        orders, join_type="inner", num_partitions=_join_partitions(n_orders),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    per_cust = grouped_agg(with_cust, ["o_custkey"], {"revenue": ("rev", "sum")})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    named = per_cust.join(
+        cust, join_type="inner", num_partitions=_join_partitions(n_cust),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        df["revenue"] = round_series(df["revenue"], 2)
+        return df[["c_custkey", "c_name", "revenue"]]
+
+    return (named.map_batches(finish, batch_format="pandas")
+                 .sort(["revenue", "c_custkey"], descending=[True, False])
+                 .limit(k))
+
+
+def discounted_brand_revenue_q19(sf_dir: str):
+    """TPC-H q19 analogue (disjunctive predicate join): revenue from
+    line items matching EITHER (small Brand#1 parts, qty < 15) OR
+    (mid-size Brand#2 parts, qty >= 15). The part predicate evaluates
+    VECTORIZED against a broadcast (partkey -> class) VecLookup built
+    from two pruned column reads; lineitem streams once, no shuffle but
+    the final 1-row sum.
+
+    Output: one row (revenue r2).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from ..functions.lookup import VecLookup
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand", "p_size"])
+    brand = pt.column("p_brand").to_pandas().to_numpy()
+    size = pt.column("p_size").to_numpy(zero_copy_only=False)
+    # class 1: Brand#1, size 1..10; class 2: Brand#2, size 11..30
+    cls = np.where((brand == "Brand#1") & (size >= 1) & (size <= 10), 1,
+                   np.where((brand == "Brand#2") & (size >= 11) & (size <= 30),
+                            2, 0)).astype(np.int64)
+    lut_ref = ray.put(VecLookup(
+        pt.column("p_partkey").to_numpy(zero_copy_only=False), cls))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        lut: VecLookup = ray.get(lut_ref)
+        c, found = lut.lookup(df["l_partkey"].to_numpy())
+        qty = df["l_quantity"].to_numpy()
+        keep = found & (((c == 1) & (qty < 15)) | ((c == 2) & (qty >= 15)))
+        rev = (df["l_extendedprice"].to_numpy()[keep]
+               * (1.0 - df["l_discount"].to_numpy()[keep]))
+        return pd.DataFrame({"rev": [rev.sum()]})
+
+    total = li.map_batches(match, batch_format="pandas", batch_size=131072).sum("rev")
+    return pd.DataFrame({"revenue": [round_series(pd.Series([total]), 2).iloc[0]]})
