@@ -223,6 +223,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(_docs_ds(sf_dir), max_tokens=512, n_shards=16)
 
+    def corpus_prep(sf_dir: str):
+        # composite training-data prep chain (clean -> lang gate ->
+        # quality gate -> exact dedup -> minhash dedup -> packing);
+        # rows-only: the chain's dedup/packing steps are not
+        # SQL-expressible, each stage is individually oracled/tested
+        from deekseek_ocr___dockerized_api_ray.pipelines.prep import prep_corpus
+
+        return prep_corpus(sf_dir)
+
     def incremental_dedup(sf_dir: str):
         # two-step ingestion against a fresh on-disk hash index: even
         # doc_ids first, then odd; returns the SECOND ingest's survivors
@@ -347,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup_docs": text.exact_dedup_docs,
         "incremental_dedup": incremental_dedup,
+        "corpus_prep": corpus_prep,
         "minhash_candidates": minhash_candidates,
         "minhash_survivors": minhash_survivors,
         "simhash_pairs": simhash_pairs,

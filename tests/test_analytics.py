@@ -111,3 +111,23 @@ def test_grouped_agg_skew_resilient(ray_session):
     assert got["k"].tolist() == ref["k"].tolist()
     assert got["n"].astype(int).tolist() == ref["n"].tolist()
     assert np.allclose(got["s"].to_numpy(), ref["s"].to_numpy())
+
+
+@needs_data
+def test_corpus_prep_chain(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.prep import prep_corpus
+
+    plan = prep_corpus(SF).to_pandas()
+    assert len(plan) > 0
+    # survivors are unique docs, gated to the keep languages
+    assert plan["doc_id"].is_unique
+    assert set(plan["lang_pred"]) <= {"en", "de", "fr", "es"}
+    # bins respect the token budget (oversize rows exempt by definition)
+    per_bin = (plan[~plan["oversize"]]
+               .groupby(["shard", "bin_id"])["n_tokens"].sum())
+    assert (per_bin <= 512).all()
+    # the chain never invents docs: every survivor exists in the input
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert set(plan["doc_id"]) <= set(docs["doc_id"])
