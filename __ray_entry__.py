@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": scale_ops.kmeans_assign,
         "lapsed_customers_except": analytics.lapsed_customers_except,
         "customer_rank_in_nation": analytics.customer_rank_in_nation,
+        "customer_acctbal_cume": analytics.customer_acctbal_cume,
         "small_quantity_revenue_q17": analytics.small_quantity_revenue_q17,
         "returned_item_report_q10": analytics.returned_item_report_q10,
         "discounted_brand_revenue_q19": analytics.discounted_brand_revenue_q19,
@@ -914,6 +915,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY l_partkey) t
               ON l.l_partkey = t.pk
             WHERE l.l_quantity < t.thresh
+        """,
+        "customer_acctbal_cume": """
+            SELECT c_custkey, c_nationkey,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
         """,
         "active_both_years_intersect": """
             SELECT DISTINCT o_custkey FROM orders

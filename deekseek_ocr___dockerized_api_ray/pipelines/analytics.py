@@ -1006,3 +1006,45 @@ def discounted_brand_revenue_q19(sf_dir: str):
 
     total = li.map_batches(match, batch_format="pandas", batch_size=131072).sum("rev")
     return pd.DataFrame({"revenue": [round_series(pd.Series([total]), 2).iloc[0]]})
+
+
+def customer_acctbal_cume(sf_dir: str, n_buckets: int = 16):
+    """Distribution window functions: percent_rank and cume_dist of each
+    customer's balance WITHIN its nation. Same bucketed-partition kernel
+    as the rank query; both statistics are closed-form from the sorted
+    position and group size, so ties use the SQL definitions exactly
+    (percent_rank on rank-of-first-peer, cume_dist on rank-of-last-peer).
+
+    Output: (c_custkey, c_nationkey, pct_rank r6, cume r6).
+    """
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def dist_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c_nationkey", "c_acctbal"])
+        g = df.groupby("c_nationkey", sort=False)
+        n = g["c_acctbal"].transform("size").to_numpy(dtype=np.float64)
+        # rank of first peer (SQL RANK) and of last peer, tie-aware
+        rk_min = g["c_acctbal"].rank(method="min").to_numpy()
+        rk_max = g["c_acctbal"].rank(method="max").to_numpy()
+        pct = np.where(n > 1, (rk_min - 1.0) / (n - 1.0), 0.0)
+        cume = rk_max / n
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(),
+            "c_nationkey": df["c_nationkey"].to_numpy(),
+            "pct_rank": round_series(pd.Series(pct), 6).to_numpy(),
+            "cume": round_series(pd.Series(cume), 6).to_numpy(),
+        })
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["c_nationkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    return (cust.map_batches(add_bucket, batch_format="pandas", batch_size=131072)
+                .groupby("bucket").map_groups(dist_bucket, batch_format="pandas"))

@@ -69,6 +69,14 @@ def ingest_dedup(new_ds, index_dir: str, text_col: str = "text",
     import ray
     import ray.data as rd
 
+    # crash-window hygiene (single-writer assumption, like the
+    # checkpoint module): a killed ingest leaves a tmp_* dir of
+    # uncommitted digests -- remove them so they never accumulate
+    if os.path.isdir(index_dir):
+        for d in os.listdir(index_dir):
+            if d.startswith("tmp_"):
+                shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
     # 1. within-ingest dedup (keep min id per distinct text)
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["dig64", "digest", id_col])

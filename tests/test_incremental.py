@@ -62,3 +62,29 @@ def test_ingest_matches_exact_dedup_operator(ray_session, tmp_path):
     # single ingest == one-shot exact dedup (same min-id-per-text rule)
     assert (sorted(inc["doc_id"].tolist())
             == sorted(one_shot["doc_id"].tolist()))
+
+
+@needs_data
+def test_stale_tmp_dir_does_not_poison_index(ray_session, tmp_path):
+    """A killed ingest leaves a tmp_* subdir inside the index dir; the
+    index reader must ignore it (only top-level *.parquet files count)
+    and the next ingest must still be correct."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.incremental import ingest_dedup
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    idx_dir = tmp_path / "index"
+    idx_dir.mkdir()
+    # simulate a crash: a stale tmp dir containing a parquet of digests
+    # that were NEVER committed to the index
+    stale = idx_dir / "tmp_deadbeef"
+    stale.mkdir()
+    pd.DataFrame({"digest": [b"\x00" * 20], "dig64": [0]}).to_parquet(
+        stale / "orphan.parquet")
+
+    surv = ingest_dedup(rd.from_pandas(docs), str(idx_dir)).to_pandas()
+    assert set(surv["text"]) == set(docs["text"])  # stale tmp ignored
+    # the committed index now dedups a re-ingest to zero
+    again = ingest_dedup(rd.from_pandas(docs), str(idx_dir)).to_pandas()
+    assert len(again) == 0
