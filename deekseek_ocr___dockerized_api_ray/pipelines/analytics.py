@@ -462,12 +462,16 @@ def large_orders_q18(sf_dir: str, min_qty: float = 150.0, k: int = 100):
     min_qty, with order metadata; top-k by quantity.
 
     Shape: partial+bucketed sum of quantity per orderkey, HAVING filter
-    applied inside the reduce output (so only qualifying keys reach the
-    join), hash join against orders, sort + limit.
+    inside the reduce output, then top-k ON THE AGGREGATE -- the
+    orderkey is the orders PK, so sort+limit commutes with the inner
+    join and only k rows ever need order metadata. The metadata attach
+    is a pushed-down parquet point read (k keys) rather than a
+    fact-sized hash join.
 
     Output: (o_orderkey, o_custkey, o_totalprice, total_qty r2).
     """
     import ray.data as rd
+    import pyarrow.parquet as pq
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_quantity"])
@@ -478,23 +482,22 @@ def large_orders_q18(sf_dir: str, min_qty: float = 150.0, k: int = 100):
         df["total_qty"] = round_series(df["total_qty"], 2)
         return df
 
-    big = qty.map_batches(having, batch_format="pandas")
+    topk = (qty.map_batches(having, batch_format="pandas")
+               .sort(["total_qty", "l_orderkey"], descending=[True, False])
+               .limit(k)
+               .to_pandas())  # k rows
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    n_est = max(64, orders.count() // 5)  # qualifying keys are a small subset
-    joined = big.join(
-        orders, join_type="inner", num_partitions=_join_partitions(n_est),
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"l_orderkey": "o_orderkey"})
-        return df[["o_orderkey", "o_custkey", "o_totalprice", "total_qty"]]
-
-    return (joined.map_batches(finish, batch_format="pandas")
-                  .sort(["total_qty", "o_orderkey"], descending=[True, False])
-                  .limit(k))
+    keys = topk["l_orderkey"].tolist()
+    meta = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filters=[("o_orderkey", "in", keys)],
+    ).to_pandas()
+    out = (topk.rename(columns={"l_orderkey": "o_orderkey"})
+               .merge(meta, on="o_orderkey", how="inner"))
+    return (out[["o_orderkey", "o_custkey", "o_totalprice", "total_qty"]]
+            .sort_values(["total_qty", "o_orderkey"], ascending=[False, True])
+            .reset_index(drop=True))
 
 
 def user_event_pivot(sf_dir: str):
@@ -906,15 +909,27 @@ def small_quantity_revenue_q17(sf_dir: str, broadcast_rows: int = 20_000_000):
         {"avg_yearly": [round_series(pd.Series([total / 7.0]), 2).iloc[0]]})
 
 
-def returned_item_report_q10(sf_dir: str, k: int = 20):
+def returned_item_report_q10(sf_dir: str, k: int = 20,
+                             broadcast_rows: int = 20_000_000):
     """TPC-H q10 analogue: customers ranked by revenue lost to returned
     items (l_returnflag = 'R'). lineitem filters and
     pre-aggregates to one revenue row per orderkey; the orderkey ->
     custkey hop and the customer name attach both ride ``Dataset.join``
     (both sides keyed, customer a growing dimension); final sort+limit.
 
+    Under the gate, the orderkey -> custkey hop is a broadcast VecLookup
+    folded into the SAME pass that filters returnflag (so revenue
+    aggregates per custkey in one shuffle-free partial + one tiny keyed
+    reduce); customer names attach to only the k winners via a
+    pushed-down parquet point read. Above the gate: two hash joins.
+
+    Float-tree note: the broadcast path aggregates per custkey directly
+    (combiner partials), the join path per orderkey then custkey; both
+    stay within the 1e-12 band the r2 rounding absorbs.
+
     Output: (c_custkey, c_name, revenue r2).
     """
+    import ray
     import ray.data as rd
     import pyarrow.parquet as pq
 
@@ -922,6 +937,48 @@ def returned_item_report_q10(sf_dir: str, k: int = 20):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
     )
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+
+    if n_orders <= broadcast_rows:
+        from ..functions.lookup import VecLookup
+
+        ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+        lut_ref = ray.put(VecLookup(
+            ot.column("o_orderkey").to_numpy(zero_copy_only=False),
+            ot.column("o_custkey").to_numpy(zero_copy_only=False)))
+
+        def returned_cust(df: pd.DataFrame) -> pd.DataFrame:
+            lut: VecLookup = ray.get(lut_ref)
+            m = df["l_returnflag"].to_numpy() == "R"
+            ck, found = lut.lookup(df["l_orderkey"].to_numpy()[m])
+            rev = (df["l_extendedprice"].to_numpy()[m]
+                   * (1.0 - df["l_discount"].to_numpy()[m]))
+            return pd.DataFrame({"o_custkey": ck[found], "rev": rev[found]})
+
+        per_cust = grouped_agg(
+            li.map_batches(returned_cust, batch_format="pandas",
+                           batch_size=131072),
+            ["o_custkey"], {"revenue": ("rev", "sum")},
+        )
+
+        def rounded(df: pd.DataFrame) -> pd.DataFrame:
+            df["revenue"] = round_series(df["revenue"], 2)
+            return df
+
+        topk = (per_cust.map_batches(rounded, batch_format="pandas")
+                        .sort(["revenue", "o_custkey"],
+                              descending=[True, False])
+                        .limit(k).to_pandas())
+        names = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+            filters=[("c_custkey", "in", topk["o_custkey"].tolist())],
+        ).to_pandas()
+        out = (topk.rename(columns={"o_custkey": "c_custkey"})
+                   .merge(names, on="c_custkey", how="inner"))
+        return (out[["c_custkey", "c_name", "revenue"]]
+                .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+                .reset_index(drop=True))
 
     def returned(df: pd.DataFrame) -> pd.DataFrame:
         m = df["l_returnflag"].to_numpy() == "R"
@@ -936,7 +993,6 @@ def returned_item_report_q10(sf_dir: str, k: int = 20):
         ["l_orderkey"], {"rev": ("rev", "sum")},
     )
 
-    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     with_cust = per_order.join(

@@ -131,3 +131,15 @@ def test_corpus_prep_chain(ray_session):
     # the chain never invents docs: every survivor exists in the input
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
     assert set(plan["doc_id"]) <= set(docs["doc_id"])
+
+
+@needs_data
+def test_q10_gated_paths_agree(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        returned_item_report_q10,
+    )
+
+    fast = returned_item_report_q10(SF).reset_index(drop=True)
+    join = (returned_item_report_q10(SF, broadcast_rows=0)
+            .to_pandas().reset_index(drop=True))
+    assert fast.equals(join)
