@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         scale_ops,
         text,
+        tpch_more,
         windows,
     )
     from deekseek_ocr___dockerized_api_ray.pipelines.extract import run_extract
@@ -415,6 +416,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_both_years_intersect": analytics.active_both_years_intersect,
         "events_moving_avg": analytics.events_moving_avg,
         "events_outliers_zscore": analytics.events_outliers_zscore,
+        "nation_trade_volume_q7": tpch_more.nation_trade_volume_q7,
+        "market_share_q8": tpch_more.market_share_q8,
+        "product_profit_q9": tpch_more.product_profit_q9,
+        "customer_distribution_q13": tpch_more.customer_distribution_q13,
+        "top_supplier_q15": tpch_more.top_supplier_q15,
+        "lapsed_rich_customers_q22": tpch_more.lapsed_rich_customers_q22,
         # approximate by design -> rows-only driver check; error bound
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
@@ -958,5 +965,102 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((value - mu) / sd, 6) AS zscore
             FROM events e JOIN s USING (event_type)
             WHERE ABS(value - mu) > 3.0 * sd
+        """,
+        "nation_trade_volume_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND sn.n_nationkey IN (0, 1, 2, 3, 4)
+              AND cn.n_nationkey IN (0, 1, 2, 3, 4)
+              AND sn.n_nationkey != cn.n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "market_share_q8": """
+            SELECT o_year,
+                   ROUND(100.0 * SUM(CASE WHEN s_nationkey = 3 THEN rev
+                                          ELSE 0 END) / SUM(rev), 6) AS mkt_share
+            FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                         l_extendedprice * (1 - l_discount) AS rev,
+                         s_nationkey
+                  FROM lineitem
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN part     ON l_partkey = p_partkey
+                  WHERE p_type = 'ECONOMY'
+                    AND n_regionkey = 1
+                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate <  TIMESTAMP '1998-01-01')
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "product_profit_q9": """
+            -- revenue in exact fixed point (cents x discount basis points),
+            -- matching the engine's summation-order-free int64 sums
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS profit
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY n_name, o_year DESC
+        """,
+        "customer_distribution_q13": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "top_supplier_q15": """
+            WITH rev AS MATERIALIZED (
+              SELECT l_suppkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "lapsed_rich_customers_q22": """
+            -- threshold in integer cents: acctbal_cents * n > total_cents
+            -- (exact in BIGINT; matches the engine's summation-order-free
+            -- comparison bitwise)
+            WITH pos AS MATERIALIZED (
+              SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents,
+                     COUNT(*) AS n
+              FROM customer
+              WHERE c_acctbal > 0
+                AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+                     AS totacctbal
+            FROM customer, pos
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.cents
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
     }
