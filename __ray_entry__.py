@@ -56,6 +56,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from deekseek_ocr___dockerized_api_ray.pipelines import (
         analytics,
+        curation,
         relational,
         scale_ops,
         text,
@@ -416,6 +417,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_both_years_intersect": analytics.active_both_years_intersect,
         "events_moving_avg": analytics.events_moving_avg,
         "events_outliers_zscore": analytics.events_outliers_zscore,
+        # corpus curation (SQL-oracled)
+        "decontaminate": curation.decontaminate,
+        "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
+        "semdedup": curation.semdedup,
         "nation_trade_volume_q7": tpch_more.nation_trade_volume_q7,
         "market_share_q8": tpch_more.market_share_q8,
         "product_profit_q9": tpch_more.product_profit_q9,
@@ -966,6 +971,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s USING (event_type)
             WHERE ABS(value - mu) > 3.0 * sd
         """,
+        "decontaminate": _oracles.decontaminate_sql(),
+        "doc_tfidf_top_terms": _oracles.doc_tfidf_top_terms_sql(),
+        "semdedup": _oracles.semdedup_sql(),
         "nation_trade_volume_q7": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,

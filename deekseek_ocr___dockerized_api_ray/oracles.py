@@ -285,3 +285,71 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {threshold}"""
+
+
+def decontaminate_sql(k: int = 5, num: int = 9, den: int = 10,
+                      mod: int = 37) -> str:
+    """Benchmark-overlap decontamination: per non-benchmark doc, the
+    count of distinct shingle hashes shared with the benchmark set
+    (doc_id % mod == 0), and the integer-ratio contamination flag
+    n_overlap * den >= num * n_shingles (exact on both sides)."""
+    return f"""
+WITH {_shingle_hash_ctes(k)},
+bench AS MATERIALIZED (SELECT DISTINCT h FROM sh WHERE doc_id % {mod} = 0),
+own AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+        WHERE doc_id % {mod} != 0 GROUP BY doc_id),
+ov AS (SELECT s.doc_id, COUNT(*) AS n_overlap FROM sh s JOIN bench USING (h)
+       WHERE s.doc_id % {mod} != 0 GROUP BY s.doc_id)
+SELECT o.doc_id, COALESCE(n_overlap, 0) AS n_overlap, n_shingles,
+       COALESCE(n_overlap, 0) * {den} >= {num} * n_shingles AS contaminated
+FROM own o LEFT JOIN ov USING (doc_id)
+ORDER BY doc_id"""
+
+
+def doc_tfidf_top_terms_sql() -> str:
+    """Per-doc top term by (tf desc, term asc) with corpus df and
+    tf * ln(N/df) r6; single-space split, empty tokens dropped."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term != '' GROUP BY doc_id, term),
+top AS (SELECT doc_id, term, tf FROM toks
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf DESC, term) = 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term)
+SELECT doc_id, term, tf, df,
+       ROUND(tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df), 6) AS tfidf
+FROM top JOIN dfreq USING (term)
+ORDER BY doc_id"""
+
+
+def semdedup_sql(threshold: float = 0.4) -> str:
+    """SemDeDup dominated-by-earlier pruning inside trained-centroid
+    clusters; reuses the kmeans_assign CTEs and the ROUND(cos,6)
+    boundary convention of emb_neardup_exact."""
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT label, i, AVG(embedding[i]) AS cv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, i
+),
+d AS (
+  SELECT e.vec_id, c.label,
+         SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, c
+  GROUP BY e.vec_id, c.label
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, label AS assigned_label FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) = 1
+)
+SELECT a.vec_id FROM assigned a
+WHERE NOT EXISTS (
+  SELECT 1 FROM assigned b
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE b.assigned_label = a.assigned_label AND b.vec_id < a.vec_id
+    AND ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]), 6) > {threshold})
+ORDER BY a.vec_id"""

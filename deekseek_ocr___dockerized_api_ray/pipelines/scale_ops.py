@@ -350,6 +350,37 @@ def kmeans_assign(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent_ref = ray.put(trained_centroids(sf_dir))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        labs, cents = _ray.get(cent_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = cents.shape[1]
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        # explicit (e - c)^2 reduction (same arithmetic as the SQL oracle,
+        # unlike the ||e||^2 - 2ec + ||c||^2 expansion)
+        diff = mat[:, None, :] - cents[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        nearest = labs[np.argmin(dist, axis=1)]
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(nearest)],
+            names=["vec_id", "assigned_label"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+
+
+def trained_centroids(sf_dir: str):
+    """Distributed per-label mean vectors (the trained codebook for
+    kmeans_assign / semdedup): combiner partials per batch, tiny k x dim
+    collect on the driver. Returns (labels sorted, centroid matrix)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def partial(batch: pa.Table) -> pa.Table:
         emb = batch.column("embedding")
@@ -382,28 +413,7 @@ def kmeans_assign(sf_dir: str):
             acc[lab] = (vec, int(row["n"]))
     labels_sorted = sorted(acc)
     centroids = np.stack([acc[lab][0] / acc[lab][1] for lab in labels_sorted])
-    cent_ref = ray.put((np.asarray(labels_sorted, dtype=np.int64), centroids))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        labs, cents = _ray.get(cent_ref)
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        dim = cents.shape[1]
-        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
-        # explicit (e - c)^2 reduction (same arithmetic as the SQL oracle,
-        # unlike the ||e||^2 - 2ec + ||c||^2 expansion)
-        diff = mat[:, None, :] - cents[None, :, :]
-        dist = np.einsum("nkd,nkd->nk", diff, diff)
-        nearest = labs[np.argmin(dist, axis=1)]
-        return pa.Table.from_arrays(
-            [batch.column("vec_id"), pa.array(nearest)],
-            names=["vec_id", "assigned_label"],
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+    return np.asarray(labels_sorted, dtype=np.int64), centroids
 
 
 def events_value_quantiles(sf_dir: str, b: int = 1024):

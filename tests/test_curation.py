@@ -1,0 +1,81 @@
+"""Property tests for the corpus-curation operators (full oracle parity
+is swept in test_entry.py)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+@needs_data
+def test_decontaminate_excludes_benchmark_and_flags_dups(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        _BENCH_MOD,
+        decontaminate,
+    )
+
+    df = decontaminate(SF).to_pandas()
+    # benchmark docs never appear in the scored output
+    assert (df["doc_id"] % _BENCH_MOD != 0).all()
+    # the corpus plants near-duplicates, so some training docs must be
+    # flagged -- and not all of them (the ratio is discriminative)
+    n_flagged = int(df["contaminated"].sum())
+    assert 0 < n_flagged < len(df)
+    # flag is exactly the integer-ratio predicate
+    expect = df["n_overlap"] * 10 >= 9 * df["n_shingles"]
+    assert (df["contaminated"] == expect).all()
+
+
+@needs_data
+def test_tfidf_top_term_matches_pandas(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        doc_tfidf_top_terms,
+    )
+
+    got = doc_tfidf_top_terms(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ex = (docs.assign(term=docs["text"].str.split(" "))
+          .loc[:, ["doc_id", "term"]].explode("term"))
+    ex = ex[ex["term"] != ""]
+    tc = ex.groupby(["doc_id", "term"], as_index=False).agg(tf=("term", "size"))
+    top = (tc.sort_values(["doc_id", "tf", "term"], ascending=[True, False, True])
+           .drop_duplicates("doc_id").reset_index(drop=True))
+    dfreq = tc.groupby("term")["doc_id"].size()
+    assert np.array_equal(got["doc_id"].to_numpy(), top["doc_id"].to_numpy())
+    assert (got["term"].to_numpy() == top["term"].to_numpy()).all()
+    assert np.array_equal(got["tf"].to_numpy(), top["tf"].to_numpy())
+    assert np.array_equal(got["df"].to_numpy(),
+                          dfreq.loc[top["term"]].to_numpy())
+
+
+@needs_data
+def test_semdedup_dropped_have_earlier_close_clustermate(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import semdedup
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import kmeans_assign
+
+    thr = 0.4
+    survivors = set(semdedup(SF, threshold=thr).to_pandas()["vec_id"])
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    assigned = kmeans_assign(SF).to_pandas()
+    emb = emb.merge(assigned, on="vec_id").sort_values("vec_id")
+    dropped = [v for v in emb["vec_id"] if v not in survivors]
+    assert dropped, "threshold 0.4 should prune planted near-dups"
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    lab = emb["assigned_label"].to_numpy()
+    by_id = {v: i for i, v in enumerate(ids)}
+    for v in dropped:
+        i = by_id[v]
+        earlier = (ids < v) & (lab == lab[i])
+        cos = mat[earlier] @ mat[i]
+        cos = np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 * np.sign(cos)
+        assert (cos > thr).any(), f"vec {v} dropped without a close earlier mate"
