@@ -417,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_both_years_intersect": analytics.active_both_years_intersect,
         "events_moving_avg": analytics.events_moving_avg,
         "events_outliers_zscore": analytics.events_outliers_zscore,
+        "order_rank_windows": analytics.order_rank_windows,
+        "doc_unigram_logprob": analytics.doc_unigram_logprob,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
         "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
@@ -970,6 +972,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((value - mu) / sd, 6) AS zscore
             FROM events e JOIN s USING (event_type)
             WHERE ABS(value - mu) > 3.0 * sd
+        """,
+        "order_rank_windows": """
+            SELECT o_orderkey, o_custkey,
+                   dense_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderpriority) AS drk,
+                   ntile(4) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS quartile,
+                   COALESCE(CAST(epoch(lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)) AS BIGINT), -1)
+                     AS next_orderdate_s
+            FROM orders
+        """,
+        "doc_unigram_logprob": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != '' GROUP BY doc_id, term),
+            vocab AS (SELECT term, SUM(tf) AS cnt FROM toks GROUP BY term),
+            tot AS (SELECT SUM(cnt) AS total FROM vocab)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(tf * ln(cnt)) / SUM(tf)
+                         - ln((SELECT total FROM tot)), 6) AS logprob
+            FROM toks JOIN vocab USING (term)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "decontaminate": _oracles.decontaminate_sql(),
         "doc_tfidf_top_terms": _oracles.doc_tfidf_top_terms_sql(),

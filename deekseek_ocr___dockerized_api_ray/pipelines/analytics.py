@@ -1104,3 +1104,138 @@ def customer_acctbal_cume(sf_dir: str, n_buckets: int = 16):
 
     return (cust.map_batches(add_bucket, batch_format="pandas", batch_size=131072)
                 .groupby("bucket").map_groups(dist_bucket, batch_format="pandas"))
+
+
+def order_rank_windows(sf_dir: str, n_buckets: int = 64, tiles: int = 4):
+    """Three window functions in one per-customer pass: dense_rank over
+    order priority, NTILE(tiles) over order date, and LEAD(orderdate)
+    (epoch seconds, -1 for the last order -- COALESCE'd the same way in
+    the oracle).
+
+    Shape: one bucketed keyed shuffle on o_custkey, then fully
+    vectorized per-bucket numpy (cumsum'd change-flags for dense_rank,
+    np.repeat'd tile sizes for NTILE, shift for LEAD).
+
+    Output: (o_orderkey, o_custkey, drk, quartile, next_orderdate_s).
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"],
+    )
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        # dense_rank: sort by (cust, priority); ntile/lead: by (cust, date, key)
+        d = df.sort_values(["o_custkey", "o_orderpriority", "o_orderkey"])
+        cust = d["o_custkey"].to_numpy()
+        prio = d["o_orderpriority"].to_numpy()
+        new_cust = np.empty(len(d), dtype=bool)
+        new_cust[0] = True
+        new_cust[1:] = cust[1:] != cust[:-1]
+        new_prio = np.empty(len(d), dtype=bool)
+        new_prio[0] = True
+        new_prio[1:] = (prio[1:] != prio[:-1]) | new_cust[1:]
+        grp_start = np.flatnonzero(new_cust)
+        drk = np.cumsum(new_prio)
+        # reset the cumsum at each customer boundary
+        base = np.zeros(len(d), dtype=np.int64)
+        base[grp_start] = drk[grp_start] - 1
+        base = np.maximum.accumulate(base)
+        d = d.assign(drk=(drk - base).astype(np.int64))
+
+        d = d.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cust = d["o_custkey"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], cust[1:] != cust[:-1])))
+        sizes = np.diff(np.append(starts, len(d)))
+        # SQL NTILE closed form (first n%k tiles get one extra row),
+        # fully vectorized: r = row index within customer, n = group size
+        n_grp = np.repeat(sizes, sizes)
+        r_in = np.arange(len(d)) - np.repeat(starts, sizes)
+        big = n_grp % tiles
+        size_big = n_grp // tiles + 1
+        cut = big * size_big
+        small = np.maximum(n_grp // tiles, 1)
+        quart = np.where(r_in < cut,
+                         r_in // size_big + 1,
+                         big + (r_in - cut) // small + 1).astype(np.int64)
+        od = _epoch_seconds_np(d["o_orderdate"])
+        nxt = np.empty(len(d), dtype=np.int64)
+        nxt[:-1] = od[1:]
+        nxt[-1] = -1
+        last_of_cust = np.concatenate((cust[1:] != cust[:-1], [True]))
+        nxt[last_of_cust] = -1
+        return pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].to_numpy(),
+            "o_custkey": d["o_custkey"].to_numpy(),
+            "drk": d["drk"].to_numpy(),
+            "quartile": quart,
+            "next_orderdate_s": nxt,
+        })
+
+    bucketed = orders.map_batches(
+        lambda df: _user_bucket(df, "o_custkey", n_buckets),
+        batch_format="pandas", batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(win, batch_format="pandas")
+
+
+def _epoch_seconds_np(series: pd.Series) -> np.ndarray:
+    return np.asarray(series, dtype="datetime64[s]").astype(np.int64)
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Unigram language-model score per document: the average token
+    log-probability under the corpus's own unigram distribution,
+    ROUND(SUM(tf * ln(cnt)) / SUM(tf) - ln(total), 6) -- the exact
+    algebra the oracle uses, so float trees agree to the rounding digit.
+
+    Shape: exploded (doc, term, tf) rows hash-join the combiner-reduced
+    global term counts (vocabulary can be huge -> a real join, not a
+    broadcast), then ONE per-doc combiner pass. The scalar ln(total)
+    is driver-side.
+
+    Output: (doc_id, n_tokens, logprob r6) sorted by doc_id.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(batch) -> pd.DataFrame:
+        df = batch.to_pandas() if not isinstance(batch, pd.DataFrame) else batch
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return (ex.groupby(["doc_id", "term"], as_index=False, sort=False)
+                .agg(tf=("term", "size")))
+
+    toks = ds.map_batches(counts, batch_format="pyarrow", batch_size=8192)
+    vocab = grouped_agg(toks, ["term"], {"cnt": ("tf", "sum")}, n_buckets=16)
+    total = int(vocab.sum("cnt"))
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    joined = toks.join(vocab, join_type="inner",
+                       num_partitions=max(2, cpus // 2), on=("term",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].to_numpy(dtype=np.float64)
+        cnt = df["cnt"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "wsum": tf * np.log(cnt),
+                             "ntok": df["tf"].to_numpy(dtype=np.int64)})
+
+    agg = grouped_agg(joined.map_batches(partial, batch_format="pandas"),
+                      ["doc_id"], {"wsum": ("wsum", "sum"),
+                                   "ntok": ("ntok", "sum")})
+
+    ln_total = float(np.log(float(total)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["wsum"].to_numpy() / df["ntok"].to_numpy(dtype=np.float64) - ln_total
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tokens": df["ntok"].astype("int64"),
+                             "logprob": round_series(pd.Series(lp), 6)})
+
+    return agg.map_batches(finish, batch_format="pandas").sort("doc_id")
