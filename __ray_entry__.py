@@ -419,16 +419,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers_zscore": analytics.events_outliers_zscore,
         "order_rank_windows": analytics.order_rank_windows,
         "doc_unigram_logprob": analytics.doc_unigram_logprob,
+        "events_funnel": analytics.events_funnel,
+        "user_retention_weeks": analytics.user_retention_weeks,
+        "events_mad": analytics.events_mad,
+        "customer_orders_full_outer": relational.customer_orders_full_outer,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
         "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
         "semdedup": curation.semdedup,
+        "doc_bm25": curation.doc_bm25,
+        "duplicate_chunks": curation.duplicate_chunks,
         "nation_trade_volume_q7": tpch_more.nation_trade_volume_q7,
         "market_share_q8": tpch_more.market_share_q8,
         "product_profit_q9": tpch_more.product_profit_q9,
         "customer_distribution_q13": tpch_more.customer_distribution_q13,
         "top_supplier_q15": tpch_more.top_supplier_q15,
         "lapsed_rich_customers_q22": tpch_more.lapsed_rich_customers_q22,
+        "sole_return_supplier_q21": tpch_more.sole_return_supplier_q21,
         # approximate by design -> rows-only driver check; error bound
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
@@ -998,6 +1005,113 @@ def oracle_sql() -> dict[str, str]:
                          - ln((SELECT total FROM tot)), 6) AS logprob
             FROM toks JOIN vocab USING (term)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_funnel": """
+            WITH s AS (
+              SELECT user_id, MIN(ts) AS st
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS pt
+              FROM events e JOIN s USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= s.st
+              GROUP BY e.user_id)
+            SELECT s.user_id,
+                   epoch_us(st) AS signup_ts_us,
+                   COALESCE(epoch_us(pt), -1) AS first_purchase_us,
+                   CASE WHEN pt IS NULL THEN 0 ELSE 1 END AS converted
+            FROM s LEFT JOIN p USING (user_id)
+            ORDER BY user_id
+        """,
+        "user_retention_weeks": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS week
+              FROM events),
+            c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
+            SELECT cohort AS cohort_week,
+                   week - cohort AS week_offset,
+                   COUNT(*) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_mad": """
+            WITH m AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   ROUND(ANY_VALUE(m.med), 6) AS med,
+                   ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad,
+                   COUNT(*) AS n
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "customer_orders_full_outer": """
+            WITH oa AS (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     SUM(o_totalprice) AS total
+              FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey,
+                   COALESCE(c.c_mktsegment, 'none') AS segment,
+                   CAST(COALESCE(oa.n_orders, 0) AS BIGINT) AS n_orders,
+                   ROUND(COALESCE(oa.total, 0.0), 2) AS total
+            FROM customer c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey
+            ORDER BY custkey
+        """,
+        "sole_return_supplier_q21": """
+            WITH rl AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS has_r
+              FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            o AS (
+              SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r
+              FROM rl GROUP BY l_orderkey)
+            SELECT rl.l_suppkey AS suppkey, COUNT(*) AS numwait
+            FROM rl JOIN o USING (l_orderkey)
+            WHERE rl.has_r = 1 AND o.n_supp >= 2 AND o.n_r = 1
+            GROUP BY rl.l_suppkey
+            ORDER BY numwait DESC, suppkey LIMIT 100
+        """,
+        "doc_bm25": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            ad AS (SELECT SUM(dl) / (SELECT n_docs FROM n) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks WHERE term IN ('join', 'sort', 'window')
+              GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + ((SELECT n_docs FROM n) - df.df + 0.5)
+                            / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS part
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
+            SELECT dl.doc_id, CAST(dl.dl AS BIGINT) AS dl,
+                   ROUND(COALESCE(SUM(s.part), 0.0), 6) AS bm25
+            FROM dl LEFT JOIN scored s USING (doc_id)
+            GROUP BY dl.doc_id, dl.dl ORDER BY doc_id
+        """,
+        "duplicate_chunks": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            c AS (
+              SELECT doc_id,
+                     array_to_string(w[(i*4+1):(i*4+4)], ' ') AS chunk
+              FROM w, unnest(range(len(w) // 4)) AS t(i))
+            SELECT chunk, COUNT(*) AS n_occur,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS first_doc
+            FROM c GROUP BY chunk
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY chunk
         """,
         "decontaminate": _oracles.decontaminate_sql(),
         "doc_tfidf_top_terms": _oracles.doc_tfidf_top_terms_sql(),

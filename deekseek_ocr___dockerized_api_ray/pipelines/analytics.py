@@ -1239,3 +1239,142 @@ def doc_unigram_logprob(sf_dir: str):
                              "logprob": round_series(pd.Series(lp), 6)})
 
     return agg.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+def events_funnel(sf_dir: str, n_buckets: int = 64,
+                  start: str = "signup", goal: str = "purchase"):
+    """Two-step funnel: for every user with a ``start`` event, the first
+    ``goal`` event at or after their first ``start``.
+
+    Shape: the event log is filtered to the two funnel steps at the
+    batch level (a tiny fraction of the stream), then ONE bucketed keyed
+    shuffle on user_id and a vectorized per-bucket kernel (groupby-min
+    for the start, a merge + groupby-min for the goal). No self-join of
+    the full log, no driver materialization.
+
+    Output: (user_id, signup_ts_us, first_purchase_us [-1 if never],
+    converted 0/1) sorted by user_id.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin((start, goal))]
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "ts_us": ts_us,
+                          "event_type": df["event_type"].to_numpy()})
+        s = (d[d["event_type"] == start]
+             .groupby("user_id", as_index=False)["ts_us"].min()
+             .rename(columns={"ts_us": "signup_ts_us"}))
+        if s.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "signup_ts_us": pd.Series(dtype="int64"),
+                                 "first_purchase_us": pd.Series(dtype="int64"),
+                                 "converted": pd.Series(dtype="int64")})
+        g = d[d["event_type"] == goal].merge(s, on="user_id")
+        g = g[g["ts_us"] >= g["signup_ts_us"]]
+        p = (g.groupby("user_id", as_index=False)["ts_us"].min()
+             .rename(columns={"ts_us": "first_purchase_us"}))
+        out = s.merge(p, on="user_id", how="left")
+        conv = out["first_purchase_us"].notna()
+        out["first_purchase_us"] = (
+            out["first_purchase_us"].fillna(-1).astype(np.int64))
+        out["converted"] = conv.astype(np.int64)
+        return out
+
+    bucketed = (ev.map_batches(prefilter, batch_format="pandas",
+                               batch_size=131072)
+                  .map_batches(lambda df: _user_bucket(df, "user_id", n_buckets),
+                               batch_format="pandas", batch_size=131072))
+    return (bucketed.groupby("bucket")
+                    .map_groups(funnel, batch_format="pandas")
+                    .sort("user_id"))
+
+
+def user_retention_weeks(sf_dir: str, n_buckets: int = 64):
+    """Cohort retention triangle: users grouped by the week of their
+    first event (cohort_week = epoch_us // 1 week), counted in every
+    later week they were active (week_offset = active week - cohort).
+
+    Shape: per-batch dedup to (user_id, week) slims the shuffle, one
+    bucketed keyed shuffle on user_id computes each user's cohort and
+    offsets locally (users never straddle buckets, so summing per-bucket
+    partial counts is an EXACT distinct-user count), then a tiny
+    grouped_agg over (cohort_week, week_offset).
+
+    Output: (cohort_week, week_offset, n_users).
+    """
+    import ray.data as rd
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        week = (np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+                // week_us)
+        return (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                              "week": week})
+                .drop_duplicates())
+
+    def cohort(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "week"])
+        coh = d.groupby("user_id")["week"].transform("min")
+        part = (pd.DataFrame({"cohort_week": coh.to_numpy(),
+                              "week_offset": (d["week"] - coh).to_numpy()})
+                .groupby(["cohort_week", "week_offset"], as_index=False)
+                .agg(n_users=("week_offset", "size")))
+        return part
+
+    bucketed = (ev.map_batches(to_weeks, batch_format="pandas",
+                               batch_size=131072)
+                  .map_batches(lambda df: _user_bucket(df, "user_id", n_buckets),
+                               batch_format="pandas", batch_size=131072))
+    parts = bucketed.groupby("bucket").map_groups(cohort, batch_format="pandas")
+    out = grouped_agg(parts, ["cohort_week", "week_offset"],
+                      {"n_users": ("n_users", "sum")}, n_buckets=16)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"cohort_week": "int64", "week_offset": "int64",
+                          "n_users": "int64"})
+
+    return (out.map_batches(cast, batch_format="pandas")
+               .sort(["cohort_week", "week_offset"]))
+
+
+def events_mad(sf_dir: str):
+    """Robust per-type statistics: exact median and median absolute
+    deviation of ``value`` per event_type (quantile_cont semantics --
+    numpy linear interpolation).
+
+    Grain is event_type (a handful of groups), so the per-group exact
+    kernel is safe: each group must fit one task. For high-cardinality
+    grains use the mergeable QuantileSketch path (events_value_quantiles)
+    instead -- this operator is the exact-at-small-grain companion.
+
+    Output: (event_type, med r6, mad r6, n).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def mad_of(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["value"].to_numpy(dtype=np.float64)
+        med = float(np.quantile(v, 0.5))
+        mad = float(np.quantile(np.abs(v - med), 0.5))
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "med": round_series(pd.Series([med]), 6),
+            "mad": round_series(pd.Series([mad]), 6),
+            "n": np.array([len(v)], dtype=np.int64),
+        })
+
+    return (ev.groupby("event_type")
+              .map_groups(mad_of, batch_format="pandas")
+              .sort("event_type"))

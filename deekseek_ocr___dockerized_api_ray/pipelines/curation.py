@@ -224,3 +224,150 @@ def semdedup(sf_dir: str, threshold: float = 0.4):
     return (assigned.groupby("assigned_label")
             .map_groups(prune, batch_format="pandas")
             .sort("vec_id"))
+
+
+#: BM25 scoring constants (Robertson/Sparck-Jones defaults) and the
+#: fixed query used by the driver query + oracle.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "sort", "window")
+
+
+def doc_bm25(sf_dir: str, terms: tuple = _BM25_TERMS,
+             k1: float = _BM25_K1, b: float = _BM25_B):
+    """BM25 relevance of every document against a fixed term query:
+    score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Shape: two streaming passes over a column-pruned read. Pass 1
+    reduces to |terms| df rows + two scalars (N from parquet metadata,
+    sum dl) -- the "global state" of BM25 is a handful of floats, so it
+    broadcasts as plain Python closure state. Pass 2 scores every doc
+    in one vectorized map_batches (explode -> pivot -> closed form). No
+    shuffle larger than |terms| rows.
+
+    Split convention is single-space with empty tokens dropped (matches
+    the oracle's string_split + filter).
+
+    Output: (doc_id, dl, bm25 r6) sorted by doc_id.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    term_list = list(terms)
+
+    def _tokens(df: pd.DataFrame):
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        return ex[ex["term"] != ""]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    # pass 1: per-term document frequency + global token count
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        ex = _tokens(batch.to_pandas())
+        hit = ex[ex["term"].isin(term_list)].drop_duplicates()
+        out = (hit.groupby("term", as_index=False, sort=False)
+               .agg(df=("doc_id", "size")))
+        out.loc[len(out)] = ["\x00total_tokens", len(ex)]
+        return out
+
+    stats = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=8192),
+        ["term"], {"df": ("df", "sum")}, n_buckets=4).to_pandas()
+    total_tokens = int(
+        stats.loc[stats["term"] == "\x00total_tokens", "df"].sum())
+    dfreq = {t: int(v) for t, v in zip(stats["term"], stats["df"])
+             if t != "\x00total_tokens"}
+    avgdl = total_tokens / float(n_docs)
+    idf = {t: float(np.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5)
+                           / (dfreq.get(t, 0) + 0.5)))
+           for t in term_list}
+
+    # pass 2: score every document
+    def score(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = _tokens(df)
+        dl = (ex.groupby("doc_id", as_index=False, sort=False)
+              .agg(dl=("term", "size")))
+        tf = (ex[ex["term"].isin(term_list)]
+              .groupby(["doc_id", "term"], as_index=False, sort=False)
+              .agg(tf=("term", "size")))
+        piv = tf.pivot_table(index="doc_id", columns="term", values="tf",
+                             fill_value=0, aggfunc="sum")
+        out = dl.merge(piv.reset_index(), on="doc_id", how="left")
+        dlv = out["dl"].to_numpy(dtype=np.float64)
+        denom_dl = k1 * (1.0 - b + b * dlv / avgdl)
+        bm25 = np.zeros(len(out))
+        for t in term_list:
+            tfv = (out[t].fillna(0).to_numpy(dtype=np.float64)
+                   if t in out.columns else np.zeros(len(out)))
+            bm25 += idf[t] * tfv * (k1 + 1.0) / (tfv + denom_dl)
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "dl": out["dl"].astype("int64"),
+                             "bm25": round_series(pd.Series(bm25), 6)})
+
+    return (ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+              .sort("doc_id"))
+
+
+def duplicate_chunks(sf_dir: str, chunk_words: int = 4, min_docs: int = 2):
+    """Cross-document duplicate-chunk report: split every document into
+    non-overlapping ``chunk_words``-token chunks (trailing partial chunk
+    dropped) and report every chunk text that appears in >= ``min_docs``
+    distinct documents -- the unit-of-work behind paragraph/sentence-level
+    dedup of web corpora.
+
+    Shape: chunking + string assembly are vectorized per batch (one flat
+    token array, boolean mask, reshape(-1, k), column-wise concat -- no
+    per-row Python); per-batch partial counts slim the shuffle to one
+    row per (chunk, doc); then two grouped_aggs (per (chunk,doc) ->
+    per chunk). The keyed exchange carries counted chunk rows, never
+    documents.
+
+    Output: (chunk, n_occur, n_docs, first_doc) sorted by chunk.
+    """
+    import ray.data as rd
+
+    k = int(chunk_words)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def chunks_of(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        n_chunks = lens // k
+        kept = n_chunks * k
+        flat = np.concatenate([np.empty(0, dtype=object), *words.to_numpy()])
+        pos = np.arange(len(flat)) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        arr = flat[pos < np.repeat(kept, lens)].reshape(-1, k)
+        cols = [pd.Series(arr[:, i], dtype="object") for i in range(k)]
+        chunk = cols[0]
+        for c in cols[1:]:
+            chunk = chunk + " " + c
+        part = pd.DataFrame({
+            "chunk": chunk.to_numpy(),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n_chunks),
+        })
+        return (part.groupby(["chunk", "doc_id"], as_index=False, sort=False)
+                .agg(n_occur=("doc_id", "size")))
+
+    per_doc = grouped_agg(
+        ds.map_batches(chunks_of, batch_format="pyarrow", batch_size=8192),
+        ["chunk", "doc_id"], {"n_occur": ("n_occur", "sum")}, n_buckets=64)
+    per_chunk = grouped_agg(
+        per_doc, ["chunk"],
+        {"n_occur": ("n_occur", "sum"), "n_docs": ("doc_id", "size"),
+         "first_doc": ("doc_id", "min")}, n_buckets=64)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_docs"] >= min_docs]
+        return out.astype({"n_occur": "int64", "n_docs": "int64",
+                           "first_doc": "int64"})
+
+    return (per_chunk.map_batches(finish, batch_format="pandas")
+                     .sort("chunk"))

@@ -631,3 +631,45 @@ def events_followups_range(sf_dir: str, window_s: int = 86400, n_buckets: int = 
         .groupby("bucket")
         .map_groups(lambda df: pairs(df.drop(columns=["bucket"])), batch_format="pandas")
     )
+
+
+def customer_orders_full_outer(sf_dir: str):
+    """FULL OUTER join demo: order volume per customer INCLUDING
+    customers that never ordered (right-null side -> zero counts) and
+    any order custkeys missing from the dimension (left-null side ->
+    segment 'none'). Orders are pre-aggregated to one row per custkey
+    before the join, so the exchange ships one slim row per key from
+    each side -- the classic reconciliation/audit join at corpus scale.
+
+    Output: (custkey, segment, n_orders, total r2) sorted by custkey.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    oa = grouped_agg(orders, ["o_custkey"],
+                     {"n_orders": ("o_totalprice", "size"),
+                      "total": ("o_totalprice", "sum")})
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    joined = cust.join(
+        oa.map_batches(lambda b: b, batch_format="pyarrow"),
+        join_type="full_outer", num_partitions=max(2, cpus // 2),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": df["c_custkey"].astype("int64"),
+            "segment": df["c_mktsegment"].fillna("none"),
+            "n_orders": df["n_orders"].fillna(0).astype("int64"),
+            "total": round_series(df["total"].fillna(0.0), 2),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas").sort("custkey")

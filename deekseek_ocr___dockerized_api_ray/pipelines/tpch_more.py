@@ -599,3 +599,66 @@ def lapsed_rich_customers_q22(sf_dir: str, nations: tuple[int, ...] = (1, 3, 5, 
                         {"c_nationkey": "int64", "numcust": "int64",
                          "totacctbal": "float64"},
                         ["c_nationkey"])
+
+
+def sole_return_supplier_q21(sf_dir: str, n_buckets: int = 64,
+                             limit: int = 100):
+    """q21-analogue (suppliers who kept orders waiting, EXISTS / NOT
+    EXISTS folded into group logic): in every order served by >= 2
+    distinct suppliers, find the suppliers that are the ONLY supplier
+    with a returned ('R') line, and count such orders per supplier.
+
+    The reference query's correlated EXISTS / NOT EXISTS self-joins on
+    lineitem collapse into per-order set logic: reduce lineitem to one
+    row per (order, supplier) with a has_r flag (grouped_agg combiner),
+    then ONE bucketed pass keyed on l_orderkey computes n_supp / n_r via
+    groupby-transform and filters -- no self-join ever ships the fact
+    table twice. A final tiny grouped_agg counts per supplier.
+
+    Output: (suppkey, numwait) sorted numwait DESC, suppkey ASC, top
+    ``limit``.
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def flag_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(has_r=(df["l_returnflag"] == "R").astype(np.int64))
+        return (df.groupby(["l_orderkey", "l_suppkey"], as_index=False,
+                           sort=False).agg(has_r=("has_r", "max")))
+
+    per_os = grouped_agg(
+        li.map_batches(flag_partial, batch_format="pandas",
+                       batch_size=131072),
+        ["l_orderkey", "l_suppkey"], {"has_r": ("has_r", "max")},
+        n_buckets=n_buckets)
+
+    def sole(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey")
+        n_supp = g["l_suppkey"].transform("size")
+        n_r = g["has_r"].transform("sum")
+        hit = df[(df["has_r"] == 1) & (n_supp >= 2) & (n_r == 1)]
+        return (hit.groupby("l_suppkey", as_index=False, sort=False)
+                .agg(numwait=("l_suppkey", "size")))
+
+    # re-key the (order, supplier) rows by order so each order's supplier
+    # set is complete inside one group
+    from .analytics import _user_bucket
+
+    by_order = (per_os.map_batches(
+        lambda df: _user_bucket(df, "l_orderkey", n_buckets),
+        batch_format="pandas", batch_size=131072)
+        .groupby("bucket").map_groups(sole, batch_format="pandas"))
+
+    counts = grouped_agg(by_order, ["l_suppkey"],
+                         {"numwait": ("numwait", "sum")}, n_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"suppkey": df["l_suppkey"].astype("int64"),
+                             "numwait": df["numwait"].astype("int64")})
+
+    out = counts.map_batches(finish, batch_format="pandas").to_pandas()
+    out = (out.sort_values(["numwait", "suppkey"], ascending=[False, True])
+           .head(limit).reset_index(drop=True))
+    return out

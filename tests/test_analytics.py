@@ -143,3 +143,57 @@ def test_q10_gated_paths_agree(ray_session):
     join = (returned_item_report_q10(SF, broadcast_rows=0)
             .to_pandas().reset_index(drop=True))
     assert fast.equals(join)
+
+
+@needs_data
+def test_funnel_invariants(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import events_funnel
+
+    df = events_funnel(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    signup_users = set(ev.loc[ev["event_type"] == "signup", "user_id"])
+    assert set(df["user_id"]) == signup_users
+    conv = df[df["converted"] == 1]
+    # goal events never precede the start event
+    assert (conv["first_purchase_us"] >= conv["signup_ts_us"]).all()
+    assert (df.loc[df["converted"] == 0, "first_purchase_us"] == -1).all()
+
+
+@needs_data
+def test_retention_counts_are_exact_distinct(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        user_retention_weeks,
+    )
+
+    df = user_retention_weeks(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    week = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // (7 * 24 * 3600 * 1_000_000))
+    uw = pd.DataFrame({"user_id": ev["user_id"], "week": week}).drop_duplicates()
+    # total count over all cells == |distinct (user, week)|
+    assert int(df["n_users"].sum()) == len(uw)
+    # offset-0 cells count each user exactly once
+    assert int(df.loc[df["week_offset"] == 0, "n_users"].sum()) == uw["user_id"].nunique()
+
+
+@needs_data
+def test_sole_return_supplier_matches_pandas(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.tpch_more import (
+        sole_return_supplier_q21,
+    )
+
+    got = sole_return_supplier_q21(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    rl = (li.assign(has_r=(li["l_returnflag"] == "R").astype(int))
+          .groupby(["l_orderkey", "l_suppkey"], as_index=False)
+          .agg(has_r=("has_r", "max")))
+    g = rl.groupby("l_orderkey")
+    hit = rl[(rl["has_r"] == 1)
+             & (g["l_suppkey"].transform("size") >= 2)
+             & (g["has_r"].transform("sum") == 1)]
+    ref = (hit.groupby("l_suppkey").size().rename("numwait").reset_index()
+           .sort_values(["numwait", "l_suppkey"], ascending=[False, True])
+           .head(100).reset_index(drop=True))
+    assert np.array_equal(got["suppkey"].to_numpy(), ref["l_suppkey"].to_numpy())
+    assert np.array_equal(got["numwait"].to_numpy(), ref["numwait"].to_numpy())

@@ -79,3 +79,41 @@ def test_semdedup_dropped_have_earlier_close_clustermate(ray_session):
         cos = mat[earlier] @ mat[i]
         cos = np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 * np.sign(cos)
         assert (cos > thr).any(), f"vec {v} dropped without a close earlier mate"
+
+
+@needs_data
+def test_bm25_zero_hit_docs_score_zero(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        _BM25_TERMS,
+        doc_bm25,
+    )
+
+    df = doc_bm25(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = docs["text"].str.split(" ")
+    hits = toks.apply(lambda w: any(t in w for t in _BM25_TERMS))
+    no_hit = set(docs.loc[~hits, "doc_id"])
+    assert len(df) == len(docs)
+    assert (df.loc[df["doc_id"].isin(no_hit), "bm25"] == 0.0).all()
+    assert (df.loc[~df["doc_id"].isin(no_hit), "bm25"] > 0.0).all()
+    # dl == non-empty token count
+    dl_ref = toks.apply(lambda w: sum(1 for t in w if t != ""))
+    merged = df.merge(pd.DataFrame({"doc_id": docs["doc_id"], "dl_ref": dl_ref}),
+                      on="doc_id")
+    assert (merged["dl"] == merged["dl_ref"]).all()
+
+
+@needs_data
+def test_duplicate_chunks_shape(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import duplicate_chunks
+
+    df = duplicate_chunks(SF).to_pandas()
+    assert (df["n_docs"] >= 2).all()
+    assert (df["n_occur"] >= df["n_docs"]).all()
+    # every chunk is exactly 4 space-separated words
+    assert (df["chunk"].str.split(" ").str.len() == 4).all()
+    # first_doc is a real doc that contains the chunk
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sample = df.head(20).merge(docs, left_on="first_doc", right_on="doc_id")
+    for chunk, text in zip(sample["chunk"], sample["text"]):
+        assert chunk in text
