@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by design -> rows-only driver check; error bound
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
+        "kmeans_fit": scale_ops.kmeans_fit,
     }
 
 
@@ -1005,6 +1006,53 @@ def oracle_sql() -> dict[str, str]:
                          - ln((SELECT total FROM tot)), 6) AS logprob
             FROM toks JOIN vocab USING (term)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "kmeans_fit": """
+            WITH c0 AS MATERIALIZED (
+              SELECT vec_id AS cl, i, CAST(embedding[i] AS DOUBLE) AS cv
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+              WHERE vec_id < 6),
+            d1 AS (
+              SELECT e.vec_id, c.cl,
+                     SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+              FROM embeddings e, c0 c GROUP BY 1, 2),
+            a1 AS (
+              SELECT vec_id, cl FROM d1
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cl) = 1),
+            n1 AS (
+              SELECT a.cl, t.i, AVG(e.embedding[t.i]) AS cv
+              FROM a1 a JOIN embeddings e USING (vec_id),
+                   unnest(range(1, len(e.embedding) + 1)) AS t(i)
+              GROUP BY 1, 2),
+            c1 AS MATERIALIZED (
+              SELECT c0.cl, c0.i, COALESCE(n1.cv, c0.cv) AS cv
+              FROM c0 LEFT JOIN n1 ON n1.cl = c0.cl AND n1.i = c0.i),
+            d2 AS (
+              SELECT e.vec_id, c.cl,
+                     SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+              FROM embeddings e, c1 c GROUP BY 1, 2),
+            a2 AS (
+              SELECT vec_id, cl FROM d2
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cl) = 1),
+            n2 AS (
+              SELECT a.cl, t.i, AVG(e.embedding[t.i]) AS cv
+              FROM a2 a JOIN embeddings e USING (vec_id),
+                   unnest(range(1, len(e.embedding) + 1)) AS t(i)
+              GROUP BY 1, 2),
+            c2 AS MATERIALIZED (
+              SELECT c1.cl, c1.i, COALESCE(n2.cv, c1.cv) AS cv
+              FROM c1 LEFT JOIN n2 ON n2.cl = c1.cl AND n2.i = c1.i),
+            d3 AS (
+              SELECT e.vec_id, c.cl,
+                     SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+              FROM embeddings e, c2 c GROUP BY 1, 2)
+            SELECT vec_id, cl AS cluster, ROUND(dist, 6) AS dist
+            FROM d3
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cl) = 1
+            ORDER BY vec_id
         """,
         "events_funnel": """
             WITH s AS (

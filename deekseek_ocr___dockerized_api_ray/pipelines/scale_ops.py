@@ -461,3 +461,96 @@ def events_value_quantiles(sf_dir: str, b: int = 1024):
     partials = ev.map_batches(partial, batch_format="pandas", batch_size=131072)
     return (partials.map_batches(bucket, batch_format="pandas")
                     .groupby("bucket").map_groups(reduce, batch_format="pandas"))
+
+
+def kmeans_fit(sf_dir: str, k: int = 6, iters: int = 2):
+    """Distributed Lloyd's k-means: ``iters`` full update rounds then a
+    final assignment, with deterministic seeding (the embeddings of
+    vec_id 0..k-1) and deterministic ties (lowest cluster id).
+
+    This is the engine's ITERATIVE-ALGORITHM template: per round, the
+    k x dim centroid matrix (tiny, model state) broadcasts to a
+    stateless vectorized assignment pass, which emits ONE partial row
+    per (batch, cluster) -- count + per-dim sum -- and the driver folds
+    the partials into the next round's centroids. The corpus streams
+    every round; nothing corpus-sized is ever collected. An empty
+    cluster keeps its previous centroid (and the oracle mirrors that
+    with a COALESCE).
+
+    Output: (vec_id, cluster, dist r6) -- final assignment + squared
+    Euclidean distance, sorted by vec_id.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def _matrix(batch: pa.Table) -> np.ndarray:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(batch.num_rows, -1)
+
+    # deterministic seeds: vec_id 0..k-1 (a k-row point read with a
+    # pushed-down row filter -- never a scan of the corpus)
+    import pyarrow.parquet as pq
+
+    seed_df = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", k)])
+               .to_pandas().sort_values("vec_id"))
+    centroids = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in seed_df["embedding"]])
+
+    def _round(cents: np.ndarray):
+        cent_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            mat = _matrix(batch)
+            diff = mat[:, None, :] - c[None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            near = np.argmin(dist, axis=1)
+            rows = []
+            for cl in np.unique(near):
+                sel = mat[near == cl]
+                rows.append({"cluster": int(cl), "cnt": len(sel),
+                             "sums": sel.sum(axis=0).tolist()})
+            out = pd.DataFrame(rows)
+            return out
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=8192).to_pandas())
+        new = cents.copy()
+        for cl, grp in parts.groupby("cluster"):
+            cnt = int(grp["cnt"].sum())
+            if cnt > 0:
+                new[int(cl)] = np.sum(np.stack(grp["sums"].to_numpy()),
+                                      axis=0) / cnt
+        return new
+
+    for _ in range(iters):
+        centroids = _round(centroids)
+
+    final_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(final_ref)
+        mat = _matrix(batch)
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        near = np.argmin(dist, axis=1)
+        from ..functions.rounding import round_series
+
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "vec_id": vec_ids.astype(np.int64),
+            "cluster": near.astype(np.int64),
+            "dist": round_series(
+                pd.Series(dist[np.arange(len(near)), near]), 6),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+              .sort("vec_id"))

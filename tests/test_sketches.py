@@ -121,3 +121,16 @@ def test_veclookup_hits_and_misses():
     vals, found = lut.lookup(np.array([1, 2, 9, 100, 5]))
     assert found.tolist() == [True, False, True, False, True]
     assert vals[found].tolist() == [10, 90, 50]
+
+
+@needs_data
+def test_kmeans_fit_converges_toward_lower_inertia(ray_session):
+    """Each Lloyd round must not increase total inertia (squared-distance
+    sum) -- the classic monotonicity invariant."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import kmeans_fit
+
+    i0 = kmeans_fit(SF, iters=0).to_pandas()["dist"].sum()
+    i2 = kmeans_fit(SF, iters=2).to_pandas()["dist"].sum()
+    i4 = kmeans_fit(SF, iters=4).to_pandas()["dist"].sum()
+    assert i2 <= i0 + 1e-9
+    assert i4 <= i2 + 1e-9
