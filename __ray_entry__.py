@@ -618,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
         "langid_predict": _oracles.langid_predict_sql(),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
+        "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
+        "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),
+        "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -353,3 +353,127 @@ WHERE NOT EXISTS (
     AND ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
                                      eb.embedding::DOUBLE[]), 6) > {threshold})
 ORDER BY a.vec_id"""
+
+
+def _plane_values(planes) -> str:
+    """(dim, n_planes) matrix -> SQL VALUES tuples (i 1-based dim index,
+    j 0-based plane index, v full-precision literal)."""
+    rows = []
+    for i in range(planes.shape[0]):
+        for j in range(planes.shape[1]):
+            rows.append(f"({i + 1},{j},{planes[i, j]!r})")
+    return ",".join(rows)
+
+
+def ann_lsh_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, bands: int = 16,
+                rows_per_band: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Banded hyperplane-LSH top-k (stages/similarity.lsh_topk): the
+    seeded plane matrix is INLINED (the RNG's output, not the RNG), sign
+    bits / band keys / the salted wanted-set are computed in SQL, and
+    the exact cosine top-k runs over the candidate union. Sign bits are
+    scale-invariant, so SQL skips the normalize the Ray side does."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(size=(dim, bands * rows_per_band))
+    qs = ",".join(str(int(q)) for q in query_ids)
+    salt = 1 << rows_per_band
+    return f"""
+WITH p(i, j, v) AS (VALUES {_plane_values(planes)}),
+bits AS MATERIALIZED (
+  SELECT e.vec_id, p.j,
+         CASE WHEN SUM(e.embedding[p.i] * p.v) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, p GROUP BY e.vec_id, p.j),
+keys AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(bit << (j % {rows_per_band})) + (j // {rows_per_band}) * {salt}
+              AS BIGINT) AS key
+  FROM bits GROUP BY vec_id, j // {rows_per_band}),
+qk AS (SELECT DISTINCT key FROM keys WHERE vec_id IN ({qs})),
+cand AS (SELECT DISTINCT k.vec_id FROM keys k JOIN qk USING (key)),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN ({qs})),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e JOIN cand USING (vec_id), q
+      WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def ann_ivf_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, n_lists: int = 16,
+                n_probe: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """IVF-probed top-k (stages/similarity.ivf_topk): the seeded
+    NORMALIZED codebook is inlined; list assignment (argmax dot) and the
+    per-query probe set (top n_probe dots) are computed in SQL; exact
+    cosine top-k over the probed lists' members. Dot-ordering is
+    scale-invariant per row, so raw embeddings stand in for the
+    normalized ones."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.normal(size=(n_lists, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    qs = ",".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH c(i, cl, v) AS (VALUES {_plane_values(c.T)}),
+dot AS MATERIALIZED (
+  SELECT e.vec_id, c.cl, SUM(e.embedding[c.i] * c.v) AS d
+  FROM embeddings e, c GROUP BY e.vec_id, c.cl),
+assign AS (
+  SELECT vec_id, cl FROM dot
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) = 1),
+probed AS (
+  SELECT DISTINCT cl FROM (
+    SELECT vec_id, cl FROM dot WHERE vec_id IN ({qs})
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl)
+            <= {n_probe})),
+cand AS (SELECT a.vec_id FROM assign a JOIN probed USING (cl)),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN ({qs})),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e JOIN cand USING (vec_id), q
+      WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def emb_neardup_sql(threshold: float = 0.4, bands: int = 6,
+                    rows_per_band: int = 3, dim: int = 64,
+                    seed: int = 42) -> str:
+    """Banded-LSH near-dup pairs (stages/similarity.embedding_neardup_pairs):
+    inlined seeded planes, band-bucket candidate pairs (pair shares ANY
+    band bucket), exact-cosine verify at the RAW >= threshold boundary
+    (the Ray verify compares unrounded cosine; output is rounded r6)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(size=(dim, bands * rows_per_band))
+    return f"""
+WITH p(i, j, v) AS (VALUES {_plane_values(planes)}),
+bits AS MATERIALIZED (
+  SELECT e.vec_id, p.j,
+         CASE WHEN SUM(e.embedding[p.i] * p.v) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, p GROUP BY e.vec_id, p.j),
+keys AS MATERIALIZED (
+  SELECT vec_id, j // {rows_per_band} AS band,
+         CAST(SUM(bit << (j % {rows_per_band})) AS BIGINT) AS key
+  FROM bits GROUP BY vec_id, j // {rows_per_band}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+                         AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= {threshold}
+ORDER BY id_a, id_b"""
