@@ -422,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": analytics.events_funnel,
         "user_retention_weeks": analytics.user_retention_weeks,
         "events_mad": analytics.events_mad,
+        "orders_monthly_gapfill": analytics.orders_monthly_gapfill,
+        "train_test_split": text.train_test_split,
+        "term_cooccurrence": text.term_cooccurrence,
         "customer_orders_full_outer": relational.customer_orders_full_outer,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
@@ -1009,6 +1012,50 @@ def oracle_sql() -> dict[str, str]:
                          - ln((SELECT total FROM tot)), 6) AS logprob
             FROM toks JOIN vocab USING (term)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "orders_monthly_gapfill": """
+            WITH m AS (
+              SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                     COUNT(*) AS n_orders, SUM(o_totalprice) AS rev
+              FROM orders GROUP BY 1),
+            b AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM m),
+            g AS (SELECT unnest(range(lo, hi + 1)) AS mi FROM b)
+            SELECT CAST(g.mi // 12 AS BIGINT) AS year,
+                   CAST(g.mi % 12 + 1 AS BIGINT) AS month,
+                   CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+                   ROUND(COALESCE(m.rev, 0.0), 2) AS revenue
+            FROM g LEFT JOIN m USING (mi) ORDER BY 1, 2
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower(doc_id::VARCHAR) % 100 < 80
+                        THEN 'train'
+                        WHEN md5_number_lower(doc_id::VARCHAR) % 100 < 90
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
+        """,
+        "term_cooccurrence": """
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            marg AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+            top AS (
+              SELECT * FROM pairs
+              ORDER BY n_ab DESC, term_a, term_b LIMIT 50)
+            SELECT t.term_a, t.term_b, CAST(t.n_ab AS BIGINT) AS n_ab,
+                   ROUND(ln(t.n_ab * (SELECT COUNT(*) FROM documents)::DOUBLE
+                            / (ma.n * mb.n)), 6) AS pmi
+            FROM top t
+            JOIN marg ma ON ma.term = t.term_a
+            JOIN marg mb ON mb.term = t.term_b
+            ORDER BY n_ab DESC, term_a, term_b
         """,
         "kmeans_fit": """
             WITH c0 AS MATERIALIZED (

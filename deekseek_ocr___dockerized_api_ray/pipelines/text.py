@@ -289,3 +289,104 @@ def doc_scrub_pii(sf_dir: str):
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def train_test_split(sf_dir: str, train_pct: int = 80, val_pct: int = 10,
+                     mod: int = 100):
+    """Deterministic 3-way split for data mixing: every doc lands in
+    train/val/test by ``md5_number_lower(doc_id) % mod`` against the
+    cumulative cut points -- reproducible across runs, partitionings and
+    row orders (no RNG state to ship), and any shard can be re-derived
+    independently (the property a resumable 100 TB mixing job needs).
+
+    Output: (doc_id, split) with split in {'train','val','test'}.
+    """
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id"])
+    c1, c2 = train_pct, train_pct + val_pct
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        splits = []
+        for d in ids:
+            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:],
+                               "little") % mod
+            splits.append("train" if h < c1 else ("val" if h < c2 else "test"))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(),
+             pa.array(splits, type=pa.string())],
+            names=["doc_id", "split"])
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def term_cooccurrence(sf_dir: str, k: int = 50):
+    """Top-k co-occurring term pairs across the corpus with pointwise
+    mutual information: pairs of DISTINCT terms appearing in the same
+    document (term_a < term_b), ranked by document co-count, with
+    pmi = ln(n_ab * N / (n_a * n_b)) over document frequencies.
+
+    Shape: the pair explosion is per-doc local (distinct terms within a
+    row), per-batch partial counts slim the exchange, then a bucketed
+    grouped_agg reduces pair counts; marginals come from a second tiny
+    keyed reduce and join the k survivors on the driver (k rows).
+
+    Output: (term_a, term_b, n_ab, pmi r6) ranked by (n_ab desc,
+    term_a, term_b), top k.
+    """
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows_a, rows_b = [], []
+        for text in df["text"]:
+            terms = sorted(set(t for t in text.split(" ") if t))
+            for a, b in combinations(terms, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        part = pd.DataFrame({"term_a": rows_a, "term_b": rows_b})
+        return (part.groupby(["term_a", "term_b"], as_index=False, sort=False)
+                .agg(n_ab=("term_a", "size")))
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""].drop_duplicates()
+        return (ex.groupby("term", as_index=False, sort=False)
+                .agg(n=("doc_id", "size")))
+
+    pairs = grouped_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=2048),
+        ["term_a", "term_b"], {"n_ab": ("n_ab", "sum")}, n_buckets=64)
+    marg = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=8192),
+        ["term"], {"n": ("n", "sum")}, n_buckets=16)
+
+    top = (pairs.sort(["n_ab", "term_a", "term_b"],
+                      descending=[True, False, False])
+           .limit(k).to_pandas())
+    # only the <=2k marginal rows the survivors touch reach the driver
+    needed = set(top["term_a"]) | set(top["term_b"])
+    mrows = marg.map_batches(
+        lambda df: df[df["term"].isin(needed)], batch_format="pandas"
+    ).to_pandas()
+    mdf = dict(zip(mrows["term"], mrows["n"]))
+    na = top["term_a"].map(mdf).to_numpy(dtype=np.float64)
+    nb = top["term_b"].map(mdf).to_numpy(dtype=np.float64)
+    pmi = np.log(top["n_ab"].to_numpy(dtype=np.float64) * float(n_docs)
+                 / (na * nb))
+    top["n_ab"] = top["n_ab"].astype("int64")
+    top["pmi"] = round_series(pd.Series(pmi), 6)
+    return top
