@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
         "kmeans_fit": scale_ops.kmeans_fit,
+        "events_exact_median": scale_ops.events_exact_median,
     }
 
 
@@ -1012,6 +1013,12 @@ def oracle_sql() -> dict[str, str]:
                          - ln((SELECT total FROM tot)), 6) AS logprob
             FROM toks JOIN vocab USING (term)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_exact_median": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(quantile_cont(value, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(value, 0.99), 6) AS q99
+            FROM events
         """,
         "orders_monthly_gapfill": """
             WITH m AS (

@@ -554,3 +554,78 @@ def kmeans_fit(sf_dir: str, k: int = 6, iters: int = 2):
 
     return (ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
               .sort("vec_id"))
+
+
+def events_exact_median(sf_dir: str, qs: tuple = (0.5, 0.99),
+                        n_hist: int = 8192):
+    """EXACT global quantiles (quantile_cont interpolation) without ever
+    sorting the column: pass 1 streams a fixed-width histogram partial
+    per batch (merged by key on the driver -- n_hist counters, not rows);
+    the target order statistics' buckets are identified from the
+    cumulative counts; pass 2 streams again collecting ONLY the values
+    inside those buckets (~n/n_hist rows), which are order-stat-selected
+    locally. Two scans, O(n_hist + n/n_hist) driver memory, exact result
+    -- the scale alternative to both a full sort and an approximate
+    sketch (events_value_quantiles).
+
+    Output: one row (n, q50 r6, q99 r6).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    # bounds + count in the same first pass as the histogram would need
+    # them; Ray's min/max/count aggregates are one streaming pass
+    lo = float(ev.min("value"))
+    hi = float(ev.max("value"))
+    n = ev.count()
+    width = (hi - lo) / n_hist or 1.0
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_hist - 1)
+        cnt = np.bincount(b, minlength=n_hist)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"b": nz.astype(np.int64), "cnt": cnt[nz]})
+
+    hist = (ev.map_batches(hist_partial, batch_format="pandas",
+                           batch_size=262144).to_pandas()
+            .groupby("b")["cnt"].sum())
+    counts = np.zeros(n_hist, dtype=np.int64)
+    counts[hist.index.to_numpy()] = hist.to_numpy()
+    cum = np.concatenate(([0], np.cumsum(counts)))
+
+    # ranks needed for quantile_cont: floor and ceil of (n-1)*q
+    ranks = sorted({r for q in qs
+                    for r in (int(np.floor((n - 1) * q)),
+                              int(np.ceil((n - 1) * q)))})
+    need_buckets = sorted({int(np.searchsorted(cum, r + 1) - 1)
+                           for r in ranks})
+    bset = set(need_buckets)
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_hist - 1)
+        keep = np.isin(b, list(bset))
+        return pd.DataFrame({"b": b[keep], "value": v[keep]})
+
+    got = (ev.map_batches(collect, batch_format="pandas",
+                          batch_size=262144).to_pandas())
+
+    rank_val = {}
+    for bk in need_buckets:
+        vals = np.sort(got.loc[got["b"] == bk, "value"].to_numpy())
+        for r in ranks:
+            if cum[bk] <= r < cum[bk + 1]:
+                rank_val[r] = float(vals[r - cum[bk]])
+
+    out = {"n": np.array([n], dtype=np.int64)}
+    for q in qs:
+        pos = (n - 1) * q
+        f, c = int(np.floor(pos)), int(np.ceil(pos))
+        v = (rank_val[f] if f == c
+             else rank_val[f] + (pos - f) * (rank_val[c] - rank_val[f]))
+        out[f"q{int(q * 100)}"] = round_series(pd.Series([v]), 6)
+    return pd.DataFrame(out)

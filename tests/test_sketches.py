@@ -6,6 +6,7 @@ import os
 import sys
 
 import numpy as np
+import pandas as pd
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -134,3 +135,16 @@ def test_kmeans_fit_converges_toward_lower_inertia(ray_session):
     i4 = kmeans_fit(SF, iters=4).to_pandas()["dist"].sum()
     assert i2 <= i0 + 1e-9
     assert i4 <= i2 + 1e-9
+
+
+@needs_data
+def test_exact_median_matches_numpy(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        events_exact_median,
+    )
+
+    got = events_exact_median(SF)
+    v = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    assert int(got["n"].iloc[0]) == len(v)
+    assert abs(got["q50"].iloc[0] - np.quantile(v, 0.5)) < 1e-6
+    assert abs(got["q99"].iloc[0] - np.quantile(v, 0.99)) < 1e-6
