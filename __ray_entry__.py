@@ -20,6 +20,28 @@ from typing import Any
 from deekseek_ocr___dockerized_api_ray import oracles as _oracles
 
 _QUERY_IDS = [0, 1, 2, 3, 4]  # ANN queries: first five vec_ids
+
+#: Session-window oracle; the batch (events_sessionize) and streaming
+#: (streaming_sessionize) operators must both reproduce it exactly.
+_SESSIONIZE_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+"""
 _SEED = 42
 
 
@@ -375,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "events_sessionize": windows.events_sessionize,
+        "streaming_sessionize": windows.streaming_sessionize,
         "events_sliding_hour": windows.events_sliding_hour,
         "top_revenue_customers": relational.top_revenue_customers,
         "revenue_by_region": relational.revenue_by_region,
@@ -678,25 +701,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 3, 4)
             ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
-        "events_sessionize": """
-            WITH ordered AS (
-              SELECT user_id, event_id, ts, value,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
-                          THEN 1 ELSE 0 END AS new_session
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-            sess AS (
-              SELECT user_id, ts, value,
-                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) AS session_id
-              FROM ordered)
-            SELECT user_id,
-                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value
-            FROM sess GROUP BY user_id, session_id
-        """,
+        "events_sessionize": _SESSIONIZE_SQL,
         "events_sliding_hour": """
             SELECT ws AS window_start_s, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
@@ -1111,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY vec_id ORDER BY dist, cl) = 1
             ORDER BY vec_id
         """,
+        "streaming_sessionize": _SESSIONIZE_SQL,
         "events_funnel": """
             WITH s AS (
               SELECT user_id, MIN(ts) AS st

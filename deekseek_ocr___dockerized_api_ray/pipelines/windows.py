@@ -114,3 +114,153 @@ def events_sliding_hour(sf_dir: str, slide_s: int = 1800, width_s: int = 3600,
         return df[["window_start_s", "event_type", "n_events", "sum_value"]]
 
     return final.map_batches(finish, batch_format="pandas")
+
+
+def streaming_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
+                         n_chunks: int = 4, n_buckets: int = 64):
+    """STREAMING session windows: the event log is processed as
+    ``n_chunks`` time-ordered micro-batches; open sessions are carried
+    between micro-batches as a compact STATE table (one row per active
+    user: session start, last-event ts, running count/sum) that rides
+    the same keyed shuffle as the events -- state rows are pseudo-events
+    sorted before the chunk's real events, so the per-bucket kernel is
+    the identical vectorized gap/segment computation as the batch
+    operator. Sessions close when the next micro-batch boundary proves
+    no continuation is possible (boundary - last_ts > gap); the final
+    flush closes the rest.
+
+    The emitted stream is EXACTLY the batch ``events_sessionize``
+    output (same oracle SQL): incremental processing must not change
+    results. State is O(active users); per-chunk results (sessions +
+    state) are materialized -- bounded by session count, never by event
+    count.
+
+    Output: (user_id, session_start_s, n_events, sum_value r2).
+    """
+    import ray.data as rd
+
+    gap_us = gap_s * 1_000_000
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+
+    # chunk boundaries from a tiny min/max partial pass
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"lo": [ts.min()], "hi": [ts.max()]})
+
+    mms = ev.map_batches(mm, batch_format="pandas",
+                         batch_size=262144).to_pandas()
+    lo, hi = int(mms["lo"].min()), int(mms["hi"].max())
+    bounds = np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64)
+
+    def widen(df: pd.DataFrame, lo_us: int, hi_us: int) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        keep = (ts_us >= lo_us) & (ts_us < hi_us)
+        d = df[keep]
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "event_id": d["event_id"].to_numpy(),
+            "ts_us": ts_us[keep],
+            "value": d["value"].to_numpy(dtype=np.float64),
+            "is_state": np.zeros(keep.sum(), dtype=np.int8),
+            "st_start_s": np.zeros(keep.sum(), dtype=np.int64),
+            "st_n": np.zeros(keep.sum(), dtype=np.int64),
+        })
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def make_kernel(b_us: int):
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            # state rows carry ts_us = last event ts (< every event ts of
+            # this chunk), so they sort first within their user and the
+            # batch operator's gap test doubles as the continuation test
+            d = df.sort_values(["user_id", "ts_us", "event_id"])
+            user = d["user_id"].to_numpy()
+            ts_us = d["ts_us"].to_numpy()
+            is_state = d["is_state"].to_numpy()
+            new_user = np.empty(len(d), dtype=bool)
+            new_user[0] = True
+            new_user[1:] = user[1:] != user[:-1]
+            gap = np.empty(len(d), dtype=np.int64)
+            gap[0] = gap_us + 1
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+            new_session = new_user | (gap > gap_us) | (is_state == 1)
+            seg = np.cumsum(new_session)
+            start_cand = np.where(is_state == 1,
+                                  d["st_start_s"].to_numpy(),
+                                  ts_us // 1_000_000)
+            g = pd.DataFrame({
+                "user_id": user, "seg": seg,
+                "start_cand": start_cand,
+                "ts_us": ts_us,
+                "value": d["value"].to_numpy(),
+                "n_part": np.where(is_state == 1,
+                                   d["st_n"].to_numpy(), 1),
+            }).groupby(["user_id", "seg"], as_index=False).agg(
+                session_start_s=("start_cand", "min"),
+                last_us=("ts_us", "max"),
+                n_events=("n_part", "sum"),
+                sum_value=("value", "sum"),
+            )
+            last_seg = g.groupby("user_id")["seg"].transform("max")
+            is_open = (g["seg"] == last_seg) & (b_us - g["last_us"] <= gap_us)
+            g["is_open"] = is_open.astype(np.int8)
+            return g[["user_id", "session_start_s", "last_us",
+                      "n_events", "sum_value", "is_open"]]
+        return kernel
+
+    state: pd.DataFrame | None = None
+    closed_parts: list = []
+    for ci in range(n_chunks):
+        lo_us, hi_us = int(bounds[ci]), int(bounds[ci + 1])
+        b_us = hi_us if ci < n_chunks - 1 else (1 << 62)
+        chunk = ev.map_batches(
+            lambda df, a=lo_us, b=hi_us: widen(df, a, b),
+            batch_format="pandas", batch_size=131072)
+        if state is not None and len(state):
+            st_rows = pd.DataFrame({
+                "user_id": state["user_id"].astype("int64"),
+                "event_id": np.full(len(state), -1, dtype=np.int64),
+                "ts_us": state["last_us"].astype("int64"),
+                "value": state["sum_value"].astype("float64"),
+                "is_state": np.ones(len(state), dtype=np.int8),
+                "st_start_s": state["session_start_s"].astype("int64"),
+                "st_n": state["n_events"].astype("int64"),
+            })
+            chunk = chunk.union(rd.from_pandas(st_rows))
+        out = (chunk.map_batches(add_bucket, batch_format="pandas",
+                                 batch_size=131072)
+               .groupby("bucket")
+               .map_groups(make_kernel(b_us), batch_format="pandas")
+               .materialize())
+
+        def finish_closed(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[df["is_open"] == 0]
+            return pd.DataFrame({
+                "user_id": c["user_id"].astype("int64"),
+                "session_start_s": c["session_start_s"].astype("int64"),
+                "n_events": c["n_events"].astype("int64"),
+                "sum_value": round_series(c["sum_value"], 2),
+            })
+
+        # closed sessions STAY distributed (the output stream); only the
+        # open-session state -- one row per active user -- reaches the
+        # driver to seed the next micro-batch
+        closed_parts.append(
+            out.map_batches(finish_closed, batch_format="pandas"))
+        state = (out.map_batches(
+            lambda df: df[df["is_open"] == 1], batch_format="pandas")
+            .to_pandas())
+
+    result = closed_parts[0]
+    for part in closed_parts[1:]:
+        result = result.union(part)
+    return result

@@ -197,3 +197,22 @@ def test_sole_return_supplier_matches_pandas(ray_session):
            .head(100).reset_index(drop=True))
     assert np.array_equal(got["suppkey"].to_numpy(), ref["l_suppkey"].to_numpy())
     assert np.array_equal(got["numwait"].to_numpy(), ref["numwait"].to_numpy())
+
+
+@needs_data
+def test_streaming_sessionize_equals_batch(ray_session):
+    """Micro-batched incremental processing must reproduce the batch
+    sessionize stream exactly, for several chunkings (sessions that
+    straddle chunk boundaries are the interesting case)."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_sessionize,
+        streaming_sessionize,
+    )
+
+    cols = ["user_id", "session_start_s", "n_events", "sum_value"]
+    ref = (events_sessionize(SF).to_pandas()[cols]
+           .sort_values(cols).reset_index(drop=True))
+    for n_chunks in (1, 3, 7):
+        got = (streaming_sessionize(SF, n_chunks=n_chunks).to_pandas()[cols]
+               .sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
