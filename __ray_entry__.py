@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_gapfill": analytics.orders_monthly_gapfill,
         "train_test_split": text.train_test_split,
         "term_cooccurrence": text.term_cooccurrence,
+        "weighted_sample_topk": text.weighted_sample_topk,
+        "lang_top_terms": text.lang_top_terms,
         "customer_orders_full_outer": relational.customer_orders_full_outer,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
@@ -1045,6 +1047,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN md5_number_lower(doc_id::VARCHAR) % 100 < 90
                         THEN 'val' ELSE 'test' END AS split
             FROM documents
+        """,
+        "weighted_sample_topk": """
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     ln(((md5_number_lower(doc_id::VARCHAR)
+                          % 9007199254740992) + 1)
+                        / 9007199254740992.0) / n_chars AS skey
+              FROM documents)
+            SELECT doc_id, n_chars, ROUND(skey, 6) AS skey
+            FROM keyed ORDER BY skey DESC, doc_id LIMIT 100
+        """,
+        "lang_top_terms": """
+            WITH t AS (
+              SELECT lang, term, COUNT(*) AS tf
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != '' GROUP BY lang, term)
+            SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT lang, term, tf,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY tf DESC, term) AS rk
+                  FROM t)
+            WHERE rk <= 5 ORDER BY lang, rk
         """,
         "term_cooccurrence": """
             WITH toks AS MATERIALIZED (

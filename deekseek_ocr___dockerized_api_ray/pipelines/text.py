@@ -390,3 +390,85 @@ def term_cooccurrence(sf_dir: str, k: int = 50):
     top["n_ab"] = top["n_ab"].astype("int64")
     top["pmi"] = round_series(pd.Series(pmi), 6)
     return top
+
+
+def weighted_sample_topk(sf_dir: str, k: int = 100):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): every doc gets key = ln(u) / w with u a hash-derived
+    uniform in (0,1] (md5 of the doc_id string -- no RNG state) and
+    w = n_chars; the k LARGEST keys win. One streaming pass emitting a
+    per-batch local top-k, then a tiny global top-k -- the distributed
+    weighted reservoir, reproducible under any partitioning.
+
+    Output: (doc_id, n_chars, skey r6) sorted by skey desc, doc_id.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    m = float(1 << 53)
+
+    def local_top(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        w = np.asarray(batch.column("n_chars").to_pylist(), dtype=np.float64)
+        u = np.array(
+            [(int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:],
+                             "little") % (1 << 53)) + 1 for d in ids],
+            dtype=np.float64) / m
+        key = np.log(u) / w
+        order = np.argsort(-key)[:k]
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64)[order],
+            "n_chars": np.asarray(batch.column("n_chars").to_pylist(),
+                                  dtype=np.int64)[order],
+            "skey": key[order],
+        })
+
+    tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=8192)
+    final = (tops.sort(["skey", "doc_id"], descending=[True, False])
+             .limit(k).to_pandas())
+    final["skey"] = round_series(final["skey"], 6)
+    return final
+
+
+def lang_top_terms(sf_dir: str, k: int = 5):
+    """Per-language top-k terms by total occurrences (tf desc, term asc
+    tie-break) -- grouped heavy hitters over the exploded token stream.
+    Shape: per-batch partial counts per (lang, term) -> bucketed
+    grouped_agg -> per-lang top-k via a keyed groupby over the tiny
+    (|langs| x |vocab|) aggregate.
+
+    Output: (lang, term, tf, rk) sorted by lang, rk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["lang", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return (ex.groupby(["lang", "term"], as_index=False, sort=False)
+                .agg(tf=("term", "size")))
+
+    agg = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=8192),
+        ["lang", "term"], {"tf": ("tf", "sum")}, n_buckets=16)
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["tf", "term"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["tf"] = g["tf"].astype("int64")
+        return g[["lang", "term", "tf", "rk"]]
+
+    return (agg.groupby("lang").map_groups(topk, batch_format="pandas")
+            .sort(["lang", "rk"]))
