@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": curation.semdedup,
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
+        "term_pagerank": curation.term_pagerank,
         "nation_trade_volume_q7": tpch_more.nation_trade_volume_q7,
         "market_share_q8": tpch_more.market_share_q8,
         "product_profit_q9": tpch_more.product_profit_q9,
@@ -1047,6 +1048,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN md5_number_lower(doc_id::VARCHAR) % 100 < 90
                         THEN 'val' ELSE 'test' END AS split
             FROM documents
+        """,
+        "term_pagerank": """
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            half AS (
+              SELECT a.term AS src, b.term AS dst, COUNT(*) AS w
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            edges AS MATERIALIZED (
+              SELECT src, dst, w FROM half
+              UNION ALL SELECT dst, src, w FROM half),
+            deg AS MATERIALIZED (
+              SELECT src, CAST(SUM(w) AS DOUBLE) AS outw
+              FROM edges GROUP BY src),
+            nn AS (SELECT COUNT(*) AS n FROM deg),
+            p0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr
+                   FROM deg),
+            p1 AS (
+              SELECT e.dst AS node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * SUM(p.pr * e.w / d.outw) AS pr
+              FROM edges e
+              JOIN p0 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+            p2 AS (
+              SELECT e.dst AS node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * SUM(p.pr * e.w / d.outw) AS pr
+              FROM edges e
+              JOIN p1 p ON p.node = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst)
+            SELECT node AS term, ROUND(pr, 6) AS pr
+            FROM p2 ORDER BY pr DESC, term
         """,
         "weighted_sample_topk": """
             WITH keyed AS (

@@ -371,3 +371,97 @@ def duplicate_chunks(sf_dir: str, chunk_words: int = 4, min_docs: int = 2):
 
     return (per_chunk.map_batches(finish, batch_format="pandas")
                      .sort("chunk"))
+
+
+def term_pagerank(sf_dir: str, d: float = 0.85, iters: int = 2):
+    """Weighted PageRank over the term co-occurrence graph (nodes =
+    terms, symmetric edges weighted by document co-count), ``iters``
+    power iterations from the uniform vector.
+
+    This is the engine's JOIN-STATE iterative template -- the companion
+    to kmeans_fit's broadcast-state loop for when the per-iteration
+    state (one rank row per node) is itself corpus-sized: each round is
+    rank-table JOIN edge-table (hash exchange) -> per-edge contribution
+    -> bucketed grouped_agg back to one row per node, plus the teleport
+    term. Nothing materializes on the driver except the two global
+    scalars (node count, dangling mass -- none here since the graph is
+    symmetric).
+
+    Output: (term, pr r6) sorted by pr desc, term.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    # edge builder: per-doc distinct-term pairs, combiner-reduced
+    from itertools import combinations
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows_a, rows_b = [], []
+        for t in df["text"]:
+            terms = sorted(set(x for x in t.split(" ") if x))
+            for a, b in combinations(terms, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        part = pd.DataFrame({"src": rows_a, "dst": rows_b})
+        return (part.groupby(["src", "dst"], as_index=False, sort=False)
+                .agg(w=("src", "size")))
+
+    half = grouped_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=2048),
+        ["src", "dst"], {"w": ("w", "sum")}, n_buckets=32)
+
+    # symmetrize: every undirected edge contributes both directions
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            df[["src", "dst", "w"]],
+            df.rename(columns={"src": "dst", "dst": "src"})[["src", "dst", "w"]],
+        ], ignore_index=True)
+
+    edges = half.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    # out-weight per source node (degree normalization)
+    deg = grouped_agg(edges, ["src"], {"outw": ("w", "sum")}, n_buckets=16)
+    edges = edges.join(deg.map_batches(lambda b: b, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=4, on=("src",))
+    edges = edges.materialize()
+
+    n_nodes = deg.count()
+    teleport = (1.0 - d) / n_nodes
+
+    # rank state: starts uniform; each round is JOIN + reduce
+    pr = deg.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"],
+                                 "pr": np.full(len(df), 1.0 / n_nodes)}),
+        batch_format="pandas")
+
+    for _ in range(iters):
+        contrib = edges.join(
+            pr.map_batches(lambda b: b, batch_format="pyarrow"),
+            join_type="inner", num_partitions=4,
+            on=("src",), right_on=("node",))
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["dst"],
+                "c": df["pr"].to_numpy() * df["w"].to_numpy(dtype=np.float64)
+                     / df["outw"].to_numpy(dtype=np.float64),
+            })
+
+        summed = grouped_agg(
+            contrib.map_batches(emit, batch_format="pandas"),
+            ["node"], {"c": ("c", "sum")}, n_buckets=16)
+        pr = summed.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "pr": teleport + d * df["c"].to_numpy()}),
+            batch_format="pandas").materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"term": df["node"],
+                             "pr": round_series(df["pr"], 6)})
+
+    return (pr.map_batches(finish, batch_format="pandas")
+            .sort(["pr", "term"], descending=[True, False]))

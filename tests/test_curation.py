@@ -117,3 +117,16 @@ def test_duplicate_chunks_shape(ray_session):
     sample = df.head(20).merge(docs, left_on="first_doc", right_on="doc_id")
     for chunk, text in zip(sample["chunk"], sample["text"]):
         assert chunk in text
+
+
+@needs_data
+def test_pagerank_is_a_probability_distribution(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import term_pagerank
+
+    df = term_pagerank(SF).to_pandas()
+    assert (df["pr"] > 0).all()
+    # power iteration preserves total mass (symmetric graph, no dangling)
+    assert abs(df["pr"].sum() - 1.0) < 1e-3
+    # more iterations keep mass conserved too
+    df4 = term_pagerank(SF, iters=4).to_pandas()
+    assert abs(df4["pr"].sum() - 1.0) < 1e-3
