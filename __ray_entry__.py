@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
         "term_pagerank": curation.term_pagerank,
+        # deterministic merge loop; differential-tested (no_oracle: the
+        # greedy sequential merge application is not SQL-expressible)
+        "bpe_train": curation.bpe_train,
         "nation_trade_volume_q7": tpch_more.nation_trade_volume_q7,
         "market_share_q8": tpch_more.market_share_q8,
         "product_profit_q9": tpch_more.product_profit_q9,

@@ -465,3 +465,90 @@ def term_pagerank(sf_dir: str, d: float = 0.85, iters: int = 2):
 
     return (pr.map_batches(finish, batch_format="pandas")
             .sort(["pr", "term"], descending=[True, False]))
+
+
+def bpe_train(sf_dir: str, n_merges: int = 10):
+    """Byte-pair-encoding merge training over the corpus -- the
+    tokenizer-building loop every LLM data pipeline eventually runs:
+    per round, count adjacent symbol pairs across all word types
+    (weighted by word frequency), merge the most frequent pair
+    (ties -> lexicographically smallest), repeat.
+
+    Distribution shape: the WORD-TYPE table (one row per distinct word
+    + count, combiner-reduced from the corpus) is the dataset; each
+    round is one vectorized-ish map_batches emitting per-batch pair-count
+    partials -> bucketed grouped_agg -> a 1-row top-pair take. The merge
+    list (driver state, n_merges rows) broadcasts back through the next
+    round's closure. Word types never leave the cluster; only (pair,
+    count) partials and the tiny merge table move.
+
+    Deterministic by construction (counts + lexicographic tie-break, no
+    RNG); pinned by a differential test against a single-process BPE
+    reference (tests/test_curation.py).
+
+    Output: (rank, left, right, freq) -- the ordered merge table.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def word_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = df["text"].str.split(" ").explode()
+        ex = ex[ex != ""]
+        g = ex.value_counts()
+        return pd.DataFrame({"word": g.index, "freq": g.to_numpy()})
+
+    words = grouped_agg(
+        ds.map_batches(word_partial, batch_format="pyarrow", batch_size=8192),
+        ["word"], {"freq": ("freq", "sum")}, n_buckets=16).materialize()
+
+    def symbols_of(word: str, merges) -> list:
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    merges: list = []
+    rows = []
+    for rank in range(n_merges):
+        applied = tuple(merges)
+
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            c: Counter = Counter()
+            for word, freq in zip(df["word"], df["freq"]):
+                syms = symbols_of(word, applied)
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += int(freq)
+            if not c:
+                return pd.DataFrame({"left": [], "right": [], "n": []})
+            ks = list(c.keys())
+            return pd.DataFrame({"left": [k[0] for k in ks],
+                                 "right": [k[1] for k in ks],
+                                 "n": [c[k] for k in ks]})
+
+        counts = grouped_agg(
+            words.map_batches(pair_partial, batch_format="pandas",
+                              batch_size=65536),
+            ["left", "right"], {"n": ("n", "sum")}, n_buckets=16)
+        top = counts.sort(["n", "left", "right"],
+                          descending=[True, False, False]).limit(1).take_all()
+        if not top:
+            break
+        t = top[0]
+        merges.append((t["left"], t["right"]))
+        rows.append({"rank": rank, "left": t["left"], "right": t["right"],
+                     "freq": int(t["n"])})
+
+    out = pd.DataFrame(rows)
+    return out.astype({"rank": "int64", "freq": "int64"})

@@ -130,3 +130,44 @@ def test_pagerank_is_a_probability_distribution(ray_session):
     # more iterations keep mass conserved too
     df4 = term_pagerank(SF, iters=4).to_pandas()
     assert abs(df4["pr"].sum() - 1.0) < 1e-3
+
+
+@needs_data
+def test_bpe_train_matches_single_process_reference(ray_session):
+    """Differential: the distributed merge loop must produce the exact
+    merge table a textbook single-process BPE produces."""
+    from collections import Counter
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import bpe_train
+
+    got = bpe_train(SF, n_merges=8)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    wf = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in wf}
+    ref = []
+    for rank in range(8):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        ref.append((rank, a, b, freq))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            vocab[w] = out
+    ref_df = pd.DataFrame(ref, columns=["rank", "left", "right", "freq"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref_df,
+                                  check_dtype=False)
