@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_topk": text.weighted_sample_topk,
         "lang_top_terms": text.lang_top_terms,
         "customer_orders_full_outer": relational.customer_orders_full_outer,
+        "segment_revenue_skew_join": relational.segment_revenue_skew_join,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
         "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
@@ -1224,6 +1225,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "segment_revenue_skew_join": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         "customer_orders_full_outer": """
             WITH oa AS (

@@ -673,3 +673,40 @@ def customer_orders_full_outer(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pandas").sort("custkey")
+
+
+def segment_revenue_skew_join(sf_dir: str, hot_threshold: int = 8):
+    """Order revenue per market segment via the skew-resilient hot-key
+    split join (stages/skewjoin.py): the orders->customer key histogram
+    is approximated with a combiner, keys above ``hot_threshold`` orders
+    bypass the exchange through a broadcast map-side join, the cold tail
+    takes the ordinary hash join. The low default threshold deliberately
+    forces BOTH paths live at test scale; output is row-identical to a
+    plain join (oracled + path-equivalence-tested).
+
+    Output: (c_mktsegment, n_orders, revenue r2) sorted by segment.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+    from ..stages.skewjoin import skew_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    joined = skew_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       hot_threshold=hot_threshold)
+    agg = grouped_agg(joined, ["c_mktsegment"],
+                      {"n_orders": ("o_totalprice", "size"),
+                       "revenue": ("o_totalprice", "sum")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": df["n_orders"].astype("int64"),
+            "revenue": round_series(df["revenue"], 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("c_mktsegment")

@@ -216,3 +216,31 @@ def test_streaming_sessionize_equals_batch(ray_session):
         got = (streaming_sessionize(SF, n_chunks=n_chunks).to_pandas()[cols]
                .sort_values(cols).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_skew_join_path_equivalence(ray_session):
+    """90%-hot key: hot-broadcast + cold-hash union must equal a plain
+    join, with the hot path actually live at the low threshold."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.skewjoin import skew_join
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    keys = np.where(rng.rand(n) < 0.9, 1, rng.randint(2, 200, size=n))
+    left = pd.DataFrame({"k": keys.astype(np.int64),
+                         "x": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(200, dtype=np.int64),
+                          "label": [f"v{i}" for i in range(200)]})
+
+    def run(threshold):
+        out = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", right_on="rk", hot_threshold=threshold,
+                        num_partitions=2)
+        return (out.to_pandas().sort_values(["k", "x"])
+                .reset_index(drop=True)[["k", "x", "label"]])
+
+    with_hot = run(1000)        # key 1 (18k rows) goes broadcast
+    no_hot = run(10**9)         # plain hash join path only
+    pd.testing.assert_frame_equal(with_hot, no_hot)
+    assert len(with_hot) == n   # every row matched exactly once
