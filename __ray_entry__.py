@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scale_ops,
         text,
         tpch_more,
+        tpch_rest,
         windows,
     )
     from deekseek_ocr___dockerized_api_ray.pipelines.extract import run_extract
@@ -469,6 +470,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_q15": tpch_more.top_supplier_q15,
         "lapsed_rich_customers_q22": tpch_more.lapsed_rich_customers_q22,
         "sole_return_supplier_q21": tpch_more.sole_return_supplier_q21,
+        "min_cost_supplier_q2": tpch_rest.min_cost_supplier_q2,
+        "important_parts_q11": tpch_rest.important_parts_q11,
+        "priority_shipping_q12": tpch_rest.priority_shipping_q12,
+        "part_supplier_counts_q16": tpch_rest.part_supplier_counts_q16,
+        "heavy_part_suppliers_q20": tpch_rest.heavy_part_suppliers_q20,
         # approximate by design -> rows-only driver check; error bound
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
@@ -1400,5 +1406,94 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "min_cost_supplier_q2": """
+            -- cost = MIN of IEEE ratios (summation-order-free); argmin
+            -- tie broken by suppkey, mirroring the engine
+            WITH cost AS MATERIALIZED (
+              SELECT l_partkey, l_suppkey,
+                     MIN(l_extendedprice / l_quantity) AS cost
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 1
+              GROUP BY 1, 2),
+            win AS MATERIALIZED (
+              SELECT c.l_partkey, c.l_suppkey, c.cost,
+                     ROW_NUMBER() OVER (PARTITION BY c.l_partkey
+                                        ORDER BY c.cost, c.l_suppkey) AS rn
+              FROM cost c JOIN part ON c.l_partkey = p_partkey
+              WHERE p_size <= 15 AND p_type = 'SMALL')
+            SELECT s_acctbal, s_name, n_name,
+                   win.l_partkey AS p_partkey, p_name,
+                   ROUND(cost, 4) AS cost
+            FROM win
+            JOIN part     ON win.l_partkey = p_partkey
+            JOIN supplier ON win.l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE rn = 1
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        """,
+        "important_parts_q11": """
+            -- value in exact fixed point; all-integer HAVING threshold
+            -- (value_e4 * 2000 > total_e4) matches the engine bitwise
+            WITH val AS MATERIALIZED (
+              SELECT l_partkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS value_e4
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey = 3
+              GROUP BY 1),
+            tot AS (SELECT SUM(value_e4) AS total_e4 FROM val)
+            SELECT l_partkey AS p_partkey,
+                   ROUND(value_e4 / 10000.0, 2) AS value
+            FROM val CROSS JOIN tot
+            WHERE value_e4 * 2000 > total_e4
+            ORDER BY value DESC, p_partkey
+        """,
+        "priority_shipping_q12": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "part_supplier_counts_q16": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "heavy_part_suppliers_q20": """
+            -- integer quantity sums; scale-free all-integer threshold
+            -- qty * 10 * n > 12 * total ("20% above the mean supplier")
+            WITH qty AS MATERIALIZED (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red %'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(qty) AS BIGINT) AS t,
+                           COUNT(*) AS n FROM qty)
+            SELECT s_suppkey, s_name, n_name, qty
+            FROM qty CROSS JOIN tot
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE qty * 10 * n > 12 * t
+            ORDER BY s_suppkey
         """,
     }

@@ -1,0 +1,106 @@
+"""Edge cases for the q2/q11/q12/q16/q20 batch (full oracle parity is
+swept in test_entry.py): gated-vs-join path equivalence plus the
+integer-threshold arithmetic in q11/q20."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+def _df(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+@needs_data
+def test_q2_gated_paths_agree(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.tpch_rest import (
+        min_cost_supplier_q2,
+    )
+
+    fast = _df(min_cost_supplier_q2(SF))
+    slow = _df(min_cost_supplier_q2(SF, broadcast_rows=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+    # one winner per part
+    assert fast["p_partkey"].is_unique
+
+
+@needs_data
+def test_q12_gated_paths_agree(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.tpch_rest import (
+        priority_shipping_q12,
+    )
+
+    fast = _df(priority_shipping_q12(SF))
+    slow = _df(priority_shipping_q12(SF, broadcast_rows=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+    assert (fast["high_line_count"] + fast["low_line_count"] > 0).all()
+
+
+@needs_data
+def test_q16_gated_paths_agree(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.tpch_rest import (
+        part_supplier_counts_q16,
+    )
+
+    fast = _df(part_supplier_counts_q16(SF))
+    slow = _df(part_supplier_counts_q16(SF, broadcast_rows=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+    # supplier counts bounded by the supplier dim
+    sup = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_suppkey"])
+    assert fast["supplier_cnt"].max() <= len(sup)
+
+
+@needs_data
+def test_q11_threshold_is_exact_integer_math(ray_session):
+    """Every reported part's fixed-point value must exceed total/frac_den
+    under the same integer comparison the engine used."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.tpch_rest import (
+        important_parts_q11,
+    )
+
+    got = _df(important_parts_q11(SF, nation=3, frac_den=500))
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    sup = pd.read_parquet(f"{SF}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    keys = set(sup.loc[sup["s_nationkey"] == 3, "s_suppkey"])
+    li = li[li["l_suppkey"].isin(keys)]
+    e4 = (np.rint(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+          * (100 - np.rint(li["l_discount"].to_numpy() * 100).astype(np.int64)))
+    per_part = pd.Series(e4).groupby(li["l_partkey"].to_numpy()).sum()
+    total = int(per_part.sum())
+    expect = per_part[per_part * 500 > total]
+    assert set(got["p_partkey"]) == set(expect.index)
+
+
+@needs_data
+def test_q20_threshold_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.tpch_rest import (
+        heavy_part_suppliers_q20,
+    )
+
+    got = _df(heavy_part_suppliers_q20(SF))
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_name"])
+    fam = set(part.loc[part["p_name"].str.startswith("red "), "p_partkey"])
+    m = (li["l_partkey"].isin(fam)
+         & (li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1997-01-01"))
+    qty = li.loc[m].groupby("l_suppkey")["l_quantity"].sum().astype("int64")
+    total, n = int(qty.sum()), len(qty)
+    expect = qty[qty * 10 * n > 12 * total]
+    assert set(got["s_suppkey"]) == set(expect.index)
+    assert list(got["s_suppkey"]) == sorted(got["s_suppkey"])
