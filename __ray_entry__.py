@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         relational,
         scale_ops,
+        sequences,
         text,
         tpch_more,
         tpch_rest,
@@ -470,6 +471,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_q15": tpch_more.top_supplier_q15,
         "lapsed_rich_customers_q22": tpch_more.lapsed_rich_customers_q22,
         "sole_return_supplier_q21": tpch_more.sole_return_supplier_q21,
+        "event_transitions": sequences.event_transitions,
+        "user_event_entropy": sequences.user_event_entropy,
+        "winsorized_event_stats": sequences.winsorized_event_stats,
+        "doc_bigram_logprob": sequences.doc_bigram_logprob,
         "min_cost_supplier_q2": tpch_rest.min_cost_supplier_q2,
         "important_parts_q11": tpch_rest.important_parts_q11,
         "priority_shipping_q12": tpch_rest.priority_shipping_q12,
@@ -1406,6 +1411,61 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "event_transitions": """
+            WITH nxt AS MATERIALIZED (
+              SELECT event_type AS src_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst_type
+              FROM events),
+            c AS (SELECT src_type, dst_type, COUNT(*) AS n
+                  FROM nxt WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+            SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+                   ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
+            FROM c ORDER BY src_type, dst_type
+        """,
+        "user_event_entropy": """
+            -- H = ln(n) - SUM(c ln c)/n: the engine's summation-stable
+            -- algebra, identical float tree to the rounding digit
+            WITH c AS MATERIALIZED (
+              SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+            FROM c GROUP BY user_id ORDER BY user_id
+        """,
+        "winsorized_event_stats": """
+            WITH q AS MATERIALIZED (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS qlo,
+                     quantile_cont(value, 0.95) AS qhi
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(qlo, 6) AS q_lo, ROUND(qhi, 6) AS q_hi,
+                   ROUND(AVG(LEAST(GREATEST(value, qlo), qhi)), 6) AS wmean
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type, qlo, qhi
+            ORDER BY e.event_type
+        """,
+        "doc_bigram_logprob": """
+            -- p(w2|w1) = cnt2 / marginal(cnt2 over w2); lists are
+            -- 1-indexed and range() excludes the stop
+            WITH docs AS (SELECT doc_id, string_split(text, ' ') AS L
+                          FROM documents),
+            big AS MATERIALIZED (
+              SELECT doc_id, w1, w2, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(range(1, len(L))) AS i, L FROM docs) p,
+              LATERAL (SELECT L[i] AS w1, L[i + 1] AS w2) x
+              GROUP BY 1, 2, 3),
+            vocab2 AS MATERIALIZED (
+              SELECT w1, w2, SUM(tf) AS cnt2 FROM big GROUP BY 1, 2),
+            vocab1 AS (SELECT w1, SUM(cnt2) AS cnt1 FROM vocab2 GROUP BY 1)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(tf * (ln(cnt2) - ln(cnt1))) / SUM(tf), 6)
+                     AS logprob
+            FROM big JOIN vocab2 USING (w1, w2) JOIN vocab1 USING (w1)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "min_cost_supplier_q2": """
             -- cost = MIN of IEEE ratios (summation-order-free); argmin

@@ -1,0 +1,242 @@
+"""Event-sequence and distribution operators: Markov transition counts,
+per-user event-type entropy, winsorized robust stats, and a bigram
+language-model scorer.
+
+Scale shapes (same rules as pipelines/analytics.py):
+
+  - transitions: ONE bucketed keyed shuffle on user_id, per-bucket
+    vectorized shift (the events_lag_delta pattern), then a tiny
+    (src, dst) combiner aggregation -- never a self-join of the log.
+  - entropy: (user, type) combiner counts -> per-user bucketed reduce
+    with the exact algebra H = ln(n) - SUM(c ln c)/n so the oracle's
+    float tree matches to the rounding digit.
+  - winsorize: per-group EXACT quantiles; event_type cardinality is
+    tiny and bounded, so each group's values fit one reduce call (the
+    unbounded-cardinality scale path is the mergeable QuantileSketch in
+    scale_ops.events_value_quantiles).
+  - bigram LM: exploded (doc, w1, w2, tf) rows hash-join the
+    combiner-reduced global bigram counts and the first-word marginals
+    (vocabulary can be huge -> real joins, not broadcasts), then one
+    per-doc combiner pass. p(w2|w1) = cnt2 / cnt1 where cnt1 is the
+    marginal of cnt2 over w2 -- derivable in both engines exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.rounding import round_series
+from ..stages.agg import grouped_agg
+from .analytics import _user_bucket
+
+
+def event_transitions(sf_dir: str, n_buckets: int = 64):
+    """First-order Markov transitions: for every consecutive event pair
+    of one user (ordered by ts, event_id), count (src_type, dst_type)
+    and the transition probability p = n / n_src.
+
+    Output: (src_type, dst_type, n, p r6) sorted by src, dst.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = user[1:] == user[:-1]
+        src = np.roll(et, 1)[same]
+        dst = et[same]
+        return (pd.DataFrame({"src_type": src, "dst_type": dst})
+                .groupby(["src_type", "dst_type"], as_index=False, sort=False)
+                .agg(n=("dst_type", "size")))
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: pairs_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    counts = grouped_agg(partial, ["src_type", "dst_type"],
+                         {"n": ("n", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # per-source totals: event_type cardinality is tiny -> this is a
+        # tiny aggregate; compute within the (already keyed) reduce by
+        # regrouping the full counts table, which fits one batch
+        df = df.sort_values(["src_type", "dst_type"])
+        tot = df.groupby("src_type")["n"].transform("sum").to_numpy()
+        return pd.DataFrame({
+            "src_type": df["src_type"].to_numpy(),
+            "dst_type": df["dst_type"].to_numpy(),
+            "n": df["n"].to_numpy().astype("int64"),
+            "p": round_series(pd.Series(df["n"].to_numpy() / tot), 6).to_numpy(),
+        })
+
+    # counts is (|types|^2) rows -- tiny; one repartition collapses it so
+    # the per-source marginal sees every dst
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def user_event_entropy(sf_dir: str, n_buckets: int = 64):
+    """Shannon entropy (nats) of each user's event-type distribution,
+    via the summation-order-stable algebra
+    ``H = ln(n) - SUM(c * ln(c)) / n``.
+
+    Output: (user_id, n_events, n_types, entropy r6) sorted by user_id.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    per_type = grouped_agg(ev, ["user_id", "event_type"],
+                           {"c": ("event_type", "size")}, n_buckets=n_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "clnc": c * np.log(c),
+                             "n": df["c"].to_numpy(dtype=np.int64),
+                             "k": np.ones(len(df), dtype=np.int64)})
+
+    agg = grouped_agg(per_type.map_batches(partial, batch_format="pandas"),
+                      ["user_id"],
+                      {"clnc": ("clnc", "sum"), "n": ("n", "sum"),
+                       "k": ("k", "sum")}, n_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        ent = np.log(n) - df["clnc"].to_numpy() / n
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "n_events": df["n"].astype("int64"),
+            "n_types": df["k"].astype("int64"),
+            "entropy": round_series(pd.Series(ent), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("user_id")
+
+
+def winsorized_event_stats(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Per event type: exact lo/hi quantiles (linear interpolation, the
+    quantile_cont convention) and the winsorized mean (values clamped to
+    [q_lo, q_hi] before averaging).
+
+    Exact per-group quantiles require the group's values in one reduce
+    call -- sound here because event_type cardinality is tiny and
+    bounded. For unbounded group keys use the mergeable QuantileSketch
+    (scale_ops.events_value_quantiles) instead.
+
+    Output: (event_type, n, q_lo r6, q_hi r6, wmean r6) sorted by type.
+    """
+    import ray.data as rd
+
+    from ..functions.text_stats import sha1_64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = [sha1_64(v) % 8 for v in df["event_type"]]
+        return df
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(dtype=np.float64)
+            qlo, qhi = np.quantile(v, [lo, hi], method="linear")
+            rows.append((et, len(v), qlo, qhi,
+                         float(np.mean(np.clip(v, qlo, qhi)))))
+        out = pd.DataFrame(rows, columns=["event_type", "n", "q_lo", "q_hi",
+                                          "wmean"])
+        out["n"] = out["n"].astype("int64")
+        for c in ("q_lo", "q_hi", "wmean"):
+            out[c] = round_series(out[c], 6)
+        return out
+
+    return (ev.map_batches(bucket, batch_format="pandas", batch_size=131072)
+            .groupby("bucket").map_groups(
+                lambda df: stats(df.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("event_type"))
+
+
+def doc_bigram_logprob(sf_dir: str):
+    """Bigram language-model score per document: average bigram
+    log-probability under the corpus's own MLE bigram model,
+    ``SUM(tf * (ln(cnt2) - ln(cnt1))) / SUM(tf)`` where cnt2 is the
+    corpus count of the bigram and cnt1 the marginal count of its first
+    word over all bigrams.
+
+    Documents with fewer than 2 tokens have no bigrams and are absent
+    (matching the oracle's inner join).
+
+    Output: (doc_id, n_bigrams, logprob r6) sorted by doc_id.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bigram_counts(batch) -> pd.DataFrame:
+        df = batch.to_pandas() if not isinstance(batch, pd.DataFrame) else batch
+        ids, w1s, w2s = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = [t for t in text.split(" ") if t]
+            if len(toks) < 2:
+                continue
+            a = np.asarray(toks, dtype=object)
+            ids.append(np.full(len(a) - 1, doc_id, dtype=np.int64))
+            w1s.append(a[:-1])
+            w2s.append(a[1:])
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        ex = pd.DataFrame({"doc_id": np.concatenate(ids),
+                           "w1": np.concatenate(w1s),
+                           "w2": np.concatenate(w2s)})
+        return (ex.groupby(["doc_id", "w1", "w2"], as_index=False, sort=False)
+                .agg(tf=("w2", "size")))
+
+    toks = ds.map_batches(bigram_counts, batch_format="pyarrow", batch_size=8192)
+    vocab2 = grouped_agg(toks, ["w1", "w2"], {"cnt2": ("tf", "sum")},
+                         n_buckets=16).materialize()
+    vocab1 = grouped_agg(vocab2, ["w1"], {"cnt1": ("cnt2", "sum")}, n_buckets=16)
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    nparts = max(2, cpus // 2)
+    joined = (toks.join(vocab2, join_type="inner", num_partitions=nparts,
+                        on=("w1", "w2"))
+              .join(vocab1, join_type="inner", num_partitions=nparts,
+                    on=("w1",)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].to_numpy(dtype=np.float64)
+        lp = np.log(df["cnt2"].to_numpy(dtype=np.float64)) \
+            - np.log(df["cnt1"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "wsum": tf * lp,
+                             "nbig": df["tf"].to_numpy(dtype=np.int64)})
+
+    agg = grouped_agg(joined.map_batches(partial, batch_format="pandas"),
+                      ["doc_id"], {"wsum": ("wsum", "sum"),
+                                   "nbig": ("nbig", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df["wsum"].to_numpy() / df["nbig"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_bigrams": df["nbig"].astype("int64"),
+                             "logprob": round_series(pd.Series(lp), 6)})
+
+    return agg.map_batches(finish, batch_format="pandas").sort("doc_id")

@@ -1,0 +1,91 @@
+"""Edge cases for the sequence/distribution operators (full oracle
+parity is swept in test_entry.py): invariants plus pandas references."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+def _df(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+@needs_data
+def test_transitions_probabilities_sum_to_one(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        event_transitions,
+    )
+
+    got = _df(event_transitions(SF))
+    assert len(got) > 0
+    sums = got.groupby("src_type")["p"].sum()
+    assert np.allclose(sums, 1.0, atol=1e-5)
+    # total transitions = total events minus one per user
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+@needs_data
+def test_entropy_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        user_event_entropy,
+    )
+
+    got = _df(user_event_entropy(SF)).set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    for uid, g in ev.groupby("user_id"):
+        c = g["event_type"].value_counts().to_numpy(dtype=np.float64)
+        n = c.sum()
+        ref = np.log(n) - float((c * np.log(c)).sum()) / n
+        assert abs(got.loc[uid, "entropy"] - ref) < 1e-5
+        assert got.loc[uid, "n_types"] == len(c)
+    # entropy bounded by ln(n_types)
+    assert (got["entropy"] <= np.log(got["n_types"]) + 1e-9).all()
+    assert (got["entropy"] >= -1e-9).all()
+
+
+@needs_data
+def test_winsorize_matches_numpy_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        winsorized_event_stats,
+    )
+
+    got = _df(winsorized_event_stats(SF)).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(dtype=np.float64)
+        qlo, qhi = np.quantile(v, [0.05, 0.95], method="linear")
+        assert abs(got.loc[et, "q_lo"] - qlo) < 1e-5
+        assert abs(got.loc[et, "q_hi"] - qhi) < 1e-5
+        assert abs(got.loc[et, "wmean"]
+                   - float(np.mean(np.clip(v, qlo, qhi)))) < 1e-5
+    # winsorized mean lies within the clamp bounds
+    assert ((got["wmean"] >= got["q_lo"]) & (got["wmean"] <= got["q_hi"])).all()
+
+
+@needs_data
+def test_bigram_logprob_short_docs_absent_and_bounds(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        doc_bigram_logprob,
+    )
+
+    got = _df(doc_bigram_logprob(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_toks = docs["text"].str.split(" ").map(
+        lambda ts: len([t for t in ts if t]))
+    expect_ids = set(docs.loc[n_toks >= 2, "doc_id"])
+    assert set(got["doc_id"]) == expect_ids
+    # MLE bigram logprob is <= 0; n_bigrams = n_tokens - 1 per doc
+    assert (got["logprob"] <= 1e-9).all()
+    ref = (n_toks - 1)[n_toks >= 2]
+    ref.index = docs.loc[n_toks >= 2, "doc_id"]
+    merged = got.set_index("doc_id")["n_bigrams"]
+    assert (merged == ref.reindex(merged.index)).all()
