@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         generate_documents,
         media_table_for_docs,
     )
+    from deekseek_ocr___dockerized_api_ray.stages import boilerplate
     from deekseek_ocr___dockerized_api_ray.stages.dedup import (
         lsh_candidate_pairs,
         minhash_dedup,
@@ -471,6 +472,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_q15": tpch_more.top_supplier_q15,
         "lapsed_rich_customers_q22": tpch_more.lapsed_rich_customers_q22,
         "sole_return_supplier_q21": tpch_more.sole_return_supplier_q21,
+        # HTML main-content extraction (north-star boilerplate strip):
+        # the engine parses + classifies rendered pages; the oracle is
+        # the exact-recovery invariant over the documents table
+        "html_main_content": boilerplate.html_main_content,
+        # DOM-heuristic block features (rows-only; classifier pinned by
+        # the html_main_content oracle + unit suite)
+        "html_block_features": boilerplate.html_block_features,
         "event_transitions": sequences.event_transitions,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
@@ -1411,6 +1419,22 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "html_main_content": """
+            -- exact recovery invariant of the rendered synthetic pages:
+            -- main text = 5-word title + article words; content blocks =
+            -- title + the renderer's paragraph packing; the 6 link-dense
+            -- skeleton blocks are boilerplate
+            SELECT doc_id,
+                   'synthetic corpus article number '
+                     || CAST(doc_id AS VARCHAR) || ' ' || text AS main_text,
+                   CAST(1 + GREATEST(1,
+                        len(string_split(text, ' ')) // 24
+                        + CASE WHEN len(string_split(text, ' ')) % 24 >= 18
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_content_blocks,
+                   CAST(6 AS BIGINT) AS n_boilerplate_blocks
+            FROM documents ORDER BY doc_id
         """,
         "event_transitions": """
             WITH nxt AS MATERIALIZED (
