@@ -186,6 +186,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grounding_spans(ocrd)
 
+    def layout_reading_order(sf_dir: str):
+        # north-star layout parse: grounding boxes + XY-cut reading
+        # order (rows-only: recursive page segmentation is not SQL)
+        from deekseek_ocr___dockerized_api_ray.stages.explode import explode
+        from deekseek_ocr___dockerized_api_ray.stages.grounding_spans import (
+            grounding_spans,
+        )
+        from deekseek_ocr___dockerized_api_ray.stages.layout import (
+            add_reading_order,
+        )
+        from deekseek_ocr___dockerized_api_ray.stages.ocr import OCRStage
+
+        flat = explode(_corpus(sf_dir))
+        ocrd = flat.map_batches(
+            OCRStage, fn_constructor_kwargs=dict(mode="markdown"),
+            batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
+        )
+        ranked = add_reading_order(grounding_spans(ocrd))
+        return ranked.select_columns(
+            ["doc_id", "offset", "tag_index", "box_index", "label",
+             "vx1", "vy1", "vx2", "vy2", "reading_rank"]
+        ).sort(["doc_id", "offset", "reading_rank"])
+
     def media_pipeline(sf_dir: str):
         import ray.data as rd
 
@@ -363,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_batch_script": extract_batch_script,
         "extract_eval": extract_eval,
         "grounding_boxes": grounding_boxes,
+        "layout_reading_order": layout_reading_order,
         "media_tiling_plan": media_pipeline,
         "media_preprocess_plan": media_preprocess_plan,
         "doc_crops": doc_crops,
