@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ivf_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_ivf_trained(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            ivf_trained_topk,
+        )
+
+        return ivf_trained_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
+
     def doc_bpe_tokens(sf_dir: str):
         # BPE-ish subword counts (regex has lookahead: RE2-inexpressible)
         import pyarrow as pa
@@ -417,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_trained": ann_ivf_trained,
         "doc_bpe_tokens": doc_bpe_tokens,
         "emb_neardup": emb_neardup,
         "emb_neardup_exact": emb_neardup_exact,
@@ -698,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),
         "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
+        "ann_ivf_trained": _oracles.ann_ivf_trained_sql(_QUERY_IDS, k=10),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -180,6 +180,12 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     queries["ann_ivf_recall"] = _recall(ivf_topk(emb, [0, 1, 2, 3, 4], k=10).take_all())
     queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import ivf_trained_topk
+
+    t0 = time.perf_counter()
+    queries["ann_ivf_trained_recall"] = _recall(
+        ivf_trained_topk(emb, [0, 1, 2, 3, 4], k=10).take_all())
+    queries["ann_ivf_trained"] = round(time.perf_counter() - t0, 3)
 
     # representative additions: the 3-table distributed join ladder and
     # the CMS-pruned heavy-hitter pass

@@ -477,3 +477,69 @@ JOIN embeddings eb ON eb.vec_id = c.id_b
 WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
                              eb.embedding::DOUBLE[]) >= {threshold}
 ORDER BY id_a, id_b"""
+
+def ann_ivf_trained_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                        n_clusters: int = 6, n_probe: int = 2) -> str:
+    """Trained-IVF top-k (stages/similarity.ivf_trained_topk): the
+    2-iteration Lloyd training is UNROLLED in SQL (the kmeans_fit CTE
+    chain -- seeds = vec_id < n_clusters, argmin by (dist, cl), empty
+    clusters COALESCE to the previous round), then list assignment,
+    the per-query n_probe probe set and the exact cosine top-k are all
+    computed from the trained centroids."""
+    qs = ",".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH c0 AS MATERIALIZED (
+  SELECT vec_id AS cl, i, CAST(embedding[i] AS DOUBLE) AS cv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  WHERE vec_id < {n_clusters}),
+d1 AS (
+  SELECT e.vec_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, c0 c GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cl FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+n1 AS (
+  SELECT a.cl, t.i, AVG(e.embedding[t.i]) AS cv
+  FROM a1 a JOIN embeddings e USING (vec_id),
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY 1, 2),
+c1 AS MATERIALIZED (
+  SELECT c0.cl, c0.i, COALESCE(n1.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN n1 ON n1.cl = c0.cl AND n1.i = c0.i),
+d2 AS (
+  SELECT e.vec_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, c1 c GROUP BY 1, 2),
+a2 AS (
+  SELECT vec_id, cl FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+n2 AS (
+  SELECT a.cl, t.i, AVG(e.embedding[t.i]) AS cv
+  FROM a2 a JOIN embeddings e USING (vec_id),
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY 1, 2),
+c2 AS MATERIALIZED (
+  SELECT c1.cl, c1.i, COALESCE(n2.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN n2 ON n2.cl = c1.cl AND n2.i = c1.i),
+d3 AS MATERIALIZED (
+  SELECT e.vec_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, c2 c GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, cl FROM d3
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+probed AS (
+  SELECT DISTINCT cl FROM (
+    SELECT vec_id, cl FROM d3 WHERE vec_id IN ({qs})
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)
+            <= {n_probe})),
+cand AS (SELECT a.vec_id FROM assign a JOIN probed USING (cl)),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN ({qs})),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e JOIN cand USING (vec_id), q
+      WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""

@@ -420,3 +420,92 @@ def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
         )
 
     return emb_ds.map_batches(_pairs, batch_format="pyarrow")
+
+def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
+                     n_clusters: int = 6, n_probe: int = 2, iters: int = 2,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF ANN with TRAINED centroids: the codebook is fitted with
+    ``iters`` distributed Lloyd rounds (deterministic seeds = the
+    embeddings of vec_id 0..n_clusters-1, ties to the lowest cluster --
+    the kmeans_fit template), vectors and queries are assigned/probed by
+    squared Euclidean distance, and exact cosine ranks the probed lists'
+    members. Upgrade path over ``ivf_topk``'s fixed random codebook: the
+    lists follow the data distribution, so a given recall needs fewer
+    probes.
+
+    Per round the k x dim centroid matrix broadcasts via ``ray.put``; a
+    stateless streaming pass emits one (cluster, count, dim-sums) partial
+    per batch and the driver folds them -- the corpus is never collected.
+    """
+    import ray
+
+    def _raw_matrix(batch: pa.Table) -> np.ndarray:
+        return _batch_matrix(batch, emb_col)
+
+    # deterministic seeds: the first n_clusters vec_ids (tiny point read)
+    seed_set = set(range(n_clusters))
+
+    def _pick_seeds(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in seed_set for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    rows = emb_ds.map_batches(_pick_seeds, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r[id_col]))
+    centroids = np.asarray([np.asarray(r[emb_col], dtype=np.float64)
+                            for r in rows])
+
+    def _round(cents: np.ndarray) -> np.ndarray:
+        cent_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> "pd.DataFrame":
+            import pandas as pd
+
+            c = ray.get(cent_ref)
+            mat = _raw_matrix(batch)
+            diff = mat[:, None, :] - c[None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            near = np.argmin(dist, axis=1)
+            rows = [{"cluster": int(cl), "cnt": int((near == cl).sum()),
+                     "sums": mat[near == cl].sum(axis=0).tolist()}
+                    for cl in np.unique(near)]
+            return pd.DataFrame(rows)
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=8192).to_pandas()
+        new = cents.copy()
+        for cl, grp in parts.groupby("cluster"):
+            cnt = int(grp["cnt"].sum())
+            if cnt > 0:
+                new[int(cl)] = np.sum(np.stack(grp["sums"].to_numpy()),
+                                      axis=0) / cnt
+        return new
+
+    for _ in range(iters):
+        centroids = _round(centroids)
+
+    # probe: each query's n_probe nearest centroids by (sq dist, cluster)
+    qset = set(int(q) for q in query_ids)
+
+    def _pick_q(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    qrows = emb_ds.map_batches(_pick_q, batch_format="pyarrow").take_all()
+    qmat = np.asarray([np.asarray(r[emb_col], dtype=np.float64)
+                       for r in qrows])
+    qdiff = qmat[:, None, :] - centroids[None, :, :]
+    qdist = np.einsum("nkd,nkd->nk", qdiff, qdiff)
+    probed = {int(cl) for row in np.argsort(qdist, axis=1, kind="stable")[:, :n_probe]
+              for cl in row}
+    cent_ref = ray.put(centroids)
+
+    def _list_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _raw_matrix(batch)
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        keep = np.isin(np.argmin(dist, axis=1), list(probed))
+        return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
+
+    filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
+    return brute_force_topk(filtered, query_ids, k, id_col, emb_col)

@@ -124,3 +124,24 @@ def test_emb_neardup_verify_paths_agree(ray_session):
                                            broadcast_verify_bytes=0).take_all())
     assert fast == joins
     assert (10, 50) in [(a, b) for a, b, _ in fast]
+
+
+def test_ivf_trained_topk_recall_and_pruning(emb_ds):
+    """Trained IVF: Lloyd-fitted lists must recover the planted
+    near-duplicate and reach full recall on the clustered fixture with
+    only n_probe of n_clusters lists probed."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        ivf_trained_topk,
+    )
+
+    ds, m = emb_ds
+    qids = [0, 5]
+    rows = ivf_trained_topk(ds, qids, k=10, n_clusters=6, n_probe=2).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact = _numpy_topk(m, qids, 10)
+    for q in qids:
+        overlap = len(got.get(q, set()) & set(exact[q]))
+        assert overlap >= 5, f"query {q} recall too low: {overlap}/10"
+    assert 250 in got[0]  # planted near-identical vector survives probing
