@@ -282,6 +282,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return prep_corpus(sf_dir)
 
+    def web_corpus_prep(sf_dir: str):
+        # extraction-tier composite (markup in, pack plan out); the
+        # boilerplate strip is pinned by html_main_content's oracle
+        from deekseek_ocr___dockerized_api_ray.pipelines.prep import (
+            web_prep_corpus,
+        )
+
+        return web_prep_corpus(sf_dir)
+
     def incremental_dedup(sf_dir: str):
         # two-step ingestion against a fresh on-disk hash index: even
         # doc_ids first, then odd; returns the SECOND ingest's survivors
@@ -407,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_ngrams": text.corpus_top_ngrams,
         "doc_length_quantiles": text.doc_length_quantiles,
         "stratified_sample": text.stratified_sample,
+        "lang_sample_exact_k": text.lang_sample_exact_k,
         "doc_scrub_pii": text.doc_scrub_pii,
         "pack_plan": pack_plan,
         "lang_count": text.lang_count,
@@ -415,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": text.exact_dedup_docs,
         "incremental_dedup": incremental_dedup,
         "corpus_prep": corpus_prep,
+        # extraction-tier composite: HTML -> boilerplate strip -> gates
+        # -> dedup -> pack (rows-only; each stage individually oracled)
+        "web_corpus_prep": web_corpus_prep,
         "minhash_candidates": minhash_candidates,
         "minhash_survivors": minhash_survivors,
         "simhash_pairs": simhash_pairs,
@@ -611,6 +624,17 @@ def oracle_sql() -> dict[str, str]:
                    n_urls, n_emails,
                    len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) AS n_phones
             FROM e
+        """,
+        "lang_sample_exact_k": """
+            SELECT lang, doc_id, rk FROM (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id)
+                     AS BIGINT) AS rk
+              FROM documents)
+            WHERE rk <= 10
+            ORDER BY lang, rk
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

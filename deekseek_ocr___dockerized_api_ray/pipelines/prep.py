@@ -36,11 +36,45 @@ def prep_corpus(sf_dir: str, keep_langs=("en", "de", "fr", "es"),
     (doc_id, lang_pred, n_tokens, shard, bin_id, oversize)."""
     import ray.data as rd
 
-    from ..stages.dedup import exact_dedup, minhash_dedup
-    from ..stages.packing import pack_sequences
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    return _prep_chain(ds, keep_langs, min_tokens, max_stopword_ratio,
+                       max_dup_line_frac, minhash_threshold,
+                       max_tokens_per_seq, n_shards)
+
+
+def web_prep_corpus(sf_dir: str, keep_langs=("en", "de", "fr", "es"),
+                    min_tokens: int = 5, max_stopword_ratio: float = 1.0,
+                    max_dup_line_frac: float = 0.5,
+                    minhash_threshold: float = 0.8,
+                    max_tokens_per_seq: int = 512, n_shards: int = 16):
+    """The extraction-tier composite: raw HTML pages -> DOM block parse
+    + densitometric boilerplate strip (stages/boilerplate) -> the same
+    gate -> dedup -> pack chain as ``prep_corpus``. One lazy Dataset
+    graph from markup to pack plan -- the pipeline shape of the
+    north-star main-content extraction service."""
+    from ..stages.boilerplate import HtmlContentStage, _html_pages
+
+    content = _html_pages(sf_dir).map_batches(
+        HtmlContentStage, fn_constructor_kwargs=dict(mode="content"),
+        batch_format="pandas", batch_size=1024, concurrency=(1, 8),
+    )
+
+    def as_text(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "main_text"]].rename(columns={"main_text": "text"})
+        return out
+
+    ds = content.map_batches(as_text, batch_format="pandas")
+    return _prep_chain(ds, keep_langs, min_tokens, max_stopword_ratio,
+                       max_dup_line_frac, minhash_threshold,
+                       max_tokens_per_seq, n_shards)
+
+
+def _prep_chain(ds, keep_langs, min_tokens, max_stopword_ratio,
+                max_dup_line_frac, minhash_threshold, max_tokens_per_seq,
+                n_shards):
+    from ..stages.dedup import exact_dedup, minhash_dedup
+    from ..stages.packing import pack_sequences
 
     keep_set = set(keep_langs)
 

@@ -472,3 +472,53 @@ def lang_top_terms(sf_dir: str, k: int = 5):
 
     return (agg.groupby("lang").map_groups(topk, batch_format="pandas")
             .sort(["lang", "rk"]))
+
+
+def lang_sample_exact_k(sf_dir: str, k: int = 10):
+    """Exact-k deterministic sample per language: within each language,
+    the k docs with the SMALLEST ``md5_number_lower(doc_id)`` hash (ties
+    by doc_id) win -- the fixed-size counterpart of the rate-gate
+    ``stratified_sample``, reproducible under any partitioning.
+
+    Shape: one streaming pass emitting a per-batch local top-k per
+    language, then a tiny global reduce over (|langs| x k x n_batches)
+    candidate rows -- the distributed per-group reservoir; nothing
+    corpus-sized is collected.
+
+    Output: (lang, doc_id, rk) sorted by lang, rk.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def local_top(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "doc_id": np.asarray(batch.column("doc_id").to_pylist(),
+                                 dtype=np.int64),
+            "lang": batch.column("lang").to_pylist(),
+        })
+        # decimal-string md5 (DuckDB's implicit int->varchar cast parity)
+        df["h"] = [
+            np.uint64(int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[8:], "little"))
+            for d in df["doc_id"]
+        ]
+        return (df.sort_values(["lang", "h", "doc_id"])
+                .groupby("lang", as_index=False, sort=False).head(k))
+
+    tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=8192)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df.sort_values(["lang", "h", "doc_id"])
+               .groupby("lang", as_index=False, sort=False).head(k))
+        win = win.sort_values(["lang", "h", "doc_id"])
+        win["rk"] = win.groupby("lang", sort=False).cumcount() + 1
+        return win[["lang", "doc_id", "rk"]].astype(
+            {"doc_id": "int64", "rk": "int64"})
+
+    # candidate set is tiny (per-batch k per lang); one reduce call
+    return (tops.repartition(1).map_batches(final, batch_format="pandas")
+            .sort(["lang", "rk"]))

@@ -128,3 +128,31 @@ def test_pipeline_recovers_articles_exactly(ray_session):
     # block_idx is a dense 0..k-1 sequence per doc
     first = feats[feats["doc_id"] == feats["doc_id"].iloc[0]]
     assert list(first["block_idx"]) == list(range(len(first)))
+
+
+@needs_data
+def test_web_prep_chain_matches_plain_prep_on_titleless_docs(ray_session):
+    """The web chain differs from corpus_prep only by the title words the
+    renderer adds and the HTML round-trip; with the same gates both
+    chains keep a survivor set derived from the same articles, and every
+    surviving doc's token count is its article tokens + the 5 title
+    tokens."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.prep import (
+        prep_corpus,
+        web_prep_corpus,
+    )
+
+    web = web_prep_corpus(SF).to_pandas()
+    plain = prep_corpus(SF).to_pandas()
+    assert len(web) > 0
+    # minhash near-dedup may differ because the added title shifts
+    # shingles, but exact-dedup survivors are keyed on distinct article
+    # text, so the web chain can never keep MORE docs than distinct
+    # articles nor fewer than plain's minhash survivors minus collisions
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    assert len(web) <= docs["text"].nunique()
+    w = web.set_index("doc_id")
+    p = plain.set_index("doc_id")
+    common = w.index.intersection(p.index)
+    assert len(common) > 0
+    assert ((w.loc[common, "n_tokens"] - p.loc[common, "n_tokens"]) == 5).all()
