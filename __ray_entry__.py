@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the html_main_content oracle + unit suite)
         "html_block_features": boilerplate.html_block_features,
         "event_transitions": sequences.event_transitions,
+        "events_trend_ols": sequences.events_trend_ols,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
         "doc_bigram_logprob": sequences.doc_bigram_logprob,
@@ -1504,6 +1505,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
                    ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
             FROM c ORDER BY src_type, dst_type
+        """,
+        "events_trend_ols": """
+            -- moment-sum OLS; x from exact int64 epoch_us minus a fixed
+            -- origin, so both engines build identical doubles
+            WITH m AS MATERIALIZED (
+              SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                     SUM(value) AS sy, SUM(x * x) AS sxx,
+                     SUM(x * value) AS sxy, SUM(value * value) AS syy
+              FROM (SELECT event_type, value,
+                           (epoch_us(ts) - 883612800000000) / 86400e6 AS x
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     AS slope,
+                   ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 4) AS intercept,
+                   ROUND(((n * sxy - sx * sy) ^ 2)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     AS r2
+            FROM m ORDER BY event_type
         """,
         "user_event_entropy": """
             -- H = ln(n) - SUM(c ln c)/n: the engine's summation-stable

@@ -240,3 +240,64 @@ def doc_bigram_logprob(sf_dir: str):
                              "logprob": round_series(pd.Series(lp), 6)})
 
     return agg.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+#: fixed origin (1998-01-01 UTC, microseconds) -- x values are centered
+#: days so the moment sums stay in a well-conditioned float range and
+#: the engine and the oracle compute identical doubles from epoch_us
+TREND_ORIGIN_US = 883_612_800_000_000
+
+
+def events_trend_ols(sf_dir: str, n_buckets: int = 8):
+    """Per-event-type least-squares trend of value over time: slope per
+    day, intercept at the fixed origin and R^2, from the classic moment
+    sums (n, Sx, Sy, Sxx, Sxy, Syy) -- a pure combiner aggregation, no
+    sort, no window. x = (epoch_us - origin) / 86400e6 is computed from
+    exact int64 microseconds in BOTH engines, so the float trees agree
+    to the rounding digit.
+
+    Output: (event_type, n, slope r6, intercept r4, r2 r6) sorted by
+    type. The intercept sits ~1e3x farther from the data centroid than
+    the slope scale, so sum-order noise reaches its 6th decimal --
+    rounded at 4.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        x = (ts_us - TREND_ORIGIN_US) / 86400e6
+        y = df["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y, "syy": y * y,
+        })
+
+    agg = grouped_agg(
+        ev.map_batches(moments, batch_format="pandas", batch_size=131072),
+        ["event_type"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, sxy, syy = df["sxx"].to_numpy(), df["sxy"].to_numpy(), df["syy"].to_numpy()
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        slope = cov / varx
+        intercept = (sy - slope * sx) / n
+        r2 = (cov * cov) / (varx * vary)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": df["n"].astype("int64"),
+            "slope": round_series(pd.Series(slope), 6).to_numpy(),
+            "intercept": round_series(pd.Series(intercept), 4).to_numpy(),
+            "r2": round_series(pd.Series(r2), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("event_type")

@@ -89,3 +89,24 @@ def test_bigram_logprob_short_docs_absent_and_bounds(ray_session):
     ref.index = docs.loc[n_toks >= 2, "doc_id"]
     merged = got.set_index("doc_id")["n_bigrams"]
     assert (merged == ref.reindex(merged.index)).all()
+
+
+@needs_data
+def test_ols_matches_numpy_polyfit(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        TREND_ORIGIN_US,
+        events_trend_ols,
+    )
+
+    got = _df(events_trend_ols(SF)).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    for et, g in ev.groupby("event_type"):
+        x = (g["ts"].astype("int64").to_numpy() - TREND_ORIGIN_US) / 86400e6
+        y = g["value"].to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got.loc[et, "slope"] - slope) < 1e-4
+        assert abs(got.loc[et, "intercept"] - intercept) < 1e-2
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got.loc[et, "r2"] - r * r) < 1e-4
+        assert 0.0 <= got.loc[et, "r2"] <= 1.0
