@@ -526,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_block_features": boilerplate.html_block_features,
         "event_transitions": sequences.event_transitions,
         "events_trend_ols": sequences.events_trend_ols,
+        "first_touch_attribution": sequences.first_touch_attribution,
+        "event_type_value_corr": sequences.event_type_value_corr,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
         "doc_bigram_logprob": sequences.doc_bigram_logprob,
@@ -1505,6 +1507,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
                    ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
             FROM c ORDER BY src_type, dst_type
+        """,
+        "first_touch_attribution": """
+            WITH o AS MATERIALIZED (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            f AS (SELECT user_id, event_type AS first_type
+                  FROM o WHERE rn = 1),
+            c AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN c.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_converted,
+                   ROUND(SUM(CASE WHEN c.user_id IS NOT NULL
+                                  THEN 1 ELSE 0 END) / COUNT(*), 6) AS cvr
+            FROM f LEFT JOIN c USING (user_id)
+            GROUP BY first_type ORDER BY first_type
+        """,
+        "event_type_value_corr": """
+            -- r from explicit moment sums (the engine's algebra), means
+            -- as SUM/COUNT so both engines divide the same operands
+            WITH m AS MATERIALIZED (
+              SELECT user_id, event_type, SUM(value) / COUNT(value) AS m
+              FROM events GROUP BY 1, 2),
+            p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     a.m AS x, b.m AS y
+              FROM m a JOIN m b ON a.user_id = b.user_id
+                               AND a.event_type < b.event_type),
+            s AS (SELECT type_a, type_b, COUNT(*) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x * x) AS sxx,
+                         SUM(x * y) AS sxy, SUM(y * y) AS syy
+                  FROM p GROUP BY 1, 2)
+            SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
+                   ROUND((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         6) AS r
+            FROM s ORDER BY type_a, type_b
         """,
         "events_trend_ols": """
             -- moment-sum OLS; x from exact int64 epoch_us minus a fixed

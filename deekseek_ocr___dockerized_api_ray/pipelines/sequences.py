@@ -301,3 +301,137 @@ def events_trend_ols(sf_dir: str, n_buckets: int = 8):
         })
 
     return agg.map_batches(finish, batch_format="pandas").sort("event_type")
+
+
+def first_touch_attribution(sf_dir: str, goal: str = "purchase",
+                            n_buckets: int = 64):
+    """First-touch attribution: credit each user's conversion (any
+    ``goal`` event) to their FIRST event's type, reporting per channel
+    the users acquired, conversions and conversion rate.
+
+    Shape: one bucketed keyed shuffle on user_id; the per-bucket kernel
+    is a vectorized groupby-idxmin (first touch) + any-goal flag; the
+    final per-channel rollup is a tiny combiner aggregate.
+
+    Output: (first_type, n_users, n_converted, cvr r6) sorted by type.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        first = df.groupby("user_id", sort=False).first()
+        conv = (df["event_type"] == goal).groupby(
+            df["user_id"], sort=False).any()
+        return pd.DataFrame({
+            "first_type": first["event_type"].to_numpy(),
+            "converted": conv.reindex(first.index).to_numpy().astype(np.int64),
+            "one": np.ones(len(first), dtype=np.int64),
+        })
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: per_user(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    agg = grouped_agg(partial, ["first_type"],
+                      {"n_users": ("one", "sum"),
+                       "n_converted": ("converted", "sum")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "first_type": df["first_type"].to_numpy(),
+            "n_users": df["n_users"].astype("int64"),
+            "n_converted": df["n_converted"].astype("int64"),
+            "cvr": round_series(
+                pd.Series(df["n_converted"].to_numpy()
+                          / df["n_users"].to_numpy()), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("first_type")
+
+
+def event_type_value_corr(sf_dir: str, n_buckets: int = 64):
+    """Pearson correlation, across users, between per-user MEAN values
+    of every event-type pair -- the correlation-matrix operator. Only
+    users with both types contribute to a pair.
+
+    Shape: (user, type) combiner means -> per-user bucketed pairing
+    (each user emits its type-pair moment rows) -> tiny pair-moment
+    combiner -> closed-form r. The moment algebra
+    ``r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))``
+    is shared with the oracle.
+
+    Output: (type_a, type_b, n, r r6) for type_a < type_b, sorted.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    means = grouped_agg(ev, ["user_id", "event_type"],
+                        {"s": ("value", "sum"), "c": ("value", "count")},
+                        n_buckets=n_buckets)
+
+    def pair_moments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["m"] = df["s"].to_numpy() / df["c"].to_numpy(dtype=np.float64)
+        rows = []
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values("event_type")
+            types = g["event_type"].to_numpy()
+            m = g["m"].to_numpy()
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    rows.append((types[i], types[j], m[i], m[j]))
+        if not rows:
+            return pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                                 "type_b": pd.Series(dtype="object"),
+                                 "x": pd.Series(dtype="float64"),
+                                 "y": pd.Series(dtype="float64")})
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "x", "y"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _user_bucket(df, "user_id", n_buckets)
+
+    paired = (means.map_batches(bucket, batch_format="pandas")
+              .groupby("bucket").map_groups(
+                  lambda df: pair_moments(df.drop(columns=["bucket"])),
+                  batch_format="pandas"))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy()
+        y = df["y"].to_numpy()
+        return pd.DataFrame({
+            "type_a": df["type_a"].to_numpy(),
+            "type_b": df["type_b"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y, "syy": y * y,
+        })
+
+    agg = grouped_agg(paired.map_batches(moments, batch_format="pandas"),
+                      ["type_a", "type_b"],
+                      {c: (c, "sum")
+                       for c in ("n", "sx", "sy", "sxx", "sxy", "syy")},
+                      n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, sxy, syy = (df["sxx"].to_numpy(), df["sxy"].to_numpy(),
+                         df["syy"].to_numpy())
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pd.DataFrame({
+            "type_a": df["type_a"].to_numpy(),
+            "type_b": df["type_b"].to_numpy(),
+            "n": df["n"].astype("int64"),
+            "r": round_series(pd.Series(r), 6).to_numpy(),
+        })
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .sort(["type_a", "type_b"]))

@@ -110,3 +110,43 @@ def test_ols_matches_numpy_polyfit(ray_session):
         r = np.corrcoef(x, y)[0, 1]
         assert abs(got.loc[et, "r2"] - r * r) < 1e-4
         assert 0.0 <= got.loc[et, "r2"] <= 1.0
+
+
+@needs_data
+def test_attribution_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        first_touch_attribution,
+    )
+
+    got = _df(first_touch_attribution(SF)).set_index("first_type")
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    first = ev.groupby("user_id").first()["event_type"]
+    conv = ev.groupby("user_id")["event_type"].apply(
+        lambda s: (s == "purchase").any())
+    ref = pd.DataFrame({"first_type": first, "converted": conv}).groupby(
+        "first_type").agg(n_users=("converted", "size"),
+                          n_converted=("converted", "sum"))
+    assert (got["n_users"] == ref["n_users"]).all()
+    assert (got["n_converted"] == ref["n_converted"]).all()
+    assert got["n_users"].sum() == ev["user_id"].nunique()
+
+
+@needs_data
+def test_corr_matches_numpy_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        event_type_value_corr,
+    )
+
+    got = _df(event_type_value_corr(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    means = ev.groupby(["user_id", "event_type"])["value"].mean().unstack()
+    for _, row in got.iterrows():
+        pair = means[[row["type_a"], row["type_b"]]].dropna()
+        assert row["n"] == len(pair)
+        ref = np.corrcoef(pair.iloc[:, 0], pair.iloc[:, 1])[0, 1]
+        assert abs(row["r"] - ref) < 1e-5
+        assert -1.0 - 1e-9 <= row["r"] <= 1.0 + 1e-9
