@@ -266,6 +266,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return crops.map_batches(fingerprint, batch_format="pyarrow")
 
+    def doc_crop_zips(sf_dir: str):
+        # W5: per-doc crop ZIP; deterministic bytes (fixed timestamps,
+        # name-sorted members) so the lineage row hashes are stable
+        import tempfile
+
+        from deekseek_ocr___dockerized_api_ray.stages.crops import extract_crops
+        from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+            write_crops_zip,
+        )
+
+        crops = extract_crops(run_extract(_corpus(sf_dir), mode="markdown"))
+        out = tempfile.mkdtemp(prefix="crop_zips_", dir="/tmp")
+        return write_crops_zip(crops, out).drop_columns(["zip_path"])
+
+    def doc_layout_pdfs(sf_dir: str):
+        # W6/W7: per-doc vector layout-overlay PDF from the grounding
+        # boxes; lineage row per written doc (paths are run-local)
+        import tempfile
+
+        from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+            write_layout_pdfs,
+        )
+
+        boxes = grounding_boxes(sf_dir)
+        out = tempfile.mkdtemp(prefix="layout_pdfs_", dir="/tmp")
+        return write_layout_pdfs(boxes, out).drop_columns(["pdf_path"])
+
     def pack_plan(sf_dir: str):
         # token-budget sequence packing (greedy next-fit per hash shard;
         # rows-only check -- iterative packing is not SQL-expressible)
@@ -403,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_eval": extract_eval,
         "grounding_boxes": grounding_boxes,
         "layout_reading_order": layout_reading_order,
+        "doc_crop_zips": doc_crop_zips,
+        "doc_layout_pdfs": doc_layout_pdfs,
         "media_tiling_plan": media_pipeline,
         "media_preprocess_plan": media_preprocess_plan,
         "doc_crops": doc_crops,
