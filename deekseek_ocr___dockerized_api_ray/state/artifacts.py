@@ -277,3 +277,160 @@ def clear_stale_jobs(root: str, purge_completed: bool = False) -> dict:
                 removed_dirs.append(p)
     return {"removed_dirs": removed_dirs, "removed_tmp": removed_tmp,
             "kept": kept}
+
+
+# ---------------------------------------------------------------------------
+# W7: geometry re-plot (run_dpsk_ocr_image.py:269-319)
+# ---------------------------------------------------------------------------
+
+#: the reference's fixed canvas: matplotlib axes [-15, 15] x [-15, 15]
+GEO_LIM = 15.0
+
+
+def parse_geometry(text: str) -> Optional[dict]:
+    """Parse the geometry-mode OCR payload: a dict literal with
+    ``Line: {line: ["(x,y) -- (x,y)", ...], line_type: [...],
+    line_endpoint: ["A: (x,y)", ...]}`` and optional ``Circle``.
+    The reference ``eval``s the payload and per-element splits
+    (``run_dpsk_ocr_image.py:273-312``); this engine uses
+    ``ast.literal_eval`` (never eval -- the M14 rule) with the same
+    per-element error tolerance (bad elements are skipped).
+
+    Returns {"lines": [((x0,y0),(x1,y1),style)], "endpoints":
+    [(label,(x,y))], "circles": [((cx,cy),r)]} or None if the payload
+    is not a geometry dict.
+    """
+    import ast
+
+    if "line_type" not in text:
+        return None
+    try:
+        d = ast.literal_eval(text.strip())
+        lines_raw = d["Line"]["line"]
+        types = d["Line"]["line_type"]
+        endpoints_raw = d["Line"].get("line_endpoint", [])
+    except Exception:
+        return None
+    lines = []
+    for idx, line in enumerate(lines_raw):
+        try:
+            p0 = ast.literal_eval(line.split(" -- ")[0])
+            p1 = ast.literal_eval(line.split(" -- ")[-1])
+            style = types[idx] if idx < len(types) else "-"
+            lines.append(((float(p0[0]), float(p0[1])),
+                          (float(p1[0]), float(p1[1])), str(style)))
+        except Exception:
+            continue
+    endpoints = []
+    for ep in endpoints_raw:
+        try:
+            label = ep.split(": ")[0]
+            x, y = ast.literal_eval(ep.split(": ")[1])
+            endpoints.append((str(label), (float(x), float(y))))
+        except Exception:
+            continue
+    circles = []
+    try:
+        if "Circle" in d:
+            centers = d["Circle"]["circle_center"]
+            radii = d["Circle"]["radius"]
+            for center, r in zip(centers, radii):
+                cx, cy = ast.literal_eval(center.split(": ")[1])
+                circles.append(((float(cx), float(cy)), float(r)))
+    except Exception:
+        pass
+    return {"lines": lines, "endpoints": endpoints, "circles": circles}
+
+
+def geometry_pdf_bytes(geo: dict, size: int = 600) -> bytes:
+    """Vector re-plot of a parsed geometry payload: lines (0.8pt-scaled
+    strokes, dashed for '--' -- the reference draws both solid, its
+    if/else branches are identical; we honor the declared style),
+    endpoint dots + labels, circles as 4-arc Beziers. Canvas =
+    [-GEO_LIM, GEO_LIM]^2 mapped onto a ``size`` pt square page."""
+    k = 0.5522847498307934  # 4-arc Bezier circle constant
+
+    def tx(x: float) -> float:
+        return (x + GEO_LIM) / (2 * GEO_LIM) * size
+
+    def ty(y: float) -> float:
+        return (y + GEO_LIM) / (2 * GEO_LIM) * size
+
+    ops = ["0 0 0 RG 0 0 0 rg 1.6 w"]
+    for (x0, y0), (x1, y1), style in geo["lines"]:
+        if style == "--":
+            ops.append("[6 4] 0 d")
+        ops.append(f"{tx(x0):.2f} {ty(y0):.2f} m {tx(x1):.2f} {ty(y1):.2f} l S")
+        if style == "--":
+            ops.append("[] 0 d")
+    for (x0, y0), (x1, y1), _ in geo["lines"]:
+        for (px, py) in ((x0, y0), (x1, y1)):
+            r = 2.0
+            cx, cy = tx(px), ty(py)
+            ops.append(
+                f"{cx + r:.2f} {cy:.2f} m "
+                f"{cx + r:.2f} {cy + k * r:.2f} {cx + k * r:.2f} {cy + r:.2f} {cx:.2f} {cy + r:.2f} c "
+                f"{cx - k * r:.2f} {cy + r:.2f} {cx - r:.2f} {cy + k * r:.2f} {cx - r:.2f} {cy:.2f} c "
+                f"{cx - r:.2f} {cy - k * r:.2f} {cx - k * r:.2f} {cy - r:.2f} {cx:.2f} {cy - r:.2f} c "
+                f"{cx + k * r:.2f} {cy - r:.2f} {cx + r:.2f} {cy - k * r:.2f} {cx + r:.2f} {cy:.2f} c f")
+    for label, (x, y) in geo["endpoints"]:
+        ops.append(f"BT /F1 6 Tf {tx(x) + 1:.2f} {ty(y) + 1:.2f} Td "
+                   f"({_pdf_escape(label)}) Tj ET")
+    for (cx, cy), r in geo["circles"]:
+        px, py = tx(cx), ty(cy)
+        pr = r / (2 * GEO_LIM) * size
+        ops.append(
+            f"{px + pr:.2f} {py:.2f} m "
+            f"{px + pr:.2f} {py + k * pr:.2f} {px + k * pr:.2f} {py + pr:.2f} {px:.2f} {py + pr:.2f} c "
+            f"{px - k * pr:.2f} {py + pr:.2f} {px - pr:.2f} {py + k * pr:.2f} {px - pr:.2f} {py:.2f} c "
+            f"{px - pr:.2f} {py - k * pr:.2f} {px - k * pr:.2f} {py - pr:.2f} {px:.2f} {py - pr:.2f} c "
+            f"{px + k * pr:.2f} {py - pr:.2f} {px + pr:.2f} {py - k * pr:.2f} {px + pr:.2f} {py:.2f} c S")
+    stream = ("\n".join(ops)).encode("latin-1", "replace")
+    objs: List[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [4 0 R] /Count 1 >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {size} {size}] "
+        f"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>".encode(),
+        f"<< /Length {len(stream)} >>\nstream\n".encode() + stream
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def replot_geometry(spans_ds, out_dir: str, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """W7 stage: rows whose OCR text is a geometry payload are re-plotted
+    to ``{doc_id}_geo.pdf``; all other rows pass through untouched (the
+    reference's ``if 'line_type' in outputs`` gate). Stateless
+    map_batches; returns a lineage Dataset (doc_id, n_lines, n_circles,
+    n_endpoints, pdf_bytes) for the rows that plotted."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def plot(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df[id_col], df[text_col]):
+            geo = parse_geometry(text)
+            if geo is None:
+                continue
+            data = geometry_pdf_bytes(geo)
+            _write_atomic(os.path.join(out_dir, f"{doc_id}_geo.pdf"), data)
+            rows.append((str(doc_id), len(geo["lines"]), len(geo["circles"]),
+                         len(geo["endpoints"]), len(data)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_lines", "n_circles",
+                                           "n_endpoints", "pdf_bytes"])
+
+    return spans_ds.map_batches(plot, batch_format="pandas",
+                                batch_size=65536)

@@ -157,3 +157,69 @@ def test_clear_stale_jobs(tmp_path):
     assert not (root / "part=0000").exists()
     assert not (root / "_manifest").exists()
     assert res2["kept"] == 0
+
+
+GEO_PAYLOAD = """{'Line': {'line': ['(-10, -5) -- (10, -5)', '(0, 8) -- (-10, -5)', '(0, 8) -- (10, -5)'], 'line_type': ['-', '--', '-'], 'line_endpoint': ['A: (-10, -5)', 'B: (10, -5)', 'C: (0, 8)']}, 'Circle': {'circle_center': ['O: (0, 0)'], 'radius': [5]}}"""
+
+
+def test_parse_geometry_matches_reference_split_semantics():
+    from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+        parse_geometry,
+    )
+
+    geo = parse_geometry(GEO_PAYLOAD)
+    # reference semantics: eval dict + ' -- ' / ': ' splits
+    # (run_dpsk_ocr_image.py:273-312) -- replicate and compare
+    d = eval(GEO_PAYLOAD)  # test-only: the reference's own parse
+    ref_lines = [(eval(ln.split(" -- ")[0]), eval(ln.split(" -- ")[-1]), t)
+                 for ln, t in zip(d["Line"]["line"], d["Line"]["line_type"])]
+    assert [(tuple(map(float, a)), tuple(map(float, b)), s)
+            for a, b, s in ref_lines] == geo["lines"]
+    assert geo["endpoints"] == [("A", (-10.0, -5.0)), ("B", (10.0, -5.0)),
+                                ("C", (0.0, 8.0))]
+    assert geo["circles"] == [((0.0, 0.0), 5.0)]
+    # non-geometry text passes through
+    assert parse_geometry("# plain markdown") is None
+    # malformed elements are skipped, not fatal (the reference's try/except)
+    broken = GEO_PAYLOAD.replace("'(0, 8) -- (10, -5)'", "'junk'")
+    assert len(parse_geometry(broken)["lines"]) == 2
+
+
+def test_geometry_pdf_structure():
+    from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+        geometry_pdf_bytes,
+        parse_geometry,
+    )
+
+    data = geometry_pdf_bytes(parse_geometry(GEO_PAYLOAD))
+    assert data == geometry_pdf_bytes(parse_geometry(GEO_PAYLOAD))
+    assert data.startswith(b"%PDF-1.4")
+    assert data.count(b" l S") == 3       # 3 line strokes
+    assert data.count(b" c S") == 1       # 1 circle outline
+    assert data.count(b" c f") == 6       # 2 endpoint dots per line
+    assert b"[6 4] 0 d" in data           # dashed style honored
+    for lab in (b"(A) Tj", b"(B) Tj", b"(C) Tj"):
+        assert lab in data
+    xref_at = int(data.split(b"startxref\n")[1].split(b"\n")[0])
+    assert data[xref_at:xref_at + 4] == b"xref"
+
+
+def test_replot_geometry_stage(ray_session, tmp_path):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+        replot_geometry,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": ["g1", "g2"],
+        "text": [GEO_PAYLOAD, "# not geometry"],
+    })
+    out = str(tmp_path / "geo")
+    lineage = replot_geometry(rd.from_pandas(df), out).to_pandas()
+    assert list(lineage["doc_id"]) == ["g1"]
+    assert lineage.iloc[0]["n_lines"] == 3
+    assert lineage.iloc[0]["n_circles"] == 1
+    assert lineage.iloc[0]["n_endpoints"] == 3
+    assert os.path.isfile(os.path.join(out, "g1_geo.pdf"))
+    assert not os.path.isfile(os.path.join(out, "g2_geo.pdf"))
