@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_ols": sequences.events_trend_ols,
         "first_touch_attribution": sequences.first_touch_attribution,
         "event_type_value_corr": sequences.event_type_value_corr,
+        "user_mode_event_type": sequences.user_mode_event_type,
+        "revenue_cube": analytics.revenue_cube,
+        "edit_distance_topk": text.edit_distance_topk,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
         "doc_bigram_logprob": sequences.doc_bigram_logprob,
@@ -1536,6 +1539,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
                    ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
             FROM c ORDER BY src_type, dst_type
+        """,
+        "user_mode_event_type": """
+            SELECT user_id, mode_type, CAST(n AS BIGINT) AS n FROM (
+              SELECT user_id, event_type AS mode_type, COUNT(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY COUNT(*) DESC, event_type)
+                       AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "revenue_cube": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY CUBE(r_name, c_mktsegment)
+            ORDER BY 1, 2
+        """,
+        "edit_distance_topk": """
+            WITH q AS (SELECT doc_id AS query_id, text AS qt, lang AS ql
+                       FROM documents WHERE doc_id IN (0, 1, 2))
+            SELECT query_id, doc_id, CAST(dist AS BIGINT) AS dist,
+                   CAST(rn AS BIGINT) AS rank FROM (
+              SELECT q.query_id, d.doc_id,
+                     levenshtein(d.text, q.qt) AS dist,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY levenshtein(d.text, q.qt),
+                                                 d.doc_id) AS rn
+              FROM documents d, q
+              WHERE d.lang = q.ql AND d.doc_id <> q.query_id)
+            WHERE rn <= 5
+            ORDER BY query_id, rank
         """,
         "first_touch_attribution": """
             WITH o AS MATERIALIZED (

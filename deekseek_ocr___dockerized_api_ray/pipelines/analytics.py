@@ -1417,3 +1417,105 @@ def orders_monthly_gapfill(sf_dir: str):
         "n_orders": out["n_orders"].fillna(0).astype("int64"),
         "revenue": round_series(out["revenue"].fillna(0.0), 2),
     }).sort_values(["year", "month"]).reset_index(drop=True)
+
+
+def revenue_cube(sf_dir: str, broadcast_rows: int = 5_000_000):
+    """GROUP BY CUBE(r_name, c_mktsegment) over order revenue: all four
+    grains -- (region, segment), per-region, per-segment, grand total --
+    with 'ALL' markers. Like ``revenue_rollup``, the fact scan reduces
+    to the finest (region x segment) grain distributed (one pass with a
+    gated customer->(region, segment) broadcast lut, hash-join path
+    above the gate); the 3 coarser grains derive from that ~25-row
+    aggregate on the driver.
+
+    Output: (r_name, c_mktsegment, n_orders, revenue r2) sorted.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.lookup import VecLookup
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                      reg.column("r_name").to_pylist()))
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    segs = sorted(set(pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_mktsegment"]).column("c_mktsegment").to_pylist()))
+    seg_idx = {s: i for i, s in enumerate(segs)}
+
+    if n_cust <= broadcast_rows:
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+        rkey = np.asarray([n2r[int(n)]
+                           for n in ct.column("c_nationkey").to_pylist()],
+                          dtype=np.int64)
+        sidx = np.asarray([seg_idx[s]
+                           for s in ct.column("c_mktsegment").to_pylist()],
+                          dtype=np.int64)
+        lut_ref = ray.put(VecLookup(
+            ct.column("c_custkey").to_numpy(zero_copy_only=False),
+            rkey * 64 + sidx))
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            lut: VecLookup = ray.get(lut_ref)
+            code, _ = lut.lookup(df["o_custkey"].to_numpy())
+            return pd.DataFrame({"code": code,
+                                 "one": np.ones(len(df), dtype=np.int64),
+                                 "rev": df["o_totalprice"].to_numpy()})
+
+        base = grouped_agg(
+            orders.map_batches(prep, batch_format="pandas", batch_size=131072),
+            ["code"], {"n_orders": ("one", "sum"), "revenue": ("rev", "sum")},
+            n_buckets=8).to_pandas()
+        base["r_name"] = (base["code"] // 64).map(r2name)
+        base["c_mktsegment"] = (base["code"] % 64).map(
+            dict(enumerate(segs)))
+    else:
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+        joined = orders.join(cust, join_type="inner",
+                             num_partitions=_join_partitions(n_cust),
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+        def prep_j(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "rkey": df["c_nationkey"].map(n2r).to_numpy(dtype=np.int64),
+                "c_mktsegment": df["c_mktsegment"].to_numpy(),
+                "one": np.ones(len(df), dtype=np.int64),
+                "rev": df["o_totalprice"].to_numpy(),
+            })
+
+        base = grouped_agg(
+            joined.map_batches(prep_j, batch_format="pandas"),
+            ["rkey", "c_mktsegment"],
+            {"n_orders": ("one", "sum"), "revenue": ("rev", "sum")},
+            n_buckets=8).to_pandas()
+        base["r_name"] = base["rkey"].map(r2name)
+
+    base = base[["r_name", "c_mktsegment", "n_orders", "revenue"]]
+    by_r = base.groupby("r_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+    by_r["c_mktsegment"] = "ALL"
+    by_s = base.groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+    by_s["r_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "c_mktsegment": ["ALL"],
+                          "n_orders": [base["n_orders"].sum()],
+                          "revenue": [base["revenue"].sum()]})
+    out = pd.concat([base, by_r, by_s, total], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = round_series(out["revenue"], 2)
+    return (out[["r_name", "c_mktsegment", "n_orders", "revenue"]]
+            .sort_values(["r_name", "c_mktsegment"]).reset_index(drop=True))

@@ -435,3 +435,40 @@ def event_type_value_corr(sf_dir: str, n_buckets: int = 64):
 
     return (agg.map_batches(finish, batch_format="pandas")
             .sort(["type_a", "type_b"]))
+
+
+def user_mode_event_type(sf_dir: str, n_buckets: int = 16):
+    """MODE aggregate: each user's most frequent event type (ties to
+    the lexicographically smallest type -- a total order both engines
+    share). (user, type) combiner counts -> per-user bucketed argmax.
+
+    Output: (user_id, mode_type, n) sorted by user_id.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import _bucket_of
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = grouped_agg(ev, ["user_id", "event_type"],
+                         {"n": ("event_type", "size")}, n_buckets=n_buckets)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=list(df.columns) + ["bucket"])
+        df = df.copy()
+        df["bucket"] = _bucket_of(df, ["user_id"], n_buckets)
+        return df
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df.drop(columns=["bucket"])
+               .sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True])
+               .groupby("user_id", as_index=False).first())
+        return pd.DataFrame({"user_id": win["user_id"].astype("int64"),
+                             "mode_type": win["event_type"].to_numpy(),
+                             "n": win["n"].astype("int64")})
+
+    return (counts.map_batches(bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(argmax, batch_format="pandas")
+            .sort("user_id"))

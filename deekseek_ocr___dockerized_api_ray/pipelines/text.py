@@ -522,3 +522,78 @@ def lang_sample_exact_k(sf_dir: str, k: int = 10):
     # candidate set is tiny (per-batch k per lang); one reduce call
     return (tops.repartition(1).map_batches(final, batch_format="pandas")
             .sort(["lang", "rk"]))
+
+
+def levenshtein_vec(a: str, b: str) -> int:
+    """Unit-cost edit distance with the vectorized row DP: the insertion
+    recurrence cur[j] = min_k<=j (cur[k] + (j - k)) collapses to a
+    running minimum of (cur - j), so each DP row is O(1) numpy calls."""
+    import numpy as np
+
+    if a == b:
+        return 0
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    m = len(bb)
+    idx = np.arange(m + 1)
+    prev = idx.astype(np.int64)
+    cur = np.empty(m + 1, dtype=np.int64)
+    for i, ca in enumerate(aa, 1):
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca))
+        cur = np.minimum.accumulate(cur - idx) + idx
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_distance_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 5):
+    """String-similarity search: for each query document, the k nearest
+    same-language documents by Levenshtein distance (ties by doc_id) --
+    the text counterpart of the embedding ANN suite, with the same
+    broadcast-queries / per-batch local top-k / tiny global reduce
+    shape. The corpus streams; only (queries x k) candidate rows per
+    batch cross the wire.
+
+    Output: (query_id, doc_id, dist, rank) sorted query_id, rank.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    qset = set(int(q) for q in query_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    qrows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: int(r["doc_id"]))
+    q_ref = ray.put([(int(r["doc_id"]), r["text"], r["lang"]) for r in qrows])
+
+    def local_top(batch: pa.Table) -> pd.DataFrame:
+        queries = ray.get(q_ref)
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        out_q, out_id, out_d = [], [], []
+        for qid, qt, ql in queries:
+            cand = [(levenshtein_vec(t, qt), int(i))
+                    for i, t, l in zip(ids, texts, langs)
+                    if l == ql and int(i) != qid]
+            cand.sort()
+            for d, i in cand[:k]:
+                out_q.append(qid)
+                out_id.append(i)
+                out_d.append(d)
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
+                             "doc_id": np.asarray(out_id, dtype=np.int64),
+                             "dist": np.asarray(out_d, dtype=np.int64)})
+
+    tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=4096)
+    final = (tops.sort(["query_id", "dist", "doc_id"])
+             .to_pandas().groupby("query_id", as_index=False).head(k))
+    final = final.reset_index(drop=True)
+    final["rank"] = final.groupby("query_id", sort=False).cumcount() + 1
+    final["rank"] = final["rank"].astype("int64")
+    return final

@@ -150,3 +150,31 @@ def test_corr_matches_numpy_reference(ray_session):
         ref = np.corrcoef(pair.iloc[:, 0], pair.iloc[:, 1])[0, 1]
         assert abs(row["r"] - ref) < 1e-5
         assert -1.0 - 1e-9 <= row["r"] <= 1.0 + 1e-9
+
+
+def test_levenshtein_vec_reference_cases():
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        levenshtein_vec,
+    )
+
+    cases = [("kitten", "sitting", 3), ("flaw", "lawn", 2), ("", "", 0),
+             ("abc", "", 3), ("", "xyz", 3), ("same", "same", 0),
+             ("ab", "ba", 2)]
+    for a, b, d in cases:
+        assert levenshtein_vec(a, b) == d
+        assert levenshtein_vec(b, a) == d  # symmetric
+
+
+@needs_data
+def test_revenue_cube_gated_paths_agree(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        revenue_cube,
+    )
+
+    fast = revenue_cube(SF)
+    slow = revenue_cube(SF, broadcast_rows=0)
+    pd.testing.assert_frame_equal(fast, slow)
+    # grand total row reconciles with the finest grain
+    grains = fast[(fast["r_name"] != "ALL") & (fast["c_mktsegment"] != "ALL")]
+    total = fast[(fast["r_name"] == "ALL") & (fast["c_mktsegment"] == "ALL")]
+    assert total["n_orders"].iloc[0] == grains["n_orders"].sum()
