@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_touch_attribution": sequences.first_touch_attribution,
         "event_type_value_corr": sequences.event_type_value_corr,
         "user_mode_event_type": sequences.user_mode_event_type,
+        "user_event_type_set": sequences.user_event_type_set,
         "revenue_cube": analytics.revenue_cube,
         "edit_distance_topk": text.edit_distance_topk,
         "user_event_entropy": sequences.user_event_entropy,
@@ -1539,6 +1540,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
                    ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
             FROM c ORDER BY src_type, dst_type
+        """,
+        "user_event_type_set": """
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS type_set
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "user_mode_event_type": """
             SELECT user_id, mode_type, CAST(n AS BIGINT) AS n FROM (

@@ -472,3 +472,46 @@ def user_mode_event_type(sf_dir: str, n_buckets: int = 16):
     return (counts.map_batches(bucket, batch_format="pandas")
             .groupby("bucket").map_groups(argmax, batch_format="pandas")
             .sort("user_id"))
+
+
+def user_event_type_set(sf_dir: str, n_buckets: int = 16):
+    """Set/list aggregation: each user's distinct event types as a
+    sorted comma-joined string (the string_agg(DISTINCT ... ORDER BY)
+    shape). Partial per-batch dedup -> per-user bucketed reduce that
+    dedups exactly and joins -- the mergeable-set pattern shared with
+    events_user_reach.
+
+    Output: (user_id, n_types, type_set) sorted by user_id.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import _bucket_of
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "event_type"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=list(df.columns) + ["bucket"])
+        df = df.copy()
+        df["bucket"] = _bucket_of(df, ["user_id"], n_buckets)
+        return df
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["bucket"])
+              .drop_duplicates(["user_id", "event_type"])
+              .sort_values(["user_id", "event_type"]))
+        g = df.groupby("user_id", sort=False)["event_type"]
+        out = g.agg(lambda s: ",".join(s)).reset_index(name="type_set")
+        out["n_types"] = g.size().to_numpy()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        return out[["user_id", "n_types", "type_set"]]
+
+    return (ev.map_batches(partial, batch_format="pandas", batch_size=131072)
+            .map_batches(bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce, batch_format="pandas")
+            .sort("user_id"))
