@@ -1716,8 +1716,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         """,
         "important_parts_q11": """
-            -- value in exact fixed point; all-integer HAVING threshold
-            -- (value_e4 * 2000 > total_e4) matches the engine bitwise
+            -- value in exact fixed point; scale-free all-integer HAVING
+            -- (value_e4 * n_parts > 2 * total_e4 -- "2x the average
+            -- supplied part") matches the engine bitwise
             WITH val AS MATERIALIZED (
               SELECT l_partkey,
                      SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -1726,11 +1727,12 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               WHERE s_nationkey = 3
               GROUP BY 1),
-            tot AS (SELECT SUM(value_e4) AS total_e4 FROM val)
+            tot AS (SELECT SUM(value_e4) AS total_e4,
+                           COUNT(*) AS n_parts FROM val)
             SELECT l_partkey AS p_partkey,
                    ROUND(value_e4 / 10000.0, 2) AS value
             FROM val CROSS JOIN tot
-            WHERE value_e4 * 2000 > total_e4
+            WHERE value_e4 * n_parts > 2 * total_e4
             ORDER BY value DESC, p_partkey
         """,
         "priority_shipping_q12": """

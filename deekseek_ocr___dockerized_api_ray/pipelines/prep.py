@@ -57,7 +57,7 @@ def web_prep_corpus(sf_dir: str, keep_langs=("en", "de", "fr", "es"),
 
     content = _html_pages(sf_dir).map_batches(
         HtmlContentStage, fn_constructor_kwargs=dict(mode="content"),
-        batch_format="pandas", batch_size=1024, concurrency=(1, 8),
+        batch_format="pandas", batch_size=256, concurrency=(1, 16),
     )
 
     def as_text(df: pd.DataFrame) -> pd.DataFrame:

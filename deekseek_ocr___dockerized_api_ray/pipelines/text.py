@@ -590,7 +590,8 @@ def edit_distance_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 5):
                              "doc_id": np.asarray(out_id, dtype=np.int64),
                              "dist": np.asarray(out_d, dtype=np.int64)})
 
-    tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=4096)
+    # row-wise DP work: small batches so the task pool actually fans out
+    tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=512)
     final = (tops.sort(["query_id", "dist", "doc_id"])
              .to_pandas().groupby("query_id", as_index=False).head(k))
     final = final.reset_index(drop=True)

@@ -8,8 +8,8 @@ them) and availability/cost come from shipped quantities and unit prices:
         engine and the DuckDB oracle agree bitwise on the argmin.
   - q11 important parts: part value = discounted revenue from one
         nation's suppliers in exact fixed point (cents x basis points,
-        int64); the HAVING threshold is the all-integer comparison
-        ``value_e4 * frac_den > total_e4``.
+        int64); the HAVING threshold is the scale-free all-integer
+        comparison ``value_e4 * n_parts > 2 * total_e4``.
   - q12 priority shipping mix: l_returnflag stands in for the absent
         l_shipmode; counts are integers (trivially stable).
   - q16 supplier counts per part attribute group: exact distinct
@@ -196,13 +196,17 @@ def min_cost_supplier_q2(sf_dir: str, region: int = 1, max_size: int = 15,
 # q11: important parts by stocked value
 # ---------------------------------------------------------------------------
 
-def important_parts_q11(sf_dir: str, nation: int = 3, frac_den: int = 2000):
+def important_parts_q11(sf_dir: str, nation: int = 3, mult_num: int = 2,
+                        mult_den: int = 1):
     """TPC-H q11 analogue: value of each part supplied by one nation's
     suppliers (discounted revenue in exact fixed point), keeping parts
-    whose value exceeds ``1/frac_den`` of the nation's total.
+    whose value exceeds ``mult_num/mult_den`` times the AVERAGE
+    supplied part's value -- a scale-free threshold (q11's fixed
+    fraction selects nothing once the part dim grows 10x).
 
-    The threshold compare is all-integer (``value_e4 * frac_den >
-    total_e4``), so engine and oracle agree bitwise at the boundary.
+    The threshold compare is all-integer
+    (``value_e4 * n_parts * mult_den > mult_num * total_e4``), so
+    engine and oracle agree bitwise at the boundary.
 
     Shape: one streaming pass (supplier-nation membership broadcast) ->
     partkey combiner sum -> the per-part aggregate is materialized once
@@ -238,14 +242,16 @@ def important_parts_q11(sf_dir: str, nation: int = 3, frac_den: int = 2000):
     ).materialize()
 
     def partial_total(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"t": [df["value_e4"].to_numpy().sum()]})
+        return pd.DataFrame({"t": [df["value_e4"].to_numpy().sum()],
+                             "k": [len(df)]})
 
-    total_e4 = int(agg.map_batches(partial_total, batch_format="pandas")
-                   .to_pandas()["t"].sum())
+    tk = agg.map_batches(partial_total, batch_format="pandas").to_pandas()
+    total_e4 = int(tk["t"].sum())
+    n_parts = int(tk["k"].sum())
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value_e4"].to_numpy()
-        m = v * frac_den > total_e4
+        m = v * n_parts * mult_den > mult_num * total_e4
         return pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy()[m],
                              "value": round_series(pd.Series(v[m] / 10000.0), 2)})
 

@@ -276,7 +276,7 @@ def html_main_content(sf_dir: str):
     """
     return _html_pages(sf_dir).map_batches(
         HtmlContentStage, fn_constructor_kwargs=dict(mode="content"),
-        batch_format="pandas", batch_size=1024, concurrency=(1, 8),
+        batch_format="pandas", batch_size=256, concurrency=(1, 16),
     ).sort("doc_id")
 
 
@@ -288,5 +288,5 @@ def html_block_features(sf_dir: str):
     unit suite."""
     return _html_pages(sf_dir).map_batches(
         HtmlContentStage, fn_constructor_kwargs=dict(mode="blocks"),
-        batch_format="pandas", batch_size=1024, concurrency=(1, 8),
+        batch_format="pandas", batch_size=256, concurrency=(1, 16),
     ).sort(["doc_id", "block_idx"])

@@ -63,13 +63,14 @@ def test_q16_gated_paths_agree(ray_session):
 
 @needs_data
 def test_q11_threshold_is_exact_integer_math(ray_session):
-    """Every reported part's fixed-point value must exceed total/frac_den
-    under the same integer comparison the engine used."""
+    """Every reported part's fixed-point value must exceed the scale-free
+    threshold (2x the average supplied part) under the same integer
+    comparison the engine used."""
     from deekseek_ocr___dockerized_api_ray.pipelines.tpch_rest import (
         important_parts_q11,
     )
 
-    got = _df(important_parts_q11(SF, nation=3, frac_den=500))
+    got = _df(important_parts_q11(SF, nation=3))
     li = pd.read_parquet(
         f"{SF}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -81,7 +82,8 @@ def test_q11_threshold_is_exact_integer_math(ray_session):
           * (100 - np.rint(li["l_discount"].to_numpy() * 100).astype(np.int64)))
     per_part = pd.Series(e4).groupby(li["l_partkey"].to_numpy()).sum()
     total = int(per_part.sum())
-    expect = per_part[per_part * 500 > total]
+    expect = per_part[per_part * len(per_part) > 2 * total]
+    assert len(expect) > 0
     assert set(got["p_partkey"]) == set(expect.index)
 
 
