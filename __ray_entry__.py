@@ -479,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_customers": relational.top_revenue_customers,
         "revenue_by_region": relational.revenue_by_region,
         "events_tumbling_hour": relational.events_tumbling_hour,
+        # incremental watermark variant; must equal the batch output
+        "streaming_tumbling_hour": windows.streaming_tumbling_hour,
         "part_filter_topk": relational.part_filter_topk,
         "distinct_flag_status": distinct_flag_status,
         "orders_semi_join": relational.orders_semi_join,
@@ -836,6 +838,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_tumbling_hour": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "part_filter_topk": """
             SELECT p_partkey, p_name, p_retailprice FROM part

@@ -264,3 +264,81 @@ def streaming_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
     for part in closed_parts[1:]:
         result = result.union(part)
     return result
+
+
+def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
+                            lateness_s: int = 0, n_buckets: int = 64):
+    """STREAMING tumbling windows with a WATERMARK: the event log is
+    processed as ``n_chunks`` time-ordered micro-batches; per chunk the
+    per-(hour, event_type) aggregate runs DISTRIBUTED (the same
+    partial+bucketed combiner as the batch operator), and only the
+    aggregate rows reach the driver. A window [w, w+3600) FINALIZES when
+    the watermark (the chunk's upper time bound) passes
+    ``w + 3600 + lateness``; windows still inside the lateness horizon
+    are carried as state into the next micro-batch and merged by key.
+    The final flush closes the remainder.
+
+    State and per-chunk traffic are O(open windows x event types) --
+    bounded by the window calendar, never by event count. The emitted
+    result is EXACTLY the batch ``events_tumbling_hour`` output (same
+    oracle SQL): incremental processing must not change results.
+
+    Output: (window_start_s, event_type, n_events, sum_value r2)
+    sorted by window, type (pandas report).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"lo": [ts.min()], "hi": [ts.max()]})
+
+    mms = ev.map_batches(mm, batch_format="pandas",
+                         batch_size=262144).to_pandas()
+    lo, hi = int(mms["lo"].min()), int(mms["hi"].max())
+    bounds = np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64)
+
+    def chunk_prep(df: pd.DataFrame, lo_us: int, hi_us: int) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        keep = (ts_us >= lo_us) & (ts_us < hi_us)
+        return pd.DataFrame({
+            "window_start_s": (ts_us[keep] // 3_600_000_000) * 3600,
+            "event_type": df["event_type"].to_numpy()[keep],
+            "one": np.ones(int(keep.sum()), dtype=np.int64),
+            "value": df["value"].to_numpy(dtype=np.float64)[keep],
+        })
+
+    state = pd.DataFrame({"window_start_s": pd.Series(dtype="int64"),
+                          "event_type": pd.Series(dtype="object"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "sum_value": pd.Series(dtype="float64")})
+    closed_parts = []
+    for i in range(n_chunks):
+        lo_us, hi_us = int(bounds[i]), int(bounds[i + 1])
+        agg = grouped_agg(
+            ev.map_batches(lambda df, a=lo_us, b=hi_us: chunk_prep(df, a, b),
+                           batch_format="pandas", batch_size=131072),
+            ["window_start_s", "event_type"],
+            {"n_events": ("one", "sum"), "sum_value": ("value", "sum")},
+            n_buckets=min(n_buckets, 16)).to_pandas()
+        merged = (pd.concat([state, agg], ignore_index=True)
+                  .groupby(["window_start_s", "event_type"], as_index=False)
+                  .agg(n_events=("n_events", "sum"),
+                       sum_value=("sum_value", "sum")))
+        watermark_s = hi_us // 1_000_000
+        done = merged["window_start_s"] + 3600 + lateness_s <= watermark_s
+        if i == n_chunks - 1:
+            done[:] = True  # final flush
+        closed_parts.append(merged[done])
+        state = merged[~done]
+
+    out = pd.concat(closed_parts, ignore_index=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = round_series(out["sum_value"], 2)
+    return (out.sort_values(["window_start_s", "event_type"])
+            .reset_index(drop=True))

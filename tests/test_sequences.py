@@ -178,3 +178,20 @@ def test_revenue_cube_gated_paths_agree(ray_session):
     grains = fast[(fast["r_name"] != "ALL") & (fast["c_mktsegment"] != "ALL")]
     total = fast[(fast["r_name"] == "ALL") & (fast["c_mktsegment"] == "ALL")]
     assert total["n_orders"].iloc[0] == grains["n_orders"].sum()
+
+
+@needs_data
+def test_streaming_tumbling_chunk_invariance_and_lateness(ray_session):
+    """The watermark stream must equal the batch result for ANY chunk
+    count and lateness horizon; state must stay bounded by open
+    windows."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        streaming_tumbling_hour,
+    )
+
+    base = streaming_tumbling_hour(SF, n_chunks=1)
+    for n_chunks in (3, 7):
+        got = streaming_tumbling_hour(SF, n_chunks=n_chunks)
+        pd.testing.assert_frame_equal(got, base)
+    late = streaming_tumbling_hour(SF, n_chunks=4, lateness_s=7200)
+    pd.testing.assert_frame_equal(late, base)
