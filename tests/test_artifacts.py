@@ -223,3 +223,55 @@ def test_replot_geometry_stage(ray_session, tmp_path):
     assert lineage.iloc[0]["n_endpoints"] == 3
     assert os.path.isfile(os.path.join(out, "g1_geo.pdf"))
     assert not os.path.isfile(os.path.join(out, "g2_geo.pdf"))
+
+
+def test_save_upload_reference_layout_and_dedupe(tmp_path):
+    import hashlib
+    from datetime import datetime
+
+    from deekseek_ocr___dockerized_api_ray.state.uploads import (
+        cleanup_old_uploads,
+        file_hash,
+        save_upload,
+    )
+
+    src = tmp_path / "doc.pdf"
+    src.write_bytes(b"pdf-ish payload")
+    up = str(tmp_path / "uploads")
+    now = datetime(2026, 8, 17, 12, 0, 0)
+    dest = save_upload(str(src), up, now=now)
+    # reference layout: {YYYYmmdd_HHMMSS}_{md5_12}_{name}
+    h = hashlib.md5(b"pdf-ish payload").hexdigest()[:12]
+    assert os.path.basename(dest) == f"20260817_120000_{h}_doc.pdf"
+    assert file_hash(str(src)) == h
+    # faithful mode duplicates (new timestamp); dedupe mode is idempotent
+    d2 = save_upload(str(src), up, now=datetime(2026, 8, 17, 12, 0, 1))
+    assert d2 != dest
+    d3 = save_upload(str(src), up, dedupe=True)
+    assert d3 in (dest, d2)
+    assert len(os.listdir(up)) == 2
+    # age-based cleanup (file_utils.py:192-214)
+    old = os.path.join(up, "x_old")
+    open(old, "w").write("o")
+    os.utime(old, (0, 0))
+    assert cleanup_old_uploads(up, max_age_days=7) == 1
+    assert not os.path.exists(old)
+    # missing source -> None, matching the reference's error contract
+    assert save_upload(str(tmp_path / "nope.pdf"), up) is None
+
+
+def test_ingest_uploads_idempotent(ray_session, tmp_path):
+    from deekseek_ocr___dockerized_api_ray.state.uploads import ingest_uploads
+
+    srcs = []
+    for i in range(5):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(bytes([i]) * 100)
+        srcs.append(str(p))
+    up = str(tmp_path / "landing")
+    lin1 = ingest_uploads(srcs, up).to_pandas()
+    assert len(lin1) == 5 and lin1["n_bytes"].eq(100).all()
+    lin2 = ingest_uploads(srcs, up).to_pandas()
+    # dedupe: same dest paths, no extra files landed
+    assert sorted(lin2["dest"]) == sorted(lin1["dest"])
+    assert len(os.listdir(up)) == 5
