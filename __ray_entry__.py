@@ -561,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_value_corr": sequences.event_type_value_corr,
         "user_mode_event_type": sequences.user_mode_event_type,
         "user_event_type_set": sequences.user_event_type_set,
+        "user_event_unpivot": sequences.user_event_unpivot,
+        "event_value_quantiles_disc": sequences.event_value_quantiles_disc,
         "revenue_cube": analytics.revenue_cube,
         "edit_distance_topk": text.edit_distance_topk,
         "user_event_entropy": sequences.user_event_entropy,
@@ -1550,6 +1552,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
                    ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
             FROM c ORDER BY src_type, dst_type
+        """,
+        "user_event_unpivot": """
+            -- pivot -> melt round trip == the sparse long-form counts
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_value_quantiles_disc": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(quantile_disc(value, 0.25), 6) AS q25,
+                   ROUND(quantile_disc(value, 0.50), 6) AS q50,
+                   ROUND(quantile_disc(value, 0.75), 6) AS q75,
+                   ROUND(quantile_disc(value, 0.95), 6) AS q95
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "user_event_type_set": """
             SELECT user_id,

@@ -515,3 +515,76 @@ def user_event_type_set(sf_dir: str, n_buckets: int = 16):
             .map_batches(bucket, batch_format="pandas")
             .groupby("bucket").map_groups(reduce, batch_format="pandas")
             .sort("user_id"))
+
+
+def user_event_unpivot(sf_dir: str):
+    """UNPIVOT/melt: the inverse of ``user_event_pivot`` -- the wide
+    per-user count matrix melted back to (user_id, event_type, n) long
+    rows, dropping zero cells (the sparse long form). The wide table is
+    computed by the pivot operator itself, so pivot -> unpivot is an
+    exercised round trip; the melt is a stateless vectorized map.
+
+    Output: (user_id, event_type, n) sorted by user, type.
+    """
+    from .analytics import user_event_pivot
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = user_event_pivot(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["user_id"],
+                      value_vars=[f"n_{t}" for t in types],
+                      var_name="event_type", value_name="n")
+        out["event_type"] = out["event_type"].str.slice(2)
+        out = out[out["n"] > 0]
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "event_type", "n"]]
+
+    return wide.map_batches(melt, batch_format="pandas").sort(
+        ["user_id", "event_type"])
+
+
+def event_value_quantiles_disc(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
+    """Discrete per-group quantiles (quantile_disc: the value AT the
+    lower order statistic, never interpolated) per event type -- the
+    companion of the continuous winsorize/quantile ops. Exact per-group
+    computation in one bucketed reduce (tiny bounded group keys; the
+    unbounded-key scale path is the mergeable sketch).
+
+    Output: (event_type, n, q25, q50, q75, q95) r6, sorted by type.
+    """
+    import ray.data as rd
+
+    from ..functions.text_stats import sha1_64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = [sha1_64(v) % 8 for v in df["event_type"]]
+        return df
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(dtype=np.float64))
+            n = len(v)
+            # DuckDB quantile_disc picks the order statistic at
+            # ceil(q*n) (the inverted-CDF convention), which is numpy's
+            # method="inverted_cdf" -- NOT method="lower"
+            picks = [float(np.quantile(v, q, method="inverted_cdf"))
+                     for q in qs]
+            rows.append((et, n, *picks))
+        cols = ["event_type", "n"] + [f"q{int(q * 100)}" for q in qs]
+        out = pd.DataFrame(rows, columns=cols)
+        out["n"] = out["n"].astype("int64")
+        for c in cols[2:]:
+            out[c] = round_series(out[c], 6)
+        return out
+
+    return (ev.map_batches(bucket, batch_format="pandas", batch_size=131072)
+            .groupby("bucket").map_groups(
+                lambda df: stats(df.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("event_type"))
