@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event_type": sequences.user_mode_event_type,
         "user_event_type_set": sequences.user_event_type_set,
         "user_event_unpivot": sequences.user_event_unpivot,
+        "event_pattern_counts": sequences.event_pattern_counts,
         "event_value_quantiles_disc": sequences.event_value_quantiles_disc,
         "revenue_cube": analytics.revenue_cube,
         "edit_distance_topk": text.edit_distance_topk,
@@ -1552,6 +1553,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
                    ROUND(n / SUM(n) OVER (PARTITION BY src_type), 6) AS p
             FROM c ORDER BY src_type, dst_type
+        """,
+        "event_pattern_counts": """
+            -- MATCH_RECOGNIZE-style: initials sequence per user, then
+            -- left-to-right non-overlapping regex matches
+            WITH seq AS MATERIALIZED (
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id) AS s
+              FROM events GROUP BY user_id)
+            SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+                   CAST(len(regexp_extract_all(s, 'sv*p')) AS BIGINT)
+                     AS n_matches
+            FROM seq ORDER BY user_id
         """,
         "user_event_unpivot": """
             -- pivot -> melt round trip == the sparse long-form counts

@@ -588,3 +588,45 @@ def event_value_quantiles_disc(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
                 lambda df: stats(df.drop(columns=["bucket"])),
                 batch_format="pandas")
             .sort("event_type"))
+
+
+def event_pattern_counts(sf_dir: str, pattern: str = "sv*p",
+                         n_buckets: int = 64):
+    """CEP-style sequence pattern matching (the MATCH_RECOGNIZE shape):
+    each user's time-ordered event stream is reduced to an initials
+    string (c/e/p/s/v) and scanned for non-overlapping regex matches --
+    e.g. the default 'sv*p' = signup, any views, then a purchase. Both
+    engines scan left-to-right non-overlapping (Python re.findall ==
+    DuckDB regexp_extract_all for this pattern class).
+
+    Shape: ONE bucketed keyed shuffle on user_id; the per-bucket kernel
+    builds each user's sequence (vectorized sort + per-user join) and
+    applies one compiled regex. Output: (user_id, n_events, n_matches)
+    sorted by user_id.
+    """
+    import re
+
+    import ray.data as rd
+
+    rx = re.compile(pattern)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        initials = df["event_type"].str.slice(0, 1)
+        seqs = initials.groupby(df["user_id"].to_numpy(), sort=True).agg("".join)
+        return pd.DataFrame({
+            "user_id": seqs.index.to_numpy().astype(np.int64),
+            "n_events": np.asarray([len(s) for s in seqs], dtype=np.int64),
+            "n_matches": np.asarray([len(rx.findall(s)) for s in seqs],
+                                    dtype=np.int64),
+        })
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    return bucketed.groupby("bucket").map_groups(
+        lambda df: per_user(df.drop(columns=["bucket"])),
+        batch_format="pandas").sort("user_id")
