@@ -267,7 +267,8 @@ def streaming_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
 
 
 def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
-                            lateness_s: int = 0, n_buckets: int = 64):
+                            lateness_s: int = 0, n_buckets: int = 64,
+                            arrival_jitter_s: int = 0):
     """STREAMING tumbling windows with a WATERMARK: the event log is
     processed as ``n_chunks`` time-ordered micro-batches; per chunk the
     per-(hour, event_type) aggregate runs DISTRIBUTED (the same
@@ -278,10 +279,17 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
     are carried as state into the next micro-batch and merged by key.
     The final flush closes the remainder.
 
+    OUT-OF-ORDER ARRIVALS: with ``arrival_jitter_s`` > 0 each event's
+    ARRIVAL time is its event time plus a deterministic per-event jitter
+    in [0, arrival_jitter_s]; micro-batches partition arrival time, and
+    the watermark is ``chunk_arrival_bound - lateness_s``. Whenever
+    ``lateness_s >= arrival_jitter_s`` the result is still EXACTLY the
+    batch output; with a horizon that is too short, events landing after
+    their window finalized are emitted as separate late-correction rows
+    (the beam-style refinement), never silently dropped.
+
     State and per-chunk traffic are O(open windows x event types) --
-    bounded by the window calendar, never by event count. The emitted
-    result is EXACTLY the batch ``events_tumbling_hour`` output (same
-    oracle SQL): incremental processing must not change results.
+    bounded by the window calendar, never by event count.
 
     Output: (window_start_s, event_type, n_events, sum_value r2)
     sorted by window, type (pandas report).
@@ -291,12 +299,25 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
     from ..functions.rounding import round_series
     from ..stages.agg import grouped_agg
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["ts", "event_type", "value"])
+    cols = ["ts", "event_type", "value"]
+    jitter_us = arrival_jitter_s * 1_000_000
+    if jitter_us:
+        cols.append("event_id")
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def _arrival(df: pd.DataFrame) -> np.ndarray:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        if not jitter_us:
+            return ts_us
+        h = df["event_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        return ts_us + (h % np.uint64(jitter_us + 1)).astype(np.int64)
 
     def mm(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
-        return pd.DataFrame({"lo": [ts.min()], "hi": [ts.max()]})
+        arr = _arrival(df)
+        return pd.DataFrame({"lo": [arr.min()], "hi": [arr.max()]})
 
     mms = ev.map_batches(mm, batch_format="pandas",
                          batch_size=262144).to_pandas()
@@ -305,7 +326,8 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
 
     def chunk_prep(df: pd.DataFrame, lo_us: int, hi_us: int) -> pd.DataFrame:
         ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
-        keep = (ts_us >= lo_us) & (ts_us < hi_us)
+        arr = _arrival(df)
+        keep = (arr >= lo_us) & (arr < hi_us)
         return pd.DataFrame({
             "window_start_s": (ts_us[keep] // 3_600_000_000) * 3600,
             "event_type": df["event_type"].to_numpy()[keep],

@@ -195,3 +195,28 @@ def test_streaming_tumbling_chunk_invariance_and_lateness(ray_session):
         pd.testing.assert_frame_equal(got, base)
     late = streaming_tumbling_hour(SF, n_chunks=4, lateness_s=7200)
     pd.testing.assert_frame_equal(late, base)
+
+
+@needs_data
+def test_streaming_tumbling_out_of_order_arrivals(ray_session):
+    """With jittered arrival order, a lateness horizon >= the jitter
+    bound must still reproduce the batch result exactly; a too-short
+    horizon emits late-correction rows (more rows, same totals), never
+    drops events."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        streaming_tumbling_hour,
+    )
+
+    base = streaming_tumbling_hour(SF, n_chunks=1)
+    covered = streaming_tumbling_hour(SF, n_chunks=5, lateness_s=7200,
+                                      arrival_jitter_s=7200)
+    pd.testing.assert_frame_equal(covered, base)
+    short = streaming_tumbling_hour(SF, n_chunks=5, lateness_s=0,
+                                    arrival_jitter_s=7200)
+    assert len(short) >= len(base)
+    merged = (short.groupby(["window_start_s", "event_type"], as_index=False)
+              .agg(n_events=("n_events", "sum")))
+    ref = base[["window_start_s", "event_type", "n_events"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        merged.sort_values(["window_start_s", "event_type"]).reset_index(drop=True),
+        ref)
