@@ -378,6 +378,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ivf_trained_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def doc_bpe_encode(sf_dir: str):
+        # A3: tokenizer built once per actor in __init__ (merge table
+        # broadcast via ray.put); train-then-encode in one pipeline.
+        # no_oracle: sequential BPE merge application is not
+        # SQL-expressible; differential-tested in tests/test_tokenizer.py
+        from deekseek_ocr___dockerized_api_ray.pipelines.curation import bpe_train
+        from deekseek_ocr___dockerized_api_ray.stages.tokenizer import encode_corpus
+
+        merges_df = bpe_train(sf_dir, n_merges=10)
+        merges = list(zip(merges_df["left"], merges_df["right"]))
+        return encode_corpus(_docs_ds(sf_dir), merges, concurrency=(1, 4))
+
     def doc_bpe_tokens(sf_dir: str):
         # BPE-ish subword counts (regex has lookahead: RE2-inexpressible)
         import pyarrow as pa
@@ -468,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_bpe_encode": doc_bpe_encode,
         "emb_neardup": emb_neardup,
         "emb_neardup_exact": emb_neardup_exact,
         # relational (SQL-oracled)
