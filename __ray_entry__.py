@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_block_features": boilerplate.html_block_features,
         "event_transitions": sequences.event_transitions,
         "events_trend_ols": sequences.events_trend_ols,
+        "events_value_moments": sequences.events_value_moments,
         "first_touch_attribution": sequences.first_touch_attribution,
         "event_type_value_corr": sequences.event_type_value_corr,
         "user_mode_event_type": sequences.user_mode_event_type,
@@ -1696,6 +1697,31 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "events_value_moments": """
+            -- one-pass power sums -> central moments; the CTE chain
+            -- mirrors the engine's float expression tree exactly
+            -- (left-associated products, sqrt not pow)
+            WITH s AS MATERIALIZED (
+              SELECT event_type, COUNT(*) AS n, SUM(value) AS s1,
+                     SUM(value * value) AS s2,
+                     SUM(value * value * value) AS s3,
+                     SUM(value * value * value * value) AS s4
+              FROM events GROUP BY event_type),
+            m AS (SELECT event_type, n, s1 / n AS m1, s2 / n AS r2,
+                         s3 / n AS r3, s4 / n AS r4
+                  FROM s),
+            c AS (SELECT event_type, n, m1,
+                         r2 - m1 * m1 AS m2,
+                         r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+                         r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+                           - 3 * m1 * m1 * m1 * m1 AS m4
+                  FROM m)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND(m1, 6) AS mean, ROUND(m2, 6) AS var_pop,
+                   ROUND(m3 / (m2 * sqrt(m2)), 6) AS skew,
+                   ROUND(m4 / (m2 * m2) - 3, 6) AS kurt
+            FROM c ORDER BY event_type
         """,
         "user_event_entropy": """
             -- H = ln(n) - SUM(c ln c)/n: the engine's summation-stable

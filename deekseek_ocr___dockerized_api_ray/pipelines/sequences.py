@@ -630,3 +630,66 @@ def event_pattern_counts(sf_dir: str, pattern: str = "sv*p",
     return bucketed.groupby("bucket").map_groups(
         lambda df: per_user(df.drop(columns=["bucket"])),
         batch_format="pandas").sort("user_id")
+
+
+def events_value_moments(sf_dir: str, n_buckets: int = 8):
+    """Per-event-type distribution profile -- mean, population variance,
+    skewness and EXCESS kurtosis -- from the raw power sums
+    (n, s1..s4): a pure combiner aggregation, the standard one-pass
+    shape for distribution monitoring over a 100 TB stream (no sort, no
+    second pass, partials merge by addition).
+
+    Central moments from raw sums use the SAME float expression tree as
+    the SQL oracle (products left-associated, sqrt not pow), so after
+    summation both engines agree to the rounding digit:
+
+        m1 = s1/n
+        m2 = s2/n - m1*m1
+        m3 = s3/n - 3*m1*(s2/n) + 2*m1*m1*m1
+        m4 = s4/n - 4*m1*(s3/n) + 6*m1*m1*(s2/n) - 3*m1*m1*m1*m1
+        skew = m3 / (m2 * sqrt(m2));  kurt = m4 / (m2*m2) - 3
+
+    Output: (event_type, n, mean r6, var r6, skew r6, kurt r6) sorted
+    by type.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def powers(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["value"].to_numpy(dtype=np.float64)
+        y2 = y * y
+        y3 = y2 * y
+        y4 = y3 * y
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "s1": y, "s2": y2, "s3": y3, "s4": y4,
+        })
+
+    agg = grouped_agg(
+        ev.map_batches(powers, batch_format="pandas", batch_size=131072),
+        ["event_type"],
+        {c: (c, "sum") for c in ("n", "s1", "s2", "s3", "s4")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        s1, s2 = df["s1"].to_numpy(), df["s2"].to_numpy()
+        s3, s4 = df["s3"].to_numpy(), df["s4"].to_numpy()
+        m1 = s1 / n
+        m2 = s2 / n - m1 * m1
+        m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
+        m4 = (s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n)
+              - 3 * m1 * m1 * m1 * m1)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": df["n"].astype("int64"),
+            "mean": round_series(pd.Series(m1), 6).to_numpy(),
+            "var_pop": round_series(pd.Series(m2), 6).to_numpy(),
+            "skew": round_series(pd.Series(m3 / (m2 * np.sqrt(m2))), 6).to_numpy(),
+            "kurt": round_series(pd.Series(m4 / (m2 * m2) - 3), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("event_type")
