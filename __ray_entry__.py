@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_disc": sequences.event_value_quantiles_disc,
         "revenue_cube": analytics.revenue_cube,
         "edit_distance_topk": text.edit_distance_topk,
+        "part_name_jw_pairs": text.part_name_jw_pairs,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
         "doc_bigram_logprob": sequences.doc_bigram_logprob,
@@ -1655,6 +1656,21 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END) / COUNT(*), 6) AS cvr
             FROM f LEFT JOIN c USING (user_id)
             GROUP BY first_type ORDER BY first_type
+        """,
+        "part_name_jw_pairs": """
+            -- record linkage over the DISTINCT name dictionary, blocked
+            -- on the first word; the engine's numpy kernel is bit-exact
+            -- vs jaro_winkler_similarity, so the raw-double threshold
+            -- agrees with no rounding guard
+            WITH n AS MATERIALIZED (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                     AS jw
+            FROM n a JOIN n b
+              ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+             AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+            ORDER BY name_a, name_b
         """,
         "event_type_value_corr": """
             -- r from explicit moment sums (the engine's algebra), means

@@ -598,3 +598,74 @@ def edit_distance_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 5):
     final["rank"] = final.groupby("query_id", sort=False).cumcount() + 1
     final["rank"] = final["rank"].astype("int64")
     return final
+
+
+def part_name_jw_pairs(sf_dir: str, threshold: float = 0.85,
+                       chunk_pairs: int = 500_000):
+    """Record-linkage blocking join over the DISTINCT part-name
+    dictionary: block on the first word (the Winkler prefix head), then
+    all-pairs Jaro-Winkler INSIDE each block via the vectorized pair
+    kernel (functions/jaro.py -- bit-exact vs DuckDB's
+    ``jaro_winkler_similarity``, verified on 20k random pairs), keeping
+    pairs >= ``threshold``.
+
+    Scale shape: linkage runs over the distinct-NAME dictionary (grows
+    sublinearly vs the row table), never the raw rows; one keyed
+    exchange on the block key; per-block work is quadratic only within
+    a block and chunked to bound memory. Because kernel and oracle
+    produce IDENTICAL doubles, the threshold compares raw values -- no
+    rounding guard, no boundary flap.
+
+    Output: (name_a, name_b, jw r6) sorted name_a, name_b.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.jaro import jaro_winkler_pairs
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def batch_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_name": df["p_name"].unique()})
+
+    names = grouped_agg(
+        ds.map_batches(batch_distinct, batch_format="pandas",
+                       batch_size=65536),
+        ["p_name"], {"n": ("p_name", "size")}, n_buckets=8)
+
+    def with_block(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_name": df["p_name"].to_numpy(),
+            "blk": df["p_name"].str.split(" ").str[0].to_numpy(),
+        })
+
+    def pairs_of(df: pd.DataFrame) -> pd.DataFrame:
+        nm = np.sort(df["p_name"].to_numpy())
+        ii, jj = np.triu_indices(len(nm), k=1)
+        out_a: list = []
+        out_b: list = []
+        out_jw: list = []
+        for lo in range(0, len(ii), chunk_pairs):
+            a = nm[ii[lo: lo + chunk_pairs]]
+            b = nm[jj[lo: lo + chunk_pairs]]
+            jw = jaro_winkler_pairs(list(a), list(b))
+            keep = jw >= threshold
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+            out_jw.append(jw[keep])
+        if not out_a:
+            return pd.DataFrame({"name_a": [], "name_b": [], "jw": []})
+        return pd.DataFrame({
+            "name_a": np.concatenate(out_a),
+            "name_b": np.concatenate(out_b),
+            "jw": round_series(pd.Series(np.concatenate(out_jw)), 6).to_numpy(),
+        })
+
+    return (names.map_batches(with_block, batch_format="pandas")
+            .groupby("blk")
+            .map_groups(lambda df: pairs_of(df.drop(columns=["blk"])),
+                        batch_format="pandas")
+            .sort(["name_a", "name_b"]))
