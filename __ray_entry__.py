@@ -78,6 +78,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from deekseek_ocr___dockerized_api_ray.pipelines import (
         analytics,
+        audit,
         curation,
         relational,
         scale_ops,
@@ -581,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": analytics.revenue_cube,
         "edit_distance_topk": text.edit_distance_topk,
         "part_name_jw_pairs": text.part_name_jw_pairs,
+        "data_quality_audit": audit.data_quality_audit,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
         "doc_bigram_logprob": sequences.doc_bigram_logprob,
@@ -1656,6 +1658,34 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END) / COUNT(*), 6) AS cvr
             FROM f LEFT JOIN c USING (user_id)
             GROUP BY first_type ORDER BY first_type
+        """,
+        "data_quality_audit": """
+            -- constraint audit; engine FK checks are keys-only
+            -- distributed anti joins, oracle uses NOT EXISTS
+            SELECT * FROM (
+              SELECT 'doc_text_too_short_lt20' AS check_name,
+                     CAST((SELECT COUNT(*) FROM documents
+                           WHERE length(text) < 20) AS BIGINT)
+                       AS n_violations
+              UNION ALL SELECT 'fk_customer_nation',
+                (SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+              UNION ALL SELECT 'fk_lineitem_orders',
+                (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL SELECT 'fk_orders_customer',
+                (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+              UNION ALL SELECT 'pk_dup_orders',
+                (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+              UNION ALL SELECT 'range_events_value_gt400',
+                (SELECT COUNT(*) FROM events WHERE value > 400)
+              UNION ALL SELECT 'range_lineitem_quantity_gt45',
+                (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 45)
+            ) ORDER BY check_name
         """,
         "part_name_jw_pairs": """
             -- record linkage over the DISTINCT name dictionary, blocked

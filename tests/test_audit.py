@@ -1,0 +1,63 @@
+"""Data-quality audit: the keys-only anti-join / dup-PK kernels must
+COUNT planted violations correctly (clean driver data yields zeros, so
+the sweep alone would not catch a kernel that always returns 0)."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+def test_anti_join_counts_planted_orphans(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.audit import anti_join_count
+
+    child = rd.from_pandas(pd.DataFrame(
+        {"fk": [1, 1, 2, 3, 5, 5, 5, 9]}))          # 5,5,5,9 are orphans
+    parent = rd.from_pandas(pd.DataFrame({"pk": [1, 2, 3, 4, 4]}))
+    assert anti_join_count(child, "fk", parent, "pk", n_buckets=4) == 4
+
+    clean = rd.from_pandas(pd.DataFrame({"fk": [1, 2, 3]}))
+    parent2 = rd.from_pandas(pd.DataFrame({"pk": [1, 2, 3]}))
+    assert anti_join_count(clean, "fk", parent2, "pk", n_buckets=4) == 0
+
+
+def test_dup_pk_and_predicate_counts(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.audit import (
+        dup_pk_count,
+        predicate_count,
+    )
+
+    ds = rd.from_pandas(pd.DataFrame({"pk": [1, 1, 1, 2, 3, 3]}))
+    assert dup_pk_count(ds, "pk", n_buckets=4) == 3
+
+    vals = rd.from_pandas(pd.DataFrame({"v": [1.0, 10.0, 99.0, 100.5]}))
+    assert predicate_count(vals, lambda df: df["v"].to_numpy() > 50) == 2
+
+
+@needs_data
+def test_audit_report_shape(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.audit import data_quality_audit
+
+    df = data_quality_audit(SF)
+    assert list(df.columns) == ["check_name", "n_violations"]
+    assert len(df) == 7
+    assert (df["check_name"].sort_values().to_numpy() == df["check_name"].to_numpy()).all()
+    by = dict(zip(df["check_name"], df["n_violations"]))
+    # structural checks are clean on driver data; range rules counted
+    # exactly (expected values recomputed directly from the parquet)
+    assert by["fk_orders_customer"] == 0
+    assert by["pk_dup_orders"] == 0
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity"])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    assert by["range_lineitem_quantity_gt45"] == int((li["l_quantity"] > 45).sum()) > 0
+    assert by["range_events_value_gt400"] == int((ev["value"] > 400).sum())
