@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": sequences.event_transitions,
         "events_trend_ols": sequences.events_trend_ols,
         "events_value_moments": sequences.events_value_moments,
+        "user_event_runs": sequences.user_event_runs,
         "first_touch_attribution": sequences.first_touch_attribution,
         "event_type_value_corr": sequences.event_type_value_corr,
         "user_mode_event_type": sequences.user_mode_event_type,
@@ -594,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by design -> rows-only driver check; error bound
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
+        "embedding_dim_stats": scale_ops.embedding_dim_stats,
         "kmeans_fit": scale_ops.kmeans_fit,
         "events_exact_median": scale_ops.events_exact_median,
     }
@@ -1659,6 +1661,23 @@ def oracle_sql() -> dict[str, str]:
             FROM f LEFT JOIN c USING (user_id)
             GROUP BY first_type ORDER BY first_type
         """,
+        "embedding_dim_stats": """
+            -- per-dimension power sums over the unnested vector column;
+            -- CTE chain mirrors the engine's float tree (1-based dims
+            -- from generate_subscripts)
+            WITH u AS MATERIALIZED (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            s AS (SELECT dim, COUNT(*) AS n, SUM(v) AS s1,
+                         SUM(v * v) AS s2
+                  FROM u GROUP BY dim),
+            m AS (SELECT dim, n, s1 / n AS m1, s2 / n AS r2 FROM s)
+            SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+                   ROUND(m1, 6) AS mean,
+                   ROUND(sqrt(r2 - m1 * m1), 6) AS std_pop
+            FROM m ORDER BY dim
+        """,
         "data_quality_audit": """
             -- constraint audit; engine FK checks are keys-only
             -- distributed anti joins, oracle uses NOT EXISTS
@@ -1743,6 +1762,22 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "user_event_runs": """
+            -- gaps-and-islands via the ROW_NUMBER-difference trick; the
+            -- engine does the same collapse with shift+cumsum
+            WITH o AS MATERIALIZED (
+              SELECT user_id, event_type, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rnt
+              FROM events)
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS run_start_s,
+                   COUNT(*) AS n_in_run
+            FROM o GROUP BY user_id, event_type, rn - rnt
+            ORDER BY user_id, run_start_s, event_type
         """,
         "events_value_moments": """
             -- one-pass power sums -> central moments; the CTE chain

@@ -629,3 +629,56 @@ def events_exact_median(sf_dir: str, qs: tuple = (0.5, 0.99),
              else rank_val[f] + (pos - f) * (rank_val[c] - rank_val[f]))
         out[f"q{int(q * 100)}"] = round_series(pd.Series([v]), 6)
     return pd.DataFrame(out)
+
+
+def embedding_dim_stats(sf_dir: str, n_buckets: int = 4):
+    """Per-DIMENSION corpus statistics of the embedding column (n, mean,
+    population std) -- the feature-normalization pass that precedes ANN
+    indexing / whitening at 100 TB.  One streaming map emits 64 partial
+    rows (dim, n, s1, s2) PER BATCH (matrix column sums in float64, no
+    per-row work), a tiny keyed reduce merges them; the corpus itself
+    never re-shuffles.
+
+    The float tree mirrors the oracle exactly: mean = s1/n,
+    std = sqrt(s2/n - m1*m1); dims are 1-based to match DuckDB's
+    generate_subscripts.
+
+    Output: (dim, n, mean r6, std_pop r6) sorted by dim.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.similarity import _batch_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(batch, "embedding")
+        d = x.shape[1] if len(x) else 0
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "n": np.full(d, len(x), dtype=np.int64),
+            "s1": x.sum(axis=0, dtype=np.float64),
+            "s2": (x * x).sum(axis=0, dtype=np.float64),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["dim"],
+        {"n": ("n", "sum"), "s1": ("s1", "sum"), "s2": ("s2", "sum")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        m1 = df["s1"].to_numpy() / n
+        r2 = df["s2"].to_numpy() / n
+        return pd.DataFrame({
+            "dim": df["dim"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "mean": round_series(pd.Series(m1), 6).to_numpy(),
+            "std_pop": round_series(
+                pd.Series(np.sqrt(r2 - m1 * m1)), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("dim")
