@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_topk": text.edit_distance_topk,
         "part_name_jw_pairs": text.part_name_jw_pairs,
         "data_quality_audit": audit.data_quality_audit,
+        "term_graph_stats": text.term_graph_stats,
         "user_event_entropy": sequences.user_event_entropy,
         "winsorized_event_stats": sequences.winsorized_event_stats,
         "doc_bigram_logprob": sequences.doc_bigram_logprob,
@@ -1660,6 +1661,39 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END) / COUNT(*), 6) AS cvr
             FROM f LEFT JOIN c USING (user_id)
             GROUP BY first_type ORDER BY first_type
+        """,
+        "term_graph_stats": """
+            -- strong co-occurrence graph (integer scale-free edge
+            -- gate), triangles via the smallest-vertex wedge join
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            e AS MATERIALIZED (
+              SELECT a.term AS a, b.term AS b, COUNT(*) AS n
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2),
+            tot AS (SELECT SUM(n) AS s, COUNT(*) AS p FROM e),
+            se AS MATERIALIZED (
+              SELECT a, b FROM e, tot WHERE n * p * 50 > 51 * s),
+            deg AS (SELECT node, COUNT(*) AS d
+                    FROM (SELECT a AS node FROM se
+                          UNION ALL SELECT b FROM se)
+                    GROUP BY node),
+            tri AS (SELECT COUNT(*) AS t
+                    FROM se e1
+                    JOIN se e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN se e3 ON e3.a = e1.b AND e3.b = e2.b)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM se) AS n_edges,
+                   (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                     AS n_wedges,
+                   (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+                   ROUND(3.0 * (SELECT t FROM tri)
+                         / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+                     AS clustering
         """,
         "embedding_dim_stats": """
             -- per-dimension power sums over the unnested vector column;

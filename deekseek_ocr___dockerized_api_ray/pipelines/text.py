@@ -669,3 +669,106 @@ def part_name_jw_pairs(sf_dir: str, threshold: float = 0.85,
             .map_groups(lambda df: pairs_of(df.drop(columns=["blk"])),
                         batch_format="pandas")
             .sort(["name_a", "name_b"]))
+
+
+def term_graph_stats(sf_dir: str, n_buckets: int = 32):
+    """Triangle count + global clustering coefficient of the STRONG
+    term co-occurrence graph (edges with doc co-count > 1.02x the
+    average co-count -- an all-integer, scale-free compare
+    ``n*P*50 > 51*S``, so the edge set is bitwise-stable in both
+    engines and non-degenerate at every sf).
+
+    Distribution shape: edge counts are a combiner + one keyed reduce
+    (the term_cooccurrence build); wedges come from per-MIDDLE-vertex
+    adjacency groups (edges already satisfy a<b, so each triangle
+    m<x<y is generated exactly once at its smallest vertex); candidate
+    (x,y) wedge pairs hash-join the edge table to confirm closure.
+    Degrees reduce per node.  Nothing corpus-sized touches the driver
+    -- only the 4 report scalars.  Partitioning note: per-middle wedge
+    generation is quadratic in that vertex's degree; for web-scale
+    graphs the standard mitigation (degree-ordered orientation) is
+    exactly the a<b orientation already used here.
+
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering r6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        from itertools import combinations
+
+        df = batch.to_pandas()
+        rows_a, rows_b = [], []
+        for text in df["text"]:
+            terms = sorted(set(t for t in text.split(" ") if t))
+            for a, b in combinations(terms, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        part = pd.DataFrame({"a": rows_a, "b": rows_b})
+        return (part.groupby(["a", "b"], as_index=False, sort=False)
+                .agg(n=("a", "size")))
+
+    edges = grouped_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=2048),
+        ["a", "b"], {"n": ("n", "sum")}, n_buckets=n_buckets).materialize()
+
+    s_total = int(edges.sum("n"))
+    p_total = int(edges.count())
+
+    def strong_only(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["n"].to_numpy(dtype=np.int64) * p_total * 50 > 51 * s_total
+        return df.loc[keep, ["a", "b"]]
+
+    strong = edges.map_batches(strong_only, batch_format="pandas").materialize()
+    n_edges = int(strong.count())
+
+    # degrees over both endpoints -> wedge count sum(d*(d-1)/2)
+    def both_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+            "one": np.ones(2 * len(df), dtype=np.int64)})
+
+    deg = grouped_agg(strong.map_batches(both_ends, batch_format="pandas"),
+                      ["node"], {"d": ("one", "sum")}, n_buckets=8)
+
+    def wedge_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())],
+                             "nodes": [len(d)]})
+
+    wtab = deg.map_batches(wedge_part, batch_format="pandas")
+    n_wedges = int(wtab.sum("w") or 0)
+    n_nodes = int(wtab.sum("nodes") or 0)
+
+    # wedge candidates at the smallest vertex; close via hash join
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        nb = np.sort(df["b"].to_numpy())
+        xs, ys = [], []
+        for x, y in combinations(nb, 2):
+            xs.append(x)
+            ys.append(y)
+        return pd.DataFrame({"a": xs, "b": ys})
+
+    cands = strong.groupby("a").map_groups(
+        lambda df: wedge_pairs(df), batch_format="pandas")
+    closed = cands.join(strong, join_type="inner", num_partitions=4,
+                        on=("a", "b"))
+    n_tri = int(closed.count())
+
+    clustering = round_series(
+        pd.Series([3.0 * n_tri / n_wedges if n_wedges else 0.0]), 6)[0]
+    return pd.DataFrame({
+        "n_nodes": pd.array([n_nodes], dtype="int64"),
+        "n_edges": pd.array([n_edges], dtype="int64"),
+        "n_wedges": pd.array([n_wedges], dtype="int64"),
+        "n_triangles": pd.array([n_tri], dtype="int64"),
+        "clustering": [clustering],
+    })
