@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_ols": sequences.events_trend_ols,
         "events_value_moments": sequences.events_value_moments,
         "user_event_runs": sequences.user_event_runs,
+        "events_debounce": sequences.events_debounce,
+        "event_weekday_chi2": sequences.event_weekday_chi2,
         "first_touch_attribution": sequences.first_touch_attribution,
         "event_type_value_corr": sequences.event_type_value_corr,
         "user_mode_event_type": sequences.user_mode_event_type,
@@ -1796,6 +1798,43 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "events_debounce": """
+            -- lag-based suppression; the gap compare is exact integer
+            -- microseconds in both engines
+            WITH o AS MATERIALIZED (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT event_id, user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM o
+            WHERE prev IS NULL OR ts - prev >= INTERVAL 86400 SECOND
+            ORDER BY event_id
+        """,
+        "event_weekday_chi2": """
+            -- full row x col cross INCLUDING empty cells; e and chi2
+            -- use the engine's exact float tree (counts are integral in
+            -- doubles, so e is bitwise-identical; only the final 35-term
+            -- sum differs by order, absorbed at r6)
+            WITH c AS MATERIALIZED (
+              SELECT event_type AS t, dayofweek(ts) AS w,
+                     CAST(COUNT(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2),
+            rt AS (SELECT t, SUM(o) AS r FROM c GROUP BY t),
+            ct AS (SELECT w, SUM(o) AS cc FROM c GROUP BY w),
+            tot AS (SELECT SUM(o) AS n FROM c),
+            cr AS (SELECT rt.t, ct.w, rt.r, ct.cc FROM rt CROSS JOIN ct),
+            cell AS (
+              SELECT cr.t, cr.w, COALESCE(c.o, 0) AS o,
+                     (cr.r * cr.cc) / (SELECT n FROM tot) AS e
+              FROM cr LEFT JOIN c ON c.t = cr.t AND c.w = cr.w)
+            SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+                   CAST(((SELECT COUNT(*) FROM rt) - 1)
+                        * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+                   ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+            FROM cell
         """,
         "user_event_runs": """
             -- gaps-and-islands via the ROW_NUMBER-difference trick; the

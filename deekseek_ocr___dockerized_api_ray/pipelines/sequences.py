@@ -739,3 +739,102 @@ def user_event_runs(sf_dir: str, n_buckets: int = 64):
             .map_groups(lambda df: runs_of(df.drop(columns=["bucket"])),
                         batch_format="pandas")
             .sort(["user_id", "run_start_s", "event_type"]))
+
+
+def events_debounce(sf_dir: str, min_gap_s: int = 86400, n_buckets: int = 64):
+    """Debounce/throttle: suppress an event arriving within
+    ``min_gap_s`` of the PREVIOUS event of the same (user, type) --
+    lag-based suppression, the stream-hygiene filter that dedups
+    retry storms before sessionization.
+
+    Shape: one bucketed keyed shuffle on user_id; per-bucket kernel is
+    a vectorized sort + shift + integer-microsecond gap compare (exact
+    in both engines -- no float time math).
+
+    Output: (event_id, user_id, event_type, ts_s) kept events sorted by
+    event_id.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    gap_us = int(min_gap_s) * 1_000_000
+
+    def keep_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        typ = df["event_type"].to_numpy()
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        new_grp = np.ones(len(df), dtype=bool)
+        new_grp[1:] = (user[1:] != user[:-1]) | (typ[1:] != typ[:-1])
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = gap_us
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        keep = new_grp | (gap >= gap_us)
+        out = df.loc[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(dtype=np.int64),
+            "user_id": out["user_id"].to_numpy(dtype=np.int64),
+            "event_type": out["event_type"].to_numpy(),
+            "ts_s": (np.asarray(out["ts"], dtype="datetime64[us]")
+                     .astype(np.int64) // 1_000_000),
+        })
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    return (bucketed.groupby("bucket")
+            .map_groups(lambda df: keep_of(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("event_id"))
+
+
+def event_weekday_chi2(sf_dir: str, n_buckets: int = 8):
+    """Chi-square test of independence for event_type x weekday -- the
+    distribution-drift / independence check a data-quality monitor runs
+    per partition.  Expected counts include EMPTY cells (full row x col
+    cross), e = (row_total * col_total) / N, chi2 = sum d*d/e with the
+    identical float tree in the SQL oracle (products, not pow).
+
+    Shape: one combiner count per (type, weekday) cell -- 35 cells --
+    then a trivially small finish; the event stream is never shuffled.
+
+    Output: one row (n, dof, chi2 r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        wd = pd.to_datetime(df["ts"]).dt.dayofweek.to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "weekday": wd})
+        return (g.groupby(["event_type", "weekday"], as_index=False,
+                          sort=False).agg(o=("weekday", "size")))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["event_type", "weekday"], {"o": ("o", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.pivot_table(index="event_type", columns="weekday",
+                              values="o", fill_value=0, aggfunc="sum")
+        obs = full.to_numpy(dtype=np.float64)
+        n = obs.sum()
+        r = obs.sum(axis=1, keepdims=True)
+        c = obs.sum(axis=0, keepdims=True)
+        e = (r * c) / n
+        d = obs - e
+        chi2 = (d * d / e).sum()
+        dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        return pd.DataFrame({
+            "n": pd.array([int(n)], dtype="int64"),
+            "dof": pd.array([dof], dtype="int64"),
+            "chi2": round_series(pd.Series([chi2]), 6).to_numpy(),
+        })
+
+    # 35 cells: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
