@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessionize": windows.streaming_sessionize,
         "events_sliding_hour": windows.events_sliding_hour,
         "top_revenue_customers": relational.top_revenue_customers,
+        "orders_snapshot_diff": relational.orders_snapshot_diff,
         "revenue_by_region": relational.revenue_by_region,
         "events_tumbling_hour": relational.events_tumbling_hour,
         # incremental watermark variant; must equal the batch output
@@ -1798,6 +1799,29 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "orders_snapshot_diff": """
+            -- both engines derive snapshot B by the same deterministic
+            -- rules; the diff classification is what is under test
+            WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p
+                       FROM orders),
+            b AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 89 = 0
+                          THEN ROUND(o_totalprice * 1.1, 2)
+                          ELSE o_totalprice END AS p
+              FROM orders WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, o_totalprice
+              FROM orders WHERE o_orderkey % 101 = 0),
+            j AS (SELECT COALESCE(a.k, b.k) AS k, a.p AS ap, b.p AS bp
+                  FROM a FULL OUTER JOIN b ON a.k = b.k)
+            SELECT k AS o_orderkey,
+                   CASE WHEN ap IS NULL THEN 'added'
+                        WHEN bp IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type
+            FROM j WHERE ap IS NULL OR bp IS NULL OR ap <> bp
+            ORDER BY o_orderkey
         """,
         "events_debounce": """
             -- lag-based suppression; the gap compare is exact integer

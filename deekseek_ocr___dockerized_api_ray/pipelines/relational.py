@@ -710,3 +710,80 @@ def segment_revenue_skew_join(sf_dir: str, hot_threshold: int = 8):
         })
 
     return agg.map_batches(finish, batch_format="pandas").sort("c_mktsegment")
+
+
+def orders_snapshot_diff(sf_dir: str, n_buckets: int = 64):
+    """CDC snapshot diff: classify every key as added / removed /
+    changed between snapshot A (the orders table) and a deterministic
+    next-day snapshot B derived from it (keys %97 deleted, keys %89
+    repriced +10% (r2), keys %101 cloned as NEW keys offset by 1e9 --
+    both engines derive B by the same rules, so the DIFF itself is what
+    is under test).
+
+    Shape: both snapshots tag (key, present, price) rows; ONE bucketed
+    keyed reduce merges the two sides (each key has <=1 row per side,
+    so presence flags and prices ride the combiner as sums); the
+    classification filter is vectorized.  No full outer join
+    materialization, no driver state -- the canonical
+    compare-two-snapshots-at-scale shape.
+
+    Output: (o_orderkey, change_type) sorted by key.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def a_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "a_n": np.ones(len(df), dtype=np.int64),
+            "b_n": np.zeros(len(df), dtype=np.int64),
+            "ap": df["o_totalprice"].to_numpy(dtype=np.float64),
+            "bp": np.zeros(len(df), dtype=np.float64),
+        })
+
+    def b_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype=np.int64)
+        p = df["o_totalprice"].to_numpy(dtype=np.float64)
+        kept = k % 97 != 0
+        kk, pk = k[kept], p[kept]
+        repr_mask = kk % 89 == 0
+        pk = pk.copy()
+        pk[repr_mask] = round_series(
+            pd.Series(pk[repr_mask] * 1.1), 2).to_numpy()
+        add = k % 101 == 0
+        out_k = np.concatenate([kk, k[add] + 1_000_000_000])
+        out_p = np.concatenate([pk, p[add]])
+        return pd.DataFrame({
+            "k": out_k,
+            "a_n": np.zeros(len(out_k), dtype=np.int64),
+            "b_n": np.ones(len(out_k), dtype=np.int64),
+            "ap": np.zeros(len(out_k), dtype=np.float64),
+            "bp": out_p,
+        })
+
+    both = (orders.map_batches(a_side, batch_format="pandas",
+                               batch_size=131072)
+            .union(orders.map_batches(b_side, batch_format="pandas",
+                                      batch_size=131072)))
+    merged = grouped_agg(both, ["k"],
+                         {"a_n": ("a_n", "sum"), "b_n": ("b_n", "sum"),
+                          "ap": ("ap", "sum"), "bp": ("bp", "sum")},
+                         n_buckets=n_buckets)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a_n = df["a_n"].to_numpy()
+        b_n = df["b_n"].to_numpy()
+        ap, bp = df["ap"].to_numpy(), df["bp"].to_numpy()
+        change = np.where(a_n == 0, "added",
+                          np.where(b_n == 0, "removed", "changed"))
+        keep = (a_n == 0) | (b_n == 0) | (ap != bp)
+        return pd.DataFrame({
+            "o_orderkey": df["k"].to_numpy(dtype=np.int64)[keep],
+            "change_type": change[keep],
+        })
+
+    return merged.map_batches(classify, batch_format="pandas").sort("o_orderkey")
