@@ -537,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_windows": analytics.order_rank_windows,
         "doc_unigram_logprob": analytics.doc_unigram_logprob,
         "events_funnel": analytics.events_funnel,
+        "user_time_to_convert": analytics.user_time_to_convert,
+        "basket_part_pairs": analytics.basket_part_pairs,
         "user_retention_weeks": analytics.user_retention_weeks,
         "events_mad": analytics.events_mad,
         "orders_monthly_gapfill": analytics.orders_monthly_gapfill,
@@ -1799,6 +1801,44 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "user_time_to_convert": """
+            -- two conditional MINs per user; second compare in exact
+            -- epoch seconds
+            WITH f AS MATERIALIZED (
+              SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'view') AS fv,
+                     min(ts) FILTER (WHERE event_type = 'purchase') AS fb
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(floor(epoch(fb)) - floor(epoch(fv)) AS BIGINT)
+                     AS secs_to_convert
+            FROM f
+            WHERE fv IS NOT NULL AND fb IS NOT NULL AND fb >= fv
+            ORDER BY user_id
+        """,
+        "basket_part_pairs": """
+            -- association pairs over distinct (order, part) baskets;
+            -- integer products then one double division in both engines
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+              FROM lineitem),
+            pr AS (SELECT a.p AS pa, b2.p AS pb, COUNT(*) AS n_ab
+                   FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
+                   GROUP BY 1, 2),
+            m AS (SELECT p, COUNT(*) AS n FROM b GROUP BY p),
+            nn AS (SELECT COUNT(DISTINCT k) AS n FROM b),
+            top AS (SELECT * FROM pr
+                    ORDER BY n_ab DESC, pa, pb LIMIT 25)
+            SELECT t.pa AS part_a, t.pb AS part_b,
+                   CAST(t.n_ab AS BIGINT) AS n_ab,
+                   ROUND(t.n_ab / (SELECT n FROM nn), 6) AS support,
+                   ROUND((t.n_ab * (SELECT n FROM nn)) / (ma.n * mb.n), 6)
+                     AS lift
+            FROM top t
+            JOIN m ma ON ma.p = t.pa
+            JOIN m mb ON mb.p = t.pb
+            ORDER BY n_ab DESC, part_a, part_b
         """,
         "orders_snapshot_diff": """
             -- both engines derive snapshot B by the same deterministic

@@ -1519,3 +1519,131 @@ def revenue_cube(sf_dir: str, broadcast_rows: int = 5_000_000):
     out["revenue"] = round_series(out["revenue"], 2)
     return (out[["r_name", "c_mktsegment", "n_orders", "revenue"]]
             .sort_values(["r_name", "c_mktsegment"]).reset_index(drop=True))
+
+
+def user_time_to_convert(sf_dir: str, n_buckets: int = 16):
+    """Time-to-convert: per user, seconds from FIRST 'view' to FIRST
+    'purchase' (users with both, purchase not before view).  Pure
+    combiner shape -- two conditional MINs per user ride the same
+    grouped reduce (sentinel int64-max for absent), so the event stream
+    is scanned once and never re-shuffled beyond the tiny keyed reduce.
+
+    Output: (user_id, secs_to_convert) sorted by user_id.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    SENT = np.iinfo(np.int64).max
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        typ = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "first_view": np.where(typ == "view", ts_us, SENT),
+            "first_buy": np.where(typ == "purchase", ts_us, SENT),
+        })
+
+    agg = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas", batch_size=131072),
+        ["user_id"],
+        {"first_view": ("first_view", "min"),
+         "first_buy": ("first_buy", "min")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        fv = df["first_view"].to_numpy(dtype=np.int64)
+        fb = df["first_buy"].to_numpy(dtype=np.int64)
+        keep = (fv != SENT) & (fb != SENT) & (fb >= fv)
+        secs = fb[keep] // 1_000_000 - fv[keep] // 1_000_000
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64)[keep],
+            "secs_to_convert": secs.astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("user_id")
+
+
+def basket_part_pairs(sf_dir: str, k: int = 25, n_buckets: int = 64):
+    """Market-basket association pairs: parts bought together in the
+    same order, top-k by co-count, with support (n_ab / n_orders) and
+    lift (n_ab * N / (n_a * n_b)) -- association-rule mining's counting
+    core as a distributed pipeline.
+
+    Shape: one bucketed keyed shuffle co-locates each ORDER's items
+    (cross-batch order splits would silently undercount if pairs were
+    generated per batch); per-bucket pair emission is combiner-reduced;
+    marginals are a second tiny keyed reduce joined onto the k
+    survivors on the driver (k rows).  Integer products, then one
+    float division -- identical doubles in both engines.
+
+    Output: (part_a, part_b, n_ab, support r6, lift r6) ranked by
+    (n_ab desc, part_a, part_b), top k.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    bucketed = li.map_batches(
+        lambda df: _user_bucket(df, "l_orderkey", n_buckets),
+        batch_format="pandas", batch_size=131072)
+
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        out_a, out_b = [], []
+        for _, grp in d.groupby("l_orderkey", sort=False):
+            parts = np.sort(grp["l_partkey"].to_numpy(dtype=np.int64))
+            for a, b in combinations(parts, 2):
+                out_a.append(a)
+                out_b.append(b)
+        part = pd.DataFrame({"pa": out_a, "pb": out_b})
+        return (part.groupby(["pa", "pb"], as_index=False, sort=False)
+                .agg(n_ab=("pa", "size")))
+
+    pairs = grouped_agg(
+        bucketed.groupby("bucket").map_groups(
+            lambda df: pair_part(df.drop(columns=["bucket"])),
+            batch_format="pandas"),
+        ["pa", "pb"], {"n_ab": ("n_ab", "sum")}, n_buckets=32)
+
+    def marg_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        g = d.groupby("l_partkey", sort=False).size()
+        n_ord = d["l_orderkey"].nunique()
+        return pd.DataFrame({"p": np.concatenate([
+            g.index.to_numpy(dtype=np.int64), [-1]]),
+            "n": np.concatenate([g.to_numpy(dtype=np.int64), [n_ord]])})
+
+    marg = grouped_agg(
+        bucketed.groupby("bucket").map_groups(
+            lambda df: marg_part(df.drop(columns=["bucket"])),
+            batch_format="pandas"),
+        ["p"], {"n": ("n", "sum")}, n_buckets=8)
+
+    top = (pairs.sort(["n_ab", "pa", "pb"], descending=[True, False, False])
+           .limit(k).to_pandas())
+    need = set(top["pa"].astype(int)) | set(top["pb"].astype(int)) | {-1}
+    m = marg.map_batches(
+        lambda df: df[df["p"].isin(list(need))],
+        batch_format="pandas").to_pandas()
+    n_orders = int(m.loc[m["p"] == -1, "n"].iloc[0])
+    lut = dict(zip(m["p"].astype(int), m["n"].astype(int)))
+    na = top["pa"].map(lut).to_numpy(dtype=np.int64)
+    nb = top["pb"].map(lut).to_numpy(dtype=np.int64)
+    n_ab = top["n_ab"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "part_a": top["pa"].to_numpy(dtype=np.int64),
+        "part_b": top["pb"].to_numpy(dtype=np.int64),
+        "n_ab": n_ab,
+        "support": round_series(pd.Series(n_ab / n_orders), 6).to_numpy(),
+        "lift": round_series(
+            pd.Series((n_ab * n_orders) / (na * nb)), 6).to_numpy(),
+    })
