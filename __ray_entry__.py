@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": analytics.doc_unigram_logprob,
         "events_funnel": analytics.events_funnel,
         "user_time_to_convert": analytics.user_time_to_convert,
+        "customer_rfm": analytics.customer_rfm,
         "basket_part_pairs": analytics.basket_part_pairs,
         "user_retention_weeks": analytics.user_retention_weeks,
         "events_mad": analytics.events_mad,
@@ -1801,6 +1802,40 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "customer_rfm": """
+            -- all-integer metrics (days, counts, cents), quintiles via
+            -- quantile_disc (inverted-cdf) == the engine's histogram
+            -- order statistics; thresholds and compares are exact
+            WITH base AS MATERIALIZED (
+              SELECT o_custkey,
+                     MAX(epoch_us(o_orderdate) // 86400000000) AS maxd,
+                     COUNT(*) AS f,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS m
+              FROM orders GROUP BY o_custkey),
+            rfm AS (SELECT o_custkey,
+                           (SELECT MAX(maxd) FROM base) - maxd AS r, f, m
+                    FROM base),
+            q AS (SELECT quantile_disc(r, [0.2, 0.4, 0.6, 0.8]) AS qr,
+                         quantile_disc(f, [0.2, 0.4, 0.6, 0.8]) AS qf,
+                         quantile_disc(m, [0.2, 0.4, 0.6, 0.8]) AS qm
+                  FROM rfm),
+            sc AS (SELECT o_custkey, r, f, m,
+                     1 + CAST(r > qr[1] AS BIGINT) + CAST(r > qr[2] AS BIGINT)
+                       + CAST(r > qr[3] AS BIGINT) + CAST(r > qr[4] AS BIGINT)
+                       AS rs,
+                     1 + CAST(f > qf[1] AS BIGINT) + CAST(f > qf[2] AS BIGINT)
+                       + CAST(f > qf[3] AS BIGINT) + CAST(f > qf[4] AS BIGINT)
+                       AS fs,
+                     1 + CAST(m > qm[1] AS BIGINT) + CAST(m > qm[2] AS BIGINT)
+                       + CAST(m > qm[3] AS BIGINT) + CAST(m > qm[4] AS BIGINT)
+                       AS ms
+                   FROM rfm, q)
+            SELECT o_custkey, r AS r_days, f, m AS m_cents,
+                   rs AS r_score, fs AS f_score, ms AS m_score,
+                   rs * 100 + fs * 10 + ms AS rfm
+            FROM sc ORDER BY o_custkey
         """,
         "user_time_to_convert": """
             -- two conditional MINs per user; second compare in exact

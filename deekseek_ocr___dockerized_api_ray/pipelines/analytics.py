@@ -1647,3 +1647,94 @@ def basket_part_pairs(sf_dir: str, k: int = 25, n_buckets: int = 64):
         "lift": round_series(
             pd.Series((n_ab * n_orders) / (na * nb)), 6).to_numpy(),
     })
+
+
+def customer_rfm(sf_dir: str, n_buckets: int = 16):
+    """RFM segmentation: per customer, recency (days from their last
+    order to the corpus max), frequency (order count), monetary
+    (integer CENTS -- floats never touch a threshold compare), each
+    scored into quintiles 1-5 by quantile_disc (inverted-cdf order
+    statistics), plus the concatenated segment code.
+
+    Shape: one combiner reduce builds the per-customer (r, f, m) table;
+    quintile thresholds come from mergeable HISTOGRAM CELLS (distinct
+    values x counts -- the hist_length_quantiles trick; cents can be
+    bucketed at web scale to bound cell count) -- no global sort; score
+    assignment is a vectorized broadcast compare against 12 scalars.
+    All-integer metrics keep both engines' thresholds and compares
+    bitwise-identical.
+
+    Output: (o_custkey, r_days, f, m_cents, r_score, f_score, m_score,
+    rfm) sorted by custkey.  Note r_score 5 = LEAST recent.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        cents = round_series(
+            pd.Series(df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0),
+            0).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+            "maxd": days, "f": np.ones(len(df), dtype=np.int64),
+            "m": cents,
+        })
+
+    base = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=131072),
+        ["o_custkey"],
+        {"maxd": ("maxd", "max"), "f": ("f", "sum"), "m": ("m", "sum")},
+        n_buckets=n_buckets).materialize()
+
+    gmax = int(base.max("maxd"))
+
+    def with_r(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["r"] = gmax - df["maxd"].to_numpy(dtype=np.int64)
+        return df[["o_custkey", "r", "f", "m"]]
+
+    rfm = base.map_batches(with_r, batch_format="pandas").materialize()
+
+    def quintile_thresholds(metric: str) -> np.ndarray:
+        cells = grouped_agg(rfm, [metric], {"cnt": (metric, "size")},
+                            n_buckets=8).to_pandas().sort_values(metric)
+        vals = cells[metric].to_numpy(dtype=np.int64)
+        cum = cells["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        # quantile_disc == inverted_cdf: 1-based order stat ceil(q*n)
+        idx = [int(np.ceil(q * n)) for q in (0.2, 0.4, 0.6, 0.8)]
+        return np.array([vals[np.searchsorted(cum, j)] for j in idx],
+                        dtype=np.int64)
+
+    tr = quintile_thresholds("r")
+    tf = quintile_thresholds("f")
+    tm = quintile_thresholds("m")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        def s(v: np.ndarray, t: np.ndarray) -> np.ndarray:
+            out = np.ones(len(v), dtype=np.int64)
+            for ti in t:
+                out += (v > ti).astype(np.int64)
+            return out
+
+        r = df["r"].to_numpy(dtype=np.int64)
+        f = df["f"].to_numpy(dtype=np.int64)
+        mm = df["m"].to_numpy(dtype=np.int64)
+        rs, fs, ms = s(r, tr), s(f, tf), s(mm, tm)
+        code = (rs * 100 + fs * 10 + ms).astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+            "r_days": r, "f": f, "m_cents": mm,
+            "r_score": rs, "f_score": fs, "m_score": ms, "rfm": code,
+        })
+
+    return rfm.map_batches(score, batch_format="pandas").sort("o_custkey")
