@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": analytics.events_funnel,
         "user_time_to_convert": analytics.user_time_to_convert,
         "customer_rfm": analytics.customer_rfm,
+        "revenue_changepoint": analytics.revenue_changepoint,
         "basket_part_pairs": analytics.basket_part_pairs,
         "user_retention_weeks": analytics.user_retention_weeks,
         "events_mad": analytics.events_mad,
@@ -1802,6 +1803,29 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "revenue_changepoint": """
+            -- CUSUM argmax with the rational mean cleared by scaling:
+            -- |n*prefix - k*total| in exact (HUGEINT) integers; first
+            -- max = earliest day in both engines
+            WITH d AS MATERIALIZED (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1),
+            p AS (SELECT day,
+                         SUM(cents) OVER (ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING)
+                           AS prefix,
+                         ROW_NUMBER() OVER (ORDER BY day) AS k
+                  FROM d),
+            t AS (SELECT COUNT(*) AS n, SUM(cents) AS total FROM d),
+            s AS (SELECT day, abs(n * prefix - k * total) AS stat
+                  FROM p, t)
+            SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_days,
+                   CAST(day AS BIGINT) AS cp_day,
+                   CAST(stat AS VARCHAR) AS cusum_scaled
+            FROM s ORDER BY stat DESC, day LIMIT 1
         """,
         "customer_rfm": """
             -- all-integer metrics (days, counts, cents), quintiles via

@@ -1738,3 +1738,62 @@ def customer_rfm(sf_dir: str, n_buckets: int = 16):
         })
 
     return rfm.map_batches(score, batch_format="pandas").sort("o_custkey")
+
+
+def revenue_changepoint(sf_dir: str, n_buckets: int = 16):
+    """CUSUM change-point detection on the daily revenue series: the
+    day k maximizing |prefix_k - k/n * total| (the classic cumulative
+    deviation-from-mean statistic).  ALL-INTEGER algebra: revenue is
+    summed in cents and the statistic is compared as
+    |n * prefix_k - k * total| (scaling by n clears the rational mean),
+    so both engines pick the identical argmax with no float boundary.
+
+    Shape: a combiner reduce to the bounded DAY grain (one row per
+    calendar day -- the revenue_cube driver-grain rule), then a single
+    vectorized prefix-sum finish.  The orders table itself never
+    re-shuffles.
+
+    Output: one row (n_days, cp_day (epoch days), cusum_scaled --
+    the max |n*prefix - k*total|, exact integer).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        cents = round_series(
+            pd.Series(df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0),
+            0).to_numpy().astype(np.int64)
+        return pd.DataFrame({"day": days, "cents": cents})
+
+    daily = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=131072),
+        ["day"], {"cents": ("cents", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day")
+        day = df["day"].to_numpy(dtype=np.int64)
+        c = df["cents"].to_numpy(dtype=np.int64)
+        n = len(c)
+        # python-int prefix math: n * prefix can exceed int64 at scale
+        prefix = np.cumsum(c.astype(object))
+        total = int(prefix[-1])
+        k = np.arange(1, n + 1, dtype=object)
+        stat = abs(n * prefix - k * total)
+        best = int(np.argmax(stat))  # first max = earliest day, both engines
+        return pd.DataFrame({
+            "n_days": pd.array([n], dtype="int64"),
+            "cp_day": pd.array([int(day[best])], dtype="int64"),
+            "cusum_scaled": [str(int(stat[best]))],
+        })
+
+    # bounded day grain: single-batch finish
+    return (daily.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
