@@ -1595,16 +1595,30 @@ def basket_part_pairs(sf_dir: str, k: int = 25, n_buckets: int = 64):
         batch_format="pandas", batch_size=131072)
 
     def pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        from itertools import combinations
-
-        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        # vectorized per-order pair generation: orders bucketed by
+        # basket SIZE, then one triu broadcast per distinct size --
+        # no Python loop over orders
+        d = (df.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"]))
+        k = d["l_orderkey"].to_numpy(dtype=np.int64)
+        p = d["l_partkey"].to_numpy(dtype=np.int64)
+        starts = np.nonzero(np.concatenate(([True], k[1:] != k[:-1])))[0]
+        sizes = np.diff(np.concatenate((starts, [len(k)])))
         out_a, out_b = [], []
-        for _, grp in d.groupby("l_orderkey", sort=False):
-            parts = np.sort(grp["l_partkey"].to_numpy(dtype=np.int64))
-            for a, b in combinations(parts, 2):
-                out_a.append(a)
-                out_b.append(b)
-        part = pd.DataFrame({"pa": out_a, "pb": out_b})
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            st = starts[sizes == s]
+            mat = p[(st[:, None] + np.arange(s)[None, :])]
+            ii, jj = np.triu_indices(int(s), k=1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return pd.DataFrame({"pa": pd.array([], dtype="int64"),
+                                 "pb": pd.array([], dtype="int64"),
+                                 "n_ab": pd.array([], dtype="int64")})
+        part = pd.DataFrame({"pa": np.concatenate(out_a),
+                             "pb": np.concatenate(out_b)})
         return (part.groupby(["pa", "pb"], as_index=False, sort=False)
                 .agg(n_ab=("pa", "size")))
 

@@ -123,6 +123,17 @@ def data_quality_audit(sf_dir: str) -> pd.DataFrame:
             rp("documents", ["text"]),
             lambda df: df["text"].str.len().to_numpy() < 20),
     }
-    rows = [(name, int(fn())) for name, fn in sorted(checks.items())]
-    return pd.DataFrame(rows, columns=["check_name", "n_violations"]).astype(
-        {"n_violations": "int64"})
+    # independent Ray pipelines: overlap them from a small thread pool
+    # instead of serializing 7 cluster-idle gaps (fsspec probe must be
+    # hardened first -- concurrent first-imports raise bare ImportError)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..state.checkpoint import _harden_fsspec_probe
+
+    _harden_fsspec_probe()
+
+    names = sorted(checks)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts = list(pool.map(lambda n: int(checks[n]()), names))
+    return pd.DataFrame({"check_name": names,
+                         "n_violations": pd.array(counts, dtype="int64")})
