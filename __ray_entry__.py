@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_to_convert": analytics.user_time_to_convert,
         "customer_rfm": analytics.customer_rfm,
         "revenue_changepoint": analytics.revenue_changepoint,
+        "cohort_ltv": analytics.cohort_ltv,
+        "dau_wau": analytics.dau_wau,
         "basket_part_pairs": analytics.basket_part_pairs,
         "user_retention_weeks": analytics.user_retention_weeks,
         "events_mad": analytics.events_mad,
@@ -1803,6 +1805,39 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                      AS r2
             FROM m ORDER BY event_type
+        """,
+        "cohort_ltv": """
+            -- first-activity-month cohorts; months are exact integers
+            -- (months since epoch) in both engines
+            WITH b AS MATERIALIZED (
+              SELECT user_id, value,
+                     (YEAR(ts) - 1970) * 12 + MONTH(ts) - 1 AS mon
+              FROM events),
+            c AS (SELECT user_id, MIN(mon) AS m0 FROM b GROUP BY user_id)
+            SELECT CAST(m0 AS BIGINT) AS cohort_month,
+                   CAST(mon - m0 AS BIGINT) AS month_index,
+                   COUNT(DISTINCT b.user_id) AS n_users,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM b JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dau_wau": """
+            -- exact DAU/WAU; the engine explodes each distinct
+            -- (user, day) into its <=7 window days instead of the
+            -- range self-join
+            WITH ud AS MATERIALIZED (
+              SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+            wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+                    FROM (SELECT DISTINCT day FROM ud) d
+                    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+                    GROUP BY d.day)
+            SELECT day, CAST(dau AS BIGINT) AS dau,
+                   CAST(wau AS BIGINT) AS wau,
+                   ROUND(dau / wau, 6) AS ratio
+            FROM dau JOIN wau USING (day) ORDER BY day
         """,
         "revenue_changepoint": """
             -- CUSUM argmax with the rational mean cleared by scaling:

@@ -1811,3 +1811,136 @@ def revenue_changepoint(sf_dir: str, n_buckets: int = 16):
     # bounded day grain: single-batch finish
     return (daily.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def cohort_ltv(sf_dir: str, n_buckets: int = 64):
+    """Cohort LTV triangle: users grouped by FIRST-ACTIVITY month, value
+    summed by (cohort_month, months_since_cohort) -- the revenue twin
+    of the retention triangle.
+
+    Shape: ONE bucketed keyed shuffle on user_id; inside each bucket the
+    cohort month is the user's min month (computed locally -- the user's
+    whole history is co-located), so no second pass and no join; the
+    (cohort, month_index) rollup is a tiny combiner.  Months are exact
+    integers via datetime64[M] (== months-since-epoch), mirroring the
+    oracle's datediff('month', ...).
+
+    Output: (cohort_month, month_index, n_users, sum_value r2) sorted.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        mon = np.asarray(df["ts"], dtype="datetime64[us]") \
+            .astype("datetime64[M]").astype(np.int64)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"user_id": user, "mon": mon,
+                          "value": df["value"].to_numpy(dtype=np.float64)})
+        first = g.groupby("user_id", sort=False)["mon"].transform("min")
+        g["cohort_month"] = first
+        g["month_index"] = g["mon"] - first
+        per_cell_user = g.groupby(
+            ["cohort_month", "month_index", "user_id"], as_index=False,
+            sort=False).agg(v=("value", "sum"))
+        out = per_cell_user.groupby(
+            ["cohort_month", "month_index"], as_index=False,
+            sort=False).agg(n_users=("user_id", "size"), sv=("v", "sum"))
+        return out
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072)
+    cells = bucketed.groupby("bucket").map_groups(
+        lambda df: per_user(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    agg = grouped_agg(cells, ["cohort_month", "month_index"],
+                      {"n_users": ("n_users", "sum"), "sv": ("sv", "sum")},
+                      n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_month": df["cohort_month"].astype("int64"),
+            "month_index": df["month_index"].astype("int64"),
+            "n_users": df["n_users"].astype("int64"),
+            "sum_value": round_series(df["sv"], 2).to_numpy(),
+        })
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .sort(["cohort_month", "month_index"]))
+
+
+def dau_wau(sf_dir: str, n_buckets: int = 32):
+    """Engagement series: per activity day, DAU (distinct users) and
+    WAU (distinct users over the trailing 7 days) plus the stickiness
+    ratio -- exact distinct counts, no sketch.
+
+    Shape: the event stream combiner-reduces to DISTINCT (user, day)
+    pairs (one keyed exchange); each pair then EXPLODES into its <=7
+    contributing window days (a map, not a self-join -- the
+    windows.py rule) and a second distinct+count reduce yields WAU.
+    Day grain is bounded, so the final join of the two series is
+    single-batch.
+
+    Output: (day, dau, wau, ratio r6) sorted by day; only days with
+    activity appear (ratio = dau/wau of that day's trailing window).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (np.asarray(df["ts"], dtype="datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(dtype=np.int64),
+                          "day": day})
+        return g.drop_duplicates()
+
+    ud = grouped_agg(
+        ev.map_batches(pairs, batch_format="pandas", batch_size=131072),
+        ["user_id", "day"], {"one": ("day", "size")},
+        n_buckets=n_buckets)
+
+    dau = grouped_agg(ud, ["day"], {"dau": ("one", "size")}, n_buckets=8)
+
+    def explode_window(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["day"].to_numpy(dtype=np.int64)
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        w = np.arange(7, dtype=np.int64)
+        wday = (day[:, None] + w[None, :]).ravel()
+        wuser = np.repeat(user, 7)
+        g = pd.DataFrame({"user_id": wuser, "wday": wday})
+        return g.drop_duplicates()
+
+    wau_pairs = grouped_agg(
+        ud.map_batches(explode_window, batch_format="pandas",
+                       batch_size=65536),
+        ["user_id", "wday"], {"one": ("wday", "size")}, n_buckets=n_buckets)
+    wau = grouped_agg(wau_pairs, ["wday"], {"wau": ("one", "size")},
+                      n_buckets=8)
+
+    def _rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"wday": "day"})[["day", "wau"]]
+
+    joined = dau.join(
+        wau.map_batches(_rename, batch_format="pandas"),
+        join_type="inner", num_partitions=2, on=("day",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["dau"].to_numpy(dtype=np.int64)
+        w = df["wau"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "day": df["day"].astype("int64"),
+            "dau": d, "wau": w,
+            "ratio": round_series(pd.Series(d / w), 6).to_numpy(),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas").sort("day")
