@@ -542,6 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_changepoint": analytics.revenue_changepoint,
         "cohort_ltv": analytics.cohort_ltv,
         "dau_wau": analytics.dau_wau,
+        "revenue_acf": analytics.revenue_acf,
+        "user_activity_gini": analytics.user_activity_gini,
+        "source_quality_report": analytics.source_quality_report,
         "basket_part_pairs": analytics.basket_part_pairs,
         "user_retention_weeks": analytics.user_retention_weeks,
         "events_mad": analytics.events_mad,
@@ -558,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": curation.semdedup,
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
+        "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
         # greedy sequential merge application is not SQL-expressible)
@@ -1838,6 +1842,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wau AS BIGINT) AS wau,
                    ROUND(dau / wau, 6) AS ratio
             FROM dau JOIN wau USING (day) ORDER BY day
+        """,
+        "revenue_acf": """
+            -- Pearson moment sums over the gap-filled daily-cents
+            -- series in exact HUGEINT; only num / sqrt(a*b) is float,
+            -- on identical operands in both engines
+            WITH d AS MATERIALIZED (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1),
+            g AS (SELECT t.day, COALESCE(d.cents, 0) AS cents
+                  FROM (SELECT unnest(range((SELECT MIN(day) FROM d),
+                                            (SELECT MAX(day) FROM d) + 1))
+                          AS day) t
+                  LEFT JOIN d USING (day)),
+            p AS (SELECT l.lag, a.cents AS x, b.cents AS y
+                  FROM (SELECT unnest(range(1, 15)) AS lag) l
+                  JOIN g a ON TRUE
+                  JOIN g b ON b.day = a.day + l.lag),
+            s AS (SELECT lag, COUNT(*) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy
+                  FROM p GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                     AS r
+            FROM s ORDER BY lag
+        """,
+        "user_activity_gini": """
+            -- histogram-form Gini: within a tied count value the sorted
+            -- index order is irrelevant, so 2*sum(i*x_i) collapses to
+            -- sum k*f*(2*cf - f + 1) over cumulative frequencies --
+            -- all-integer until the final divisions
+            WITH c AS MATERIALIZED (
+              SELECT user_id, COUNT(*) AS k FROM events GROUP BY 1),
+            h AS (SELECT k, COUNT(*) AS f FROM c GROUP BY k),
+            w AS (SELECT k, f,
+                         SUM(f) OVER (ORDER BY k
+                                      ROWS UNBOUNDED PRECEDING) AS cf
+                  FROM h),
+            s AS (SELECT SUM(CAST(f AS HUGEINT)) AS n,
+                         SUM(CAST(k AS HUGEINT) * f) AS tot,
+                         SUM(CAST(k AS HUGEINT) * f * (2 * cf - f + 1))
+                           AS two_t
+                  FROM w)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   ROUND(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS mean_events,
+                   ROUND(CAST(two_t - (n + 1) * tot AS DOUBLE)
+                         / CAST(n * tot AS DOUBLE), 6) AS gini
+            FROM s
+        """,
+        "source_quality_report": """
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT text) AS BIGINT)
+                     AS n_distinct_texts,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2)
+                     AS mean_chars,
+                   ROUND(1 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+                             / COUNT(*), 6) AS dup_rate
+            FROM documents GROUP BY source, lang ORDER BY source, lang
+        """,
+        "doc_chunks": """
+            -- sliding token windows: starts 0, stride, ... < n_tokens,
+            -- last window partial; DuckDB list slice is 1-based
+            -- inclusive and clamps at len
+            WITH w AS MATERIALIZED (
+              SELECT doc_id, string_split(text, ' ') AS a
+              FROM documents),
+            c AS (SELECT doc_id, i AS chunk_idx,
+                         a[i * 48 + 1 : i * 48 + 64] AS ch
+                  FROM w, UNNEST(range((len(a) - 1) // 48 + 1)) AS u(i))
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(len(ch) AS BIGINT) AS n_tokens,
+                   array_to_string(ch, ' ') AS chunk
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "revenue_changepoint": """
             -- CUSUM argmax with the rational mean cleared by scaling:

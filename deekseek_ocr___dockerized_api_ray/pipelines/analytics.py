@@ -1944,3 +1944,171 @@ def dau_wau(sf_dir: str, n_buckets: int = 32):
         })
 
     return joined.map_batches(finish, batch_format="pandas").sort("day")
+
+
+def revenue_acf(sf_dir: str, max_lag: int = 14, n_buckets: int = 16):
+    """Autocorrelation function of the gap-filled daily revenue series
+    at lags 1..max_lag -- the seasonality probe (lag 7 = weekly cycle).
+
+    ALL-EXACT operands: revenue is summed in integer cents per day
+    (revenue_changepoint's grain), missing days fill with 0 over
+    [min_day, max_day], and every Pearson moment sum (sx, sxy, ...) is
+    computed in unbounded python ints; only the final
+    ``num / sqrt(a * b)`` division goes through float64, on identical
+    operands in both engines.
+
+    Shape: one combiner reduce to the bounded DAY grain, then a single
+    vectorized finish; the orders table never re-shuffles.
+
+    Output: (lag, n, r r6) for lag = 1..max_lag, sorted by lag.
+    """
+    import math
+
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = (np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+                .astype(np.int64) // 86_400_000_000)
+        cents = round_series(
+            pd.Series(df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0),
+            0).to_numpy().astype(np.int64)
+        return pd.DataFrame({"day": days, "cents": cents})
+
+    daily = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=131072),
+        ["day"], {"cents": ("cents", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day")
+        day = df["day"].to_numpy(dtype=np.int64)
+        full = np.zeros(int(day[-1] - day[0]) + 1, dtype=np.int64)
+        full[day - day[0]] = df["cents"].to_numpy(dtype=np.int64)
+        series = full.astype(object)          # exact python-int algebra
+        rows = []
+        for lag in range(1, max_lag + 1):
+            x, y = series[:-lag], series[lag:]
+            n = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            sxy = int((x * y).sum())
+            num = n * sxy - sx * sy
+            a, b = n * sxx - sx * sx, n * syy - sy * sy
+            r = float(num) / math.sqrt(float(a) * float(b))
+            rows.append((lag, n, r))
+        out = pd.DataFrame(rows, columns=["lag", "n", "r"])
+        return pd.DataFrame({
+            "lag": out["lag"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "r": round_series(out["r"], 6).to_numpy(),
+        })
+
+    # bounded day grain: single-batch finish
+    return (daily.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def user_activity_gini(sf_dir: str, n_buckets: int = 32):
+    """Exact Gini coefficient of per-user event counts -- the activity
+    inequality scalar (0 = uniform, ->1 = a few users dominate).
+
+    Scale shape: the sorted-index Gini formula normally needs a global
+    sort + prefix rank over every user; here the per-user counts reduce
+    to their VALUE HISTOGRAM (count value k -> f users), which is tiny
+    (counts are small integers), and within a tied value the sort order
+    is irrelevant, so the rank sum collapses to the closed form
+    sum k*f*(2*cf - f + 1) = 2*sum(i*x_i) over cumulative frequencies.
+    Two keyed combiner reduces, one single-batch finish, all-integer.
+
+    Output: one row (n_users, mean_events r6, gini r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    counts = grouped_agg(ev, ["user_id"], {"k": ("user_id", "size")},
+                         n_buckets=n_buckets)
+    hist = grouped_agg(counts, ["k"], {"f": ("k", "size")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("k")
+        k = df["k"].to_numpy(dtype=np.int64).astype(object)
+        f = df["f"].to_numpy(dtype=np.int64).astype(object)
+        n = int(f.sum())
+        tot = int((k * f).sum())
+        cf = np.cumsum(f)
+        two_t = int((k * f * (2 * cf - f + 1)).sum())
+        gini = float(two_t - (n + 1) * tot) / float(n * tot)
+        return pd.DataFrame({
+            "n_users": pd.array([n], dtype="int64"),
+            "mean_events": round_series(
+                pd.Series([float(tot) / float(n)]), 6).to_numpy(),
+            "gini": round_series(pd.Series([gini]), 6).to_numpy(),
+        })
+
+    # count-value grain is tiny: single-batch finish
+    return (hist.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def source_quality_report(sf_dir: str, n_buckets: int = 32):
+    """Per-(source, lang) corpus curation report: doc count, EXACT
+    distinct-text count, mean length, and the duplication rate
+    1 - distinct/count -- the per-domain table a crawl-curation pass
+    ranks and prunes by.
+
+    Shape: the distinct side pre-dedups (source, lang, text) inside
+    each batch (combiner), so the keyed exchange carries one row per
+    distinct text, never the raw corpus; dedup is on the FULL text (no
+    64-bit hash merge hazard).  The count/length side is an ordinary
+    combiner reduce.  Both land on the bounded (source, lang) grain and
+    hash-join there.
+
+    Output: (source, lang, n_docs, n_distinct_texts, mean_chars r2,
+    dup_rate r6) sorted.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang", "text", "n_chars"])
+
+    stats = grouped_agg(
+        docs.map_batches(
+            lambda df: df[["source", "lang", "n_chars"]],
+            batch_format="pandas", batch_size=65536),
+        ["source", "lang"],
+        {"n_docs": ("n_chars", "size"), "sc": ("n_chars", "sum")},
+        n_buckets=8)
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["source", "lang", "text"]].drop_duplicates()
+
+    uniq = grouped_agg(
+        docs.map_batches(local_distinct, batch_format="pandas",
+                         batch_size=65536),
+        ["source", "lang", "text"], {"one": ("text", "size")},
+        n_buckets=n_buckets)
+    distinct = grouped_agg(uniq, ["source", "lang"],
+                           {"n_distinct_texts": ("one", "size")},
+                           n_buckets=8)
+
+    joined = stats.join(distinct, join_type="inner", num_partitions=2,
+                        on=("source", "lang"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].to_numpy(dtype=np.int64)
+        d = df["n_distinct_texts"].to_numpy(dtype=np.int64)
+        sc = df["sc"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "n_docs": n, "n_distinct_texts": d,
+            "mean_chars": round_series(pd.Series(sc / n), 2).to_numpy(),
+            "dup_rate": round_series(pd.Series(1.0 - d / n), 6).to_numpy(),
+        })
+
+    return (joined.map_batches(finish, batch_format="pandas")
+            .sort(["source", "lang"]))

@@ -552,3 +552,62 @@ def bpe_train(sf_dir: str, n_merges: int = 10):
 
     out = pd.DataFrame(rows)
     return out.astype({"rank": "int64", "freq": "int64"})
+
+
+def doc_chunks(sf_dir: str, size: int = 64, stride: int = 48):
+    """Sliding-window token chunking -- the RAG/embedding prep step:
+    every document becomes overlapping windows of ``size`` whitespace
+    tokens advanced by ``stride`` (size - stride tokens of overlap);
+    the final window keeps its partial tail.  Chunk starts are
+    0, stride, 2*stride, ... < n_tokens, so every doc (even an empty
+    one: split(' ') of "" is [""]) emits at least chunk 0.
+
+    Shape: pure streaming map -- zero shuffle.  Window assembly is
+    fully vectorized: one flat token array per batch, gather indices
+    built with the repeat/cumsum trick, and ``pyarrow.compute
+    .binary_join`` re-joins every window in one kernel call (no
+    per-row Python).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk) sorted by
+    (doc_id, chunk_idx).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    sz, st = int(size), int(stride)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _cumsum0(a: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(a) + 1, dtype=np.int64)
+        np.cumsum(a, out=out[1:])
+        return out
+
+    def windows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.empty(0, dtype=object), *words.to_numpy()])
+        doc_off = _cumsum0(lens)                      # doc i -> flat offset
+        n_chunks = (lens - 1) // st + 1               # lens >= 1 always
+        chunk_doc = np.repeat(np.arange(len(df)), n_chunks)
+        coff = _cumsum0(n_chunks)
+        chunk_idx = np.arange(coff[-1]) - np.repeat(coff[:-1], n_chunks)
+        starts = chunk_idx * st                       # doc-relative
+        clen = np.minimum(starts + sz, lens[chunk_doc]) - starts
+        g0 = starts + doc_off[chunk_doc]              # flat start
+        gather = np.repeat(g0, clen) + (
+            np.arange(int(clen.sum())) - np.repeat(_cumsum0(clen)[:-1], clen))
+        la = pa.ListArray.from_arrays(
+            pa.array(_cumsum0(clen), type=pa.int32()),
+            pa.array(flat[gather], type=pa.string()))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()[chunk_doc],
+                               type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "n_tokens": pa.array(clen, type=pa.int64()),
+            "chunk": pc.binary_join(la, " "),
+        })
+
+    return (ds.map_batches(windows, batch_format="pyarrow", batch_size=8192)
+            .sort(["doc_id", "chunk_idx"]))

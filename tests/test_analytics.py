@@ -244,3 +244,51 @@ def test_skew_join_path_equivalence(ray_session):
     no_hot = run(10**9)         # plain hash join path only
     pd.testing.assert_frame_equal(with_hot, no_hot)
     assert len(with_hot) == n   # every row matched exactly once
+
+
+@needs_data
+def test_revenue_acf_matches_numpy_corrcoef(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import revenue_acf
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import round_series
+
+    got = revenue_acf(SF, max_lag=5).to_pandas().sort_values("lag")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    day = (orders["o_orderdate"].to_numpy().astype("datetime64[D]")
+           .astype(np.int64))
+    cents = round_series(orders["o_totalprice"] * 100.0, 0).astype(np.int64)
+    daily = pd.DataFrame({"day": day, "c": cents}).groupby("day")["c"].sum()
+    full = np.zeros(int(daily.index.max() - daily.index.min()) + 1)
+    full[daily.index.to_numpy() - daily.index.min()] = daily.to_numpy()
+    for lag, r in zip(got["lag"], got["r"]):
+        ref = np.corrcoef(full[:-lag], full[lag:])[0, 1]
+        assert abs(r - ref) < 1e-6, (lag, r, ref)
+
+
+@needs_data
+def test_gini_matches_sorted_index_formula(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import user_activity_gini
+
+    got = user_activity_gini(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    x = np.sort(ev.groupby("user_id").size().to_numpy())
+    n, s = len(x), x.sum()
+    ref = (2 * np.sum(np.arange(1, n + 1) * x)) / (n * s) - (n + 1) / n
+    assert int(got["n_users"].iloc[0]) == n
+    assert abs(float(got["gini"].iloc[0]) - ref) < 1e-6
+
+
+@needs_data
+def test_source_quality_report_distinct_is_exact(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        source_quality_report,
+    )
+
+    got = (source_quality_report(SF).to_pandas()
+           .set_index(["source", "lang"]).sort_index())
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ref = docs.groupby(["source", "lang"]).agg(
+        n_docs=("text", "size"), n_distinct_texts=("text", "nunique"))
+    assert len(got) == len(ref)
+    assert (got["n_docs"] == ref["n_docs"]).all()
+    assert (got["n_distinct_texts"] == ref["n_distinct_texts"]).all()
+    assert ((got["dup_rate"] >= 0) & (got["dup_rate"] < 1)).all()

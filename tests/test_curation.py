@@ -171,3 +171,32 @@ def test_bpe_train_matches_single_process_reference(ray_session):
     ref_df = pd.DataFrame(ref, columns=["rank", "left", "right", "freq"])
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref_df,
                                   check_dtype=False)
+
+
+@needs_data
+def test_doc_chunks_cover_and_overlap(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import doc_chunks
+
+    df = doc_chunks(SF, size=16, stride=12).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    words = docs.set_index("doc_id")["text"].str.split(" ")
+    lens = words.str.len()
+    # every doc emits exactly (n-1)//stride + 1 chunks
+    per_doc = df.groupby("doc_id").size()
+    assert (per_doc == ((lens - 1) // 12 + 1)).all()
+    # spot-check reassembly: concatenating stride-prefixes + final tail
+    # reproduces the original token stream
+    for doc_id in docs["doc_id"].head(5):
+        g = df[df["doc_id"] == doc_id].sort_values("chunk_idx")
+        toks = []
+        chunks = g["chunk"].tolist()
+        for ch in chunks[:-1]:
+            toks.extend(ch.split(" ")[:12])
+        toks.extend(chunks[-1].split(" "))
+        assert toks == words.loc[doc_id]
+    # overlap: consecutive chunks share size-stride tokens
+    g = df[df["doc_id"] == docs["doc_id"].iloc[0]].sort_values("chunk_idx")
+    if len(g) > 1:
+        a = g["chunk"].iloc[0].split(" ")
+        b = g["chunk"].iloc[1].split(" ")
+        assert a[12:] == b[:len(a) - 12]
