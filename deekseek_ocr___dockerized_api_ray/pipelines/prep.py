@@ -104,8 +104,15 @@ def _prep_chain(ds, keep_langs, min_tokens, max_stopword_ratio,
         )
 
     gated = ds.map_batches(clean_and_gate, batch_format="pyarrow")
-    deduped = exact_dedup(gated, text_col="text", id_col="doc_id")
-    survivors = minhash_dedup(deduped, threshold=minhash_threshold)
+    # BRANCH-POINT CACHES: minhash_dedup consumes its input THREE times
+    # (signatures, pair verify, survivor filter) and `survivors` feeds
+    # both the pack plan and the provenance join.  Ray Data re-executes
+    # the upstream graph once per consumer, so without pinning these two
+    # points the whole render -> parse -> clean -> gate chain runs 4-5x.
+    # materialize() holds the (gate-shrunk) corpus in the object store
+    # -- the idiomatic multi-consumer cache; it spills under pressure.
+    deduped = exact_dedup(gated, text_col="text", id_col="doc_id").materialize()
+    survivors = minhash_dedup(deduped, threshold=minhash_threshold).materialize()
 
     plan = pack_sequences(survivors, max_tokens=max_tokens_per_seq,
                           n_shards=n_shards)
