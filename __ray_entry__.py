@@ -95,10 +95,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from deekseek_ocr___dockerized_api_ray.stages import boilerplate
     from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        component_labels,
         lsh_candidate_pairs,
         minhash_dedup,
         simhash_dedup,
         simhash_neardup_pairs,
+        verify_pairs_jaccard,
         verify_pairs_ngram_jaccard,
     )
     from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
@@ -361,6 +363,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lsh_candidate_pairs(docs), docs, threshold=0.3, n=3
         )
 
+    def neardup_clusters(sf_dir: str):
+        # connected-component cluster ids (component min) over the
+        # verified minhash pairs -- the cluster-assignment view of
+        # minhash_survivors, sharing its candidates/verify/labels code
+        import pandas as pd
+
+        docs = _docs_ds(sf_dir)
+        pairs = verify_pairs_jaccard(
+            lsh_candidate_pairs(docs), docs, threshold=0.8)
+        labels = component_labels(pairs)
+        return labels.map_batches(
+            lambda df: df.rename(
+                columns={"node": "doc_id", "label": "cluster_id"}),
+            batch_format="pandas").sort("doc_id")
+
     def ann_topk(sf_dir: str):
         return brute_force_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
@@ -472,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_corpus_prep": web_corpus_prep,
         "minhash_candidates": minhash_candidates,
         "minhash_survivors": minhash_survivors,
+        "neardup_clusters": neardup_clusters,
         "simhash_pairs": simhash_pairs,
         "simhash_survivors": simhash_survivors,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -796,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         # (see deekseek_ocr___dockerized_api_ray/oracles.py)
         "minhash_candidates": _oracles.minhash_candidates_sql(),
         "minhash_survivors": _oracles.minhash_survivors_sql(threshold=0.8),
+        "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),

@@ -172,6 +172,30 @@ def minhash_survivors_sql(threshold: float = 0.8) -> str:
     )
 
 
+def neardup_clusters_sql(threshold: float = 0.8) -> str:
+    """Component labels over the verified minhash pairs: for every node
+    in any pair, its cluster id = min(own id, min reachable id) through
+    the recursive transitive closure (same closure as the survivors
+    SQL, emitting the label instead of filtering on it)."""
+    return (
+        f"WITH RECURSIVE {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        """,
+sym AS (SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT CAST(n.src AS BIGINT) AS doc_id,
+       CAST(LEAST(n.src, MIN(r.dst)) AS BIGINT) AS cluster_id
+FROM (SELECT DISTINCT src FROM sym) n
+JOIN reach r ON r.src = n.src
+GROUP BY n.src ORDER BY doc_id"""
+    )
+
+
 def ngram_jaccard_pairs_sql(threshold: float = 0.3, n: int = 3) -> str:
     """LSH candidates verified by word-n-gram Jaccard, matching
     stages/dedup.verify_pairs_ngram_jaccard (n-grams as strings; < n

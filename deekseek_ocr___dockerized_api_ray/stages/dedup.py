@@ -318,9 +318,10 @@ def _drop_set_filter(docs_ds, drop, id_col: str):
     return docs_ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def _driver_union_find_drop(edges) -> set:
-    """Driver-side union-find over a SMALL edge list (below the
-    size gate): exact same survivors as the distributed propagation."""
+def _driver_union_find_labels(edges) -> dict:
+    """Driver-side union-find over a SMALL edge list (below the size
+    gate); union-by-min-value makes every root the component minimum,
+    so the returned node -> root map IS the min-label table."""
     parent: dict = {}
 
     def find(x):
@@ -338,7 +339,44 @@ def _driver_union_find_drop(edges) -> set:
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-    return {n for n in parent if find(n) != n}
+    return {n: find(n) for n in parent}
+
+
+def _driver_union_find_drop(edges) -> set:
+    """Drop set (non-minimal component members) from the driver path:
+    exact same survivors as the distributed propagation."""
+    return {n for n, l in _driver_union_find_labels(edges).items() if l != n}
+
+
+def component_labels(pairs_ds, max_rounds: int = 10,
+                     num_partitions: Optional[int] = None,
+                     driver_threshold: int = 2_000_000):
+    """Connected-component labels over an (id_a, id_b) pair Dataset:
+    one row (node, label) per distinct endpoint, label = the component's
+    minimum id. The clustering twin of ``survivors_from_pairs`` (which
+    keeps only label == node) -- use this when the caller needs the
+    cluster assignment itself (dup-cluster audits, canonical-doc maps).
+
+    Same size-gated hybrid: small edge lists run driver union-find;
+    above the gate the labels come from the distributed iterated
+    min-label propagation (never collecting edges on the driver).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    edges = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "label": pd.Series(dtype="int64")}))
+    if n_edges <= driver_threshold:
+        lab = _driver_union_find_labels(edges)
+        nodes = sorted(lab)
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.array(nodes, dtype="int64"),
+             "label": pd.array([lab[n] for n in nodes], dtype="int64")}))
+    return _distributed_labels(edges, max_rounds, num_partitions)
 
 
 def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
@@ -367,11 +405,7 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
     else hash-anti-joins against the label table. Both paths produce
     identical survivors (tested against each other).
     """
-    import numpy as np
     import ray
-    import ray.data as rd
-
-    from .agg import grouped_agg
 
     edges = verified_pairs_ds.select_columns(["id_a", "id_b"]).materialize()
     n_edges = edges.count()
@@ -380,6 +414,50 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
 
     if n_edges <= driver_threshold:
         return _drop_set_filter(docs_ds, _driver_union_find_drop(edges), id_col)
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
+
+    labels = _distributed_labels(edges, max_rounds, num_partitions)
+
+    # non-survivors: label != node
+    drop_ds = labels.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("label"), b.column("node"))),
+        batch_format="pyarrow",
+    ).select_columns(["node"]).materialize()
+    n_drop = drop_ds.count()
+
+    if n_drop <= 1_000_000:  # broadcast path: ship the key set once
+        return _drop_set_filter(
+            docs_ds, set(r["node"] for r in drop_ds.iter_rows()), id_col
+        )
+
+    # scale path: hash anti-join (left join + null filter on the marker)
+    marked = drop_ds.map_batches(
+        lambda b: b.append_column("__dup", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    joined = docs_ds.join(marked, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(id_col,), right_on=("node",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("__dup"))).drop_columns(["__dup"]),
+        batch_format="pyarrow",
+    )
+
+
+def _distributed_labels(edges, max_rounds: int = 10,
+                        num_partitions: Optional[int] = None):
+    """Iterated distributed min-label propagation over a materialized
+    (id_a, id_b) edge Dataset; returns the converged (node, label)
+    Dataset. Per round: two hash joins (endpoint -> current label), one
+    bucketed groupby-min over the emitted messages; convergence via an
+    order-independent label checksum. Edges never touch the driver."""
+    import numpy as np
+    import ray
+
+    from .agg import grouped_agg
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -452,30 +530,7 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
             break
         prev_ck = new_ck
 
-    # non-survivors: label != node
-    drop_ds = labels.map_batches(
-        lambda b: b.filter(pc.not_equal(b.column("label"), b.column("node"))),
-        batch_format="pyarrow",
-    ).select_columns(["node"]).materialize()
-    n_drop = drop_ds.count()
-
-    if n_drop <= 1_000_000:  # broadcast path: ship the key set once
-        return _drop_set_filter(
-            docs_ds, set(r["node"] for r in drop_ds.iter_rows()), id_col
-        )
-
-    # scale path: hash anti-join (left join + null filter on the marker)
-    marked = drop_ds.map_batches(
-        lambda b: b.append_column("__dup", pa.array([1] * b.num_rows, pa.int8())),
-        batch_format="pyarrow",
-    )
-    joined = docs_ds.join(marked, join_type="left_outer",
-                          num_partitions=num_partitions,
-                          on=(id_col,), right_on=("node",))
-    return joined.map_batches(
-        lambda b: b.filter(pc.is_null(b.column("__dup"))).drop_columns(["__dup"]),
-        batch_format="pyarrow",
-    )
+    return labels
 
 
 def minhash_dedup(docs_ds, threshold: float = 0.8, n_hashes: int = 64,

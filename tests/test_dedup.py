@@ -204,3 +204,25 @@ def test_verify_text_attach_paths_agree(ray_session):
                    verify_pairs_jaccard(pairs, docs, threshold=0.5,
                                         broadcast_bytes=0).take_all())
     assert fast == joins and len(fast) == 19
+
+
+def test_component_labels_paths_agree(ray_session):
+    """component_labels: driver union-find and distributed propagation
+    emit the same (node, label) table; labels are component minima."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import component_labels
+
+    pairs = rd.from_items([
+        {"id_a": 10, "id_b": 11},
+        {"id_a": 11, "id_b": 12},
+        {"id_a": 12, "id_b": 13},     # chain -> all label 10
+        {"id_a": 25, "id_b": 27},
+        {"id_a": 27, "id_b": 26},     # -> all label 25
+    ])
+    want = {10: 10, 11: 10, 12: 10, 13: 10, 25: 25, 26: 25, 27: 25}
+    fast = {r["node"]: r["label"] for r in component_labels(pairs).take_all()}
+    dist = {r["node"]: r["label"] for r in
+            component_labels(pairs, driver_threshold=0).take_all()}
+    assert fast == want
+    assert dist == want
