@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": analytics.cohort_ltv,
         "dau_wau": analytics.dau_wau,
         "revenue_acf": analytics.revenue_acf,
+        "orders_yoy": analytics.orders_yoy,
         "user_activity_gini": analytics.user_activity_gini,
         "source_quality_report": analytics.source_quality_report,
         "basket_part_pairs": analytics.basket_part_pairs,
@@ -1861,6 +1862,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wau AS BIGINT) AS wau,
                    ROUND(dau / wau, 6) AS ratio
             FROM dau JOIN wau USING (day) ORDER BY day
+        """,
+        "orders_yoy": """
+            -- exact integer months + cents; growth divides identical
+            -- integer operands in both engines
+            WITH m AS MATERIALIZED (
+              SELECT (YEAR(o_orderdate) - 1970) * 12
+                       + MONTH(o_orderdate) - 1 AS mon,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1)
+            SELECT CAST(a.mon AS BIGINT) AS mon,
+                   a.cents AS rev_cents,
+                   b.cents AS prev_cents,
+                   ROUND(CAST(a.cents - b.cents AS DOUBLE) / b.cents, 6)
+                     AS yoy
+            FROM m a JOIN m b ON b.mon = a.mon - 12
+            ORDER BY mon
         """,
         "revenue_acf": """
             -- Pearson moment sums over the gap-filled daily-cents

@@ -2112,3 +2112,55 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
 
     return (joined.map_batches(finish, batch_format="pandas")
             .sort(["source", "lang"]))
+
+
+def orders_yoy(sf_dir: str, n_buckets: int = 16):
+    """Year-over-year growth: monthly revenue vs the same month one
+    year earlier.  Months are exact integers (months since epoch),
+    revenue in exact cents; growth = (rev - prev) / prev on identical
+    integer operands in both engines.  Only months with a 12-months-ago
+    counterpart appear.
+
+    Shape: one combiner reduce to the bounded MONTH grain, then a
+    single-batch finish does the self-shift with a dict lookup -- no
+    self-join, no gapfill shuffle.
+
+    Output: (mon, rev_cents, prev_cents, yoy r6) sorted by mon.
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+        mon = d.astype("datetime64[M]").astype(np.int64)
+        cents = round_series(
+            pd.Series(df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0),
+            0).to_numpy().astype(np.int64)
+        return pd.DataFrame({"mon": mon, "cents": cents})
+
+    monthly = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=131072),
+        ["mon"], {"cents": ("cents", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("mon")
+        mon = df["mon"].to_numpy(dtype=np.int64)
+        c = df["cents"].to_numpy(dtype=np.int64)
+        prev = pd.Series(c, index=mon).reindex(mon - 12).to_numpy()
+        keep = ~np.isnan(prev)
+        prev_i = prev[keep].astype(np.int64)
+        cur = c[keep]
+        return pd.DataFrame({
+            "mon": mon[keep],
+            "rev_cents": cur,
+            "prev_cents": prev_i,
+            "yoy": round_series(
+                pd.Series((cur - prev_i) / prev_i), 6).to_numpy(),
+        })
+
+    # bounded month grain: single-batch finish
+    return (monthly.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
