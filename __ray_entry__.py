@@ -363,6 +363,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lsh_candidate_pairs(docs), docs, threshold=0.3, n=3
         )
 
+    def ngram_containment_pairs(sf_dir: str):
+        # |A∩B| / min(|A|,|B|) -- the subset/excerpt-dedup measure
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            verify_pairs_containment,
+        )
+
+        docs = _docs_ds(sf_dir)
+        return verify_pairs_containment(
+            lsh_candidate_pairs(docs), docs, threshold=0.5, n=3
+        )
+
     def neardup_clusters(sf_dir: str):
         # connected-component cluster ids (component min) over the
         # verified minhash pairs -- the cluster-assignment view of
@@ -493,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs,
         "simhash_survivors": simhash_survivors,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "ngram_containment_pairs": ngram_containment_pairs,
         # similarity search
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
@@ -508,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": windows.events_sessionize,
         "streaming_sessionize": windows.streaming_sessionize,
         "events_sliding_hour": windows.events_sliding_hour,
+        "events_range_hour": windows.events_range_hour,
         "top_revenue_customers": relational.top_revenue_customers,
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "revenue_by_region": relational.revenue_by_region,
@@ -819,6 +832,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
+        "ngram_containment_pairs": _oracles.ngram_containment_pairs_sql(
+            threshold=0.5, n=3),
         "langid_predict": _oracles.langid_predict_sql(),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
         "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
@@ -887,6 +902,16 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
             GROUP BY 1, 2
+        """,
+        "events_range_hour": """
+            SELECT event_id, user_id, CAST(n_1h AS BIGINT) AS n_1h,
+                   ROUND(s_1h, 2) AS sum_1h
+            FROM (SELECT event_id, user_id,
+                         COUNT(*) OVER w AS n_1h, SUM(value) OVER w AS s_1h
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW))
         """,
         "events_tumbling_hour": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
@@ -1873,8 +1898,8 @@ def oracle_sql() -> dict[str, str]:
                        AS cents
               FROM orders GROUP BY 1)
             SELECT CAST(a.mon AS BIGINT) AS mon,
-                   a.cents AS rev_cents,
-                   b.cents AS prev_cents,
+                   CAST(a.cents AS BIGINT) AS rev_cents,
+                   CAST(b.cents AS BIGINT) AS prev_cents,
                    ROUND(CAST(a.cents - b.cents AS DOUBLE) / b.cents, 6)
                      AS yoy
             FROM m a JOIN m b ON b.mon = a.mon - 12

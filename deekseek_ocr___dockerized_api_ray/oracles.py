@@ -228,6 +228,39 @@ JOIN gcnt nb ON nb.doc_id = c.id_b
 WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / (na.n + nb.n - COALESCE(i.ni, 0)), 6) >= {threshold}"""
 
 
+def ngram_containment_pairs_sql(threshold: float = 0.5, n: int = 3) -> str:
+    """LSH candidates verified by word-n-gram CONTAINMENT
+    |A ∩ B| / min(|A|, |B|), matching stages/dedup.verify_pairs_containment
+    (same distinct-gram convention as ngram_jaccard_pairs_sql; pairs with
+    an empty gram set on either side drop out via the inner gcnt joins)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""WITH {_minhash_cand_ctes()},
+wrds AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+ngr AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM wrds, unnest(range(1, len(w) - {n - 2})) AS u(i)
+  WHERE len(w) >= {n}
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+  FROM wrds WHERE len(w) BETWEEN 1 AND {n - 1}
+),
+gcnt AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
+ginter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN ngr x ON x.doc_id = c.id_a
+  JOIN ngr y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(i.ni, 0)::DOUBLE / LEAST(na.n, nb.n), 6) AS containment
+FROM cand c
+LEFT JOIN ginter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN gcnt na ON na.doc_id = c.id_a
+JOIN gcnt nb ON nb.doc_id = c.id_b
+WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / LEAST(na.n, nb.n), 6) >= {threshold}"""
+
+
 def _simhash_ctes() -> str:
     """CTEs ending in ``ssig(doc_id, sim)``: the 64-bit SimHash of
     functions/hashing.simhash64 (md5_number_lower token hashes, term

@@ -72,6 +72,67 @@ def events_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S, n_buckets: int =
     return bucketed.groupby("bucket").map_groups(sessionize_bucket, batch_format="pandas")
 
 
+def events_range_hour(sf_dir: str, width_s: int = 3600, n_buckets: int = 64):
+    """Per-event trailing time-RANGE window: for every event, the count
+    and value-sum of the SAME user's events with ts in
+    [ts - width_s, ts] -- SQL's ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW`` (RANGE frames include ALL timestamp
+    peers, also ones that sort after the current row by event_id).
+
+    Shape: one user-bucketed keyed shuffle; inside each bucket group the
+    frame bounds come from two ``np.searchsorted`` calls PER USER
+    SEGMENT over that user's sorted timestamps (a global searchsorted
+    over the bucket would cross the per-user sawtooth -- see
+    ROUND2_NOTES on events_followups_range) and the sums from one
+    prefix-sum array, so work is O(rows) per bucket, no self-join, no
+    window explode.
+
+    Output: (event_id, user_id, n_1h, sum_1h r2).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    width_us = int(width_s) * 1_000_000
+
+    def window_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        val = df["value"].to_numpy(dtype=np.float64)
+        prefix = np.concatenate(([0.0], np.cumsum(val)))
+        # user segment boundaries over the (user, ts)-sorted frame
+        seg = np.flatnonzero(np.concatenate(([True], user[1:] != user[:-1])))
+        seg = np.append(seg, len(df))
+        n = np.empty(len(df), dtype=np.int64)
+        s = np.empty(len(df), dtype=np.float64)
+        for a, b in zip(seg[:-1], seg[1:]):
+            t = ts_us[a:b]
+            lo = a + np.searchsorted(t, t - width_us, side="left")
+            hi = a + np.searchsorted(t, t, side="right")  # include ts peers
+            n[a:b] = hi - lo
+            s[a:b] = prefix[hi] - prefix[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": user,
+            "n_1h": n,
+            "sum_1h": round_series(pd.Series(s), 2),
+        })
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pandas", batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(window_bucket, batch_format="pandas")
+
+
 def events_sliding_hour(sf_dir: str, slide_s: int = 1800, width_s: int = 3600,
                         n_buckets: int = 64):
     """Sliding windows (width 1h, slide 30min): each event lands in

@@ -632,6 +632,52 @@ def verify_pairs_ngram_jaccard(pairs_ds, docs_ds, threshold: float = 0.5,
     return b.map_batches(_verify, batch_format="pyarrow")
 
 
+def verify_pairs_containment(pairs_ds, docs_ds, threshold: float = 0.5,
+                             n: int = 3, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_partitions: Optional[int] = None,
+                             broadcast_bytes: int = 256 * 1024 * 1024):
+    """Word-n-gram CONTAINMENT verification: |A ∩ B| / min(|A|, |B|)
+    over distinct word-n-gram sets. Containment (Broder 1997) is the
+    near-dup measure for subset/superset relationships -- a short doc
+    fully embedded in a long one scores ~1.0 here but low on Jaccard,
+    which is why excerpt/quotation dedup uses it instead.
+
+    Same size-gated text attach as verify_pairs_ngram_jaccard; pairs
+    where either side has no n-grams are dropped (undefined ratio),
+    matching the oracle's inner join on the per-doc gram counts.
+
+    Returns (id_a, id_b, containment r6) rows >= threshold.
+    """
+    from ..functions.hashing import word_ngrams
+
+    b = _pair_texts(pairs_ds, docs_ds, text_col, id_col, num_partitions,
+                    broadcast_bytes)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        ids_a, ids_b, vals = [], [], []
+        for ia, ib, ta, tb in zip(batch.column("id_a").to_pylist(),
+                                  batch.column("id_b").to_pylist(),
+                                  batch.column("text_a").to_pylist(),
+                                  batch.column("text_b").to_pylist()):
+            ga, gb = word_ngrams(ta, n), word_ngrams(tb, n)
+            denom = min(len(ga), len(gb))
+            if denom == 0:
+                continue
+            c = round_half_away(len(ga & gb) / denom, 6)
+            if c >= threshold:
+                ids_a.append(ia)
+                ids_b.append(ib)
+                vals.append(c)
+        return pa.Table.from_arrays(
+            [pa.array(ids_a, type=pa.int64()), pa.array(ids_b, type=pa.int64()),
+             pa.array(vals, type=pa.float64())],
+            names=["id_a", "id_b", "containment"],
+        )
+
+    return b.map_batches(_verify, batch_format="pyarrow")
+
+
 def simhash_dedup(docs_ds, max_hamming: int = 3, bands: int = 4,
                   text_col: str = "text", id_col: str = "doc_id"):
     """SimHash near-dup REMOVAL: banded pairs -> min-label components ->

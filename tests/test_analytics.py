@@ -292,3 +292,27 @@ def test_source_quality_report_distinct_is_exact(ray_session):
     assert (got["n_docs"] == ref["n_docs"]).all()
     assert (got["n_distinct_texts"] == ref["n_distinct_texts"]).all()
     assert ((got["dup_rate"] >= 0) & (got["dup_rate"] < 1)).all()
+
+
+@needs_data
+def test_range_hour_matches_bruteforce(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_range_hour,
+    )
+
+    got = (events_range_hour(SF).to_pandas()
+           .set_index("event_id").sort_index())
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    n_ref, s_ref = {}, {}
+    for _, g in ev.assign(ts_us=ts_us).groupby("user_id"):
+        t = g["ts_us"].to_numpy()
+        v = g["value"].to_numpy()
+        for eid, ti in zip(g["event_id"], t):
+            m = (t >= ti - 3_600_000_000) & (t <= ti)
+            n_ref[eid] = int(m.sum())
+            s_ref[eid] = round(float(v[m].sum()), 2)
+    assert len(got) == len(ev)
+    assert (got["n_1h"] == pd.Series(n_ref).sort_index()).all()
+    assert np.allclose(got["sum_1h"], pd.Series(s_ref).sort_index(), atol=0.011)

@@ -226,3 +226,32 @@ def test_component_labels_paths_agree(ray_session):
             component_labels(pairs, driver_threshold=0).take_all()}
     assert fast == want
     assert dist == want
+
+
+def test_containment_scores_excerpt_high(ray_session):
+    """A short doc fully embedded in a long one: containment 1.0 even
+    though Jaccard is low; both size-gate paths agree."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        verify_pairs_containment,
+        verify_pairs_ngram_jaccard,
+    )
+
+    long = " ".join(f"w{i}" for i in range(100))
+    short = " ".join(f"w{i}" for i in range(40, 50))  # embedded excerpt
+    docs = rd.from_items([
+        {"doc_id": 1, "text": long},
+        {"doc_id": 2, "text": short},
+        {"doc_id": 3, "text": "totally unrelated words only here"},
+    ])
+    pairs = rd.from_items([{"id_a": 1, "id_b": 2}, {"id_a": 1, "id_b": 3}])
+    fast = {(r["id_a"], r["id_b"]): r["containment"] for r in
+            verify_pairs_containment(pairs, docs, threshold=0.5).take_all()}
+    join = {(r["id_a"], r["id_b"]): r["containment"] for r in
+            verify_pairs_containment(pairs, docs, threshold=0.5,
+                                     broadcast_bytes=0).take_all()}
+    assert fast == join == {(1, 2): 1.0}
+    jac = {(r["id_a"], r["id_b"]): r["ngram_jaccard"] for r in
+           verify_pairs_ngram_jaccard(pairs, docs, threshold=0.0).take_all()}
+    assert jac[(1, 2)] < 0.1  # Jaccard misses the excerpt relationship
