@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": curation.semdedup,
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
+        "dedup_chunks_global": curation.dedup_chunks_global,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -1503,6 +1504,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY chunk
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY chunk
+        """,
+        "dedup_chunks_global": """
+            -- C4-style: drop ALL occurrences of any 4-word chunk seen
+            -- more than once corpus-wide, rebuild doc from survivors+tail
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+              FROM documents),
+            ch AS MATERIALIZED (
+              SELECT doc_id, i,
+                     ws[4*i+1] || ' ' || ws[4*i+2] || ' ' ||
+                     ws[4*i+3] || ' ' || ws[4*i+4] AS chunk
+              FROM w, unnest(range(0, len(ws) // 4)) AS u(i)),
+            cnt AS (SELECT chunk, count(*) AS c FROM ch GROUP BY 1),
+            kept AS (SELECT doc_id, i, ch.chunk
+                     FROM ch JOIN cnt USING (chunk) WHERE c = 1),
+            agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS body,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY 1),
+            tl AS (SELECT doc_id, len(ws) // 4 AS n_chunks,
+                          COALESCE(array_to_string(
+                            list_slice(ws, (len(ws) // 4) * 4 + 1, len(ws)),
+                            ' '), '') AS tail
+                   FROM w)
+            SELECT t.doc_id,
+                   CASE WHEN COALESCE(a.body, '') <> '' AND t.tail <> ''
+                        THEN a.body || ' ' || t.tail
+                        WHEN COALESCE(a.body, '') <> '' THEN a.body
+                        ELSE t.tail END AS dedup_text,
+                   CAST(t.n_chunks AS BIGINT) AS n_chunks,
+                   CAST(t.n_chunks - COALESCE(a.n_kept, 0) AS BIGINT)
+                     AS n_dropped
+            FROM tl t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "decontaminate": _oracles.decontaminate_sql(),
         "doc_tfidf_top_terms": _oracles.doc_tfidf_top_terms_sql(),

@@ -373,6 +373,117 @@ def duplicate_chunks(sf_dir: str, chunk_words: int = 4, min_docs: int = 2):
                      .sort("chunk"))
 
 
+def dedup_chunks_global(sf_dir: str, chunk_words: int = 4, n_buckets: int = 64):
+    """C4-style cross-document span removal WITH document reconstruction:
+    split every doc into consecutive non-overlapping ``chunk_words``-token
+    chunks, drop every chunk whose text occurs more than once in the
+    WHOLE corpus (all occurrences go -- the C4 rule, Raffel et al. 2020,
+    applied at chunk rather than 3-sentence granularity), and rebuild
+    each document from its surviving chunks plus its <k-word tail.
+
+    Shape -- two keyed shuffles, no driver-side state, no diamond:
+
+      1. one exploded pass where chunk rows key by chunk-text hash and
+         each doc's tail row keys by a per-doc synthetic key, so dedup
+         counting and tail pass-through ride the SAME exchange: within a
+         bucket group, chunks are kept iff their text count == 1 (counts
+         are global-exact because equal chunks always hash to the same
+         bucket) and tail rows always survive;
+      2. survivors re-key by doc_id and each group reassembles the text
+         in chunk order. Every doc emits exactly one row (the tail row
+         doubles as the doc's existence witness, carrying n_chunks).
+
+    Output: (doc_id, dedup_text, n_chunks, n_dropped) sorted by doc_id.
+    """
+    import ray.data as rd
+
+    from ..functions.text_stats import sha1_64
+
+    k = int(chunk_words)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        words = df["text"].str.split()
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        n_chunks = lens // k
+        kept = n_chunks * k
+        flat = np.concatenate([np.empty(0, dtype=object), *words.to_numpy()])
+        pos = np.arange(len(flat)) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        arr = flat[pos < np.repeat(kept, lens)].reshape(-1, k)
+        chunk = pd.Series(arr[:, 0], dtype="object")
+        for i in range(1, k):
+            chunk = chunk + " " + pd.Series(arr[:, i], dtype="object")
+        doc_np = df["doc_id"].to_numpy()
+        idx = np.arange(int(n_chunks.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks)
+        tails = [" ".join(w[c * k:]) for w, c in zip(words, n_chunks)]
+        chunks_df = pd.DataFrame({
+            "doc_id": np.repeat(doc_np, n_chunks),
+            "i": idx,
+            "piece": chunk.to_numpy(),
+            "is_tail": np.zeros(len(chunk), dtype=bool),
+            "n_chunks": np.full(len(chunk), -1, dtype=np.int64),
+        })
+        tails_df = pd.DataFrame({
+            "doc_id": doc_np,
+            "i": n_chunks,
+            "piece": tails,
+            "is_tail": np.ones(len(df), dtype=bool),
+            "n_chunks": n_chunks,
+        })
+        out = pd.concat([chunks_df, tails_df], ignore_index=True)
+        # chunk rows bucket by chunk text (global dedup key); tail rows
+        # by a per-doc synthetic key so they spread without colliding
+        key = out["piece"].map(sha1_64).to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            tail_key = (out["doc_id"].to_numpy(dtype=np.int64)
+                        .astype(np.uint64) * np.uint64(0xD1B54A32D192ED03))
+        key = np.where(out["is_tail"].to_numpy(), tail_key, key)
+        out["bucket"] = (key % np.uint64(n_buckets)).astype(np.int32)
+        return out
+
+    def keep_unique(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df[~df["is_tail"]]
+        counts = ch.groupby("piece")["piece"].transform("size")
+        kept = ch[counts == 1]
+        return pd.concat([kept, df[df["is_tail"]]], ignore_index=True)[
+            ["doc_id", "i", "piece", "is_tail", "n_chunks"]]
+
+    def rebuild_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "i"])
+        nonempty = df[df["piece"] != ""]
+        body = nonempty.groupby("doc_id")["piece"].agg(" ".join)
+        meta = df[df["is_tail"]].set_index("doc_id")["n_chunks"]
+        n_kept = (df[~df["is_tail"]].groupby("doc_id").size()
+                  .reindex(meta.index, fill_value=0))
+        return pd.DataFrame({
+            "doc_id": meta.index.to_numpy(),
+            "dedup_text": body.reindex(meta.index, fill_value="").to_numpy(),
+            "n_chunks": meta.to_numpy(dtype=np.int64),
+            "n_dropped": (meta - n_kept).to_numpy(dtype=np.int64),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+    survivors = exploded.groupby("bucket").map_groups(
+        keep_unique, batch_format="pandas")
+
+    def rekey_doc(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    rebuilt = (survivors.map_batches(rekey_doc, batch_format="pandas")
+               .groupby("bucket").map_groups(rebuild_bucket,
+                                             batch_format="pandas"))
+    return rebuilt.sort("doc_id")
+
+
 def term_pagerank(sf_dir: str, d: float = 0.85, iters: int = 2):
     """Weighted PageRank over the term co-occurrence graph (nodes =
     terms, symmetric edges weighted by document co-count), ``iters``

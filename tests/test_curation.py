@@ -200,3 +200,33 @@ def test_doc_chunks_cover_and_overlap(ray_session):
         a = g["chunk"].iloc[0].split(" ")
         b = g["chunk"].iloc[1].split(" ")
         assert a[12:] == b[:len(a) - 12]
+
+
+def test_dedup_chunks_global_c4_semantics(ray_session, tmp_path):
+    """All occurrences of a repeated 4-word chunk are dropped (the C4
+    rule), unique chunks and the <4-word tail survive in order, and a
+    fully-duplicated doc reconstructs to its bare tail/empty string."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        dedup_chunks_global,
+    )
+
+    dup = "a b c d"              # appears in docs 1 and 2 -> dropped everywhere
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"{dup} e f g h tail1 tail2",   # unique chunk + 2-word tail kept
+            f"{dup}",                       # only the dup chunk -> empty
+            "p q r s",                      # unique chunk, no tail
+            "x y",                          # no full chunk, tail only
+        ],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (dedup_chunks_global(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[1, "dedup_text"] == "e f g h tail1 tail2"
+    assert got.loc[1, "n_chunks"] == 2 and got.loc[1, "n_dropped"] == 1
+    assert got.loc[2, "dedup_text"] == "" and got.loc[2, "n_dropped"] == 1
+    assert got.loc[3, "dedup_text"] == "p q r s"
+    assert got.loc[4, "dedup_text"] == "x y" and got.loc[4, "n_chunks"] == 0
