@@ -594,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
         "dedup_chunks_global": curation.dedup_chunks_global,
+        "soft_dedup": curation.soft_dedup,
+        "length_percentile_gate": curation.length_percentile_gate,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -1537,6 +1539,21 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dropped
             FROM tl t LEFT JOIN agg a USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "soft_dedup": """
+            -- inverse-frequency downsample: keep 1/c of each dup class
+            SELECT doc_id, CAST(c AS BIGINT) AS n_copies
+            FROM (SELECT doc_id,
+                         count(*) OVER (PARTITION BY text) AS c
+                  FROM documents)
+            WHERE md5_number_lower(doc_id::VARCHAR) % c = 0
+            ORDER BY doc_id
+        """,
+        "length_percentile_gate": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.1)
+                              FROM documents)
+            ORDER BY doc_id
         """,
         "decontaminate": _oracles.decontaminate_sql(),
         "doc_tfidf_top_terms": _oracles.doc_tfidf_top_terms_sql(),

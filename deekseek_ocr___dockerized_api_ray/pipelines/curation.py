@@ -373,6 +373,92 @@ def duplicate_chunks(sf_dir: str, chunk_words: int = 4, min_docs: int = 2):
                      .sort("chunk"))
 
 
+def soft_dedup(sf_dir: str, n_buckets: int = 64):
+    """CCNet-style inverse-frequency downsampling ("soft dedup"): every
+    doc whose text occurs c times corpus-wide survives iff
+    md5(doc_id) % c == 0, so each duplicate-class keeps ~1/c of its
+    members in expectation while unique docs (c == 1) always survive --
+    a cheaper alternative to hard dedup that keeps some natural
+    duplication signal for training.
+
+    Shape: one keyed shuffle bucketed by the 64-bit text hash; the
+    member gate runs INSIDE the bucket group where the duplicate class
+    is colocated (count by full text within the group, so 64-bit
+    collisions cannot merge distinct texts). The deterministic gate
+    hash is DuckDB's md5_number_lower over the decimal doc_id string,
+    making the survivor set SQL-replicable.
+
+    Output: (doc_id, n_copies) survivors sorted by doc_id.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+    from ..functions.text_stats import sha1_64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["text"].map(sha1_64).to_numpy(dtype=np.uint64)
+                        % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("text")["text"].transform("size").to_numpy(np.int64)
+        g = np.fromiter((_hash64(str(d)) for d in df["doc_id"]),
+                        dtype=np.uint64, count=len(df))
+        keep = (g % c.astype(np.uint64)) == 0
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
+                             "n_copies": c[keep]})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(gate, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def length_percentile_gate(sf_dir: str, q_num: int = 1, q_den: int = 10):
+    """Global-percentile quality gate: keep documents whose n_chars is
+    >= the corpus-wide q-quantile (default p10) of n_chars -- the
+    two-pass "filter against a global distribution threshold" pattern
+    every corpus-quality pipeline needs (the threshold depends on ALL
+    data, then the stream filters against one scalar).
+
+    The threshold is quantile_disc (the ceil(q*n)-th order statistic --
+    an actual integer from the data, numpy method='inverted_cdf'), so
+    the filter boundary is integer-exact in both engines. Pass 1 builds
+    a (n_chars -> count) histogram with one combiner-reduced
+    grouped_agg (distinct lengths are bounded, never the corpus); only
+    that tiny histogram reaches the driver, as one scalar's worth of
+    state. Pass 2 streams the pruned 2-column read against the scalar.
+
+    Output: (doc_id, n_chars) survivors sorted by doc_id.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("n_chars", as_index=False, sort=False)
+                .agg(cnt=("n_chars", "size")))
+
+    hist = grouped_agg(ds.map_batches(count_partial, batch_format="pandas"),
+                       ["n_chars"], {"cnt": ("cnt", "sum")},
+                       n_buckets=8).to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    n = int(hist["cnt"].sum())
+    k = -(-q_num * n // q_den)  # ceil(q*n) in exact integer math
+    cum = hist["cnt"].cumsum()
+    thr = int(hist.loc[int(cum.searchsorted(k)), "n_chars"])
+
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_chars"),
+                                            pa.scalar(thr))),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 def dedup_chunks_global(sf_dir: str, chunk_words: int = 4, n_buckets: int = 64):
     """C4-style cross-document span removal WITH document reconstruction:
     split every doc into consecutive non-overlapping ``chunk_words``-token

@@ -230,3 +230,44 @@ def test_dedup_chunks_global_c4_semantics(ray_session, tmp_path):
     assert got.loc[2, "dedup_text"] == "" and got.loc[2, "n_dropped"] == 1
     assert got.loc[3, "dedup_text"] == "p q r s"
     assert got.loc[4, "dedup_text"] == "x y" and got.loc[4, "n_chunks"] == 0
+
+
+def test_soft_dedup_keeps_uniques_and_thins_dups(ray_session, tmp_path):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import soft_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, 9)),
+        "text": ["dup"] * 4 + [f"unique {i}" for i in range(4)],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = soft_dedup(str(tmp_path)).to_pandas()
+    # all unique docs survive with n_copies 1
+    uniq = got[got["doc_id"] >= 5]
+    assert len(uniq) == 4 and (uniq["n_copies"] == 1).all()
+    # dup class survivors = exactly the ids passing the md5 gate
+    expect = [d for d in range(1, 5) if _hash64(str(d)) % 4 == 0]
+    assert sorted(got[got["doc_id"] < 5]["doc_id"]) == expect
+    assert (got[got["doc_id"] < 5]["n_copies"] == 4).all()
+
+
+def test_length_percentile_gate_threshold_is_order_statistic(ray_session,
+                                                             tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        length_percentile_gate,
+    )
+
+    lens = np.arange(10, 110)  # 100 docs, n_chars 10..109
+    docs = pd.DataFrame({
+        "doc_id": np.arange(100), "n_chars": lens,
+        "text": ["x" * int(c) for c in lens],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = length_percentile_gate(str(tmp_path)).to_pandas()
+    # ceil(0.1*100)=10th order statistic = 19 -> keep n_chars >= 19
+    assert got["n_chars"].min() == 19 and len(got) == 91
