@@ -56,8 +56,8 @@ def web_prep_corpus(sf_dir: str, keep_langs=("en", "de", "fr", "es"),
     from ..stages.boilerplate import HtmlContentStage, _html_pages
 
     content = _html_pages(sf_dir).map_batches(
-        HtmlContentStage, fn_constructor_kwargs=dict(mode="content"),
-        batch_format="pandas", batch_size=256, concurrency=(1, 16),
+        HtmlContentStage(mode="content"),
+        batch_format="pandas", batch_size=256,
     )
 
     def as_text(df: pd.DataFrame) -> pd.DataFrame:

@@ -9,9 +9,10 @@ no model, no rendering.
 Pipeline shape (Ray-Data-first):
 
   documents --map_batches--> render_html (stateless, vectorized over the
-  batch) --map_batches(actor pool)--> HtmlContentStage (the parser and
-  the classifier config live in ``__init__``; parsing is inherently
-  row-wise string work) --> per-block feature rows or per-doc main text.
+  batch) --map_batches(tasks)--> HtmlContentStage (a stateless callable;
+  parsing is inherently row-wise string work). Plain tasks, NOT an actor
+  pool: the stage holds no per-actor state, so a pool only adds worker
+  spin-up latency (measured ~2x wall on a cold 32-CPU session).
 
 The synthetic page renderer wraps each document's text in a realistic
 page skeleton (nav, breadcrumb, title, article paragraphs, link-dense
@@ -274,9 +275,11 @@ def html_main_content(sf_dir: str):
     Output: (doc_id, main_text, n_content_blocks, n_boilerplate_blocks)
     sorted by doc_id.
     """
+    # stateless stage -> plain tasks on the warm worker pool (an actor
+    # pool here only pays ~10 s of spin-up: parse state is empty)
     return _html_pages(sf_dir).map_batches(
-        HtmlContentStage, fn_constructor_kwargs=dict(mode="content"),
-        batch_format="pandas", batch_size=256, concurrency=(1, 16),
+        HtmlContentStage(mode="content"),
+        batch_format="pandas", batch_size=256,
     ).sort("doc_id")
 
 
@@ -287,6 +290,6 @@ def html_block_features(sf_dir: str):
     by the oracled recovery invariant of ``html_main_content`` and the
     unit suite."""
     return _html_pages(sf_dir).map_batches(
-        HtmlContentStage, fn_constructor_kwargs=dict(mode="blocks"),
-        batch_format="pandas", batch_size=256, concurrency=(1, 16),
+        HtmlContentStage(mode="blocks"),
+        batch_format="pandas", batch_size=256,
     ).sort(["doc_id", "block_idx"])

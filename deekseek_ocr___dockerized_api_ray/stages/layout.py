@@ -95,26 +95,45 @@ def add_reading_order(boxes, n_buckets: int = 64, min_gap: float = 0.0):
         return df
 
     def order_docs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["bucket"])
-        parts = []
-        for _, g in df.groupby(["doc_id", "offset"], sort=False):
-            g = g.reset_index(drop=True)
-            rank = np.full(len(g), -1, dtype=np.int64)
-            real = ~g["degenerate"].to_numpy()
-            if real.any():
-                sub = g[real]
-                rank[real] = xy_cut_order(
-                    sub["vx1"], sub["vy1"], sub["vx2"], sub["vy2"],
-                    tie1=sub["tag_index"], tie2=sub["box_index"],
-                    min_gap=min_gap)
-            if (~real).any():
-                tail = g[~real].sort_values(["tag_index", "box_index"])
-                rank[tail.index.to_numpy()] = int(real.sum()) + np.arange(
-                    int((~real).sum()), dtype=np.int64)
-            g = g.copy()
-            g["reading_rank"] = rank
-            parts.append(g)
-        return pd.concat(parts, ignore_index=True)
+        # Pages average ~1-2 boxes, so per-page pandas groups are pure
+        # overhead (~0.7 ms/page measured). Instead: one bucket-wide
+        # sort puts every page's boxes in (real-first, tag, box) order,
+        # numpy segment math assigns the base within-page rank (which
+        # is already FINAL for <=1-real-box pages and for the
+        # degenerate tail), and the python XY-cut recursion runs ONLY
+        # on the real-box prefix of pages with >= 2 real boxes.
+        df = (df.drop(columns=["bucket"])
+              .sort_values(["doc_id", "offset", "degenerate",
+                            "tag_index", "box_index"], kind="mergesort")
+              .reset_index(drop=True))
+        n = len(df)
+        if n == 0:
+            df["reading_rank"] = np.empty(0, dtype=np.int64)
+            return df
+        doc = df["doc_id"].to_numpy()
+        off = df["offset"].to_numpy()
+        new_page = np.empty(n, dtype=bool)
+        new_page[0] = True
+        new_page[1:] = (doc[1:] != doc[:-1]) | (off[1:] != off[:-1])
+        page_start = np.flatnonzero(new_page)
+        page_len = np.diff(np.append(page_start, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(page_start, page_len)
+        real = ~df["degenerate"].to_numpy()
+        n_real = np.add.reduceat(real.astype(np.int64), page_start)
+        x1 = df["vx1"].to_numpy(dtype=np.float64)
+        y1 = df["vy1"].to_numpy(dtype=np.float64)
+        x2 = df["vx2"].to_numpy(dtype=np.float64)
+        y2 = df["vy2"].to_numpy(dtype=np.float64)
+        t1 = df["tag_index"].to_numpy()
+        t2 = df["box_index"].to_numpy()
+        multi = n_real >= 2
+        for s, nr in zip(page_start[multi], n_real[multi]):
+            sl = slice(s, s + nr)
+            rank[sl] = xy_cut_order(x1[sl], y1[sl], x2[sl], y2[sl],
+                                    tie1=t1[sl], tie2=t2[sl],
+                                    min_gap=min_gap)
+        df["reading_rank"] = rank
+        return df
 
     return (boxes.map_batches(bucket, batch_format="pandas", batch_size=65536)
             .groupby("bucket").map_groups(order_docs, batch_format="pandas"))
