@@ -104,10 +104,12 @@ def first_per_group(ds, key: str, order_cols: Sequence[str], n_buckets: int = 25
 # ---------------------------------------------------------------------------
 
 class MinHashStage:
-    """Actor stage: text -> minhash signature (+ precomputed band keys).
+    """Task stage: text -> minhash signature (+ precomputed band keys).
 
-    Hash-permutation parameters are built once per actor from the fixed
-    seed, so signatures are identical across workers and runs.
+    Hash-permutation parameters derive from the fixed seed only, so the
+    instance is constructed ONCE on the driver and pickled to plain
+    tasks -- an actor pool here only added per-query worker spin-up
+    (~2-3 s measured) for state that costs microseconds to build.
     """
 
     def __init__(self, n_hashes: int = 64, bands: int = 16, k: int = 5,
@@ -130,11 +132,9 @@ class MinHashStage:
 def minhash_signatures(ds, n_hashes: int = 64, bands: int = 16, k: int = 5,
                        text_col: str = "text", id_col: str = "doc_id", seed: int = 42):
     return ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(n_hashes=n_hashes, bands=bands, k=k,
-                                   text_col=text_col, id_col=id_col, seed=seed),
+        MinHashStage(n_hashes=n_hashes, bands=bands, k=k,
+                     text_col=text_col, id_col=id_col, seed=seed),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
@@ -215,8 +215,23 @@ def distinct_rows(ds, cols: Sequence[str], n_buckets: int = 256):
     def _add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for c in cols:
-            vals = batch.column(c).to_pylist()
-            col_h = np.asarray([sha1_64(str(v)) for v in vals], dtype=np.uint64)
+            col = batch.column(c)
+            if pa.types.is_integer(col.type):
+                # vectorized splitmix64 -- bucket assignment only needs
+                # within-run determinism, not the sha1 convention
+                z = np.asarray(
+                    col.combine_chunks().to_numpy(zero_copy_only=False)
+                    if isinstance(col, pa.ChunkedArray)
+                    else col.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    z = z + np.uint64(0x9E3779B97F4A7C15)
+                    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                col_h = z ^ (z >> np.uint64(31))
+            else:
+                col_h = np.asarray([sha1_64(str(v)) for v in col.to_pylist()],
+                                   dtype=np.uint64)
             with np.errstate(over="ignore"):
                 h = h * np.uint64(1099511628211) + col_h
         return batch.append_column(
