@@ -392,6 +392,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_topk(sf_dir: str):
         return brute_force_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_topk_filtered(sf_dir: str):
+        # metadata pre-filter: only corpus rows with the query's label
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            filtered_topk,
+        )
+
+        return filtered_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
+
     def ann_lsh(sf_dir: str):
         return lsh_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
@@ -507,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": ngram_containment_pairs,
         # similarity search
         "ann_topk": ann_topk,
+        "ann_topk_filtered": ann_topk_filtered,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -596,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chunks_global": curation.dedup_chunks_global,
         "soft_dedup": curation.soft_dedup,
         "length_percentile_gate": curation.length_percentile_gate,
+        "lang_mixing_weights": curation.lang_mixing_weights,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -843,6 +853,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),
         "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
         "ann_ivf_trained": _oracles.ann_ivf_trained_sql(_QUERY_IDS, k=10),
+        "ann_topk_filtered": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS qlabel,
+                     CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id IN ({",".join(str(i) for i in _QUERY_IDS)})),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label = q.qlabel)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+            WHERE rank <= 10
+        """,
+        "lang_mixing_weights": """
+            WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+            t AS (SELECT sum(n_docs) AS total, sum(pow(n_docs, 0.5)) AS psum FROM c)
+            SELECT lang, n_docs,
+                   ROUND(pow(n_docs, 0.5) / psum, 6) AS weight,
+                   ROUND((pow(n_docs, 0.5) / psum) / (n_docs / total), 6) AS boost
+            FROM c, t ORDER BY lang
+        """,
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -373,6 +373,41 @@ def duplicate_chunks(sf_dir: str, chunk_words: int = 4, min_docs: int = 2):
                      .sort("chunk"))
 
 
+def lang_mixing_weights(sf_dir: str, alpha_num: int = 1, alpha_den: int = 2):
+    """Temperature-smoothed domain-mixing weights (the multilingual
+    sampling rule of mBERT/XLM-R: p_l proportional to n_l^alpha,
+    default alpha = 0.5): per-language doc counts, the smoothed
+    sampling weight, and the up/down-sampling boost (weight / natural
+    share) that a data-mixing sampler consumes. One combiner-reduced
+    count per language crosses the wire; the smoothing math runs on the
+    handful of language rows.
+
+    Output: (lang, n_docs, weight r6, boost r6) sorted by lang.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(n_docs=("lang", "size"))
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         ["lang"], {"n_docs": ("n_docs", "sum")},
+                         n_buckets=4).to_pandas()
+    counts = counts.sort_values("lang").reset_index(drop=True)
+    n = counts["n_docs"].to_numpy(dtype=np.float64)
+    alpha = alpha_num / alpha_den
+    p = n ** alpha
+    w = p / p.sum()
+    out = pd.DataFrame({
+        "lang": counts["lang"],
+        "n_docs": counts["n_docs"].astype("int64"),
+        "weight": round_series(pd.Series(w), 6),
+        "boost": round_series(pd.Series(w / (n / n.sum())), 6),
+    })
+    return rd.from_pandas(out)
+
+
 def soft_dedup(sf_dir: str, n_buckets: int = 64):
     """CCNet-style inverse-frequency downsampling ("soft dedup"): every
     doc whose text occurs c times corpus-wide survives iff

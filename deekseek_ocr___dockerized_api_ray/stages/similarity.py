@@ -126,6 +126,100 @@ def brute_force_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
     return cand.groupby("query_id").map_groups(_final, batch_format="pyarrow")
 
 
+class FilteredCosineTopKStage:
+    """CosineTopKStage with a metadata pre-filter: a corpus row is a
+    candidate for a query only when it shares the query's
+    ``filter_col`` value. The filter shrinks the candidate set BEFORE
+    ranking (pre-filter semantics), applied as a vectorized mask on the
+    batch -- the shape of filtered vector search in every production
+    vector store."""
+
+    def __init__(self, query_ids, query_labels, query_ref, k,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 filter_col: str = "label"):
+        import ray
+
+        self.query_ids = query_ids
+        self.query_labels = query_labels
+        self.q = ray.get(query_ref)  # fetched once per actor, zero-copy
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.filter_col = filter_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch.column(self.filter_col).to_pylist())
+        m = _normalize(_batch_matrix(batch, self.emb_col))
+        sims = m @ self.q.T
+        out_q, out_id, out_sim = [], [], []
+        for qi, (qid, ql) in enumerate(zip(self.query_ids, self.query_labels)):
+            mask = labels == ql
+            if not mask.any():
+                continue
+            sub_ids, sub = ids[mask], sims[mask, qi]
+            order = np.lexsort((sub_ids, -sub))[:min(self.k, len(sub_ids))]
+            out_q.extend([qid] * len(order))
+            out_id.extend(sub_ids[order].tolist())
+            out_sim.extend(sub[order].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, type=pa.int64()), pa.array(out_id, type=pa.int64()),
+             pa.array(out_sim, type=pa.float64())],
+            names=["query_id", "vec_id", "cosine"],
+        )
+
+
+def filtered_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  filter_col: str = "label"):
+    """Exact cosine top-k restricted to corpus rows sharing each query's
+    ``filter_col`` value (excluding the query row itself). Same
+    broadcast-queries / per-batch matmul / tiny keyed reduce shape as
+    brute_force_topk; the filter never causes a second corpus pass.
+
+    Returns (query_id, vec_id, rank) with rank 1..k.
+    """
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r[id_col]))
+    ids = [int(r[id_col]) for r in rows]
+    qlabels = np.asarray([r[filter_col] for r in rows])
+    mat = _normalize(np.asarray([r[emb_col] for r in rows], dtype=np.float64))
+    qref = ray.put(mat)
+
+    cand = emb_ds.map_batches(
+        FilteredCosineTopKStage,
+        fn_constructor_kwargs=dict(query_ids=ids, query_labels=qlabels,
+                                   query_ref=qref, k=k + 1, id_col=id_col,
+                                   emb_col=emb_col, filter_col=filter_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        vids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        sims = np.asarray(group.column("cosine").to_pylist(), dtype=np.float64)
+        mask = vids != qid
+        vids, sims = vids[mask], sims[mask]
+        order = np.lexsort((vids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [pa.array([qid] * len(order), type=pa.int64()),
+             pa.array(vids[order].tolist(), type=pa.int64()),
+             pa.array(list(range(1, len(order) + 1)), type=pa.int64())],
+            names=["query_id", "vec_id", "rank"],
+        )
+
+    return cand.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: sign pattern of x @ H, H seeded."""
 

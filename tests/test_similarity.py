@@ -145,3 +145,37 @@ def test_ivf_trained_topk_recall_and_pruning(emb_ds):
         overlap = len(got.get(q, set()) & set(exact[q]))
         assert overlap >= 5, f"query {q} recall too low: {overlap}/10"
     assert 250 in got[0]  # planted near-identical vector survives probing
+
+
+def test_filtered_topk_respects_label_and_ranking(ray_session):
+    """Every hit shares the query's label; within the label partition
+    the ranking equals brute force over that partition."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 120, 8
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [e.tolist() for e in emb],
+        "label": labels,
+    }))
+    got = filtered_topk(ds, [0, 1], k=5).to_pandas()
+    assert set(got["query_id"]) == {0, 1}
+    for qid in (0, 1):
+        hits = got[got["query_id"] == qid]["vec_id"].to_numpy()
+        assert (labels[hits] == labels[qid]).all()
+        # brute force over ONLY that label partition gives the same list
+        sub = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64)[labels == labels[qid]],
+            "embedding": [e.tolist() for e in emb[labels == labels[qid]]],
+        }))
+        ref = brute_force_topk(sub, [qid], k=5).to_pandas()
+        assert hits.tolist() == ref["vec_id"].tolist()
