@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": scale_ops.token_doc_freq,
         "cms_top_ngrams": scale_ops.cms_top_ngrams,
         "label_centroids": scale_ops.label_centroids,
+        "label_silhouette": scale_ops.label_silhouette,
         "hist_length_quantiles": scale_ops.hist_length_quantiles,
         "revenue_rollup": analytics.revenue_rollup,
         "events_value_histogram": analytics.events_value_histogram,
@@ -1104,6 +1105,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, i AS dim, ROUND(AVG(embedding[i]), 6) AS centroid
             FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
             GROUP BY label, i
+        """,
+        "label_silhouette": """
+            WITH e AS (
+              SELECT vec_id, label, i AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+            c AS (SELECT label AS clabel, dim, AVG(v) AS cv
+                  FROM e GROUP BY 1, 2),
+            d AS (SELECT e.vec_id, e.label, c.clabel,
+                         SUM((e.v - c.cv) * (e.v - c.cv)) AS d2
+                  FROM e JOIN c ON c.dim = e.dim
+                  GROUP BY 1, 2, 3),
+            ab AS (SELECT vec_id, label,
+                          MAX(CASE WHEN clabel = label THEN d2 END) AS a,
+                          MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+                   FROM d GROUP BY 1, 2)
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(CASE WHEN GREATEST(a, b) > 0
+                             THEN (b - a) / GREATEST(a, b) ELSE 0 END), 6)
+                     AS mean_silhouette
+            FROM ab GROUP BY label ORDER BY label
         """,
         "hist_length_quantiles": """
             SELECT lang, ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,

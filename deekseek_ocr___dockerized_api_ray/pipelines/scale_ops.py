@@ -219,6 +219,98 @@ def cms_top_ngrams(sf_dir: str, n: int = 2, k: int = 30,
                  .limit(k))
 
 
+def label_silhouette(sf_dir: str):
+    """Per-label simplified (centroid-based) silhouette over the
+    embedding table: for each vector, a = squared Euclid distance to
+    its own label centroid, b = min distance to any other centroid,
+    s = (b - a) / max(a, b); report each label's mean s -- the standard
+    cheap clustering-quality score (Rousseeuw's silhouette with the
+    medoid replaced by the centroid, the large-scale variant).
+
+    Shape: pass 1 = label_centroids' combiner (one (label, sum_vec, n)
+    partial per batch, tiny driver combine -- the centroid matrix is
+    k x dim, broadcast once via ray.put); pass 2 streams the corpus,
+    one (batch x k) distance matrix per batch, per-label partial
+    (sum_s, n) rows into a 4-bucket reduce. The corpus crosses the wire
+    exactly zero times.
+
+    Output: (label, n_vecs, mean_silhouette r6) sorted by label.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(-1, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        uniq, starts = np.unique(labels[order], return_index=True)
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(labels)))
+        return pa.Table.from_arrays(
+            [pa.array(uniq.astype(np.int64)),
+             pa.array(list(sums), type=pa.list_(pa.float64())),
+             pa.array(counts.astype(np.int64))],
+            names=["label", "sum_vec", "n"],
+        )
+
+    parts = ds.map_batches(cpartial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    labs, cents = [], []
+    for label, g in parts.groupby("label", sort=True):
+        labs.append(int(label))
+        cents.append(np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0)
+                     / g["n"].sum())
+    label_vals = np.asarray(labs, dtype=np.int64)
+    cent_ref = ray.put(np.stack(cents))
+
+    def spartial(batch: pa.Table) -> pd.DataFrame:
+        cent = ray.get(cent_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(-1, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        li = np.searchsorted(label_vals, labels)
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        rows = np.arange(len(labels))
+        a = d2[rows, li]
+        d2[rows, li] = np.inf
+        b = d2.min(axis=1)
+        denom = np.maximum(a, b)
+        s = np.where(denom > 0, (b - a) / denom, 0.0)
+        order = np.argsort(labels, kind="stable")
+        uniq, starts = np.unique(labels[order], return_index=True)
+        return pd.DataFrame({
+            "label": uniq.astype(np.int64),
+            "sum_s": np.add.reduceat(s[order], starts),
+            "n_vecs": np.diff(np.append(starts, len(labels))).astype(np.int64),
+        })
+
+    agg = grouped_agg(ds.map_batches(spartial, batch_format="pyarrow",
+                                     batch_size=65536),
+                      ["label"], {"sum_s": ("sum_s", "sum"),
+                                  "n_vecs": ("n_vecs", "sum")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_series
+
+        df["mean_silhouette"] = round_series(df["sum_s"] / df["n_vecs"], 6)
+        df["n_vecs"] = df["n_vecs"].astype("int64")
+        return df[["label", "n_vecs", "mean_silhouette"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("label")
+
+
 def label_centroids(sf_dir: str):
     """Per-label centroid of the embedding vectors (the k-means update
     step, and the trained-codebook path for the IVF index). Vector

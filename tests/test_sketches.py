@@ -148,3 +148,35 @@ def test_exact_median_matches_numpy(ray_session):
     assert int(got["n"].iloc[0]) == len(v)
     assert abs(got["q50"].iloc[0] - np.quantile(v, 0.5)) < 1e-6
     assert abs(got["q99"].iloc[0] - np.quantile(v, 0.99)) < 1e-6
+
+
+def test_label_silhouette_matches_bruteforce(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        label_silhouette,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(3, 6)) * 5
+    labels = np.repeat(np.arange(3), 40)
+    emb = (centers[labels] + rng.normal(size=(120, 6)) * 0.1).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": [e.tolist() for e in emb],
+        "label": labels.astype(np.int32),
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    got = label_silhouette(str(tmp_path)).to_pandas().set_index("label")
+    m = emb.astype(np.float64)
+    cents = np.stack([m[labels == l].mean(axis=0) for l in range(3)])
+    d2 = ((m[:, None, :] - cents[None]) ** 2).sum(axis=2)
+    a = d2[np.arange(120), labels]
+    d2[np.arange(120), labels] = np.inf
+    b = d2.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for l in range(3):
+        assert abs(got.loc[l, "mean_silhouette"] - s[labels == l].mean()) < 1e-5
+        assert got.loc[l, "n_vecs"] == 40
+    # tight, well-separated clusters -> silhouette near 1
+    assert (got["mean_silhouette"] > 0.95).all()
