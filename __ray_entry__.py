@@ -400,6 +400,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return filtered_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_mmr(sf_dir: str):
+        # diversity re-rank of the exact top-pool (rows-only: greedy
+        # sequential selection is not SQL-expressible; differential
+        # test in tests/test_similarity.py)
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import mmr_topk
+
+        return mmr_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10, pool=50)
+
     def ann_lsh(sf_dir: str):
         return lsh_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
@@ -516,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann_topk,
         "ann_topk_filtered": ann_topk_filtered,
+        "ann_mmr": ann_mmr,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,

@@ -220,6 +220,73 @@ def filtered_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
     return cand.groupby("query_id").map_groups(_final, batch_format="pyarrow")
 
 
+def mmr_topk(emb_ds, query_ids: Sequence[int], k: int = 10, pool: int = 50,
+             lam: float = 0.7, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    from each query's exact top-``pool`` cosine candidates, greedily
+    pick ``k`` maximizing lam*sim(q,d) - (1-lam)*max_sel sim(d,s) --
+    diversity-aware retrieval on top of the brute-force scan.
+
+    Shape: the candidate pool is |queries| x pool rows BY CONSTRUCTION
+    (tiny at any corpus scale), so after the distributed top-pool scan
+    the pool vectors are fetched in one filtered streaming pass,
+    broadcast via ray.put, and the greedy runs per query inside a keyed
+    map_groups. The corpus itself is never collected.
+
+    Returns (query_id, vec_id, mmr_rank) with mmr_rank 1..k.
+    """
+    import ray
+
+    cand = brute_force_topk(emb_ds, query_ids, k=pool, id_col=id_col,
+                            emb_col=emb_col).materialize()
+    pool_ids = set()
+    for row in cand.iter_rows():
+        pool_ids.add(int(row["vec_id"]))
+    pool_ids |= set(int(q) for q in query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in pool_ids for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
+    vecs = {int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64)
+            for r in rows}
+    for i, v in vecs.items():
+        n = np.linalg.norm(v)
+        vecs[i] = v / n if n > 0 else v
+    vec_ref = ray.put(vecs)
+
+    def _greedy(group: pa.Table) -> pa.Table:
+        v = ray.get(vec_ref)
+        qid = group.column("query_id")[0].as_py()
+        g = group.sort_by([("rank", "ascending")])
+        ids = [int(x) for x in g.column("vec_id").to_pylist()]
+        mat = np.stack([v[i] for i in ids])
+        qsim = mat @ v[qid]
+        pair = mat @ mat.T
+        chosen: list = []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < k:
+            if chosen:
+                red = pair[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            score = lam * qsim[remaining] - (1 - lam) * red
+            # deterministic: best score, ties -> lower vec_id
+            cand_ids = np.asarray([ids[r] for r in remaining])
+            best = np.lexsort((cand_ids, -score))[0]
+            chosen.append(remaining.pop(best))
+        return pa.Table.from_arrays(
+            [pa.array([qid] * len(chosen), type=pa.int64()),
+             pa.array([ids[c] for c in chosen], type=pa.int64()),
+             pa.array(list(range(1, len(chosen) + 1)), type=pa.int64())],
+            names=["query_id", "vec_id", "mmr_rank"],
+        )
+
+    return cand.groupby("query_id").map_groups(_greedy, batch_format="pyarrow")
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: sign pattern of x @ H, H seeded."""
 

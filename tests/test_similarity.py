@@ -179,3 +179,44 @@ def test_filtered_topk_respects_label_and_ranking(ray_session):
         }))
         ref = brute_force_topk(sub, [qid], k=5).to_pandas()
         assert hits.tolist() == ref["vec_id"].tolist()
+
+
+def test_mmr_matches_bruteforce_greedy(ray_session):
+    """Distributed MMR equals the single-process greedy reference, and
+    lam=1.0 degenerates to plain cosine ranking."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 80, 6
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [e.tolist() for e in emb],
+    }))
+    lam, k, pool = 0.7, 5, 20
+    got = mmr_topk(ds, [0], k=k, pool=pool, lam=lam).to_pandas()
+    # reference greedy over the same pool
+    m = emb.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m[0]
+    order = np.lexsort((np.arange(n), -sims))
+    cand = [i for i in order if i != 0][:pool]
+    chosen = []
+    rem = list(cand)
+    while rem and len(chosen) < k:
+        red = (np.array([max(float(m[c] @ m[s]) for s in chosen) for c in rem])
+               if chosen else np.zeros(len(rem)))
+        score = lam * sims[rem] - (1 - lam) * red
+        best = np.lexsort((np.asarray(rem), -score))[0]
+        chosen.append(rem.pop(best))
+    assert got["vec_id"].tolist() == chosen
+    # lam=1 -> no diversity term -> identical to brute-force ranking
+    plain = mmr_topk(ds, [0], k=k, pool=pool, lam=1.0).to_pandas()
+    bf = brute_force_topk(ds, [0], k=k).to_pandas()
+    assert plain["vec_id"].tolist() == bf["vec_id"].tolist()
