@@ -400,6 +400,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return filtered_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def emb_project(sf_dir: str):
+        # Johnson-Lindenstrauss reduction, seeded matrix inlined in SQL
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            random_projection,
+        )
+
+        return random_projection(_emb_ds(sf_dir), out_dim=16)
+
     def ann_mmr(sf_dir: str):
         # diversity re-rank of the exact top-pool (rows-only: greedy
         # sequential selection is not SQL-expressible; differential
@@ -507,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_plan": pack_plan,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
+        "langid_confusion": text.langid_confusion,
         # dedup
         "exact_dedup_docs": text.exact_dedup_docs,
         "incremental_dedup": incremental_dedup,
@@ -525,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_topk_filtered": ann_topk_filtered,
         "ann_mmr": ann_mmr,
+        "emb_project": emb_project,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -858,6 +868,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_pairs": _oracles.ngram_containment_pairs_sql(
             threshold=0.5, n=3),
         "langid_predict": _oracles.langid_predict_sql(),
+        "langid_confusion": f"""
+            WITH pred AS ({_oracles.langid_predict_sql()})
+            SELECT d.lang, p.lang_pred, count(*) AS n_docs
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "emb_project": _oracles.random_projection_sql(out_dim=16),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
         "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),

@@ -261,6 +261,23 @@ JOIN gcnt nb ON nb.doc_id = c.id_b
 WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / LEAST(na.n, nb.n), 6) >= {threshold}"""
 
 
+def random_projection_sql(out_dim: int = 16, dim: int = 64,
+                          seed: int = 42) -> str:
+    """Seeded Gaussian projection matching
+    stages/similarity.random_projection: the RNG's OUTPUT matrix is
+    inlined as VALUES (same convention as ann_lsh_sql)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(size=(dim, out_dim))
+    return f"""
+WITH p(i, j, v) AS (VALUES {_plane_values(planes)})
+SELECT e.vec_id, CAST(p.j AS BIGINT) AS dim,
+       -- CAST before multiply: FLOAT * DOUBLE in DuckDB loses the
+       -- double precision the engine's f64 matmul keeps
+       ROUND(SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.v), 6) AS value
+FROM embeddings e, p GROUP BY e.vec_id, p.j"""
+
+
 def _simhash_ctes() -> str:
     """CTEs ending in ``ssig(doc_id, sim)``: the 64-bit SimHash of
     functions/hashing.simhash64 (md5_number_lower token hashes, term

@@ -772,3 +772,33 @@ def term_graph_stats(sf_dir: str, n_buckets: int = 32):
         "n_triangles": pd.array([n_tri], dtype="int64"),
         "clustering": [clustering],
     })
+
+
+def langid_confusion(sf_dir: str):
+    """Language-ID quality matrix: (true lang, predicted lang, count)
+    over the whole corpus -- the evaluation view of langid_predict.
+    One streamed pass emits per-batch (lang, lang_pred) partial counts;
+    a tiny 8-bucket reduce sums them (never one row per doc across the
+    wire).
+
+    Output: (lang, lang_pred, n_docs) sorted by (lang, lang_pred).
+    """
+    import pandas as pd
+
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def part(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pylist(),
+            "lang_pred": [detect_language(t)
+                          for t in batch.column("text").to_pylist()],
+        })
+        return df.groupby(["lang", "lang_pred"], as_index=False).agg(
+            n_docs=("lang", "size"))
+
+    parts = ds.map_batches(part, batch_format="pyarrow")
+    return grouped_agg(parts, ["lang", "lang_pred"],
+                       {"n_docs": ("n_docs", "sum")},
+                       n_buckets=8).sort(["lang", "lang_pred"])

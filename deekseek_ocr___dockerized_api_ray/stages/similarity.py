@@ -287,6 +287,36 @@ def mmr_topk(emb_ds, query_ids: Sequence[int], k: int = 10, pool: int = 50,
     return cand.groupby("query_id").map_groups(_greedy, batch_format="pyarrow")
 
 
+def random_projection(emb_ds, out_dim: int = 16, dim: int = 64, seed: int = 42,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Johnson-Lindenstrauss random projection: embed (n x dim) down to
+    ``out_dim`` with a seeded Gaussian matrix -- the standard cheap
+    dimensionality reduction before ANN indexing. The projection matrix
+    derives from the seed only (tiny, shipped in the task closure); the
+    pass is one zero-copy batch matmul, no shuffle.
+
+    Output: long-form (vec_id, dim [0-based], value r6).
+    """
+    from ..functions.rounding import round_half_away
+
+    planes = np.random.RandomState(seed).normal(size=(dim, out_dim))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _batch_matrix(batch, emb_col)
+        proj = m @ planes
+        n = len(ids)
+        vals = [round_half_away(v, 6) for v in proj.reshape(-1)]
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, out_dim)),
+             pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+             pa.array(vals, type=pa.float64())],
+            names=["vec_id", "dim", "value"],
+        )
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: sign pattern of x @ H, H seeded."""
 
