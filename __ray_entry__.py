@@ -400,6 +400,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return filtered_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def knn_graph_q(sf_dir: str):
+        # exact top-5 neighbor graph (broadcast-corpus exact path)
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import knn_graph
+
+        return knn_graph(_emb_ds(sf_dir), k=5)
+
     def emb_project(sf_dir: str):
         # Johnson-Lindenstrauss reduction, seeded matrix inlined in SQL
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
@@ -535,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": ann_topk_filtered,
         "ann_mmr": ann_mmr,
         "emb_project": emb_project,
+        "knn_graph": knn_graph_q,
+        "emb_quantize": scale_ops.emb_quantize,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -875,6 +883,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "emb_project": _oracles.random_projection_sql(out_dim=16),
+        "knn_graph": """
+            SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rank <= 5
+        """,
+        "emb_quantize": """
+            WITH e AS (
+              SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+            mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1)
+            SELECT vec_id, e.dim,
+                   CASE WHEN mx > mn
+                        THEN CAST(ROUND((v - mn) / (mx - mn) * 255) AS BIGINT)
+                        ELSE 0 END AS q
+            FROM e JOIN mm USING (dim)
+        """,
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
         "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),

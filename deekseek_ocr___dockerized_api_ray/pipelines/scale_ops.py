@@ -219,6 +219,66 @@ def cms_top_ngrams(sf_dir: str, n: int = 2, k: int = 30,
                  .limit(k))
 
 
+def emb_quantize(sf_dir: str):
+    """Per-dimension int8 scalar quantization of the embedding table:
+    global (min, max) per dim from one combiner pass (a dim x 2 vector
+    per batch -- tiny), then q = round_half_away((v - mn)/(mx - mn)*255)
+    streamed with the broadcast range scalars. The expression tree is
+    written identically in the engine and the oracle, so the quantized
+    codes match bit-for-bit (min/max selection is exact; the affine map
+    is the same IEEE op sequence on both sides).
+
+    Output: long-form (vec_id, dim [1-based], q in 0..255).
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(-1, dim)
+        return pa.Table.from_arrays(
+            [pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+             pa.array(mat.min(axis=0)), pa.array(mat.max(axis=0))],
+            names=["dim", "mn", "mx"],
+        )
+
+    mm = (ds.map_batches(mm_partial, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+          .groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max")))
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    ref = ray.put((mn, mx))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(-1, dim)
+        rng = hi - lo
+        safe = np.where(rng > 0, rng, 1.0)
+        x = (mat - lo) / safe * 255.0
+        q = np.where(rng > 0, np.floor(x + 0.5), 0.0).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, dim)),
+             pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ids))),
+             pa.array(q.reshape(-1))],
+            names=["vec_id", "dim", "q"],
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
 def label_silhouette(sf_dir: str):
     """Per-label simplified (centroid-based) silhouette over the
     embedding table: for each vector, a = squared Euclid distance to

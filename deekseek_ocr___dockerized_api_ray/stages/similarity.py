@@ -567,6 +567,54 @@ def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,
     return brute_force_topk(filtered, query_ids, k, id_col, emb_col)
 
 
+def knn_graph(emb_ds, k: int = 5, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Exact k-nearest-neighbor graph: every vector's top-k cosine
+    neighbors (the substrate for SemDeDup-style clustering, label
+    propagation, and graph-based retrieval). Same broadcast-corpus +
+    per-batch matmul shape as embedding_neardup_exact -- zero shuffle,
+    O(n^2) compute; this is the small/medium exact path (corpus matrix
+    must fit the object store), at web scale build the graph from the
+    trained-IVF probe lists instead.
+
+    Returns (vec_id, neighbor_id, rank) with rank 1..k, ties broken by
+    neighbor_id ascending.
+    """
+    import ray
+
+    ids_list, mats = [], []
+    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids_list.append(np.asarray(b.column(id_col).to_pylist(), dtype=np.int64))
+        mats.append(_normalize(_batch_matrix(b, emb_col)))
+    corpus_ids = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+    corpus = np.vstack(mats) if mats else np.empty((0, 0))
+    ref = ray.put((corpus_ids, corpus))
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        sims = m @ cmat.T
+        out_v, out_n, out_r = [], [], []
+        kk = min(k, max(0, len(cids) - 1))
+        for row, rid in enumerate(rids):
+            col = sims[row]
+            order = np.lexsort((cids, -col))
+            order = order[cids[order] != rid][:kk]
+            out_v.extend([rid] * len(order))
+            out_n.extend(cids[order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+        return pa.Table.from_arrays(
+            [pa.array(out_v, type=pa.int64()), pa.array(out_n, type=pa.int64()),
+             pa.array(out_r, type=pa.int64())],
+            names=["vec_id", "neighbor_id", "rank"],
+        )
+
+    return emb_ds.map_batches(_topk, batch_format="pyarrow")
+
+
 def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
                             id_col: str = "vec_id", emb_col: str = "embedding"):
     """EXACT all-pairs cosine >= threshold -- the brute-force baseline the
