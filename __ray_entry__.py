@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessionize": windows.streaming_sessionize,
         "events_sliding_hour": windows.events_sliding_hour,
         "events_range_hour": windows.events_range_hour,
+        "events_sliding_distinct_users": windows.events_sliding_distinct_users,
+        "session_bounce_rate": windows.session_bounce_rate,
+        "customer_adoption_curve": analytics.customer_adoption_curve,
         "top_revenue_customers": relational.top_revenue_customers,
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "revenue_by_region": relational.revenue_by_region,
@@ -996,6 +999,34 @@ def oracle_sql() -> dict[str, str]:
                      event_type, value
               FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
             GROUP BY 1, 2
+        """,
+        "events_sliding_distinct_users": """
+            SELECT ws AS window_start_s, COUNT(DISTINCT user_id) AS n_users
+            FROM (
+              SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800
+                       - s.i * 1800 AS ws,
+                     user_id
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+            GROUP BY 1
+        """,
+        "session_bounce_rate": f"""
+            WITH s AS ({_SESSIONIZE_SQL})
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounce,
+                   ROUND(CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE)
+                         / COUNT(*), 6) AS bounce_rate
+            FROM s GROUP BY user_id
+        """,
+        "customer_adoption_curve": """
+            WITH f AS (SELECT o_custkey, min(o_orderdate) AS d
+                       FROM orders GROUP BY 1),
+            m AS (SELECT (YEAR(d) - 1970) * 12 + MONTH(d) - 1 AS mon,
+                         count(*) AS n_new
+                  FROM f GROUP BY 1)
+            SELECT CAST(mon AS BIGINT) AS mon,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY mon) AS BIGINT) AS n_cum
+            FROM m ORDER BY mon
         """,
         "events_range_hour": """
             SELECT event_id, user_id, CAST(n_1h AS BIGINT) AS n_1h,

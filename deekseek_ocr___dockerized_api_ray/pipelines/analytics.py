@@ -2114,6 +2114,51 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def customer_adoption_curve(sf_dir: str, n_buckets: int = 32):
+    """Cumulative customer adoption by month: new customers (first-ever
+    order) per integer month plus the running total. First-order dates
+    come from one per-customer combiner MIN (never the orders table
+    through a shuffle twice); the month histogram and cumsum run on the
+    tiny month grain.
+
+    Output: (mon, n_new, n_cum) sorted by mon; mon = (year-1970)*12 +
+    month-1, the repo's integer month convention.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            first=("o_orderdate", "min"))
+
+    first = grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                        ["o_custkey"], {"first": ("first", "min")},
+                        n_buckets=n_buckets)
+
+    # month histogram partials stay distributed (the customer dim is a
+    # growing table -- never collected); only the month grain reaches
+    # the driver for the cumsum
+    def month_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(df["first"])
+        mon = (d.year.to_numpy() - 1970) * 12 + d.month.to_numpy() - 1
+        return (pd.DataFrame({"mon": mon})
+                .groupby("mon", as_index=False).agg(n_new=("mon", "size")))
+
+    hist = grouped_agg(first.map_batches(month_part, batch_format="pandas"),
+                       ["mon"], {"n_new": ("n_new", "sum")},
+                       n_buckets=8).to_pandas().sort_values("mon")
+    out = pd.DataFrame({
+        "mon": hist["mon"].to_numpy(dtype=np.int64),
+        "n_new": hist["n_new"].to_numpy(dtype=np.int64),
+    })
+    out["n_cum"] = out["n_new"].cumsum().astype("int64")
+    return rd.from_pandas(out)
+
+
 def orders_yoy(sf_dir: str, n_buckets: int = 16):
     """Year-over-year growth: monthly revenue vs the same month one
     year earlier.  Months are exact integers (months since epoch),

@@ -177,6 +177,81 @@ def events_sliding_hour(sf_dir: str, slide_s: int = 1800, width_s: int = 3600,
     return final.map_batches(finish, batch_format="pandas")
 
 
+def events_sliding_distinct_users(sf_dir: str, slide_s: int = 1800,
+                                  width_s: int = 3600, n_buckets: int = 64):
+    """Sliding-window distinct-user reach: exact COUNT(DISTINCT user)
+    per 1-hour window sliding every 30 min. Window membership is a map
+    (each event explodes into width/slide window ids, no self-join);
+    distinctness uses the combiner pre-dedup shape -- per-batch local
+    (window, user) dedup, one keyed reduce to exact distinct pairs,
+    then a tiny per-window count.
+
+    Output: (window_start_s, n_users).
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    n_windows = width_s // slide_s
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts_s = (np.asarray(df["ts"], dtype="datetime64[us]")
+                .astype(np.int64) // 1_000_000)
+        last = (ts_s // slide_s) * slide_s
+        frames = [pd.DataFrame({"window_start_s": last - i * slide_s,
+                                "user_id": df["user_id"].to_numpy()})
+                  for i in range(n_windows)]
+        out = pd.concat(frames, ignore_index=True)
+        return out.drop_duplicates()  # local pre-dedup slims the shuffle
+
+    exploded = ev.map_batches(explode, batch_format="pandas",
+                              batch_size=131072)
+    pairs = grouped_agg(exploded, ["window_start_s", "user_id"],
+                        {"c": ("user_id", "size")}, n_buckets=n_buckets)
+    reach = grouped_agg(pairs, ["window_start_s"],
+                        {"n_users": ("user_id", "size")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_users"] = df["n_users"].astype("int64")
+        return df[["window_start_s", "n_users"]]
+
+    return reach.map_batches(finish, batch_format="pandas")
+
+
+def session_bounce_rate(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
+                        n_buckets: int = 64):
+    """Per-user session bounce rate: share of the user's sessions with
+    exactly one event. Composes the sessionize kernel (one user-keyed
+    shuffle) with a per-user combiner reduce -- integer counts, so the
+    rate's divide is bit-identical to the oracle's.
+
+    Output: (user_id, n_sessions, n_bounce, bounce_rate r6).
+    """
+    from ..functions.rounding import round_series as _rs
+    from ..stages.agg import grouped_agg
+
+    sessions = events_sessionize(sf_dir, gap_s=gap_s, n_buckets=n_buckets)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df["bounce"] = (df["n_events"] == 1).astype("int64")
+        return df[["user_id", "bounce"]]
+
+    agg = grouped_agg(sessions.map_batches(flag, batch_format="pandas"),
+                      ["user_id"], {"n_sessions": ("bounce", "size"),
+                                    "n_bounce": ("bounce", "sum")},
+                      n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_sessions"] = df["n_sessions"].astype("int64")
+        df["n_bounce"] = df["n_bounce"].astype("int64")
+        df["bounce_rate"] = _rs(df["n_bounce"] / df["n_sessions"], 6)
+        return df[["user_id", "n_sessions", "n_bounce", "bounce_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def streaming_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
                          n_chunks: int = 4, n_buckets: int = 64):
     """STREAMING session windows: the event log is processed as
