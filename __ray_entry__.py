@@ -296,6 +296,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = tempfile.mkdtemp(prefix="layout_pdfs_", dir="/tmp")
         return write_layout_pdfs(boxes, out).drop_columns(["pdf_path"])
 
+    def jsonl_shards(sf_dir: str):
+        # W-side training-shard export; oracle checks the deterministic
+        # shard assignment + counts, byte determinism pinned by test
+        from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+            export_jsonl_shards,
+        )
+
+        return (export_jsonl_shards(sf_dir, n_shards=8)
+                .select_columns(["shard", "n_docs"]))
+
     def pack_plan(sf_dir: str):
         # token-budget sequence packing (greedy next-fit per hash shard;
         # rows-only check -- iterative packing is not SQL-expressible)
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_sample_exact_k": text.lang_sample_exact_k,
         "doc_scrub_pii": text.doc_scrub_pii,
         "pack_plan": pack_plan,
+        "jsonl_shards": jsonl_shards,
         "lang_count": text.lang_count,
         "langid_predict": text.langid_predict,
         "langid_confusion": text.langid_confusion,
@@ -1682,6 +1693,12 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dropped
             FROM tl t LEFT JOIN agg a USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "jsonl_shards": """
+            SELECT CAST(md5_number_lower(doc_id::VARCHAR) % 8 AS BIGINT)
+                     AS shard,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "soft_dedup": """
             -- inverse-frequency downsample: keep 1/c of each dup class

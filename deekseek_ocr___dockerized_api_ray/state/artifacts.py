@@ -35,6 +35,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
 
@@ -434,3 +435,59 @@ def replot_geometry(spans_ds, out_dir: str, text_col: str = "text",
 
     return spans_ds.map_batches(plot, batch_format="pandas",
                                 batch_size=65536)
+
+
+def export_jsonl_shards(sf_dir: str, n_shards: int = 8,
+                        out_dir: str | None = None):
+    """Training-shard JSONL export: deterministic shard assignment
+    (md5_number_lower of the decimal doc_id % n_shards -- the repo's
+    SQL-replicable hash-gate convention), each shard file written ONCE
+    by its own map_groups call with rows sorted by doc_id and canonical
+    JSON (sorted keys, compact separators), so shard bytes are
+    reproducible run to run. Atomic tmp+rename per shard makes re-runs
+    idempotent. On a multi-node cluster ``out_dir`` must be shared
+    storage, same as the checkpoint writer.
+
+    Returns lineage rows (shard, n_docs, n_bytes, sha256); the driver
+    oracle checks (shard, n_docs), byte determinism is pinned by test.
+    """
+    import json
+    import tempfile
+
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+
+    out = out_dir or tempfile.mkdtemp(prefix="jsonl_shards_", dir="/tmp")
+    os.makedirs(out, exist_ok=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        shards = [_hash64(str(d)) % n_shards
+                  for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("shard",
+                                   pa.array(shards, type=pa.int32()))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        df = group.sort_by([("doc_id", "ascending")])
+        shard = int(df.column("shard")[0].as_py())
+        lines = [json.dumps(row, sort_keys=True, separators=(",", ":"))
+                 for row in df.select(["doc_id", "text", "lang"]).to_pylist()]
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        path = os.path.join(out, f"shard_{shard:05d}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.Table.from_arrays(
+            [pa.array([shard], type=pa.int64()),
+             pa.array([df.num_rows], type=pa.int64()),
+             pa.array([len(payload)], type=pa.int64()),
+             pa.array([hashlib.sha256(payload).hexdigest()],
+                      type=pa.string())],
+            names=["shard", "n_docs", "n_bytes", "sha256"])
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("shard").map_groups(write_shard,
+                                         batch_format="pyarrow"))

@@ -275,3 +275,26 @@ def test_ingest_uploads_idempotent(ray_session, tmp_path):
     # dedupe: same dest paths, no extra files landed
     assert sorted(lin2["dest"]) == sorted(lin1["dest"])
     assert len(os.listdir(up)) == 5
+
+
+def test_jsonl_shards_deterministic_and_complete(ray_session, tmp_path):
+    """Two exports of the same corpus produce byte-identical shards;
+    every doc lands in exactly one shard; files parse as JSON lines."""
+    import json
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+        export_jsonl_shards,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    a = (export_jsonl_shards(SF, n_shards=4, out_dir=str(tmp_path / "a"))
+         .to_pandas().sort_values("shard").reset_index(drop=True))
+    b = (export_jsonl_shards(SF, n_shards=4, out_dir=str(tmp_path / "b"))
+         .to_pandas().sort_values("shard").reset_index(drop=True))
+    assert a.equals(b)                       # incl. sha256 -> byte-identical
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert a["n_docs"].sum() == len(docs)
+    first = json.loads(open(tmp_path / "a" / "shard_00000.jsonl").readline())
+    assert set(first) == {"doc_id", "text", "lang"}
