@@ -571,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct_users": windows.events_sliding_distinct_users,
         "session_bounce_rate": windows.session_bounce_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
+        "orders_rolling_30d_daily": analytics.orders_rolling_30d_daily,
+        "event_type_geo_mean": analytics.event_type_geo_mean,
         "top_revenue_customers": relational.top_revenue_customers,
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "revenue_by_region": relational.revenue_by_region,
@@ -1027,6 +1029,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE)
                          / COUNT(*), 6) AS bounce_rate
             FROM s GROUP BY user_id
+        """,
+        "orders_rolling_30d_daily": """
+            WITH b AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx
+                       FROM orders),
+            days AS (SELECT unnest(range(mn, mx + INTERVAL 1 DAY,
+                                         INTERVAL 1 DAY)) AS d FROM b)
+            SELECT CAST(epoch(d.d) AS BIGINT) AS day_s,
+                   COUNT(o.o_orderdate) AS n_orders_30d
+            FROM days d LEFT JOIN orders o
+              ON o.o_orderdate > d.d - INTERVAL 30 DAY
+             AND o.o_orderdate <= d.d
+            GROUP BY 1 ORDER BY 1
+        """,
+        "event_type_geo_mean": """
+            SELECT event_type, COUNT(*) AS n_pos,
+                   ROUND(exp(AVG(ln(value))), 6) AS geo_mean
+            FROM events WHERE value > 0
+            GROUP BY event_type ORDER BY event_type
         """,
         "customer_adoption_curve": """
             WITH f AS (SELECT o_custkey, min(o_orderdate) AS d

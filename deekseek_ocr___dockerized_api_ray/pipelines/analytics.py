@@ -2114,6 +2114,94 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def orders_rolling_30d_daily(sf_dir: str, window_days: int = 30,
+                             n_buckets: int = 16):
+    """Rolling 30-day order count for EVERY day in the order-date range
+    (including gap days): the interval-counting pattern -- each order
+    emits +1 at its day and -1 at day+window, partials combine per
+    batch, one tiny keyed reduce sums deltas per day, and the cumsum
+    runs on the gap-filled day grain (thousands of rows) on the driver.
+    No range self-join, no window explode proportional to the window
+    width.
+
+    Output: (day_s, n_orders_30d) for each day between the first and
+    last order date; day_s = epoch seconds of the day start.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        day = (np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+               .astype(np.int64) // (86_400 * 1_000_000))
+        up = pd.DataFrame({"day": day, "delta": 1})
+        dn = pd.DataFrame({"day": day + window_days, "delta": -1})
+        both = pd.concat([up, dn], ignore_index=True)
+        return both.groupby("day", as_index=False).agg(delta=("delta", "sum"))
+
+    def day_range(df: pd.DataFrame) -> pd.DataFrame:
+        day = (np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+               .astype(np.int64) // (86_400 * 1_000_000))
+        return pd.DataFrame({"mn": [int(day.min())], "mx": [int(day.max())]})
+
+    agg = grouped_agg(ds.map_batches(deltas, batch_format="pandas"),
+                      ["day"], {"delta": ("delta", "sum")},
+                      n_buckets=n_buckets).to_pandas().sort_values("day")
+    days = agg["day"].to_numpy(dtype=np.int64)
+    # output range = [first, last ORDER day] from the dates themselves
+    # (the max net-delta day can cancel to <= 0 -- don't infer it)
+    mm = ds.map_batches(day_range, batch_format="pandas").to_pandas()
+    lo = int(mm["mn"].min())
+    hi = int(mm["mx"].max())
+    full = np.arange(lo, hi + 1, dtype=np.int64)
+    d = np.zeros(len(full), dtype=np.int64)
+    inside = (days >= lo) & (days <= hi)
+    d[days[inside] - lo] = agg["delta"].to_numpy()[inside]
+    out = pd.DataFrame({
+        "day_s": full * 86_400,
+        "n_orders_30d": np.cumsum(d).astype("int64"),
+    })
+    return rd.from_pandas(out)
+
+
+def event_type_geo_mean(sf_dir: str, n_buckets: int = 8):
+    """Geometric mean of positive event values per type:
+    exp(mean(ln v)) from one (sum_ln, n) combiner pass -- the
+    log-domain mergeable aggregate (arithmetic mean overstates skewed
+    value distributions; geo mean is the standard robust center).
+
+    Output: (event_type, n_pos, geo_mean r6) sorted by type.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"] > 0]
+        return (df.assign(ln=np.log(df["value"].to_numpy()))
+                .groupby("event_type", as_index=False)
+                .agg(sum_ln=("ln", "sum"), n_pos=("ln", "size")))
+
+    agg = grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                      ["event_type"],
+                      {"sum_ln": ("sum_ln", "sum"), "n_pos": ("n_pos", "sum")},
+                      n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["geo_mean"] = round_series(
+            pd.Series(np.exp(df["sum_ln"] / df["n_pos"])), 6)
+        df["n_pos"] = df["n_pos"].astype("int64")
+        return df[["event_type", "n_pos", "geo_mean"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("event_type")
+
+
 def customer_adoption_curve(sf_dir: str, n_buckets: int = 32):
     """Cumulative customer adoption by month: new customers (first-ever
     order) per integer month plus the running total. First-order dates
