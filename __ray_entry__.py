@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_adoption_curve": analytics.customer_adoption_curve,
         "orders_rolling_30d_daily": analytics.orders_rolling_30d_daily,
         "event_type_geo_mean": analytics.event_type_geo_mean,
+        "user_type_interarrival": analytics.user_type_interarrival,
+        "events_hour_weekday_heatmap": analytics.events_hour_weekday_heatmap,
         "top_revenue_customers": relational.top_revenue_customers,
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "revenue_by_region": relational.revenue_by_region,
@@ -1041,6 +1043,26 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate > d.d - INTERVAL 30 DAY
              AND o.o_orderdate <= d.d
             GROUP BY 1 ORDER BY 1
+        """,
+        "user_type_interarrival": """
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+                     AS mean_gap_s
+            FROM (SELECT user_id, event_type,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap_us
+                  FROM events)
+            WHERE gap_us IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "events_hour_weekday_heatmap": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_type_geo_mean": """
             SELECT event_type, COUNT(*) AS n_pos,

@@ -2114,6 +2114,97 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def user_type_interarrival(sf_dir: str, n_buckets: int = 64):
+    """Mean inter-arrival seconds per (user, event_type) -- the
+    per-entity cadence metric (bounded groups; a per-TYPE global
+    ordering would make one giant skewed group at corpus scale). One
+    user-bucketed keyed shuffle; diffs are computed per (user, type)
+    SEGMENT over the sorted frame (the sawtooth rule), exact integer
+    microseconds divided once at the end.
+
+    Output: (user_id, event_type, n_gaps, mean_gap_s r6) for pairs
+    with >= 2 events.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        typ = df["event_type"].to_numpy()
+        same = np.concatenate(
+            ([False], (user[1:] == user[:-1]) & (typ[1:] == typ[:-1])))
+        d = np.empty(len(df), dtype=np.int64)
+        d[0] = 0
+        d[1:] = ts[1:] - ts[:-1]
+        g = pd.DataFrame({"user_id": user[same], "event_type": typ[same],
+                          "gap_us": d[same]})
+        out = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n_gaps=("gap_us", "size"), sum_us=("gap_us", "sum"))
+        out["mean_gap_s"] = round_series(
+            out["sum_us"] / out["n_gaps"] / 1e6, 6)
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        return out[["user_id", "event_type", "n_gaps", "mean_gap_s"]]
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(gaps, batch_format="pandas")
+
+
+def events_hour_weekday_heatmap(sf_dir: str, n_buckets: int = 8):
+    """Calendar heatmap grain: event counts and value sums per
+    (weekday, hour-of-day) cell -- 168 cells total, the classic
+    activity-rhythm view. Pure combiner aggregation.
+
+    Output: (weekday [0=Sunday, DuckDB dayofweek], hour, n_events,
+    sum_value r2).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(df["ts"])
+        # pandas dayofweek: Monday=0; DuckDB dayofweek: Sunday=0
+        wd = (d.dayofweek.to_numpy() + 1) % 7
+        return (pd.DataFrame({"weekday": wd.astype(np.int64),
+                              "hour": d.hour.to_numpy().astype(np.int64),
+                              "value": df["value"].to_numpy()})
+                .groupby(["weekday", "hour"], as_index=False)
+                .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+
+    agg = grouped_agg(ev.map_batches(part, batch_format="pandas"),
+                      ["weekday", "hour"],
+                      {"n_events": ("n_events", "sum"),
+                       "sum_value": ("sum_value", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = round_series(df["sum_value"], 2)
+        return df[["weekday", "hour", "n_events", "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort(
+        ["weekday", "hour"])
+
+
 def orders_rolling_30d_daily(sf_dir: str, window_days: int = 30,
                              n_buckets: int = 16):
     """Rolling 30-day order count for EVERY day in the order-date range

@@ -99,3 +99,14 @@ def list_results(out_dir: str, limit: int = 50):
             entries.append((p, os.path.getmtime(p)))
     entries.sort(key=lambda e: e[1], reverse=True)
     return entries[:limit]
+
+
+def read_jsonl_shards(shard_dir: str):
+    """Read a directory of JSONL training shards (the twin of
+    state/artifacts.export_jsonl_shards) back into a Dataset via Ray's
+    native JSON reader -- one block per shard file, schema inferred by
+    Arrow. Round-trip contract: read_jsonl_shards(export(...)) equals
+    the exported rows (pinned by test)."""
+    import ray.data as rd
+
+    return rd.read_json(shard_dir, file_extensions=["jsonl"])

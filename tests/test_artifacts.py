@@ -298,3 +298,25 @@ def test_jsonl_shards_deterministic_and_complete(ray_session, tmp_path):
     assert a["n_docs"].sum() == len(docs)
     first = json.loads(open(tmp_path / "a" / "shard_00000.jsonl").readline())
     assert set(first) == {"doc_id", "text", "lang"}
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """export -> read_jsonl_shards reproduces the documents rows."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.sources.readers import (
+        read_jsonl_shards,
+    )
+    from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+        export_jsonl_shards,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(SF, n_shards=4, out_dir=out).materialize()
+    back = (read_jsonl_shards(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    orig = (pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+            .sort_values("doc_id").reset_index(drop=True))
+    assert back[["doc_id", "lang", "text"]].equals(orig)
