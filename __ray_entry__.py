@@ -373,6 +373,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lsh_candidate_pairs(docs), docs, threshold=0.3, n=3
         )
 
+    def tfidf_cosine_pairs(sf_dir: str):
+        # stop-word-discounting pair similarity (idf = ln(N/df))
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            verify_pairs_tfidf_cosine,
+        )
+
+        docs = _docs_ds(sf_dir)
+        return verify_pairs_tfidf_cosine(
+            lsh_candidate_pairs(docs), docs, threshold=0.2)
+
     def ngram_containment_pairs(sf_dir: str):
         # |A∩B| / min(|A|,|B|) -- the subset/excerpt-dedup measure
         from deekseek_ocr___dockerized_api_ray.stages.dedup import (
@@ -547,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_survivors": simhash_survivors,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ngram_containment_pairs": ngram_containment_pairs,
+        "tfidf_cosine_pairs": tfidf_cosine_pairs,
         # similarity search
         "ann_topk": ann_topk,
         "ann_topk_filtered": ann_topk_filtered,
@@ -893,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
         "ngram_containment_pairs": _oracles.ngram_containment_pairs_sql(
             threshold=0.5, n=3),
+        "tfidf_cosine_pairs": _oracles.tfidf_cosine_pairs_sql(threshold=0.2),
         "langid_predict": _oracles.langid_predict_sql(),
         "langid_confusion": f"""
             WITH pred AS ({_oracles.langid_predict_sql()})

@@ -261,6 +261,39 @@ JOIN gcnt nb ON nb.doc_id = c.id_b
 WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / LEAST(na.n, nb.n), 6) >= {threshold}"""
 
 
+def tfidf_cosine_pairs_sql(threshold: float = 0.2) -> str:
+    """LSH candidates verified by TF-IDF weighted cosine, matching
+    stages/dedup.verify_pairs_tfidf_cosine (raw-count tf over
+    whitespace tokens, idf = ln(N/df))."""
+    return f"""WITH {_minhash_cand_ctes()},
+tok AS MATERIALIZED (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+    FROM documents)
+  GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT t.doc_id, t.tok,
+         t.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS w
+  FROM tok t JOIN df USING (tok), nd),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+dt AS (
+  SELECT c.id_a, c.id_b, SUM(x.w * y.w) AS dot
+  FROM cand c
+  JOIN w x ON x.doc_id = c.id_a
+  JOIN w y ON y.doc_id = c.id_b AND y.tok = x.tok
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(d.dot, 0) / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+FROM cand c
+LEFT JOIN dt d ON d.id_a = c.id_a AND d.id_b = c.id_b
+JOIN nrm na ON na.doc_id = c.id_a
+JOIN nrm nb ON nb.doc_id = c.id_b
+WHERE na.nrm > 0 AND nb.nrm > 0
+  AND ROUND(COALESCE(d.dot, 0) / (na.nrm * nb.nrm), 6) >= {threshold}"""
+
+
 def random_projection_sql(out_dim: int = 16, dim: int = 64,
                           seed: int = 42) -> str:
     """Seeded Gaussian projection matching

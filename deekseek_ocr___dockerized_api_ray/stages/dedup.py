@@ -693,6 +693,87 @@ def verify_pairs_containment(pairs_ds, docs_ds, threshold: float = 0.5,
     return b.map_batches(_verify, batch_format="pyarrow")
 
 
+def verify_pairs_tfidf_cosine(pairs_ds, docs_ds, threshold: float = 0.2,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_partitions: Optional[int] = None,
+                              broadcast_bytes: int = 256 * 1024 * 1024):
+    """TF-IDF weighted cosine verification of candidate pairs: the
+    similarity measure that discounts stop-word overlap (raw-count tf,
+    idf = ln(N/df) over whitespace tokens). Document frequencies come
+    from one combiner-reduced pass (distinct tokens per doc per batch,
+    keyed sum); the df table broadcasts via ray.put (vocabulary grows
+    ~Heaps-law-sublinearly; a web-scale deployment caps it at the top-V
+    tokens and floors the tail, same size-gate philosophy as
+    _pair_texts). Texts attach with the size-gated broadcast-or-join.
+
+    Returns (id_a, id_b, tfidf_cosine r6) rows >= threshold.
+    """
+    import math
+    from collections import Counter
+
+    import ray
+
+    n_docs = docs_ds.count()
+
+    def df_part(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(set(t.split()))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "df": list(c.values())})
+
+    from .agg import grouped_agg
+
+    df_tbl = grouped_agg(
+        docs_ds.map_batches(df_part, batch_format="pyarrow"),
+        ["tok"], {"df": ("df", "sum")}, n_buckets=32).to_pandas()
+    idf = {t: math.log(n_docs / d)
+           for t, d in zip(df_tbl["tok"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    b = _pair_texts(pairs_ds, docs_ds, text_col, id_col, num_partitions,
+                    broadcast_bytes)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        idf_map = ray.get(idf_ref)
+        cache: dict = {}
+
+        def wvec(i, t):
+            v = cache.get(i)
+            if v is None:
+                tf = Counter(t.split())
+                v = {tok: c * idf_map[tok] for tok, c in tf.items()}
+                nrm = math.sqrt(sum(x * x for x in v.values()))
+                cache[i] = v = (v, nrm)
+            return v
+
+        ids_a, ids_b, vals = [], [], []
+        for ia, ib, ta, tb in zip(batch.column("id_a").to_pylist(),
+                                  batch.column("id_b").to_pylist(),
+                                  batch.column("text_a").to_pylist(),
+                                  batch.column("text_b").to_pylist()):
+            (wa, na), (wb, nb) = wvec(ia, ta), wvec(ib, tb)
+            if na == 0 or nb == 0:
+                continue
+            if len(wb) < len(wa):
+                wa, wb = wb, wa
+            dot = sum(w * wb[tok] for tok, w in wa.items() if tok in wb)
+            c = round_half_away(dot / (na * nb), 6)
+            if c >= threshold:
+                ids_a.append(ia)
+                ids_b.append(ib)
+                vals.append(c)
+        return pa.Table.from_arrays(
+            [pa.array(ids_a, type=pa.int64()), pa.array(ids_b, type=pa.int64()),
+             pa.array(vals, type=pa.float64())],
+            names=["id_a", "id_b", "tfidf_cosine"],
+        )
+
+    return b.map_batches(_score, batch_format="pyarrow")
+
+
 def simhash_dedup(docs_ds, max_hamming: int = 3, bands: int = 4,
                   text_col: str = "text", id_col: str = "doc_id"):
     """SimHash near-dup REMOVAL: banded pairs -> min-label components ->
