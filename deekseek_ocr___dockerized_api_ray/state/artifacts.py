@@ -103,8 +103,13 @@ def write_crops_zip(crops_ds, out_dir: str, n_buckets: int = 64):
         return pd.DataFrame(rows, columns=["doc_id", "zip_path", "n_members",
                                            "zip_bytes"])
 
+    # repartition BEFORE the keyed groupby: on small inputs Ray fuses
+    # the upstream into one block and map_groups then runs as a SINGLE
+    # task (measured 14 s serial for ~5k artifact files); spreading to
+    # n_buckets blocks restores one write task per bucket
     return (crops_ds.map_batches(bucket, batch_format="pandas",
                                  batch_size=65536)
+            .repartition(n_buckets)
             .groupby("bucket").map_groups(write_docs, batch_format="pandas")
             .sort("doc_id"))
 
@@ -220,8 +225,11 @@ def write_layout_pdfs(boxes_ds, out_dir: str, dims_fn=None,
         return pd.DataFrame(rows, columns=["doc_id", "pdf_path", "n_pages",
                                            "n_boxes", "pdf_bytes"])
 
+    # see write_crops_zip: pre-repartition so the per-bucket writers
+    # actually fan out instead of fusing into one task
     return (boxes_ds.map_batches(bucket, batch_format="pandas",
                                  batch_size=65536)
+            .repartition(n_buckets)
             .groupby("bucket").map_groups(write_docs, batch_format="pandas")
             .sort("doc_id"))
 
