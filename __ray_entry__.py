@@ -683,6 +683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the html_main_content oracle + unit suite)
         "html_block_features": boilerplate.html_block_features,
         "event_transitions": sequences.event_transitions,
+        "event_trigrams": sequences.event_trigrams,
+        "churn_features": analytics.churn_features,
         "events_trend_ols": sequences.events_trend_ols,
         "events_value_moments": sequences.events_value_moments,
         "user_event_runs": sequences.user_event_runs,
@@ -1055,6 +1057,35 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate > d.d - INTERVAL 30 DAY
              AND o.o_orderdate <= d.d
             GROUP BY 1 ORDER BY 1
+        """,
+        "event_trigrams": """
+            SELECT t1, t2, t3, COUNT(*) AS n FROM (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "churn_features": """
+            WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+            u AS (SELECT user_id, count(*) AS n,
+                         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+                         max(epoch_us(ts)) AS last_us,
+                         min(epoch_us(ts)) AS first_us
+                  FROM events GROUP BY 1)
+            SELECT user_id,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(cents AS BIGINT) AS sum_value_cents,
+                   CAST((m - last_us) // 86400000000 AS BIGINT)
+                     AS days_since_last,
+                   ROUND(CASE WHEN n > 1
+                         THEN CAST(last_us - first_us AS DOUBLE)
+                              / (n - 1) / 1e6
+                         ELSE 0 END, 6) AS mean_gap_s,
+                   (m - last_us) > 28 * 86400000000 AS churned
+            FROM u, mx
         """,
         "user_type_interarrival": """
             SELECT user_id, event_type,

@@ -2114,6 +2114,73 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def churn_features(sf_dir: str, churn_days: int = 28, n_buckets: int = 64):
+    """Per-user churn feature table -- the ML-feature-engineering
+    composite: event count, total value (cents-exact), days since last
+    activity (vs the corpus max timestamp), mean inter-event gap, and
+    the churn label (no activity in the trailing ``churn_days``). All
+    per-user stats come from ONE user-bucketed shuffle; the corpus max
+    timestamp is a scalar combiner (never a second shuffle).
+
+    Output: (user_id, n_events, sum_value_cents, days_since_last,
+    mean_gap_s r6 [0 when < 2 events], churned).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def max_ts_part(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"mx": [int(ts.max())]})
+
+    mx_us = int(ev.map_batches(max_ts_part,
+                               batch_format="pandas").to_pandas()["mx"].max())
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def features(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        cents = np.asarray(
+            [int(v) for v in np.floor(df["value"].to_numpy() * 100 + 0.5)],
+            dtype=np.int64)
+        seg = np.flatnonzero(np.concatenate(([True], user[1:] != user[:-1])))
+        seg_end = np.append(seg[1:], len(df))
+        n = seg_end - seg
+        last = ts[seg_end - 1]
+        first = ts[seg]
+        g = pd.DataFrame({
+            "user_id": user[seg],
+            "n_events": n.astype("int64"),
+            "sum_value_cents": np.add.reduceat(cents, seg).astype("int64"),
+            "days_since_last": ((mx_us - last)
+                                // (86_400 * 1_000_000)).astype("int64"),
+        })
+        # mean gap = (last - first) / (n - 1): consecutive diffs telescope
+        gap = np.where(n > 1, (last - first) / np.maximum(n - 1, 1) / 1e6,
+                       0.0)
+        g["mean_gap_s"] = round_series(pd.Series(gap), 6)
+        g["churned"] = (mx_us - last
+                        > churn_days * 86_400 * 1_000_000)
+        return g[["user_id", "n_events", "sum_value_cents",
+                  "days_since_last", "mean_gap_s", "churned"]]
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(features,
+                                                 batch_format="pandas")
+
+
 def user_type_interarrival(sf_dir: str, n_buckets: int = 64):
     """Mean inter-arrival seconds per (user, event_type) -- the
     per-entity cadence metric (bounded groups; a per-TYPE global

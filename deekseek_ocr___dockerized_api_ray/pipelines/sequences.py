@@ -31,6 +31,50 @@ from ..stages.agg import grouped_agg
 from .analytics import _user_bucket
 
 
+def event_trigrams(sf_dir: str, n_buckets: int = 64):
+    """Second-order path counts: every consecutive event-type TRIPLE of
+    one user (ordered by ts, event_id) -- the 3-step funnel/sankey
+    grain. Same one-keyed-shuffle shape as event_transitions; triples
+    come from two shifted masks over the bucket-sorted frame.
+
+    Output: (t1, t2, t3, n) sorted by (t1, t2, t3).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def triples_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        if n < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [], "n": []})
+        same3 = (user[2:] == user[1:-1]) & (user[1:-1] == user[:-2])
+        return (pd.DataFrame({"t1": et[:-2][same3], "t2": et[1:-1][same3],
+                              "t3": et[2:][same3]})
+                .groupby(["t1", "t2", "t3"], as_index=False, sort=False)
+                .agg(n=("t3", "size")))
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: triples_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    counts = grouped_agg(partial, ["t1", "t2", "t3"],
+                         {"n": ("n", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df[["t1", "t2", "t3", "n"]]
+
+    return counts.map_batches(finish, batch_format="pandas").sort(
+        ["t1", "t2", "t3"])
+
+
 def event_transitions(sf_dir: str, n_buckets: int = 64):
     """First-order Markov transitions: for every consecutive event pair
     of one user (ordered by ts, event_id), count (src_type, dst_type)
