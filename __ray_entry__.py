@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_hour": windows.events_range_hour,
         "events_sliding_distinct_users": windows.events_sliding_distinct_users,
         "session_bounce_rate": windows.session_bounce_rate,
+        "session_type_pairs": windows.session_type_pairs,
+        "revenue_pareto": analytics.revenue_pareto,
         "customer_adoption_curve": analytics.customer_adoption_curve,
         "orders_rolling_30d_daily": analytics.orders_rolling_30d_daily,
         "event_type_geo_mean": analytics.event_type_geo_mean,
@@ -1037,6 +1039,44 @@ def oracle_sql() -> dict[str, str]:
                      user_id
               FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
             GROUP BY 1
+        """,
+        "session_type_pairs": """
+            WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, event_type,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM ordered),
+            st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_sessions
+            FROM st a JOIN st b
+              ON a.user_id = b.user_id AND a.session_id = b.session_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "revenue_pareto": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1),
+            p AS (SELECT count(*) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS total FROM pc),
+            k AS (SELECT CAST(ceil(n / 5.0) AS BIGINT) AS k FROM p),
+            top AS (SELECT CAST(SUM(cents) AS BIGINT) AS s FROM (
+                      SELECT cents FROM pc
+                      ORDER BY cents DESC, o_custkey
+                      LIMIT (SELECT k FROM k)))
+            SELECT CAST(p.n AS BIGINT) AS n_customers, k.k AS k_top,
+                   ROUND(CAST(top.s AS DOUBLE) / p.total, 6) AS top_share
+            FROM p, k, top
         """,
         "session_bounce_rate": f"""
             WITH s AS ({_SESSIONIZE_SQL})

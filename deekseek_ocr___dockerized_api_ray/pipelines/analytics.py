@@ -2114,6 +2114,56 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def revenue_pareto(sf_dir: str, top_num: int = 1, top_den: int = 5,
+                   n_buckets: int = 32):
+    """Pareto concentration: the share of total order revenue coming
+    from the top 20% of customers (the 80/20 Lorenz point). Per-customer
+    cents totals reduce via one combiner shuffle and STAY a Dataset (the
+    customer dim grows with scale -- never collected); the top-k slice
+    is one distributed sort + limit where k = ceil(0.2 * n), and both
+    sums are scalar combiners. All-integer cents, so the share is exact.
+
+    Output: one row (n_customers, k_top, top_share r6).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        return (pd.DataFrame({"o_custkey": df["o_custkey"], "cents": cents})
+                .groupby("o_custkey", as_index=False).agg(cents=("cents",
+                                                                 "sum")))
+
+    per_cust = grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                           ["o_custkey"], {"cents": ("cents", "sum")},
+                           n_buckets=n_buckets)
+    n = per_cust.count()
+    k = -(-top_num * n // top_den)  # ceil(n/5)
+
+    def cents_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [int(df["cents"].sum())]})
+
+    total = int(per_cust.map_batches(cents_sum,
+                                     batch_format="pandas")
+                .to_pandas()["s"].sum())
+    top = (per_cust.sort(["cents", "o_custkey"], descending=[True, False])
+           .limit(k))
+    top_sum = int(top.map_batches(cents_sum, batch_format="pandas")
+                  .to_pandas()["s"].sum())
+    out = pd.DataFrame({
+        "n_customers": np.asarray([n], dtype=np.int64),
+        "k_top": np.asarray([k], dtype=np.int64),
+        "top_share": [round_half_away(top_sum / total, 6)],
+    })
+    return rd.from_pandas(out)
+
+
 def churn_features(sf_dir: str, churn_days: int = 28, n_buckets: int = 64):
     """Per-user churn feature table -- the ML-feature-engineering
     composite: event count, total value (cents-exact), days since last

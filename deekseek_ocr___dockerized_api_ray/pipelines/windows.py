@@ -252,6 +252,74 @@ def session_bounce_rate(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def session_type_pairs(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
+                       n_buckets: int = 64):
+    """Within-session event-type co-occurrence: count sessions in which
+    each unordered type pair (a < b) appears together -- the
+    market-basket view of sessions. Sessions come from the same
+    sessionize kernel (one user-keyed shuffle); pair generation is
+    per-session local (types per session are bounded by the tiny type
+    alphabet), then one tiny keyed count.
+
+    Output: (type_a, type_b, n_sessions) sorted by (type_a, type_b).
+    """
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        gap_us = np.empty(len(df), dtype=np.int64)
+        gap_us[0] = (gap_s + 1) * 1_000_000
+        gap_us[1:] = ts_us[1:] - ts_us[:-1]
+        sess = np.cumsum(new_user | (gap_us > gap_s * 1_000_000))
+        g = pd.DataFrame({"sess": sess,
+                          "event_type": df["event_type"].to_numpy()})
+        rows_a, rows_b = [], []
+        for _, types in g.groupby("sess", sort=False)["event_type"]:
+            for a, b in combinations(sorted(set(types)), 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        part = pd.DataFrame({"type_a": rows_a, "type_b": rows_b})
+        return (part.groupby(["type_a", "type_b"], as_index=False,
+                             sort=False)
+                .agg(n_sessions=("type_a", "size")))
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=131072)
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: pairs_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    counts = grouped_agg(partial, ["type_a", "type_b"],
+                         {"n_sessions": ("n_sessions", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_sessions"] = df["n_sessions"].astype("int64")
+        return df[["type_a", "type_b", "n_sessions"]]
+
+    return counts.map_batches(finish, batch_format="pandas").sort(
+        ["type_a", "type_b"])
+
+
 def streaming_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
                          n_chunks: int = 4, n_buckets: int = 64):
     """STREAMING session windows: the event log is processed as
