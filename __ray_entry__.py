@@ -582,6 +582,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct_users": windows.events_sliding_distinct_users,
         "session_bounce_rate": windows.session_bounce_rate,
         "session_type_pairs": windows.session_type_pairs,
+        # gap + hard-duration-cap sessions (rows-only: the cap is a
+        # sequential recurrence on the session anchor; differential
+        # tests incl. cap=inf == events_sessionize)
+        "events_sessionize_capped": windows.events_sessionize_capped,
         "revenue_pareto": analytics.revenue_pareto,
         "customer_adoption_curve": analytics.customer_adoption_curve,
         "orders_rolling_30d_daily": analytics.orders_rolling_30d_daily,
@@ -686,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_block_features": boilerplate.html_block_features,
         "event_transitions": sequences.event_transitions,
         "event_trigrams": sequences.event_trigrams,
+        "view_purchase_conversion": sequences.view_purchase_conversion,
         "churn_features": analytics.churn_features,
         "events_trend_ols": sequences.events_trend_ols,
         "events_value_moments": sequences.events_value_moments,
@@ -1097,6 +1102,20 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderdate > d.d - INTERVAL 30 DAY
              AND o.o_orderdate <= d.d
             GROUP BY 1 ORDER BY 1
+        """,
+        "view_purchase_conversion": """
+            SELECT b.user_id,
+                   COUNT(*) AS n_purchases,
+                   CAST(COUNT(*) FILTER (EXISTS (
+                     SELECT 1 FROM events a
+                     WHERE a.user_id = b.user_id
+                       AND a.event_type = 'view'
+                       AND a.ts < b.ts
+                       AND a.ts >= b.ts - INTERVAL 1 HOUR)) AS BIGINT)
+                     AS n_qualified
+            FROM events b
+            WHERE b.event_type = 'purchase'
+            GROUP BY b.user_id ORDER BY b.user_id
         """,
         "event_trigrams": """
             SELECT t1, t2, t3, COUNT(*) AS n FROM (

@@ -31,6 +31,58 @@ from ..stages.agg import grouped_agg
 from .analytics import _user_bucket
 
 
+def view_purchase_conversion(sf_dir: str, window_s: int = 3600,
+                             n_buckets: int = 64):
+    """Time-bound conversion: per user, purchases preceded by a view
+    within the last hour (view strictly before, window inclusive at the
+    far edge) -- the funnel-with-deadline primitive. One user-bucketed
+    shuffle; per user segment the qualifying test is two searchsorted
+    probes of the purchase times against the user's sorted view times
+    (no event self-join, no window explode).
+
+    Output: (user_id, n_purchases, n_qualified) for users with >= 1
+    purchase, sorted by user_id.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+
+    def conv_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        seg = np.flatnonzero(np.concatenate(([True], user[1:] != user[:-1])))
+        seg_end = np.append(seg[1:], len(df))
+        w_us = window_s * 1_000_000
+        out_u, out_p, out_q = [], [], []
+        for a, b in zip(seg, seg_end):
+            is_p = et[a:b] == "purchase"
+            if not is_p.any():
+                continue
+            pt = ts[a:b][is_p]
+            vt = ts[a:b][et[a:b] == "view"]
+            lo = np.searchsorted(vt, pt - w_us, side="left")
+            hi = np.searchsorted(vt, pt, side="left")  # strictly before
+            out_u.append(user[a])
+            out_p.append(len(pt))
+            out_q.append(int((hi > lo).sum()))
+        return pd.DataFrame({
+            "user_id": np.asarray(out_u, dtype=np.int64),
+            "n_purchases": np.asarray(out_p, dtype=np.int64),
+            "n_qualified": np.asarray(out_q, dtype=np.int64),
+        })
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    return bucketed.groupby("bucket").map_groups(
+        lambda df: conv_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas").sort("user_id")
+
+
 def event_trigrams(sf_dir: str, n_buckets: int = 64):
     """Second-order path counts: every consecutive event-type TRIPLE of
     one user (ordered by ts, event_id) -- the 3-step funnel/sankey

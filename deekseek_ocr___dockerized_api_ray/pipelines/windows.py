@@ -252,6 +252,75 @@ def session_bounce_rate(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def events_sessionize_capped(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
+                             cap_s: int = 4 * 3600, n_buckets: int = 64):
+    """Session windows with BOTH an inactivity gap and a hard duration
+    cap: a new session starts when the inter-event gap exceeds
+    ``gap_s`` OR when the event lies more than ``cap_s`` after the
+    session's FIRST event. The cap makes the split depend on the
+    running session anchor -- a sequential recurrence no SQL window
+    expresses (rows-only; differential-tested, and cap=inf reproduces
+    events_sessionize exactly). Same single user-keyed shuffle; the
+    recurrence runs per user segment (bounded work per user).
+
+    Output: (user_id, session_start_s, n_events, sum_value r2).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+
+    gap_us = gap_s * 1_000_000
+    cap_us = cap_s * 1_000_000
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        val = df["value"].to_numpy()
+        seg = np.flatnonzero(np.concatenate(([True], user[1:] != user[:-1])))
+        seg_end = np.append(seg[1:], len(df))
+        out_u, out_s, out_n, out_v = [], [], [], []
+        for a, b in zip(seg, seg_end):
+            anchor = ts[a]
+            start = a
+            for i in range(a + 1, b):
+                if (ts[i] - ts[i - 1] > gap_us
+                        or ts[i] - anchor > cap_us):
+                    out_u.append(user[a])
+                    out_s.append(anchor // 1_000_000)
+                    out_n.append(i - start)
+                    out_v.append(round_half_away(float(val[start:i].sum()), 2))
+                    anchor = ts[i]
+                    start = i
+            out_u.append(user[a])
+            out_s.append(anchor // 1_000_000)
+            out_n.append(b - start)
+            out_v.append(round_half_away(float(val[start:b].sum()), 2))
+        return pd.DataFrame({
+            "user_id": np.asarray(out_u, dtype=np.int64),
+            "session_start_s": np.asarray(out_s, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "sum_value": out_v,
+        })
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(sessionize,
+                                                 batch_format="pandas")
+
+
 def session_type_pairs(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
                        n_buckets: int = 64):
     """Within-session event-type co-occurrence: count sessions in which

@@ -316,3 +316,47 @@ def test_range_hour_matches_bruteforce(ray_session):
     assert len(got) == len(ev)
     assert (got["n_1h"] == pd.Series(n_ref).sort_index()).all()
     assert np.allclose(got["sum_1h"], pd.Series(s_ref).sort_index(), atol=0.011)
+
+
+@needs_data
+def test_capped_sessionize_matches_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_sessionize,
+        events_sessionize_capped,
+    )
+
+    cap_s = 3600
+    got = (events_sessionize_capped(SF, cap_s=cap_s).to_pandas()
+           .sort_values(["user_id", "session_start_s"])
+           .reset_index(drop=True))
+    # single-process reference with the same anchor recurrence
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        anchor, start = ts[0], 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > 1800e6 or ts[i] - anchor > cap_s * 1e6:
+                rows.append((uid, anchor // 10**6, i - start,
+                             round(float(v[start:i].sum()), 2)))
+                if i < len(ts):
+                    anchor, start = ts[i], i
+    ref = (pd.DataFrame(rows, columns=["user_id", "session_start_s",
+                                       "n_events", "sum_value"])
+           .sort_values(["user_id", "session_start_s"])
+           .reset_index(drop=True))
+    assert got[["user_id", "session_start_s", "n_events"]].equals(
+        ref[["user_id", "session_start_s", "n_events"]])
+    assert np.allclose(got["sum_value"], ref["sum_value"], atol=0.011)
+    # cap = huge -> identical to the plain gap sessionizer
+    plain = (events_sessionize(SF).to_pandas()
+             .sort_values(["user_id", "session_start_s"])
+             .reset_index(drop=True))
+    capped = (events_sessionize_capped(SF, cap_s=10**9).to_pandas()
+              .sort_values(["user_id", "session_start_s"])
+              .reset_index(drop=True))
+    assert capped[["user_id", "session_start_s", "n_events"]].equals(
+        plain[["user_id", "session_start_s", "n_events"]])
