@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests incl. cap=inf == events_sessionize)
         "events_sessionize_capped": windows.events_sessionize_capped,
         "revenue_pareto": analytics.revenue_pareto,
+        "brand_revenue_hhi": analytics.brand_revenue_hhi,
         "customer_adoption_curve": analytics.customer_adoption_curve,
         "orders_rolling_30d_daily": analytics.orders_rolling_30d_daily,
         "event_type_geo_mean": analytics.event_type_geo_mean,
@@ -1066,6 +1067,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.session_id = b.session_id
              AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "brand_revenue_hhi": """
+            WITH pp AS (SELECT l_partkey,
+                               SUM(l_extendedprice * (1 - l_discount)) AS rev
+                        FROM lineitem GROUP BY 1),
+            b AS (SELECT p_brand, SUM(rev) AS rev
+                  FROM pp JOIN part ON l_partkey = p_partkey GROUP BY 1),
+            t AS (SELECT SUM(rev) AS total FROM b)
+            SELECT CAST(count(*) AS BIGINT) AS n_brands,
+                   ROUND(SUM((rev / total) * (rev / total)), 6) AS hhi,
+                   ROUND(MAX(rev) / ANY_VALUE(total), 6) AS top_share
+            FROM b, t
         """,
         "revenue_pareto": """
             WITH pc AS (

@@ -2114,6 +2114,64 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def brand_revenue_hhi(sf_dir: str, broadcast_rows: int = 20_000_000):
+    """Market concentration of lineitem revenue by part brand: the
+    Herfindahl-Hirschman index (sum of squared brand shares) plus the
+    top brand's share. Revenue sums PER PARTKEY first (the oracle's
+    grouping, so float trees agree; see promo_revenue_q14), the brand
+    attaches via the size-gated broadcast VecLookup, and the HHI runs
+    on the tiny brand table.
+
+    Output: one row (n_brands, hhi r6, top_share r6).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.lookup import VecLookup
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(),
+            "rev": (df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())),
+        })
+
+    per_part = grouped_agg(
+        li.map_batches(prep, batch_format="pandas", batch_size=131072),
+        ["l_partkey"], {"rev": ("rev", "sum")},
+    )
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    lut = VecLookup(pt.column("p_partkey").to_numpy(),
+                    pt.column("p_brand").to_pandas().to_numpy())
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        vals, found = lut.lookup(df["l_partkey"].to_numpy())
+        df = df[found].assign(p_brand=vals[found])
+        return (df.groupby("p_brand", as_index=False)
+                .agg(rev=("rev", "sum")))
+
+    brands = grouped_agg(
+        per_part.map_batches(attach, batch_format="pandas"),
+        ["p_brand"], {"rev": ("rev", "sum")}, n_buckets=8).to_pandas()
+    rev = brands["rev"].to_numpy()
+    total = rev.sum()
+    share = rev / total
+    out = pd.DataFrame({
+        "n_brands": np.asarray([len(brands)], dtype=np.int64),
+        "hhi": [round_half_away(float((share * share).sum()), 6)],
+        "top_share": [round_half_away(float(share.max()), 6)],
+    })
+    return rd.from_pandas(out)
+
+
 def revenue_pareto(sf_dir: str, top_num: int = 1, top_den: int = 5,
                    n_buckets: int = 32):
     """Pareto concentration: the share of total order revenue coming
