@@ -588,6 +588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize_capped": windows.events_sessionize_capped,
         "revenue_pareto": analytics.revenue_pareto,
         "brand_revenue_hhi": analytics.brand_revenue_hhi,
+        "order_value_deciles": analytics.order_value_deciles,
+        "transition_dwell_times": sequences.transition_dwell_times,
+        "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
         "orders_rolling_30d_daily": analytics.orders_rolling_30d_daily,
         "event_type_geo_mean": analytics.event_type_geo_mean,
@@ -1067,6 +1070,51 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.session_id = b.session_id
              AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "order_value_deciles": """
+            WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS cents FROM orders),
+            q AS (SELECT quantile_disc(cents,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+                  FROM c)
+            SELECT CAST(i AS BIGINT) AS decile,
+                   CAST(qs[i] AS BIGINT) AS cents
+            FROM q, unnest(range(1, 10)) AS t(i)
+            ORDER BY i
+        """,
+        "transition_dwell_times": """
+            SELECT src_type, dst_type, COUNT(*) AS n,
+                   ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+                     AS mean_dwell_s
+            FROM (SELECT lag(event_type) OVER w AS src_type,
+                         event_type AS dst_type,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE src_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "source_pii_rate": r"""
+            WITH u AS (
+              SELECT source,
+                     len(regexp_extract_all(text, 'https?://[^\s]+')) AS nu,
+                     regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+              FROM documents),
+            e AS (
+              SELECT source, nu,
+                     len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+                     regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+              FROM u),
+            f AS (
+              SELECT source,
+                     CASE WHEN nu + ne
+                          + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]'))
+                          > 0 THEN 1 ELSE 0 END AS pii
+              FROM e)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(pii) AS BIGINT) AS n_pii_docs,
+                   ROUND(CAST(SUM(pii) AS DOUBLE) / COUNT(*), 6) AS pii_rate
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         "brand_revenue_hhi": """
             WITH pp AS (SELECT l_partkey,

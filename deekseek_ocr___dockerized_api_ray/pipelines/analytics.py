@@ -2114,6 +2114,45 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def order_value_deciles(sf_dir: str, n_buckets: int = 16):
+    """Equi-depth decile edges of order value: the 9 interior
+    quantile_disc cuts (exact order statistics -- integers in cents, so
+    the boundary is bitwise-stable in both engines), from a
+    (cents -> count) combiner histogram; only the tiny histogram
+    reaches the driver.
+
+    Output: (decile 1..9, cents) sorted by decile.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        return (pd.DataFrame({"cents": cents})
+                .groupby("cents", as_index=False).agg(cnt=("cents", "size")))
+
+    hist = (grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                        ["cents"], {"cnt": ("cnt", "sum")},
+                        n_buckets=n_buckets)
+            .to_pandas().sort_values("cents").reset_index(drop=True))
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    deciles, values = [], []
+    for d in range(1, 10):
+        k = -(-d * n // 10)  # ceil(d/10 * n): quantile_disc order stat
+        values.append(int(hist.loc[int(cum.searchsorted(k)), "cents"]))
+        deciles.append(d)
+    return rd.from_pandas(pd.DataFrame({
+        "decile": np.asarray(deciles, dtype=np.int64),
+        "cents": np.asarray(values, dtype=np.int64),
+    }))
+
+
 def brand_revenue_hhi(sf_dir: str, broadcast_rows: int = 20_000_000):
     """Market concentration of lineitem revenue by part brand: the
     Herfindahl-Hirschman index (sum of squared brand shares) plus the

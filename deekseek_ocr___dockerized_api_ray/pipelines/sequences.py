@@ -31,6 +31,61 @@ from ..stages.agg import grouped_agg
 from .analytics import _user_bucket
 
 
+def transition_dwell_times(sf_dir: str, n_buckets: int = 64):
+    """Mean dwell seconds per (src_type, dst_type) transition: how long
+    users sit on each step before the next -- the weighted edge view of
+    event_transitions. Same one-keyed-shuffle shape; integer-microsecond
+    gap sums divide once at the end.
+
+    Output: (src_type, dst_type, n, mean_dwell_s r6) sorted.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = user[1:] == user[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        return (pd.DataFrame({"src_type": np.roll(et, 1)[same],
+                              "dst_type": et[same],
+                              "gap_us": gap[same]})
+                .groupby(["src_type", "dst_type"], as_index=False,
+                         sort=False)
+                .agg(n=("gap_us", "size"), sum_us=("gap_us", "sum")))
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: pairs_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    counts = grouped_agg(partial, ["src_type", "dst_type"],
+                         {"n": ("n", "sum"), "sum_us": ("sum_us", "sum")},
+                         n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_dwell_s"] = round_series(
+            df["sum_us"] / df["n"] / 1e6, 6)
+        df["n"] = df["n"].astype("int64")
+        return df[["src_type", "dst_type", "n", "mean_dwell_s"]]
+
+    return counts.map_batches(finish, batch_format="pandas").sort(
+        ["src_type", "dst_type"])
+
+
 def view_purchase_conversion(sf_dir: str, window_s: int = 3600,
                              n_buckets: int = 64):
     """Time-bound conversion: per user, purchases preceded by a view

@@ -802,3 +802,44 @@ def langid_confusion(sf_dir: str):
     return grouped_agg(parts, ["lang", "lang_pred"],
                        {"n_docs": ("n_docs", "sum")},
                        n_buckets=8).sort(["lang", "lang_pred"])
+
+
+def source_pii_rate(sf_dir: str):
+    """Corpus-safety report: per source, how many documents contain any
+    PII (URL, email, or phone by the scrub_pii patterns) and the rate.
+    Per-batch partial counts (docs are whole rows), one tiny keyed
+    reduce -- integer counts so the rate divide is bit-identical to the
+    oracle.
+
+    Output: (source, n_docs, n_pii_docs, pii_rate r6) sorted by source.
+    """
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import scrub_pii
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def part(batch: pa.Table) -> "pd.DataFrame":
+        flags = []
+        for t in batch.column("text").to_pylist():
+            r = scrub_pii(t)
+            flags.append(int(r["n_urls"] + r["n_emails"] + r["n_phones"] > 0))
+        df = pd.DataFrame({"source": batch.column("source").to_pylist(),
+                           "pii": flags})
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("pii", "size"), n_pii_docs=("pii", "sum"))
+
+    agg = grouped_agg(ds.map_batches(part, batch_format="pyarrow"),
+                      ["source"],
+                      {"n_docs": ("n_docs", "sum"),
+                       "n_pii_docs": ("n_pii_docs", "sum")}, n_buckets=8)
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df["pii_rate"] = round_series(df["n_pii_docs"] / df["n_docs"], 6)
+        df["n_docs"] = df["n_docs"].astype("int64")
+        df["n_pii_docs"] = df["n_pii_docs"].astype("int64")
+        return df[["source", "n_docs", "n_pii_docs", "pii_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("source")
