@@ -589,6 +589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto": analytics.revenue_pareto,
         "brand_revenue_hhi": analytics.brand_revenue_hhi,
         "order_value_deciles": analytics.order_value_deciles,
+        "event_type_burstiness": analytics.event_type_burstiness,
+        "qty_discount_corr": analytics.qty_discount_corr,
+        "source_lang_entropy": sequences.source_lang_entropy,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1070,6 +1073,49 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.session_id = b.session_id
              AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "source_lang_entropy": """
+            WITH pl AS (SELECT source, lang, count(*) AS c
+                        FROM documents GROUP BY 1, 2),
+            a AS (SELECT source, SUM(c * ln(c)) AS clnc, SUM(c) AS n,
+                         COUNT(*) AS k
+                  FROM pl GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(k AS BIGINT) AS n_langs,
+                   ROUND(ln(n) - clnc / n, 6) AS entropy
+            FROM a ORDER BY source
+        """,
+        "event_type_burstiness": """
+            WITH h AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS hour,
+                              count(*) AS c
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT event_type, count(*) AS n, SUM(c) AS s,
+                         SUM(c * c) AS ss
+                  FROM h GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+                   ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_r6,
+                   ROUND(CAST(ss AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                         6) AS var_r6,
+                   ROUND((CAST(ss AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                         / (CAST(s AS DOUBLE) / n), 6) AS fano
+            FROM a ORDER BY 1
+        """,
+        "qty_discount_corr": """
+            WITH t AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                              CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+                       FROM lineitem),
+            a AS (SELECT count(*) AS n, SUM(q) AS sq, SUM(d) AS sd,
+                         SUM(q * q) AS sqq, SUM(d * d) AS sdd,
+                         SUM(q * d) AS sqd
+                  FROM t)
+            SELECT CAST(n AS BIGINT) AS n,
+                   ROUND((n * sqd - sq * sd)
+                         / sqrt(n * sqq - sq * sq)
+                         / sqrt(n * sdd - sd * sd), 6) AS corr
+            FROM a
         """,
         "order_value_deciles": """
             WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)

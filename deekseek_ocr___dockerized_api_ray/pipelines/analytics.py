@@ -2114,6 +2114,113 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def event_type_burstiness(sf_dir: str, n_buckets: int = 8):
+    """Fano factor (variance / mean of the per-hour arrival counts) per
+    event type -- the burstiness diagnostic: ~1 for Poisson arrivals,
+    >1 bursty. The hourly counts are INTEGERS, so the population
+    moments come from exact integer power sums (sum, sum of squares)
+    and the engine/oracle float expressions are identical.
+
+    Hours with zero events do not enter the series (both sides use the
+    same convention -- the observed-hour grain).
+
+    Output: (event_type, n_hours, mean_r6, var_r6, fano r6).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def hour_part(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+              // (3600 * 1_000_000))
+        return (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                              "hour": hr})
+                .groupby(["event_type", "hour"], as_index=False)
+                .agg(c=("hour", "size")))
+
+    hourly = grouped_agg(ev.map_batches(hour_part, batch_format="pandas"),
+                         ["event_type", "hour"], {"c": ("c", "sum")},
+                         n_buckets=n_buckets)
+
+    def mom_part(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype=np.int64)
+        return (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                              "n": 1, "s": c, "ss": c * c})
+                .groupby("event_type", as_index=False)
+                .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")))
+
+    agg = grouped_agg(hourly.map_batches(mom_part, batch_format="pandas"),
+                      ["event_type"],
+                      {"n": ("n", "sum"), "s": ("s", "sum"),
+                       "ss": ("ss", "sum")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        s = df["s"].to_numpy(dtype=np.float64)
+        ss = df["ss"].to_numpy(dtype=np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_hours": df["n"].astype("int64"),
+            "mean_r6": round_series(pd.Series(mean), 6).to_numpy(),
+            "var_r6": round_series(pd.Series(var), 6).to_numpy(),
+            "fano": round_series(pd.Series(var / mean), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("event_type")
+
+
+def qty_discount_corr(sf_dir: str, n_buckets: int = 8):
+    """Pearson correlation of lineitem quantity and discount -- a
+    single-row data-understanding probe. Both columns are exact in
+    integer units (quantity is whole, discount has 2 decimals), so the
+    five power sums are exact integers and the correlation expression
+    is the identical float tree on both sides (the revenue_acf
+    convention).
+
+    Output: one row (n, corr r6).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_discount"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "g": [0], "n": [len(q)], "sq": [int(q.sum())],
+            "sd": [int(d.sum())], "sqq": [int((q * q).sum())],
+            "sdd": [int((d * d).sum())], "sqd": [int((q * d).sum())],
+        })
+
+    agg = grouped_agg(li.map_batches(part, batch_format="pandas",
+                                     batch_size=131072),
+                      ["g"], {"n": ("n", "sum"), "sq": ("sq", "sum"),
+                              "sd": ("sd", "sum"), "sqq": ("sqq", "sum"),
+                              "sdd": ("sdd", "sum"), "sqd": ("sqd", "sum")},
+                      n_buckets=2).to_pandas()
+    n = float(agg["n"].iloc[0])
+    sq, sd = float(agg["sq"].iloc[0]), float(agg["sd"].iloc[0])
+    sqq, sdd = float(agg["sqq"].iloc[0]), float(agg["sdd"].iloc[0])
+    sqd = float(agg["sqd"].iloc[0])
+    corr = ((n * sqd - sq * sd)
+            / np.sqrt(n * sqq - sq * sq)
+            / np.sqrt(n * sdd - sd * sd))
+    return rd.from_pandas(pd.DataFrame({
+        "n": np.asarray([int(n)], dtype=np.int64),
+        "corr": [round_half_away(float(corr), 6)],
+    }))
+
+
 def order_value_deciles(sf_dir: str, n_buckets: int = 16):
     """Equi-depth decile edges of order value: the 9 interior
     quantile_disc cuts (exact order statistics -- integers in cents, so

@@ -276,6 +276,47 @@ def user_event_entropy(sf_dir: str, n_buckets: int = 64):
     return agg.map_batches(finish, batch_format="pandas").sort("user_id")
 
 
+def source_lang_entropy(sf_dir: str, n_buckets: int = 8):
+    """Language diversity per corpus source: Shannon entropy (nats) of
+    each source's language distribution -- the corpus-mixing diagnostic.
+    Same summation-order-stable algebra as user_event_entropy
+    (H = ln n - sum(c ln c) / n) over a (source, lang) count combiner.
+
+    Output: (source, n_docs, n_langs, entropy r6) sorted by source.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+
+    per_lang = grouped_agg(docs, ["source", "lang"],
+                           {"c": ("lang", "size")}, n_buckets=n_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"source": df["source"].to_numpy(),
+                             "clnc": c * np.log(c),
+                             "n": df["c"].to_numpy(dtype=np.int64),
+                             "k": np.ones(len(df), dtype=np.int64)})
+
+    agg = grouped_agg(per_lang.map_batches(partial, batch_format="pandas"),
+                      ["source"],
+                      {"clnc": ("clnc", "sum"), "n": ("n", "sum"),
+                       "k": ("k", "sum")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        ent = np.log(n) - df["clnc"].to_numpy() / n
+        return pd.DataFrame({
+            "source": df["source"],
+            "n_docs": df["n"].astype("int64"),
+            "n_langs": df["k"].astype("int64"),
+            "entropy": round_series(pd.Series(ent), 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas").sort("source")
+
+
 def winsorized_event_stats(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
     """Per event type: exact lo/hi quantiles (linear interpolation, the
     quantile_cont convention) and the winsorized mean (values clamped to
