@@ -592,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_burstiness": analytics.event_type_burstiness,
         "qty_discount_corr": analytics.qty_discount_corr,
         "source_lang_entropy": sequences.source_lang_entropy,
+        "last_touch_attribution": sequences.last_touch_attribution,
+        "supplier_count_rank": analytics.supplier_count_rank,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1073,6 +1075,41 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.session_id = b.session_id
              AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "last_touch_attribution": """
+            WITH goals AS (
+              SELECT user_id, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            fg AS (SELECT user_id, ts AS gts, event_id AS gid
+                   FROM goals WHERE rn = 1),
+            prior AS (
+              SELECT e.user_id, e.event_type,
+                     row_number() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts DESC,
+                                                 e.event_id DESC) AS rn
+              FROM events e JOIN fg ON e.user_id = fg.user_id
+              WHERE e.event_type <> 'purchase'
+                AND (e.ts < fg.gts
+                     OR (e.ts = fg.gts AND e.event_id < fg.gid)))
+            SELECT COALESCE(p.event_type, '(direct)') AS last_type,
+                   COUNT(*) AS n_conversions
+            FROM fg LEFT JOIN (SELECT user_id, event_type
+                               FROM prior WHERE rn = 1) p USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_count_rank": """
+            WITH c AS (SELECT l_suppkey, COUNT(*) AS n_items
+                       FROM lineitem GROUP BY 1)
+            SELECT c.l_suppkey AS s_suppkey,
+                   CAST(s.s_nationkey AS BIGINT) AS n_nationkey,
+                   CAST(c.n_items AS BIGINT) AS n_items,
+                   CAST(rank() OVER (PARTITION BY s.s_nationkey
+                                     ORDER BY c.n_items DESC) AS BIGINT)
+                     AS rnk
+            FROM c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            ORDER BY 2, 4, 1
         """,
         "source_lang_entropy": """
             WITH pl AS (SELECT source, lang, count(*) AS c

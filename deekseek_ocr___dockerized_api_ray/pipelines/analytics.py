@@ -2114,6 +2114,76 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def supplier_count_rank(sf_dir: str, n_buckets: int = 16,
+                        broadcast_rows: int = 20_000_000):
+    """RANK-with-ties leaderboard: suppliers ranked inside their nation
+    by lineitem count (integer counts, so ties are REAL and the
+    tie-sharing RANK semantics differ from row_number). One combiner
+    count per supplier, size-gated broadcast nation lookup, rank
+    computed per nation as 1 + |strictly greater| via searchsorted on
+    the sorted count array -- no window, no per-row loop.
+
+    Output: (s_suppkey, n_nationkey, n_items, rnk) sorted.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.lookup import VecLookup
+    from ..stages.agg import grouped_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_suppkey", as_index=False)
+                .agg(n_items=("l_suppkey", "size")))
+
+    per_supp = grouped_agg(li.map_batches(part, batch_format="pandas"),
+                           ["l_suppkey"], {"n_items": ("n_items", "sum")},
+                           n_buckets=n_buckets)
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+    lut = VecLookup(st.column("s_suppkey").to_numpy(),
+                    st.column("s_nationkey").to_numpy())
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        vals, found = lut.lookup(df["l_suppkey"].to_numpy())
+        df = df[found].assign(n_nationkey=vals[found])
+        return df
+
+    def rank_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_nationkey", "l_suppkey"])
+        out = []
+        for _, g in df.groupby("n_nationkey", sort=False):
+            c = g["n_items"].to_numpy(dtype=np.int64)
+            srt = np.sort(c)
+            # RANK = 1 + number of STRICTLY greater counts in the nation
+            rnk = 1 + (len(c) - np.searchsorted(srt, c, side="right"))
+            out.append(g.assign(rnk=rnk.astype(np.int64)))
+        return pd.concat(out, ignore_index=True)
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["n_nationkey"].to_numpy(dtype=np.int64)
+                        % 8).astype(np.int32)
+        return df
+
+    ranked = (per_supp.map_batches(attach, batch_format="pandas")
+              .map_batches(rekey, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda df: rank_nation(df.drop(columns=["bucket"])),
+                          batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"l_suppkey": "s_suppkey"})
+        for c in ("s_suppkey", "n_nationkey", "n_items", "rnk"):
+            df[c] = df[c].astype("int64")
+        return df[["s_suppkey", "n_nationkey", "n_items", "rnk"]]
+
+    return ranked.map_batches(finish, batch_format="pandas").sort(
+        ["n_nationkey", "rnk", "s_suppkey"])
+
+
 def event_type_burstiness(sf_dir: str, n_buckets: int = 8):
     """Fano factor (variance / mean of the per-hour arrival counts) per
     event type -- the burstiness diagnostic: ~1 for Poisson arrivals,

@@ -495,6 +495,59 @@ def events_trend_ols(sf_dir: str, n_buckets: int = 8):
     return agg.map_batches(finish, batch_format="pandas").sort("event_type")
 
 
+def last_touch_attribution(sf_dir: str, goal: str = "purchase",
+                           n_buckets: int = 64):
+    """Last-touch attribution: credit each converting user's FIRST
+    ``goal`` event to the latest non-goal event before it (the
+    marketing counterpart of first_touch_attribution); users whose
+    first goal has no prior touch credit ``(direct)``. One user-keyed
+    shuffle; the per-user scan runs on the bucket-sorted segment.
+
+    Output: (last_type, n_conversions) sorted by type.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        seg = np.flatnonzero(np.concatenate(([True], user[1:] != user[:-1])))
+        seg_end = np.append(seg[1:], len(df))
+        out = []
+        for a, b in zip(seg, seg_end):
+            goal_idx = np.flatnonzero(et[a:b] == goal)
+            if len(goal_idx) == 0:
+                continue
+            g = a + goal_idx[0]
+            prior = np.flatnonzero(et[a:g] != goal)
+            out.append(et[a + prior[-1]] if len(prior) else "(direct)")
+        return (pd.DataFrame({"last_type": out})
+                .groupby("last_type", as_index=False)
+                .agg(n_conversions=("last_type", "size")))
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072,
+    )
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: per_user(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    agg = grouped_agg(partial, ["last_type"],
+                      {"n_conversions": ("n_conversions", "sum")},
+                      n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_conversions"] = df["n_conversions"].astype("int64")
+        return df[["last_type", "n_conversions"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("last_type")
+
+
 def first_touch_attribution(sf_dir: str, goal: str = "purchase",
                             n_buckets: int = 64):
     """First-touch attribution: credit each user's conversion (any
