@@ -594,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": sequences.source_lang_entropy,
         "last_touch_attribution": sequences.last_touch_attribution,
         "supplier_count_rank": analytics.supplier_count_rank,
+        "customer_order_gap_median": analytics.customer_order_gap_median,
+        "weekly_new_vs_returning": analytics.weekly_new_vs_returning,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1097,6 +1099,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_conversions
             FROM fg LEFT JOIN (SELECT user_id, event_type
                                FROM prior WHERE rn = 1) p USING (user_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "customer_order_gap_median": """
+            WITH g AS (
+              SELECT o_custkey,
+                     epoch_us(o_orderdate) // 86400000000
+                     - lag(epoch_us(o_orderdate) // 86400000000) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS gap_days
+              FROM orders)
+            SELECT o_custkey,
+                   CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+                   ROUND(quantile_cont(gap_days, 0.5), 6)
+                     AS median_gap_days
+            FROM g WHERE gap_days IS NOT NULL
+            GROUP BY 1
+        """,
+        "weekly_new_vs_returning": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // (7 * 86400000000) AS week
+              FROM events),
+            f AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1)
+            SELECT CAST(uw.week AS BIGINT) AS week,
+                   CAST(COUNT(*) FILTER (uw.week = f.first_week) AS BIGINT)
+                     AS n_new,
+                   CAST(COUNT(*) FILTER (uw.week > f.first_week) AS BIGINT)
+                     AS n_returning
+            FROM uw JOIN f USING (user_id)
             GROUP BY 1 ORDER BY 1
         """,
         "supplier_count_rank": """

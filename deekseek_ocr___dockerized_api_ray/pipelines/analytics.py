@@ -2114,6 +2114,115 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def customer_order_gap_median(sf_dir: str, n_buckets: int = 64):
+    """Repeat-purchase latency: per customer the exact MEDIAN day gap
+    between consecutive orders (customers with >= 2 orders). One
+    customer-bucketed shuffle; gaps and their median are computed per
+    segment (bounded per-customer work; quantile_cont == numpy linear
+    on the sorted gap array).
+
+    Output: (o_custkey, n_orders, median_gap_days r6).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["o_custkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def medians(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        day = (np.asarray(df["o_orderdate"], dtype="datetime64[us]")
+               .astype(np.int64) // (86_400 * 1_000_000))
+        cust = df["o_custkey"].to_numpy()
+        seg = np.flatnonzero(np.concatenate(([True], cust[1:] != cust[:-1])))
+        seg_end = np.append(seg[1:], len(df))
+        out_c, out_n, out_m = [], [], []
+        for a, b in zip(seg, seg_end):
+            if b - a < 2:
+                continue
+            gaps = np.diff(day[a:b]).astype(np.float64)
+            out_c.append(cust[a])
+            out_n.append(b - a)
+            out_m.append(round_half_away(
+                float(np.quantile(gaps, 0.5, method="linear")), 6))
+        return pd.DataFrame({
+            "o_custkey": np.asarray(out_c, dtype=np.int64),
+            "n_orders": np.asarray(out_n, dtype=np.int64),
+            "median_gap_days": out_m,
+        })
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=131072)
+    return bucketed.groupby("bucket").map_groups(medians,
+                                                 batch_format="pandas")
+
+
+def weekly_new_vs_returning(sf_dir: str, n_buckets: int = 64):
+    """Weekly active users split into NEW (first-ever event falls in
+    this week) vs RETURNING -- the growth-accounting view. One
+    user-keyed shuffle computes each user's first week AND distinct
+    active weeks locally in the same segment pass (no first-week
+    broadcast or second join); a tiny keyed reduce sums the per-week
+    flags.
+
+    Week identity = epoch_days // 7 (no calendar alignment -- both
+    engines share the convention).
+
+    Output: (week, n_new, n_returning) sorted by week.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+              // (7 * 86_400 * 1_000_000))
+        g = (pd.DataFrame({"user_id": df["user_id"].to_numpy(), "week": wk})
+             .drop_duplicates())
+        first = g.groupby("user_id")["week"].transform("min")
+        g["is_new"] = (g["week"] == first).astype(np.int64)
+        g["one"] = 1
+        return (g.groupby("week", as_index=False)
+                .agg(n_new=("is_new", "sum"), n_active=("one", "sum")))
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=131072)
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: weeks(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    agg = grouped_agg(partial, ["week"],
+                      {"n_new": ("n_new", "sum"),
+                       "n_active": ("n_active", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_returning"] = (df["n_active"] - df["n_new"]).astype("int64")
+        df["n_new"] = df["n_new"].astype("int64")
+        df["week"] = df["week"].astype("int64")
+        return df[["week", "n_new", "n_returning"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("week")
+
+
 def supplier_count_rank(sf_dir: str, n_buckets: int = 16,
                         broadcast_rows: int = 20_000_000):
     """RANK-with-ties leaderboard: suppliers ranked inside their nation
