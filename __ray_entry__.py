@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
         "dedup_chunks_global": curation.dedup_chunks_global,
+        "doc_novelty_rate": curation.doc_novelty_rate,
         "soft_dedup": curation.soft_dedup,
         "length_percentile_gate": curation.length_percentile_gate,
         "lang_mixing_weights": curation.lang_mixing_weights,
@@ -1979,6 +1980,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY chunk
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY chunk
+        """,
+        "doc_novelty_rate": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+                  FROM w, unnest(range(1, len(ws))) AS u(i)
+                  WHERE len(ws) >= 2),
+            tf AS MATERIALIZED (SELECT doc_id, gram, count(*) AS tf
+                                FROM g GROUP BY 1, 2),
+            tot AS (SELECT gram, SUM(tf) AS total FROM tf GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN tot.total = 1 THEN t.tf ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   ROUND(CAST(SUM(CASE WHEN tot.total = 1
+                              THEN t.tf ELSE 0 END) AS DOUBLE)
+                         / SUM(t.tf), 6) AS novelty
+            FROM tf t JOIN tot USING (gram)
+            GROUP BY 1 ORDER BY 1
         """,
         "dedup_chunks_global": """
             -- C4-style: drop ALL occurrences of any 4-word chunk seen

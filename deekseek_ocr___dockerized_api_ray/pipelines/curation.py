@@ -843,3 +843,66 @@ def doc_chunks(sf_dir: str, size: int = 64, stride: int = 48):
 
     return (ds.map_batches(windows, batch_format="pyarrow", batch_size=8192)
             .sort(["doc_id", "chunk_idx"]))
+
+
+def doc_novelty_rate(sf_dir: str, n_buckets: int = 64):
+    """Per-document n-gram novelty: the fraction of a doc's bigram
+    OCCURRENCES whose bigram is corpus-unique (global count == 1) --
+    high novelty flags original content, low flags boilerplate/copies;
+    a standard curation score.
+
+    Shape: per-batch (doc, gram, tf) partials (docs are whole rows, so
+    tf is final per batch), ONE gram-keyed shuffle where each group
+    computes its grams' global totals and collapses to per-doc novel/
+    total occurrence counts, then a tiny doc-keyed reduce. The gram
+    text crosses the wire once; documents never do.
+
+    Output: (doc_id, n_bigrams, n_novel, novelty r6) for docs with
+    >= 2 words, sorted by doc_id.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import sha1_64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def tf_part(batch: pa.Table) -> pd.DataFrame:
+        rows_d, rows_g = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            ws = t.split()
+            for i in range(len(ws) - 1):
+                rows_d.append(did)
+                rows_g.append(ws[i] + " " + ws[i + 1])
+        part = pd.DataFrame({"doc_id": rows_d, "gram": rows_g})
+        out = (part.groupby(["doc_id", "gram"], as_index=False, sort=False)
+               .agg(tf=("gram", "size")))
+        out["bucket"] = (out["gram"].map(sha1_64).to_numpy(dtype=np.uint64)
+                         % np.uint64(n_buckets)).astype(np.int32)
+        return out
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        total = df.groupby("gram")["tf"].transform("sum")
+        df = df.assign(novel=np.where(total.to_numpy() == 1,
+                                      df["tf"].to_numpy(), 0))
+        return (df.groupby("doc_id", as_index=False)
+                .agg(n_novel=("novel", "sum"), n_bigrams=("tf", "sum")))
+
+    partial = (ds.map_batches(tf_part, batch_format="pyarrow",
+                              batch_size=8192)
+               .groupby("bucket")
+               .map_groups(lambda df: per_gram(df.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+    agg = grouped_agg(partial, ["doc_id"],
+                      {"n_novel": ("n_novel", "sum"),
+                       "n_bigrams": ("n_bigrams", "sum")}, n_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["novelty"] = round_series(df["n_novel"] / df["n_bigrams"], 6)
+        df["n_novel"] = df["n_novel"].astype("int64")
+        df["n_bigrams"] = df["n_bigrams"].astype("int64")
+        return df[["doc_id", "n_bigrams", "n_novel", "novelty"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("doc_id")
