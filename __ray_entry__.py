@@ -596,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_count_rank": analytics.supplier_count_rank,
         "customer_order_gap_median": analytics.customer_order_gap_median,
         "weekly_new_vs_returning": analytics.weekly_new_vs_returning,
+        "priority_segment_matrix": analytics.priority_segment_matrix,
+        "lang_hapax_rate": text.lang_hapax_rate,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1101,6 +1103,24 @@ def oracle_sql() -> dict[str, str]:
             FROM fg LEFT JOIN (SELECT user_id, event_type
                                FROM prior WHERE rn = 1) p USING (user_id)
             GROUP BY 1 ORDER BY 1
+        """,
+        "priority_segment_matrix": """
+            SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lang_hapax_rate": r"""
+            WITH t AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+            c AS (SELECT lang, token, count(*) AS c FROM t GROUP BY 1, 2),
+            a AS (SELECT lang, count(*) AS vocab,
+                         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+                  FROM c GROUP BY 1)
+            SELECT lang, CAST(vocab AS BIGINT) AS vocab,
+                   CAST(n_hapax AS BIGINT) AS n_hapax,
+                   ROUND(CAST(n_hapax AS DOUBLE) / vocab, 6) AS hapax_rate
+            FROM a ORDER BY lang
         """,
         "customer_order_gap_median": """
             WITH g AS (

@@ -2114,6 +2114,51 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def priority_segment_matrix(sf_dir: str, n_buckets: int = 8):
+    """Order count matrix by (order priority x customer market segment)
+    -- the cross-dimensional report shape. The customer segment attaches
+    via the size-gated broadcast VecLookup (int codes for the segment
+    strings so the lookup array stays numeric); counts reduce in one
+    tiny keyed combiner.
+
+    Output: (o_orderpriority, c_mktsegment, n_orders) sorted.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.lookup import VecLookup
+    from ..stages.agg import grouped_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment"])
+    seg = ct.column("c_mktsegment").to_pandas()
+    cats = np.asarray(sorted(seg.unique()))
+    lut = VecLookup(ct.column("c_custkey").to_numpy(),
+                    np.searchsorted(cats, seg.to_numpy()))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        codes, found = lut.lookup(df["o_custkey"].to_numpy())
+        df = df[found].assign(
+            c_mktsegment=cats[codes[found].astype(np.int64)])
+        return (df.groupby(["o_orderpriority", "c_mktsegment"],
+                           as_index=False)
+                .agg(n_orders=("o_custkey", "size")))
+
+    agg = grouped_agg(orders.map_batches(part, batch_format="pandas",
+                                         batch_size=131072),
+                      ["o_orderpriority", "c_mktsegment"],
+                      {"n_orders": ("n_orders", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df[["o_orderpriority", "c_mktsegment", "n_orders"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort(
+        ["o_orderpriority", "c_mktsegment"])
+
+
 def customer_order_gap_median(sf_dir: str, n_buckets: int = 64):
     """Repeat-purchase latency: per customer the exact MEDIAN day gap
     between consecutive orders (customers with >= 2 orders). One

@@ -843,3 +843,55 @@ def source_pii_rate(sf_dir: str):
         return df[["source", "n_docs", "n_pii_docs", "pii_rate"]]
 
     return agg.map_batches(finish, batch_format="pandas").sort("source")
+
+
+def lang_hapax_rate(sf_dir: str, n_buckets: int = 32):
+    """Vocabulary richness per language: hapax legomena (tokens
+    occurring exactly once in the language) as a share of the
+    language's vocabulary -- the classic corpus-linguistics diagnostic.
+    Per-batch (lang, token) partial counts, ONE token-keyed reduce,
+    then a tiny per-lang rollup; integer counts so the rate divide is
+    bit-identical to the oracle.
+
+    Output: (lang, vocab, n_hapax, hapax_rate r6) sorted by lang.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def part(batch: pa.Table) -> "pd.DataFrame":
+        rows_l, rows_t = [], []
+        for lang, t in zip(batch.column("lang").to_pylist(),
+                           batch.column("text").to_pylist()):
+            for tok in t.split():
+                rows_l.append(lang)
+                rows_t.append(tok)
+        df = pd.DataFrame({"lang": rows_l, "token": rows_t})
+        return df.groupby(["lang", "token"], as_index=False).agg(
+            c=("token", "size"))
+
+    per_tok = grouped_agg(ds.map_batches(part, batch_format="pyarrow"),
+                          ["lang", "token"], {"c": ("c", "sum")},
+                          n_buckets=n_buckets)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hapax=(df["c"] == 1).astype(np.int64),
+                       one=np.ones(len(df), dtype=np.int64))
+        return (df.groupby("lang", as_index=False)
+                .agg(vocab=("one", "sum"), n_hapax=("hapax", "sum")))
+
+    agg = grouped_agg(per_tok.map_batches(roll, batch_format="pandas"),
+                      ["lang"], {"vocab": ("vocab", "sum"),
+                                 "n_hapax": ("n_hapax", "sum")}, n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["hapax_rate"] = round_series(df["n_hapax"] / df["vocab"], 6)
+        df["vocab"] = df["vocab"].astype("int64")
+        df["n_hapax"] = df["n_hapax"].astype("int64")
+        return df[["lang", "vocab", "n_hapax", "hapax_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("lang")
