@@ -597,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gap_median": analytics.customer_order_gap_median,
         "weekly_new_vs_returning": analytics.weekly_new_vs_returning,
         "priority_segment_matrix": analytics.priority_segment_matrix,
+        "monthly_fulfillment_rate": analytics.monthly_fulfillment_rate,
+        "nation_acctbal_boxplot": analytics.nation_acctbal_boxplot,
         "lang_hapax_rate": text.lang_hapax_rate,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
@@ -1103,6 +1105,35 @@ def oracle_sql() -> dict[str, str]:
             FROM fg LEFT JOIN (SELECT user_id, event_type
                                FROM prior WHERE rn = 1) p USING (user_id)
             GROUP BY 1 ORDER BY 1
+        """,
+        "monthly_fulfillment_rate": """
+            SELECT CAST((YEAR(l_shipdate) - 1970) * 12
+                        + MONTH(l_shipdate) - 1 AS BIGINT) AS mon,
+                   COUNT(*) AS n_items,
+                   CAST(COUNT(*) FILTER (l_linestatus = 'F') AS BIGINT)
+                     AS n_final,
+                   ROUND(CAST(COUNT(*) FILTER (l_linestatus = 'F')
+                              AS DOUBLE) / COUNT(*), 6) AS rate
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "nation_acctbal_boxplot": """
+            WITH q AS (
+              SELECT c_nationkey,
+                     COUNT(*) AS n_customers,
+                     quantile_cont(c_acctbal, 0.25) AS p25,
+                     quantile_cont(c_acctbal, 0.50) AS p50,
+                     quantile_cont(c_acctbal, 0.75) AS p75
+              FROM customer GROUP BY 1)
+            SELECT CAST(q.c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(q.n_customers AS BIGINT) AS n_customers,
+                   ROUND(q.p25, 6) AS p25, ROUND(q.p50, 6) AS p50,
+                   ROUND(q.p75, 6) AS p75,
+                   CAST(COUNT(*) FILTER (
+                     c.c_acctbal < q.p25 - 1.5 * (q.p75 - q.p25)
+                     OR c.c_acctbal > q.p75 + 1.5 * (q.p75 - q.p25))
+                     AS BIGINT) AS n_outliers
+            FROM customer c JOIN q ON c.c_nationkey = q.c_nationkey
+            GROUP BY 1, 2, 3, 4, 5 ORDER BY 1
         """,
         "priority_segment_matrix": """
             SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders

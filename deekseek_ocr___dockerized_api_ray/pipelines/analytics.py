@@ -2114,6 +2114,94 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def monthly_fulfillment_rate(sf_dir: str, n_buckets: int = 8):
+    """Share of lineitems in final status ('F') per ship month -- the
+    operational-health time series. Pure combiner counts on the integer
+    month grain; the rate divide is integer-exact on both sides.
+
+    Output: (mon, n_items, n_final, rate r6) sorted by mon.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_linestatus"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(df["l_shipdate"])
+        mon = (d.year.to_numpy() - 1970) * 12 + d.month.to_numpy() - 1
+        f = (df["l_linestatus"].to_numpy() == "F").astype(np.int64)
+        return (pd.DataFrame({"mon": mon.astype(np.int64), "f": f,
+                              "one": np.ones(len(f), dtype=np.int64)})
+                .groupby("mon", as_index=False)
+                .agg(n_items=("one", "sum"), n_final=("f", "sum")))
+
+    agg = grouped_agg(li.map_batches(part, batch_format="pandas",
+                                     batch_size=131072),
+                      ["mon"], {"n_items": ("n_items", "sum"),
+                                "n_final": ("n_final", "sum")},
+                      n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["rate"] = round_series(df["n_final"] / df["n_items"], 6)
+        df["mon"] = df["mon"].astype("int64")
+        df["n_items"] = df["n_items"].astype("int64")
+        df["n_final"] = df["n_final"].astype("int64")
+        return df[["mon", "n_items", "n_final", "rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort("mon")
+
+
+def nation_acctbal_boxplot(sf_dir: str, n_buckets: int = 8):
+    """Per-nation boxplot statistics of customer account balance:
+    p25/p50/p75 (quantile_cont == numpy linear) and the count of 1.5-IQR
+    outliers. One nation-bucketed keyed shuffle; the quantiles run per
+    nation segment (customers per nation are a bounded slice of the
+    dimension). The outlier fences are written as the SAME float
+    expression tree on both sides.
+
+    Output: (c_nationkey, n_customers, p25, p50, p75, n_outliers).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["c_nationkey"].to_numpy(dtype=np.int64)
+                        % n_buckets).astype(np.int32)
+        return df
+
+    def box(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for nk, g in df.groupby("c_nationkey", sort=False):
+            x = g["c_acctbal"].to_numpy(dtype=np.float64)
+            p25, p50, p75 = (float(np.quantile(x, q, method="linear"))
+                             for q in (0.25, 0.5, 0.75))
+            lo = p25 - 1.5 * (p75 - p25)
+            hi = p75 + 1.5 * (p75 - p25)
+            out.append((int(nk), len(x),
+                        round_half_away(p25, 6), round_half_away(p50, 6),
+                        round_half_away(p75, 6),
+                        int(((x < lo) | (x > hi)).sum())))
+        return pd.DataFrame(out, columns=["c_nationkey", "n_customers",
+                                          "p25", "p50", "p75",
+                                          "n_outliers"]).astype(
+            {"c_nationkey": "int64", "n_customers": "int64",
+             "n_outliers": "int64"})
+
+    bucketed = cust.map_batches(add_bucket, batch_format="pandas",
+                                batch_size=131072)
+    return (bucketed.groupby("bucket")
+            .map_groups(lambda df: box(df.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("c_nationkey"))
+
+
 def priority_segment_matrix(sf_dir: str, n_buckets: int = 8):
     """Order count matrix by (order priority x customer market segment)
     -- the cross-dimensional report shape. The customer segment attaches
