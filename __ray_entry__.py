@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_new_vs_returning": analytics.weekly_new_vs_returning,
         "priority_segment_matrix": analytics.priority_segment_matrix,
         "monthly_fulfillment_rate": analytics.monthly_fulfillment_rate,
+        "peak_minute_load": analytics.peak_minute_load,
         "nation_acctbal_boxplot": analytics.nation_acctbal_boxplot,
         "lang_hapax_rate": text.lang_hapax_rate,
         "transition_dwell_times": sequences.transition_dwell_times,
@@ -1105,6 +1106,14 @@ def oracle_sql() -> dict[str, str]:
             FROM fg LEFT JOIN (SELECT user_id, event_type
                                FROM prior WHERE rn = 1) p USING (user_id)
             GROUP BY 1 ORDER BY 1
+        """,
+        "peak_minute_load": """
+            SELECT CAST(minute * 60 AS BIGINT) AS peak_minute_s,
+                   CAST(c AS BIGINT) AS n_events
+            FROM (SELECT epoch_us(ts) // 60000000 AS minute,
+                         count(*) AS c
+                  FROM events GROUP BY 1)
+            ORDER BY c DESC, minute LIMIT 1
         """,
         "monthly_fulfillment_rate": """
             SELECT CAST((YEAR(l_shipdate) - 1970) * 12

@@ -2114,6 +2114,38 @@ def source_quality_report(sf_dir: str, n_buckets: int = 32):
             .sort(["source", "lang"]))
 
 
+def peak_minute_load(sf_dir: str, n_buckets: int = 8):
+    """Peak ingest load: the 1-minute window with the most events (ties
+    -> earliest minute) -- the capacity-planning scalar. Combiner counts
+    on the minute grain; the argmax runs on the tiny minute table.
+
+    Output: one row (peak_minute_s, n_events).
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        mn = (np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+              // (60 * 1_000_000))
+        return (pd.DataFrame({"minute": mn})
+                .groupby("minute", as_index=False).agg(c=("minute", "size")))
+
+    agg = grouped_agg(ev.map_batches(part, batch_format="pandas",
+                                     batch_size=131072),
+                      ["minute"], {"c": ("c", "sum")},
+                      n_buckets=n_buckets).to_pandas()
+    agg = agg.sort_values(["c", "minute"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return rd.from_pandas(pd.DataFrame({
+        "peak_minute_s": np.asarray([agg["minute"].iloc[0] * 60],
+                                    dtype=np.int64),
+        "n_events": np.asarray([agg["c"].iloc[0]], dtype=np.int64),
+    }))
+
+
 def monthly_fulfillment_rate(sf_dir: str, n_buckets: int = 8):
     """Share of lineitems in final status ('F') per ship month -- the
     operational-health time series. Pure combiner counts on the integer
