@@ -2234,7 +2234,8 @@ def nation_acctbal_boxplot(sf_dir: str, n_buckets: int = 8):
             .sort("c_nationkey"))
 
 
-def priority_segment_matrix(sf_dir: str, n_buckets: int = 8):
+def priority_segment_matrix(sf_dir: str, n_buckets: int = 8,
+                            broadcast_rows: int = 20_000_000):
     """Order count matrix by (order priority x customer market segment)
     -- the cross-dimensional report shape. The customer segment attaches
     via the size-gated broadcast VecLookup (int codes for the segment
@@ -2251,23 +2252,42 @@ def priority_segment_matrix(sf_dir: str, n_buckets: int = 8):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderpriority"])
-    ct = pq.read_table(f"{sf_dir}/customer.parquet",
-                       columns=["c_custkey", "c_mktsegment"])
-    seg = ct.column("c_mktsegment").to_pandas()
-    cats = np.asarray(sorted(seg.unique()))
-    lut = VecLookup(ct.column("c_custkey").to_numpy(),
-                    np.searchsorted(cats, seg.to_numpy()))
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= broadcast_rows:
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+        seg = ct.column("c_mktsegment").to_pandas()
+        cats = np.asarray(sorted(seg.unique()))
+        lut = VecLookup(ct.column("c_custkey").to_numpy(),
+                        np.searchsorted(cats, seg.to_numpy()))
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        codes, found = lut.lookup(df["o_custkey"].to_numpy())
-        df = df[found].assign(
-            c_mktsegment=cats[codes[found].astype(np.int64)])
-        return (df.groupby(["o_orderpriority", "c_mktsegment"],
-                           as_index=False)
-                .agg(n_orders=("o_custkey", "size")))
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            codes, found = lut.lookup(df["o_custkey"].to_numpy())
+            df = df[found].assign(
+                c_mktsegment=cats[codes[found].astype(np.int64)])
+            return (df.groupby(["o_orderpriority", "c_mktsegment"],
+                               as_index=False)
+                    .agg(n_orders=("o_custkey", "size")))
 
-    agg = grouped_agg(orders.map_batches(part, batch_format="pandas",
-                                         batch_size=131072),
+        partials = orders.map_batches(part, batch_format="pandas",
+                                      batch_size=131072)
+    else:
+        # above the gate: hash-join orders against the customer dim
+        import ray
+
+        cpus = (int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized() else 4)
+        cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_mktsegment"])
+        joined = orders.join(cust_ds, join_type="inner",
+                             num_partitions=max(2, cpus // 2),
+                             on=("o_custkey",), right_on=("c_custkey",))
+        partials = joined.map_batches(
+            lambda df: df.groupby(["o_orderpriority", "c_mktsegment"],
+                                  as_index=False)
+            .agg(n_orders=("o_custkey", "size")), batch_format="pandas")
+
+    agg = grouped_agg(partials,
                       ["o_orderpriority", "c_mktsegment"],
                       {"n_orders": ("n_orders", "sum")}, n_buckets=n_buckets)
 
@@ -2416,15 +2436,34 @@ def supplier_count_rank(sf_dir: str, n_buckets: int = 16,
                            ["l_suppkey"], {"n_items": ("n_items", "sum")},
                            n_buckets=n_buckets)
 
-    st = pq.read_table(f"{sf_dir}/supplier.parquet",
-                       columns=["s_suppkey", "s_nationkey"])
-    lut = VecLookup(st.column("s_suppkey").to_numpy(),
-                    st.column("s_nationkey").to_numpy())
+    n_supp = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    if n_supp <= broadcast_rows:
+        st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+        lut = VecLookup(st.column("s_suppkey").to_numpy(),
+                        st.column("s_nationkey").to_numpy())
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        vals, found = lut.lookup(df["l_suppkey"].to_numpy())
-        df = df[found].assign(n_nationkey=vals[found])
-        return df
+        def attach_batch(df: pd.DataFrame) -> pd.DataFrame:
+            vals, found = lut.lookup(df["l_suppkey"].to_numpy())
+            return df[found].assign(n_nationkey=vals[found])
+
+        attached = per_supp.map_batches(attach_batch, batch_format="pandas")
+    else:
+        # above the gate: hash-join the per-supplier aggregate against
+        # the supplier dim (one row per suppkey on both sides)
+        import ray
+
+        cpus = (int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized() else 4)
+        st_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])
+        attached = (per_supp.join(st_ds, join_type="inner",
+                                  num_partitions=max(2, cpus // 2),
+                                  on=("l_suppkey",),
+                                  right_on=("s_suppkey",))
+                    .map_batches(lambda df: df.rename(
+                        columns={"s_nationkey": "n_nationkey"}),
+                        batch_format="pandas"))
 
     def rank_nation(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["n_nationkey", "l_suppkey"])
@@ -2442,8 +2481,7 @@ def supplier_count_rank(sf_dir: str, n_buckets: int = 16,
                         % 8).astype(np.int32)
         return df
 
-    ranked = (per_supp.map_batches(attach, batch_format="pandas")
-              .map_batches(rekey, batch_format="pandas")
+    ranked = (attached.map_batches(rekey, batch_format="pandas")
               .groupby("bucket")
               .map_groups(lambda df: rank_nation(df.drop(columns=["bucket"])),
                           batch_format="pandas"))
@@ -2637,20 +2675,38 @@ def brand_revenue_hhi(sf_dir: str, broadcast_rows: int = 20_000_000):
         ["l_partkey"], {"rev": ("rev", "sum")},
     )
 
-    pt = pq.read_table(f"{sf_dir}/part.parquet",
-                       columns=["p_partkey", "p_brand"])
-    lut = VecLookup(pt.column("p_partkey").to_numpy(),
-                    pt.column("p_brand").to_pandas().to_numpy())
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_parts <= broadcast_rows:
+        pt = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+        lut = VecLookup(pt.column("p_partkey").to_numpy(),
+                        pt.column("p_brand").to_pandas().to_numpy())
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        vals, found = lut.lookup(df["l_partkey"].to_numpy())
-        df = df[found].assign(p_brand=vals[found])
-        return (df.groupby("p_brand", as_index=False)
-                .agg(rev=("rev", "sum")))
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            vals, found = lut.lookup(df["l_partkey"].to_numpy())
+            df = df[found].assign(p_brand=vals[found])
+            return (df.groupby("p_brand", as_index=False)
+                    .agg(rev=("rev", "sum")))
 
-    brands = grouped_agg(
-        per_part.map_batches(attach, batch_format="pandas"),
-        ["p_brand"], {"rev": ("rev", "sum")}, n_buckets=8).to_pandas()
+        branded = per_part.map_batches(attach, batch_format="pandas")
+    else:
+        # above the gate the part dim hash-joins against the per-part
+        # aggregate (already one row per partkey)
+        import ray
+
+        cpus = (int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized() else 4)
+        part_ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey", "p_brand"])
+        joined = per_part.join(part_ds, join_type="inner",
+                               num_partitions=max(2, cpus // 2),
+                               on=("l_partkey",), right_on=("p_partkey",))
+        branded = joined.map_batches(
+            lambda df: df.groupby("p_brand", as_index=False)
+            .agg(rev=("rev", "sum")), batch_format="pandas")
+
+    brands = grouped_agg(branded, ["p_brand"], {"rev": ("rev", "sum")},
+                         n_buckets=8).to_pandas()
     rev = brands["rev"].to_numpy()
     total = rev.sum()
     share = rev / total

@@ -360,3 +360,26 @@ def test_capped_sessionize_matches_reference(ray_session):
               .reset_index(drop=True))
     assert capped[["user_id", "session_start_s", "n_events"]].equals(
         plain[["user_id", "session_start_s", "n_events"]])
+
+
+@needs_data
+def test_dim_broadcast_gates_path_equivalence(ray_session):
+    """The three dim-attach ops produce identical output on the
+    broadcast fast path and the above-the-gate hash-join path."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        brand_revenue_hhi,
+        priority_segment_matrix,
+        supplier_count_rank,
+    )
+
+    for fn, keys in [(brand_revenue_hhi, None),
+                     (priority_segment_matrix,
+                      ["o_orderpriority", "c_mktsegment"]),
+                     (supplier_count_rank,
+                      ["n_nationkey", "rnk", "s_suppkey"])]:
+        fast = fn(SF).to_pandas()
+        slow = fn(SF, broadcast_rows=0).to_pandas()
+        if keys:
+            fast = fast.sort_values(keys).reset_index(drop=True)
+            slow = slow.sort_values(keys).reset_index(drop=True)
+        assert fast.equals(slow), fn.__name__
