@@ -26,7 +26,10 @@ class VecLookup:
     def lookup(self, probe: "np.ndarray") -> Tuple["np.ndarray", "np.ndarray"]:
         """(values, found): values undefined where found is False."""
         probe = np.asarray(probe, dtype=np.int64)
+        if len(self.keys) == 0:  # empty dimension: all misses, no crash
+            return (np.empty(len(probe), dtype=self.values.dtype),
+                    np.zeros(len(probe), dtype=bool))
         idx = np.searchsorted(self.keys, probe)
         idx_c = np.minimum(idx, len(self.keys) - 1)
-        found = (len(self.keys) > 0) & (self.keys[idx_c] == probe)
+        found = self.keys[idx_c] == probe
         return self.values[idx_c], found

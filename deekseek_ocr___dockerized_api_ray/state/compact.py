@@ -21,22 +21,52 @@ import shutil
 import uuid
 
 
+def recover_compaction(src_dir: str) -> bool:
+    """Crash recovery: a kill between the two renames in
+    ``compact_parquet`` can leave ``src_dir`` missing with the data
+    sitting in a ``.precompact_*`` sibling. Restore it (and sweep any
+    dangling ``.compact_*`` tmp dirs). Returns True if a restore
+    happened. Called automatically at the top of ``compact_parquet``."""
+    parent = os.path.dirname(src_dir.rstrip("/")) or "."
+    base = os.path.basename(src_dir.rstrip("/"))
+    restored = False
+    if not os.path.isdir(parent):
+        return False
+    siblings = sorted(os.listdir(parent))
+    if not os.path.isdir(src_dir):
+        backups = [d for d in siblings if d.startswith(base + ".precompact_")]
+        if backups:
+            # at most one can exist (each run deletes its own on success)
+            os.replace(os.path.join(parent, backups[0]), src_dir)
+            restored = True
+    for d in siblings:
+        if d.startswith(base + ".compact_"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return restored
+
+
 def compact_parquet(src_dir: str, target_rows: int = 1_000_000,
                     min_files: int = 2) -> dict:
     """Compact ``src_dir`` in place. Returns a stats dict
     (files_before, files_after, rows). No-op (files_after ==
-    files_before) when the directory already has fewer than
-    ``min_files`` files or fewer rows than ``target_rows``."""
+    files_before) when the directory has fewer than ``min_files``
+    files, or is empty (0 rows) -- many small files BELOW target_rows
+    is exactly the case compaction exists for, so a low row count does
+    NOT gate it. Resumable: recovers a crashed prior compaction first,
+    writes to a tmp dir, verifies row counts, then swaps."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    recover_compaction(src_dir)
     files = sorted(
         os.path.join(src_dir, f) for f in os.listdir(src_dir)
         if f.endswith(".parquet")
     )
     rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     stats = {"files_before": len(files), "files_after": len(files), "rows": rows}
-    if len(files) < min_files or rows <= target_rows and len(files) == 1:
+    # rows == 0 early-return also dodges the Ray gotcha that
+    # write_parquet of an empty dataset creates no output directory.
+    if len(files) < min_files or rows == 0:
         return stats
 
     n_out = max(1, (rows + target_rows - 1) // target_rows)
@@ -54,6 +84,9 @@ def compact_parquet(src_dir: str, target_rows: int = 1_000_000,
 
     backup = f"{src_dir.rstrip('/')}.precompact_{uuid.uuid4().hex}"
     os.replace(src_dir, backup)
+    # crash window between the two renames: src_dir is momentarily
+    # missing, but the data lives in `backup` and recover_compaction()
+    # restores it on the next call -- the resumability contract.
     os.replace(tmp, src_dir)
     shutil.rmtree(backup, ignore_errors=True)
     stats["files_after"] = len(out_files)

@@ -40,6 +40,38 @@ def file_hash(path: str, length: int = 12) -> str:
     return hasher.hexdigest()[:length]
 
 
+def _save_upload_hashed(source_path: str, upload_dir: str,
+                        original_filename: Optional[str] = None,
+                        now: Optional[datetime] = None,
+                        dedupe: bool = False,
+                        existing_names: Optional[list] = None):
+    """Core of ``save_upload`` that also returns the (already computed)
+    hash, so batch callers don't re-read the file to hash it again.
+    ``existing_names`` lets a batch caller list the upload dir ONCE and
+    reuse it across the whole batch instead of an os.listdir per file.
+    Returns (dest_path or None, md5_12 or None)."""
+    try:
+        filename = original_filename or os.path.basename(source_path)
+        h = file_hash(source_path)
+        if dedupe:
+            if existing_names is None:
+                existing_names = (sorted(os.listdir(upload_dir))
+                                  if os.path.isdir(upload_dir) else [])
+            suffix = f"_{h}_{filename}"
+            for existing in existing_names:
+                if existing.endswith(suffix):
+                    return os.path.join(upload_dir, existing), h
+        os.makedirs(upload_dir, exist_ok=True)
+        ts = (now or datetime.now()).strftime("%Y%m%d_%H%M%S")
+        dest = os.path.join(upload_dir, f"{ts}_{h}_{filename}")
+        shutil.copy(source_path, dest)
+        if existing_names is not None:
+            existing_names.append(os.path.basename(dest))
+        return dest, h
+    except Exception:
+        return None, None
+
+
 def save_upload(source_path: str, upload_dir: str,
                 original_filename: Optional[str] = None,
                 now: Optional[datetime] = None,
@@ -47,21 +79,9 @@ def save_upload(source_path: str, upload_dir: str,
     """Copy ``source_path`` into ``upload_dir`` under the reference's
     ``{timestamp}_{hash}_{name}`` layout; returns the dest path, or
     None on error (the reference's contract)."""
-    try:
-        filename = original_filename or os.path.basename(source_path)
-        h = file_hash(source_path)
-        if dedupe and os.path.isdir(upload_dir):
-            suffix = f"_{h}_{filename}"
-            for existing in sorted(os.listdir(upload_dir)):
-                if existing.endswith(suffix):
-                    return os.path.join(upload_dir, existing)
-        os.makedirs(upload_dir, exist_ok=True)
-        ts = (now or datetime.now()).strftime("%Y%m%d_%H%M%S")
-        dest = os.path.join(upload_dir, f"{ts}_{h}_{filename}")
-        shutil.copy(source_path, dest)
-        return dest
-    except Exception:
-        return None
+    dest, _ = _save_upload_hashed(source_path, upload_dir,
+                                  original_filename, now, dedupe)
+    return dest
 
 
 def cleanup_old_uploads(upload_dir: str, max_age_days: int = 7,
@@ -98,12 +118,18 @@ def ingest_uploads(paths, upload_dir: str, dedupe: bool = True,
         [{"source": p} for p in paths])
 
     def copy_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # list the upload dir once per batch; each file is hashed once
+        # (the hash save_upload computed is reused for the lineage row)
+        existing = (sorted(os.listdir(upload_dir))
+                    if os.path.isdir(upload_dir) else [])
         rows = []
         for src in df["source"]:
-            dest = save_upload(src, upload_dir, now=now, dedupe=dedupe)
+            dest, h = _save_upload_hashed(src, upload_dir, now=now,
+                                          dedupe=dedupe,
+                                          existing_names=existing)
             if dest is None:
                 continue
-            rows.append((src, dest, file_hash(src), os.path.getsize(dest)))
+            rows.append((src, dest, h, os.path.getsize(dest)))
         return pd.DataFrame(rows, columns=["source", "dest", "md5_12",
                                            "n_bytes"])
 

@@ -48,3 +48,60 @@ def test_compact_noop_on_single_file(ray_session, tmp_path):
     pd.DataFrame({"k": [1, 2, 3]}).to_parquet(d / "only.parquet")
     stats = compact_parquet(str(d), target_rows=100)
     assert stats["files_after"] == stats["files_before"] == 1
+
+
+def test_compact_recovers_from_crash_window(ray_session, small_files_dir):
+    """A kill between the two renames leaves src_dir missing and the data
+    in a .precompact_* sibling; the next compact_parquet call must
+    restore it before proceeding (ADVICE r2)."""
+    import shutil
+
+    from deekseek_ocr___dockerized_api_ray.state.compact import (
+        compact_parquet, recover_compaction)
+
+    before = sorted(os.listdir(small_files_dir))
+    # simulate the crash: src renamed away, a stale tmp dir dangling
+    backup = small_files_dir + ".precompact_deadbeef"
+    os.replace(small_files_dir, backup)
+    stale_tmp = small_files_dir + ".compact_cafebabe"
+    os.makedirs(stale_tmp)
+    assert not os.path.isdir(small_files_dir)
+
+    stats = compact_parquet(small_files_dir, target_rows=400)
+    assert stats["rows"] == 800
+    assert not os.path.isdir(backup)
+    assert not os.path.isdir(stale_tmp)
+    # idempotent when nothing is wrong
+    assert recover_compaction(small_files_dir) is False
+    assert sorted(f for f in os.listdir(small_files_dir)
+                  if f.endswith(".parquet"))
+    del before
+
+
+def test_compact_empty_files_noop(ray_session, tmp_path):
+    """>=2 files totaling 0 rows must no-op (write_parquet of an empty
+    dataset creates no tmp dir -- ADVICE r2), not raise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.state.compact import compact_parquet
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    empty = pa.table({"k": pa.array([], type=pa.int64())})
+    pq.write_table(empty, d / "a.parquet")
+    pq.write_table(empty, d / "b.parquet")
+    stats = compact_parquet(str(d), target_rows=100)
+    assert stats["rows"] == 0
+    assert stats["files_after"] == stats["files_before"] == 2
+
+
+def test_compact_merges_many_small_files_below_target(ray_session, small_files_dir):
+    """Many small files each below target_rows is the core use case --
+    the gate must not skip it (ADVICE r2 precedence bug)."""
+    from deekseek_ocr___dockerized_api_ray.state.compact import compact_parquet
+
+    stats = compact_parquet(small_files_dir, target_rows=10_000)
+    assert stats["files_before"] == 8
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 800

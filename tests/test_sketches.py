@@ -180,3 +180,14 @@ def test_label_silhouette_matches_bruteforce(ray_session, tmp_path):
         assert got.loc[l, "n_vecs"] == 40
     # tight, well-separated clusters -> silhouette near 1
     assert (got["mean_silhouette"] > 0.95).all()
+
+
+def test_veclookup_empty_keys_all_miss():
+    """An empty dimension must return found=False everywhere, not
+    IndexError (ADVICE r2)."""
+    from deekseek_ocr___dockerized_api_ray.functions.lookup import VecLookup
+
+    lut = VecLookup(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    vals, found = lut.lookup(np.array([1, 2, 3]))
+    assert found.tolist() == [False, False, False]
+    assert len(vals) == 3
