@@ -374,14 +374,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def tfidf_cosine_pairs(sf_dir: str):
-        # stop-word-discounting pair similarity (idf = ln(N/df))
+        # stop-word-discounting pair similarity (idf = ln(N/df));
+        # max_vocab=16 < the 31-token test vocabulary so the top-V cap
+        # + tail-idf floor branch (the web-scale bound) is EXERCISED
         from deekseek_ocr___dockerized_api_ray.stages.dedup import (
             verify_pairs_tfidf_cosine,
         )
 
         docs = _docs_ds(sf_dir)
         return verify_pairs_tfidf_cosine(
-            lsh_candidate_pairs(docs), docs, threshold=0.2)
+            lsh_candidate_pairs(docs), docs, threshold=0.2, max_vocab=16)
 
     def ngram_containment_pairs(sf_dir: str):
         # |A∩B| / min(|A|,|B|) -- the subset/excerpt-dedup measure
@@ -930,7 +932,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
         "ngram_containment_pairs": _oracles.ngram_containment_pairs_sql(
             threshold=0.5, n=3),
-        "tfidf_cosine_pairs": _oracles.tfidf_cosine_pairs_sql(threshold=0.2),
+        "tfidf_cosine_pairs": _oracles.tfidf_cosine_pairs_sql(
+            threshold=0.2, max_vocab=16),
         "langid_predict": _oracles.langid_predict_sql(),
         "langid_confusion": f"""
             WITH pred AS ({_oracles.langid_predict_sql()})

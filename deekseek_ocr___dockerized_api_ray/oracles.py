@@ -261,10 +261,15 @@ JOIN gcnt nb ON nb.doc_id = c.id_b
 WHERE ROUND(COALESCE(i.ni, 0)::DOUBLE / LEAST(na.n, nb.n), 6) >= {threshold}"""
 
 
-def tfidf_cosine_pairs_sql(threshold: float = 0.2) -> str:
+def tfidf_cosine_pairs_sql(threshold: float = 0.2,
+                           max_vocab: int = 2_000_000) -> str:
     """LSH candidates verified by TF-IDF weighted cosine, matching
     stages/dedup.verify_pairs_tfidf_cosine (raw-count tf over
-    whitespace tokens, idf = ln(N/df))."""
+    whitespace tokens, idf = ln(N/df), vocabulary capped at the
+    top-``max_vocab`` tokens by df with the tail idf FLOORED at
+    ln(N/df_V) -- df_V = smallest kept df. When the full vocabulary
+    fits under the cap the fallback df_v is never reached (every token
+    joins vocab), so the uncapped semantics are preserved)."""
     return f"""WITH {_minhash_cand_ctes()},
 tok AS MATERIALIZED (
   SELECT doc_id, tok, count(*) AS tf FROM (
@@ -273,10 +278,13 @@ tok AS MATERIALIZED (
   GROUP BY 1, 2),
 nd AS (SELECT count(*) AS n FROM documents),
 df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+vocab AS MATERIALIZED (
+  SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT {max_vocab}),
+fl AS (SELECT min(df) AS df_v FROM vocab),
 w AS MATERIALIZED (
   SELECT t.doc_id, t.tok,
-         t.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS w
-  FROM tok t JOIN df USING (tok), nd),
+         t.tf * ln(CAST(nd.n AS DOUBLE) / COALESCE(v.df, fl.df_v)) AS w
+  FROM tok t LEFT JOIN vocab v USING (tok), nd, fl),
 nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
 dt AS (
   SELECT c.id_a, c.id_b, SUM(x.w * y.w) AS dot

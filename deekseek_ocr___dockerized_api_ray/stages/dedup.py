@@ -696,15 +696,21 @@ def verify_pairs_containment(pairs_ds, docs_ds, threshold: float = 0.5,
 def verify_pairs_tfidf_cosine(pairs_ds, docs_ds, threshold: float = 0.2,
                               text_col: str = "text", id_col: str = "doc_id",
                               num_partitions: Optional[int] = None,
-                              broadcast_bytes: int = 256 * 1024 * 1024):
+                              broadcast_bytes: int = 256 * 1024 * 1024,
+                              max_vocab: int = 2_000_000):
     """TF-IDF weighted cosine verification of candidate pairs: the
     similarity measure that discounts stop-word overlap (raw-count tf,
     idf = ln(N/df) over whitespace tokens). Document frequencies come
     from one combiner-reduced pass (distinct tokens per doc per batch,
-    keyed sum); the df table broadcasts via ray.put (vocabulary grows
-    ~Heaps-law-sublinearly; a web-scale deployment caps it at the top-V
-    tokens and floors the tail, same size-gate philosophy as
-    _pair_texts). Texts attach with the size-gated broadcast-or-join.
+    keyed sum); only the TOP-``max_vocab`` tokens by df reach the
+    driver (distributed sort + limit -- the web-corpus vocabulary is
+    billions of tokens under Heaps' law, so the broadcast dict must be
+    bounded). Tail tokens (df below the kept minimum df_V) take the
+    FLOOR idf ln(N/df_V): df_V upper-bounds their true df, so ln(N/df_V)
+    lower-bounds their true idf -- they are slightly underweighted,
+    never overweighted, and a boundary token scores identically whether
+    kept or floored (its df == df_V either way). Texts attach with the
+    size-gated broadcast-or-join.
 
     Returns (id_a, id_b, tfidf_cosine r6) rows >= threshold.
     """
@@ -726,25 +732,36 @@ def verify_pairs_tfidf_cosine(pairs_ds, docs_ds, threshold: float = 0.2,
 
     from .agg import grouped_agg
 
-    df_tbl = grouped_agg(
+    df_ds = grouped_agg(
         docs_ds.map_batches(df_part, batch_format="pyarrow"),
-        ["tok"], {"df": ("df", "sum")}, n_buckets=32).to_pandas()
+        ["tok"], {"df": ("df", "sum")}, n_buckets=32)
+    # top-V by df: distributed sort, only V rows ever reach the driver
+    df_tbl = df_ds.sort(["df", "tok"], descending=[True, False]) \
+        .limit(max_vocab).to_pandas()
     idf = {t: math.log(n_docs / d)
            for t, d in zip(df_tbl["tok"], df_tbl["df"])}
-    idf_ref = ray.put(idf)
+    if len(df_tbl) == max_vocab:  # vocabulary was truncated: floor the tail
+        tail_idf = math.log(n_docs / int(df_tbl["df"].iloc[-1]))
+    else:
+        tail_idf = None  # full vocabulary kept; every token is exact
+    idf_ref = ray.put((idf, tail_idf))
 
     b = _pair_texts(pairs_ds, docs_ds, text_col, id_col, num_partitions,
                     broadcast_bytes)
 
     def _score(batch: pa.Table) -> pa.Table:
-        idf_map = ray.get(idf_ref)
+        idf_map, tail = ray.get(idf_ref)
         cache: dict = {}
 
         def wvec(i, t):
             v = cache.get(i)
             if v is None:
                 tf = Counter(t.split())
-                v = {tok: c * idf_map[tok] for tok, c in tf.items()}
+                if tail is None:
+                    v = {tok: c * idf_map[tok] for tok, c in tf.items()}
+                else:
+                    v = {tok: c * idf_map.get(tok, tail)
+                         for tok, c in tf.items()}
                 nrm = math.sqrt(sum(x * x for x in v.values()))
                 cache[i] = v = (v, nrm)
             return v

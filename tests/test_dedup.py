@@ -255,3 +255,59 @@ def test_containment_scores_excerpt_high(ray_session):
     jac = {(r["id_a"], r["id_b"]): r["ngram_jaccard"] for r in
            verify_pairs_ngram_jaccard(pairs, docs, threshold=0.0).take_all()}
     assert jac[(1, 2)] < 0.1  # Jaccard misses the excerpt relationship
+
+
+def test_tfidf_vocab_cap_floors_tail_idf(ray_session):
+    """Top-V idf cap (VERDICT r2 #1): with max_vocab < vocabulary size,
+    kept tokens keep their exact idf and tail tokens take the FLOOR
+    ln(N/df_V); with max_vocab >= vocabulary the result is the uncapped
+    score. Pinned against an independent local computation."""
+    import math
+
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        verify_pairs_tfidf_cosine,
+    )
+
+    # df: "common" in all 4 docs, "shared" in 2, rare-* in 1 each
+    rows = [
+        {"doc_id": 0, "text": "common shared rare0 rare0"},
+        {"doc_id": 1, "text": "common shared rare1"},
+        {"doc_id": 2, "text": "common rare2"},
+        {"doc_id": 3, "text": "common rare3"},
+    ]
+    docs = _docs_ds(rows)
+    pairs = _docs_ds([{"id_a": 0, "id_b": 1}])
+
+    def local_score(vocab_cap):
+        n, df = 4, {"common": 4, "shared": 2, "rare0": 1, "rare1": 1,
+                    "rare2": 1, "rare3": 1}
+        kept = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+        kept_idf = {t: math.log(n / d) for t, d in kept}
+        tail = (math.log(n / kept[-1][1])
+                if len(df) > vocab_cap else None)
+
+        def wv(toks):
+            from collections import Counter
+            tf = Counter(toks.split())
+            return {t: c * kept_idf.get(t, tail) for t, c in tf.items()}
+
+        wa, wb = wv(rows[0]["text"]), wv(rows[1]["text"])
+        na = math.sqrt(sum(x * x for x in wa.values()))
+        nb = math.sqrt(sum(x * x for x in wb.values()))
+        return sum(w * wb[t] for t, w in wa.items() if t in wb) / (na * nb)
+
+    for cap in (2, 3, 100):
+        got = verify_pairs_tfidf_cosine(
+            pairs, docs, threshold=0.0, max_vocab=cap).to_pandas()
+        assert len(got) == 1
+        expect = round(local_score(cap), 6)
+        assert abs(got["tfidf_cosine"].iloc[0] - expect) < 1e-9, cap
+
+    # the cap must actually change the score here (tail floor engaged):
+    capped = verify_pairs_tfidf_cosine(
+        pairs, docs, threshold=0.0, max_vocab=2).to_pandas()["tfidf_cosine"].iloc[0]
+    uncapped = verify_pairs_tfidf_cosine(
+        pairs, docs, threshold=0.0).to_pandas()["tfidf_cosine"].iloc[0]
+    assert capped != uncapped
