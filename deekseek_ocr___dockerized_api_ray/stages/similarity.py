@@ -56,15 +56,18 @@ def query_matrix(emb_ds, query_ids: Sequence[int], id_col: str = "vec_id",
 
 
 class CosineTopKStage:
-    """Actor stage: per batch, cosine of every row vs the broadcast query
-    matrix; emits each query's batch-local top-k candidate rows."""
+    """Per batch, cosine of every row vs the broadcast query matrix;
+    emits each query's batch-local top-k candidate rows. Constructed
+    ONCE on the driver and shipped as a pickled task callable (the query
+    matrix is nq x dim -- tiny); an actor pool here would pay ~2-3 s of
+    spin-up for a stage with no real per-actor state."""
 
     def __init__(self, query_ids: List[int], query_ref, k: int,
                  id_col: str = "vec_id", emb_col: str = "embedding"):
         import ray
 
         self.query_ids = query_ids
-        self.q = ray.get(query_ref)  # fetched once per actor, zero-copy
+        self.q = ray.get(query_ref)  # resolved once at construction
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -91,21 +94,28 @@ class CosineTopKStage:
 
 def brute_force_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
                      id_col: str = "vec_id", emb_col: str = "embedding",
-                     exclude_self: bool = True):
+                     exclude_self: bool = True, queries=None):
     """Exact cosine top-k: broadcast queries, per-batch matmul + local
     top-k, final per-query reduce. Returns (query_id, vec_id, rank).
 
     Ranking ties break on vec_id ascending (float64 math on both the Ray
     and DuckDB oracle sides, so orderings agree).
+
+    ``queries``: optional precomputed ``(sorted_ids, query_matrix_ref)``
+    from ``query_matrix``. ANN callers that pass a FILTERED lazy dataset
+    as ``emb_ds`` MUST supply this (extracted from the base corpus):
+    otherwise the query-extraction take_all re-executes the whole filter
+    chain -- the assignment matmul runs twice (the r2 ann_ivf 3.8x bench
+    regression).
     """
-    ids, qref = query_matrix(emb_ds, query_ids, id_col, emb_col)
+    ids, qref = (queries if queries is not None
+                 else query_matrix(emb_ds, query_ids, id_col, emb_col))
 
     cand = emb_ds.map_batches(
-        CosineTopKStage,
-        fn_constructor_kwargs=dict(query_ids=ids, query_ref=qref, k=k + (1 if exclude_self else 0),
-                                   id_col=id_col, emb_col=emb_col),
+        CosineTopKStage(query_ids=ids, query_ref=qref,
+                        k=k + (1 if exclude_self else 0),
+                        id_col=id_col, emb_col=emb_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def _final(group: pa.Table) -> pa.Table:
@@ -141,7 +151,7 @@ class FilteredCosineTopKStage:
 
         self.query_ids = query_ids
         self.query_labels = query_labels
-        self.q = ray.get(query_ref)  # fetched once per actor, zero-copy
+        self.q = ray.get(query_ref)  # resolved once at construction
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
@@ -195,12 +205,10 @@ def filtered_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
     qref = ray.put(mat)
 
     cand = emb_ds.map_batches(
-        FilteredCosineTopKStage,
-        fn_constructor_kwargs=dict(query_ids=ids, query_labels=qlabels,
-                                   query_ref=qref, k=k + 1, id_col=id_col,
-                                   emb_col=emb_col, filter_col=filter_col),
+        FilteredCosineTopKStage(query_ids=ids, query_labels=qlabels,
+                                query_ref=qref, k=k + 1, id_col=id_col,
+                                emb_col=emb_col, filter_col=filter_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def _final(group: pa.Table) -> pa.Table:
@@ -369,7 +377,8 @@ def lsh_topk(emb_ds, query_ids: Sequence[int], k: int = 10, bands: int = 16,
         return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
 
     filtered = emb_ds.map_batches(_bucket_filter, batch_format="pyarrow")
-    return brute_force_topk(filtered, query_ids, k, id_col, emb_col)
+    return brute_force_topk(filtered, query_ids, k, id_col, emb_col,
+                            queries=(ids, qref))
 
 
 def embedding_neardup_pairs(emb_ds, threshold: float = 0.95, bands: int = 6,
@@ -563,8 +572,14 @@ def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,
         keep = np.isin(assign, list(probed))
         return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
 
-    filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
-    return brute_force_topk(filtered, query_ids, k, id_col, emb_col)
+    if len(probed) >= n_lists:
+        # the probe union covers every list: the filter would keep all
+        # rows, so skip the assignment pass entirely (pure brute force)
+        filtered = emb_ds
+    else:
+        filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
+    return brute_force_topk(filtered, query_ids, k, id_col, emb_col,
+                            queries=(ids, qref))
 
 
 def knn_graph(emb_ds, k: int = 5, id_col: str = "vec_id",
@@ -730,6 +745,7 @@ def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
     qrows = emb_ds.map_batches(_pick_q, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: int(r[id_col]))
     qmat = np.asarray([np.asarray(r[emb_col], dtype=np.float64)
                        for r in qrows])
     qdiff = qmat[:, None, :] - centroids[None, :, :]
@@ -746,5 +762,16 @@ def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
         keep = np.isin(np.argmin(dist, axis=1), list(probed))
         return batch.filter(pa.array(keep.tolist(), type=pa.bool_()))
 
-    filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
-    return brute_force_topk(filtered, query_ids, k, id_col, emb_col)
+    if len(probed) >= n_clusters:
+        filtered = emb_ds  # probe union covers every list: skip the pass
+    else:
+        filtered = emb_ds.map_batches(_list_filter, batch_format="pyarrow")
+    # queries precomputed from the BASE corpus (qrows is already sorted
+    # by id and cosine ranking normalizes): never re-execute `filtered`
+    # for query extraction
+    import ray as _ray
+
+    q_ids_sorted = [int(r[id_col]) for r in qrows]
+    qref = _ray.put(_normalize(qmat.copy()))
+    return brute_force_topk(filtered, query_ids, k, id_col, emb_col,
+                            queries=(q_ids_sorted, qref))
