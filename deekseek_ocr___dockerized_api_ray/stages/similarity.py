@@ -583,51 +583,155 @@ def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,
 
 
 def knn_graph(emb_ds, k: int = 5, id_col: str = "vec_id",
-              emb_col: str = "embedding"):
-    """Exact k-nearest-neighbor graph: every vector's top-k cosine
-    neighbors (the substrate for SemDeDup-style clustering, label
-    propagation, and graph-based retrieval). Same broadcast-corpus +
-    per-batch matmul shape as embedding_neardup_exact -- zero shuffle,
-    O(n^2) compute; this is the small/medium exact path (corpus matrix
-    must fit the object store), at web scale build the graph from the
-    trained-IVF probe lists instead.
+              emb_col: str = "embedding", broadcast_rows: int = 200_000,
+              n_clusters: int = 16, n_probe: int = 4, iters: int = 2):
+    """k-nearest-neighbor graph: every vector's top-k cosine neighbors
+    (the substrate for SemDeDup-style clustering, label propagation,
+    and graph-based retrieval). SIZE-GATED hybrid:
 
-    Returns (vec_id, neighbor_id, rank) with rank 1..k, ties broken by
-    neighbor_id ascending.
+    - ``n <= broadcast_rows``: EXACT -- the normalized corpus matrix is
+      ``ray.put`` once and every batch does one matmul against it (zero
+      shuffle, O(n^2) compute; the only whole-corpus materialization,
+      bounded by the gate).
+    - above the gate: trained-IVF probe lists (``lloyd_codebook``) --
+      each vector is a MEMBER of its nearest cell and a PROBE of its
+      ``n_probe`` nearest cells; candidates are ranked inside each
+      cell's cogroup (one keyed shuffle of n x n_probe slim rows, the
+      embedding packed as fixed-size binary), then a per-vector keyed
+      reduce keeps the global top-k. Approximate with the usual IVF
+      recall/probe trade-off; with ``n_probe == n_clusters`` probe
+      coverage is total and the result is EXACT (the path-equivalence
+      test's configuration). Partitioning assumption: cells are
+      balanced by the Lloyd fit; a pathologically skewed corpus (one
+      cell holding most rows) degrades the per-cell matmul toward
+      O(n^2) -- raise n_clusters (~sqrt(n)) as the corpus grows.
+
+    Returns (vec_id, neighbor_id, rank) with rank 1..k by (cosine desc,
+    neighbor_id asc) -- identical tie-break on both paths (float64 dot
+    of normalized vectors is grouping-invariant).
     """
     import ray
 
-    ids_list, mats = [], []
-    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        ids_list.append(np.asarray(b.column(id_col).to_pylist(), dtype=np.int64))
-        mats.append(_normalize(_batch_matrix(b, emb_col)))
-    corpus_ids = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
-    corpus = np.vstack(mats) if mats else np.empty((0, 0))
-    ref = ray.put((corpus_ids, corpus))
+    n = emb_ds.count()
+    if n <= broadcast_rows:
+        ids_list, mats = [], []
+        for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        ):
+            ids_list.append(np.asarray(b.column(id_col).to_pylist(),
+                                       dtype=np.int64))
+            mats.append(_normalize(_batch_matrix(b, emb_col)))
+        corpus_ids = (np.concatenate(ids_list) if ids_list
+                      else np.empty(0, np.int64))
+        corpus = np.vstack(mats) if mats else np.empty((0, 0))
+        ref = ray.put((corpus_ids, corpus))
 
-    def _topk(batch: pa.Table) -> pa.Table:
-        cids, cmat = ray.get(ref)
+        def _topk(batch: pa.Table) -> pa.Table:
+            cids, cmat = ray.get(ref)
+            rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            m = _normalize(_batch_matrix(batch, emb_col))
+            sims = m @ cmat.T
+            out_v, out_n, out_r = [], [], []
+            kk = min(k, max(0, len(cids) - 1))
+            for row, rid in enumerate(rids):
+                col = sims[row]
+                order = np.lexsort((cids, -col))
+                order = order[cids[order] != rid][:kk]
+                out_v.extend([rid] * len(order))
+                out_n.extend(cids[order].tolist())
+                out_r.extend(range(1, len(order) + 1))
+            return pa.Table.from_arrays(
+                [pa.array(out_v, type=pa.int64()),
+                 pa.array(out_n, type=pa.int64()),
+                 pa.array(out_r, type=pa.int64())],
+                names=["vec_id", "neighbor_id", "rank"],
+            )
+
+        return emb_ds.map_batches(_topk, batch_format="pyarrow")
+
+    # ---- scale path: IVF-bucketed candidates, no corpus on the driver
+    centroids = lloyd_codebook(emb_ds, n_clusters, iters, id_col, emb_col)
+    cent_ref = ray.put(centroids)
+    probe = min(n_probe, n_clusters)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _batch_matrix(batch, emb_col)
         rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        m = _normalize(_batch_matrix(batch, emb_col))
-        sims = m @ cmat.T
-        out_v, out_n, out_r = [], [], []
-        kk = min(k, max(0, len(cids) - 1))
-        for row, rid in enumerate(rids):
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        order = np.argsort(dist, axis=1, kind="stable")[:, :probe]
+        nrows = len(rids)
+        packed = _normalize(mat).astype(np.float64)
+        blobs = [packed[i].tobytes() for i in range(nrows)]
+        out_cl, out_id, out_bin, out_mem = [], [], [], []
+        for j in range(probe):
+            out_cl.extend(order[:, j].tolist())
+            out_id.extend(rids.tolist())
+            out_bin.extend(blobs)
+            out_mem.extend([j == 0] * nrows)
+        return pa.Table.from_arrays(
+            [pa.array(out_cl, type=pa.int32()),
+             pa.array(out_id, type=pa.int64()),
+             pa.array(out_bin, type=pa.binary()),
+             pa.array(out_mem, type=pa.bool_())],
+            names=["cluster", id_col, "embin", "is_member"],
+        )
+
+    expanded = emb_ds.map_batches(_expand, batch_format="pyarrow")
+
+    def _cell_topk(group: pa.Table) -> pa.Table:
+        mem_mask = np.asarray(group.column("is_member").to_pylist())
+        ids_all = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        blobs = group.column("embin").to_pylist()
+        mat_all = np.vstack([np.frombuffer(b, dtype=np.float64)
+                             for b in blobs])
+        m_ids, m_mat = ids_all[mem_mask], mat_all[mem_mask]
+        if len(m_ids) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["vec_id", "neighbor_id", "cosine"],
+            )
+        sims = mat_all @ m_mat.T  # (probes, members), both normalized
+        out_v, out_n, out_s = [], [], []
+        kk = min(k, len(m_ids))
+        for row in range(len(ids_all)):
             col = sims[row]
-            order = np.lexsort((cids, -col))
-            order = order[cids[order] != rid][:kk]
-            out_v.extend([rid] * len(order))
-            out_n.extend(cids[order].tolist())
-            out_r.extend(range(1, len(order) + 1))
+            order = np.lexsort((m_ids, -col))
+            order = order[m_ids[order] != ids_all[row]][:kk]
+            out_v.extend([int(ids_all[row])] * len(order))
+            out_n.extend(m_ids[order].tolist())
+            out_s.extend(col[order].tolist())
         return pa.Table.from_arrays(
             [pa.array(out_v, type=pa.int64()), pa.array(out_n, type=pa.int64()),
-             pa.array(out_r, type=pa.int64())],
+             pa.array(out_s, type=pa.float64())],
+            names=["vec_id", "neighbor_id", "cosine"],
+        )
+
+    cand = expanded.groupby("cluster").map_groups(
+        _cell_topk, batch_format="pyarrow")
+    # a vector probing several cells may surface the same neighbor in
+    # each (the neighbor is also multi-probed): dedupe inside the final
+    # per-vector reduce before ranking
+
+    def _final(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id")[0].as_py()
+        nids = np.asarray(group.column("neighbor_id").to_pylist(),
+                          dtype=np.int64)
+        sims = np.asarray(group.column("cosine").to_pylist(),
+                          dtype=np.float64)
+        nids, uniq_idx = np.unique(nids, return_index=True)
+        sims = sims[uniq_idx]
+        order = np.lexsort((nids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [pa.array([vid] * len(order), type=pa.int64()),
+             pa.array(nids[order].tolist(), type=pa.int64()),
+             pa.array(list(range(1, len(order) + 1)), type=pa.int64())],
             names=["vec_id", "neighbor_id", "rank"],
         )
 
-    return emb_ds.map_batches(_topk, batch_format="pyarrow")
+    return cand.groupby("vec_id").map_groups(_final, batch_format="pyarrow")
 
 
 def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
@@ -675,28 +779,20 @@ def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
 
     return emb_ds.map_batches(_pairs, batch_format="pyarrow")
 
-def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
-                     n_clusters: int = 6, n_probe: int = 2, iters: int = 2,
-                     id_col: str = "vec_id", emb_col: str = "embedding"):
-    """IVF ANN with TRAINED centroids: the codebook is fitted with
-    ``iters`` distributed Lloyd rounds (deterministic seeds = the
-    embeddings of vec_id 0..n_clusters-1, ties to the lowest cluster --
-    the kmeans_fit template), vectors and queries are assigned/probed by
-    squared Euclidean distance, and exact cosine ranks the probed lists'
-    members. Upgrade path over ``ivf_topk``'s fixed random codebook: the
-    lists follow the data distribution, so a given recall needs fewer
-    probes.
-
-    Per round the k x dim centroid matrix broadcasts via ``ray.put``; a
-    stateless streaming pass emits one (cluster, count, dim-sums) partial
-    per batch and the driver folds them -- the corpus is never collected.
-    """
+def lloyd_codebook(emb_ds, n_clusters: int, iters: int = 2,
+                   id_col: str = "vec_id", emb_col: str = "embedding"
+                   ) -> np.ndarray:
+    """Distributed Lloyd-fitted IVF codebook: deterministic seeds = the
+    embeddings of vec_id 0..n_clusters-1 (tiny point read), then
+    ``iters`` rounds where the k x dim centroid matrix broadcasts via
+    ``ray.put`` and a stateless streaming pass emits one (cluster,
+    count, dim-sums) partial per batch that the driver folds (k x dim
+    floats -- bounded by the codebook, never the corpus). Assignment is
+    squared Euclidean, ties to the lowest cluster (the kmeans_fit
+    template). Shared by ``ivf_trained_topk`` and ``knn_graph``'s scale
+    path."""
     import ray
 
-    def _raw_matrix(batch: pa.Table) -> np.ndarray:
-        return _batch_matrix(batch, emb_col)
-
-    # deterministic seeds: the first n_clusters vec_ids (tiny point read)
     seed_set = set(range(n_clusters))
 
     def _pick_seeds(batch: pa.Table) -> pa.Table:
@@ -715,7 +811,7 @@ def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
             import pandas as pd
 
             c = ray.get(cent_ref)
-            mat = _raw_matrix(batch)
+            mat = _batch_matrix(batch, emb_col)
             diff = mat[:, None, :] - c[None, :, :]
             dist = np.einsum("nkd,nkd->nk", diff, diff)
             near = np.argmin(dist, axis=1)
@@ -736,6 +832,24 @@ def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
 
     for _ in range(iters):
         centroids = _round(centroids)
+    return centroids
+
+
+def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
+                     n_clusters: int = 6, n_probe: int = 2, iters: int = 2,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF ANN with TRAINED centroids (``lloyd_codebook``): vectors and
+    queries are assigned/probed by squared Euclidean distance, and exact
+    cosine ranks the probed lists' members. Upgrade path over
+    ``ivf_topk``'s fixed random codebook: the lists follow the data
+    distribution, so a given recall needs fewer probes.
+    """
+    import ray
+
+    def _raw_matrix(batch: pa.Table) -> np.ndarray:
+        return _batch_matrix(batch, emb_col)
+
+    centroids = lloyd_codebook(emb_ds, n_clusters, iters, id_col, emb_col)
 
     # probe: each query's n_probe nearest centroids by (sq dist, cluster)
     qset = set(int(q) for q in query_ids)
