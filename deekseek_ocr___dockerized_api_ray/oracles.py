@@ -439,32 +439,19 @@ FROM top JOIN dfreq USING (term)
 ORDER BY doc_id"""
 
 
-def semdedup_sql(threshold: float = 0.4) -> str:
-    """SemDeDup dominated-by-earlier pruning inside trained-centroid
-    clusters; reuses the kmeans_assign CTEs and the ROUND(cos,6)
-    boundary convention of emb_neardup_exact."""
+def semdedup_sql(threshold: float = 0.4, n_clusters: int = 12) -> str:
+    """SemDeDup dominated-by-earlier pruning inside TRAINED-codebook
+    clusters (``lloyd_assign_ctes`` -- the same 2-iter Lloyd fit as the
+    engine's lloyd_codebook, k decoupled from the label count); the
+    ROUND(cos,6) boundary convention of emb_neardup_exact."""
     return f"""
-WITH c AS MATERIALIZED (
-  SELECT label, i, AVG(embedding[i]) AS cv
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-  GROUP BY label, i
-),
-d AS (
-  SELECT e.vec_id, c.label,
-         SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
-  FROM embeddings e, c
-  GROUP BY e.vec_id, c.label
-),
-assigned AS MATERIALIZED (
-  SELECT vec_id, label AS assigned_label FROM d
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) = 1
-)
-SELECT a.vec_id FROM assigned a
+WITH {lloyd_assign_ctes(n_clusters)}
+SELECT a.vec_id FROM assign a
 WHERE NOT EXISTS (
-  SELECT 1 FROM assigned b
+  SELECT 1 FROM assign b
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
-  WHERE b.assigned_label = a.assigned_label AND b.vec_id < a.vec_id
+  WHERE b.cl = a.cl AND b.vec_id < a.vec_id
     AND ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
                                      eb.embedding::DOUBLE[]), 6) > {threshold})
 ORDER BY a.vec_id"""
@@ -593,17 +580,14 @@ WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
                              eb.embedding::DOUBLE[]) >= {threshold}
 ORDER BY id_a, id_b"""
 
-def ann_ivf_trained_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10,
-                        n_clusters: int = 6, n_probe: int = 2) -> str:
-    """Trained-IVF top-k (stages/similarity.ivf_trained_topk): the
-    2-iteration Lloyd training is UNROLLED in SQL (the kmeans_fit CTE
-    chain -- seeds = vec_id < n_clusters, argmin by (dist, cl), empty
-    clusters COALESCE to the previous round), then list assignment,
-    the per-query n_probe probe set and the exact cosine top-k are all
-    computed from the trained centroids."""
-    qs = ",".join(str(int(q)) for q in query_ids)
-    return f"""
-WITH c0 AS MATERIALIZED (
+def lloyd_assign_ctes(n_clusters: int) -> str:
+    """CTE chain re-deriving stages/similarity.lloyd_codebook in SQL:
+    2-iteration Lloyd training UNROLLED (seeds = vec_id < n_clusters,
+    argmin by (dist, cl), empty clusters COALESCE to the previous
+    round), ending in ``d3(vec_id, cl, dist)`` (distances to the final
+    centroids) and ``assign(vec_id, cl)`` (final assignment). Shared by
+    the trained-IVF and semdedup oracles."""
+    return f"""c0 AS MATERIALIZED (
   SELECT vec_id AS cl, i, CAST(embedding[i] AS DOUBLE) AS cv
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
   WHERE vec_id < {n_clusters}),
@@ -640,7 +624,20 @@ d3 AS MATERIALIZED (
   FROM embeddings e, c2 c GROUP BY 1, 2),
 assign AS (
   SELECT vec_id, cl FROM d3
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1)"""
+
+
+def ann_ivf_trained_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                        n_clusters: int = 6, n_probe: int = 2) -> str:
+    """Trained-IVF top-k (stages/similarity.ivf_trained_topk): the
+    2-iteration Lloyd training is UNROLLED in SQL (the kmeans_fit CTE
+    chain -- seeds = vec_id < n_clusters, argmin by (dist, cl), empty
+    clusters COALESCE to the previous round), then list assignment,
+    the per-query n_probe probe set and the exact cosine top-k are all
+    computed from the trained centroids."""
+    qs = ",".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH {lloyd_assign_ctes(n_clusters)},
 probed AS (
   SELECT DISTINCT cl FROM (
     SELECT vec_id, cl FROM d3 WHERE vec_id IN ({qs})

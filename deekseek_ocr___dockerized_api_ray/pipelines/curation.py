@@ -156,38 +156,43 @@ def doc_tfidf_top_terms(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
 
 
-def semdedup(sf_dir: str, threshold: float = 0.4):
+def semdedup(sf_dir: str, threshold: float = 0.4, n_clusters: int = 12,
+             iters: int = 2):
     """SemDeDup-style semantic pruning: assign every embedding to its
-    trained (per-label mean) centroid, then inside each cluster drop any
-    vector that has an earlier (lower vec_id) cluster-mate with cosine
-    similarity above the threshold. The dominated-by-earlier rule (not
-    greedy chaining) keeps the op order-free and SQL-expressible.
+    nearest TRAINED centroid (``lloyd_codebook`` -- ``n_clusters`` is a
+    free parameter, decoupled from the label cardinality), then inside
+    each cluster drop any vector that has an earlier (lower vec_id)
+    cluster-mate with cosine similarity above the threshold. The
+    dominated-by-earlier rule (not greedy chaining) keeps the op
+    order-free and SQL-expressible.
 
     Cosine is f64 on normalized vectors and the comparison happens on
     ROUND(cos, 6) -- the same boundary convention as emb_neardup_exact,
     so the oracle agrees at the threshold.
 
-    Scale note: per-cluster work is O(|cluster|^2) -- SemDeDup's contract
-    is that the codebook size k scales with the corpus so clusters stay
-    bounded (here k = |labels|; at 100 TB you'd train k ~ sqrt(N)
-    centroids and this groupby shape is unchanged).
+    Scale note: per-cluster work is O((N/k)^2) with balanced Lloyd
+    clusters -- SemDeDup's contract is that the codebook size k scales
+    with the corpus (k ~ sqrt(N) keeps total pairwise work ~ N^1.5);
+    raise ``n_clusters`` as the corpus grows, the groupby shape is
+    unchanged.
 
     Output: (vec_id,) survivors, sorted.
     """
     import ray
     import ray.data as rd
 
-    from .scale_ops import trained_centroids
+    from ..stages.similarity import lloyd_codebook
 
-    cent_ref = ray.put(trained_centroids(sf_dir))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    cents = lloyd_codebook(ds, n_clusters, iters)
+    cent_ref = ray.put(cents)
 
     # assignment inline (no join: Arrow hash joins reject list<float>
     # payloads and the vector must reach the per-cluster stage anyway);
     # the embedding rides the ONE keyed shuffle packed as f64 bytes.
     def assign(batch: pa.Table) -> pa.Table:
-        labs, cents = ray.get(cent_ref)
+        cents = ray.get(cent_ref)
         emb = batch.column("embedding")
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
@@ -196,7 +201,8 @@ def semdedup(sf_dir: str, threshold: float = 0.4):
                .astype(np.float64).reshape(-1, dim))
         diff = mat[:, None, :] - cents[None, :, :]
         dist = np.einsum("nkd,nkd->nk", diff, diff)
-        nearest = labs[np.argmin(dist, axis=1)]
+        # argmin = ties to the lowest cluster, the lloyd_codebook rule
+        nearest = np.argmin(dist, axis=1).astype(np.int64)
         packed = [row.tobytes() for row in mat]
         return pa.Table.from_arrays(
             [batch.column("vec_id"), pa.array(nearest),

@@ -57,14 +57,23 @@ def test_tfidf_top_term_matches_pandas(ray_session):
 
 @needs_data
 def test_semdedup_dropped_have_earlier_close_clustermate(ray_session):
+    import ray.data as rd
+
     from deekseek_ocr___dockerized_api_ray.pipelines.curation import semdedup
-    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import kmeans_assign
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import lloyd_codebook
 
     thr = 0.4
     survivors = set(semdedup(SF, threshold=thr).to_pandas()["vec_id"])
-    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
-    assigned = kmeans_assign(SF).to_pandas()
-    emb = emb.merge(assigned, on="vec_id").sort_values("vec_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    # recompute the SAME trained codebook assignment semdedup uses
+    # (k=12 Lloyd, squared Euclidean, ties to the lowest cluster)
+    cents = lloyd_codebook(
+        rd.read_parquet(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), 12, 2)
+    raw = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in emb["embedding"]])
+    d = ((raw[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    emb = emb.assign(assigned_label=np.argmin(d, axis=1))
     dropped = [v for v in emb["vec_id"] if v not in survivors]
     assert dropped, "threshold 0.4 should prune planted near-dups"
 
