@@ -1,0 +1,172 @@
+"""Real-media end-to-end integration (VERDICT r2 #6): the one test that
+exercises the PHYSICAL media path -- a real PNG decoded by real PIL,
+tiled, cropped to real JPEGs, zipped, and overlaid as a layout PDF.
+
+Skips cleanly when PIL (or fitz, for the rasterize test) is absent --
+which is the case in this sandbox; activates unchanged in any
+environment with ``requirements-real.txt`` installed. Everything below
+the import boundary (geometry, tiling math, tag rewrite, writers) is
+already pinned by the fake-PIL / FAKEPNG suites; this file proves the
+seams line up with the real libraries.
+"""
+
+import io
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL", reason="real-media path requires Pillow")
+from PIL import Image  # noqa: E402
+
+
+def _real_png_bytes(w: int = 850, h: int = 1100) -> bytes:
+    """A deterministic gradient PNG (no RNG -- byte-stable everywhere)."""
+    x = np.linspace(0, 255, w, dtype=np.float64)
+    y = np.linspace(0, 255, h, dtype=np.float64)
+    arr = np.stack(
+        [np.tile(x, (h, 1)), np.tile(y[:, None], (1, w)),
+         np.full((h, w), 128.0)], axis=2,
+    ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_media_decode_real_png(ray_session):
+    from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
+        MediaDecodeStage,
+    )
+    import pyarrow as pa
+
+    payload = _real_png_bytes(320, 200)
+    stage = MediaDecodeStage()
+    out = stage(pa.Table.from_pydict({
+        "media_ref": ["m0"], "payload": [payload]}))
+    assert out.column("dec_width")[0].as_py() == 320
+    assert out.column("dec_height")[0].as_py() == 200
+    # mean of the gradient, independently computed
+    arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert abs(out.column("mean_byte")[0].as_py() - float(arr.mean())) < 1e-6
+
+
+def test_real_crop_zip_layout_end_to_end(ray_session, tmp_path):
+    """Real PNG page -> PIL crop JPEGs -> per-doc ZIP -> layout PDF."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.crops import (
+        extract_crops, write_crops,
+    )
+    from deekseek_ocr___dockerized_api_ray.state.artifacts import (
+        write_crops_zip,
+    )
+
+    page_w, page_h = 850, 1100
+    png = _real_png_bytes(page_w, page_h)
+    text = (
+        "intro<|ref|>image<|/ref|><|det|>[[100, 100, 400, 300]]<|/det|>"
+        "body<|ref|>image<|/ref|><|det|>[[500, 500, 900, 900]]<|/det|>end"
+    )
+    extracted = rd.from_arrow(pa.Table.from_pylist([{
+        "doc_id": "realdoc",
+        "spans": [{"offset": 0, "text": text, "media_ref": "m0"}],
+    }]))
+
+    crops = extract_crops(
+        extracted,
+        dims_fn=lambda ref: (page_w, page_h),
+        payload_fn=lambda ref: png,
+    ).materialize()
+    rows = crops.take_all()
+    assert len(rows) == 2
+    for r in rows:
+        # the payload is a REAL JPEG of exactly the cropped box
+        img = Image.open(io.BytesIO(r["payload"]))
+        assert img.format == "JPEG"
+        assert img.size == (r["x2"] - r["x1"], r["y2"] - r["y1"])
+        assert img.size == (r["crop_w"], r["crop_h"])
+        # pixel content matches the source gradient at the box corner
+        src = Image.open(io.BytesIO(png)).convert("RGB").crop(
+            (r["x1"], r["y1"], r["x2"], r["y2"]))
+        a = np.asarray(img.convert("RGB"), dtype=np.float64)
+        b = np.asarray(src, dtype=np.float64)
+        assert a.shape == b.shape
+        assert np.abs(a - b).mean() < 4.0  # JPEG quantization tolerance
+
+    n = write_crops(crops, str(tmp_path))
+    assert n == 2
+    for r in rows:
+        p = tmp_path / "images" / r["filename"]
+        assert Image.open(p).format == "JPEG"
+
+    lineage = write_crops_zip(crops, str(tmp_path / "zips")).to_pandas()
+    assert len(lineage) == 1
+    with zipfile.ZipFile(lineage.iloc[0]["zip_path"]) as zf:
+        names = sorted(zf.namelist())
+        assert names == sorted(r["filename"] for r in rows)
+        for nm in names:
+            assert Image.open(io.BytesIO(zf.read(nm))).format == "JPEG"
+
+
+def test_real_preprocess_pixel_tensor(ray_session):
+    """ImageOps.pad geometry + normalize on REAL pixels: the pure-math
+    plan (functions/preprocess) must agree with PIL's own ImageOps.pad
+    output shape and the CHW tensor statistics."""
+    from PIL import ImageOps
+
+    from deekseek_ocr___dockerized_api_ray.functions.preprocess import (
+        pad_geometry,
+    )
+
+    img = Image.open(io.BytesIO(_real_png_bytes(640, 480))).convert("RGB")
+    target = 1024
+    padded = ImageOps.pad(img, (target, target), color=(127, 127, 127))
+    geo = pad_geometry(640, 480, target)
+    assert padded.size == (target, target)
+    # the content box the pure math predicts matches where PIL pasted
+    arr = np.asarray(padded)
+    inside = arr[geo.paste_y : geo.paste_y + geo.resized_h,
+                 geo.paste_x : geo.paste_x + geo.resized_w]
+    # gradient content, not fill: its std is far above the flat border
+    border = (arr[: geo.paste_y] if geo.paste_y
+              else arr[:, : geo.paste_x])
+    assert inside.std() > 10.0
+    if border.size:
+        assert float(border.std()) < 1.0
+    # the deterministic remainder reproduces PIL's canvas exactly
+    from deekseek_ocr___dockerized_api_ray.functions.preprocess import (
+        pad_global_view,
+    )
+
+    resized = np.asarray(
+        img.resize((geo.resized_w, geo.resized_h), Image.BICUBIC))
+    canvas = pad_global_view(resized, target)
+    # identical everywhere PIL pasted content (border fill may differ by
+    # PIL version in the anti-aliased seam row; compare the paste box)
+    assert np.array_equal(
+        canvas[geo.paste_y : geo.paste_y + geo.resized_h,
+               geo.paste_x : geo.paste_x + geo.resized_w], resized)
+
+
+def test_pdf_rasterize_real_fitz(ray_session, tmp_path):
+    fitz = pytest.importorskip(
+        "fitz", reason="rasterize path requires PyMuPDF")
+    import pyarrow as pa
+
+    from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
+        PdfRasterizeStage,
+    )
+
+    doc = fitz.open()
+    page = doc.new_page(width=612, height=792)
+    page.insert_text((72, 72), "hello real media")
+    payload = doc.tobytes()
+    out = PdfRasterizeStage(dpi=144)(pa.Table.from_pydict({
+        "media_ref": ["p0"], "payload": [payload]}))
+    assert out.num_rows == 1
+    img = Image.open(io.BytesIO(out.column("png")[0].as_py()))
+    assert img.format == "PNG"
+    assert img.size[0] == out.column("width")[0].as_py()
+    assert img.size[0] > 1200  # 144 dpi doubles the 612pt page
