@@ -217,12 +217,14 @@ def order_priority_counts(sf_dir: str, broadcast_rows: int = 50_000_000):
             return pd.DataFrame({"bits": [bits.tobytes()]})
 
         parts = li.map_batches(bitmap_partial, batch_format="pandas",
+                               # bound: one n_orders-bit bitmap per block (inside the orders broadcast gate)
                                batch_size=131072).take_all()
         merged = np.zeros(nbytes, dtype=np.uint8)
         for row in parts:
             merged |= np.frombuffer(row["bits"], dtype=np.uint8)
         has_late = (np.unpackbits(merged, bitorder="little")[: len(okey_s)]
                     .astype(bool))
+        # bound: inside the n_orders <= broadcast_rows gate (pruned orders dim)
         prio = ot.column("o_orderpriority").to_pandas().to_numpy()[order]
         out = (pd.DataFrame({"o_orderpriority": prio[has_late]})
                .groupby("o_orderpriority", as_index=False).size()
@@ -418,6 +420,7 @@ def promo_revenue_q14(sf_dir: str, broadcast_rows: int = 20_000_000):
         from ..functions.lookup import VecLookup
 
         pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        # bound: inside the n_parts <= broadcast_rows gate (2-col part dim)
         promo = (pt.column("p_type").to_pandas().to_numpy() == "PROMO")
         lut_ref = ray.put(VecLookup(
             pt.column("p_partkey").to_numpy(zero_copy_only=False),
@@ -485,6 +488,7 @@ def large_orders_q18(sf_dir: str, min_qty: float = 150.0, k: int = 100):
     topk = (qty.map_batches(having, batch_format="pandas")
                .sort(["total_qty", "l_orderkey"], descending=[True, False])
                .limit(k)
+               # bound: limit(k)
                .to_pandas())  # k rows
 
     keys = topk["l_orderkey"].tolist()
@@ -492,6 +496,7 @@ def large_orders_q18(sf_dir: str, min_qty: float = 150.0, k: int = 100):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
         filters=[("o_orderkey", "in", keys)],
+    # bound: point-read of the k winning order keys
     ).to_pandas()
     out = (topk.rename(columns={"l_orderkey": "o_orderkey"})
                .merge(meta, on="o_orderkey", how="inner"))
@@ -579,6 +584,7 @@ def revenue_rollup(sf_dir: str):
     base = grouped_agg(
         li.map_batches(prep, batch_format="pandas", batch_size=131072),
         ["n_key"], {"revenue": ("rev", "sum")}, n_buckets=8,
+    # bound: nation grain
     ).to_pandas()  # ~|nation| rows: the rollup grain, not the fact table
     base["r_name"] = base["n_key"].map(lambda n: r2name[n2r[int(n)]])
     base["n_name"] = base["n_key"].map(n2name)
@@ -818,6 +824,7 @@ def events_outliers_zscore(sf_dir: str, z: float = 3.0):
                 .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")))
 
     agg = (ev.map_batches(moments, batch_format="pandas", batch_size=131072)
+             # bound: event_type grain (combiner-reduced moments)
              .to_pandas()
              .groupby("event_type", as_index=False)
              .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum")))
@@ -878,6 +885,7 @@ def small_quantity_revenue_q17(sf_dir: str, broadcast_rows: int = 20_000_000):
     if n_parts <= broadcast_rows:
         from ..functions.lookup import VecLookup
 
+        # bound: one row per partkey, inside the broadcast_rows gate
         tdf = thr.to_pandas()  # one row per partkey, gated
         lut_ref = ray.put(VecLookup(tdf["l_partkey"].to_numpy(),
                                     tdf["thresh"].to_numpy()))
@@ -969,10 +977,12 @@ def returned_item_report_q10(sf_dir: str, k: int = 20,
         topk = (per_cust.map_batches(rounded, batch_format="pandas")
                         .sort(["revenue", "o_custkey"],
                               descending=[True, False])
+                        # bound: limit(k)
                         .limit(k).to_pandas())
         names = pq.read_table(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
             filters=[("c_custkey", "in", topk["o_custkey"].tolist())],
+        # bound: point-read of the k winning customers
         ).to_pandas()
         out = (topk.rename(columns={"o_custkey": "c_custkey"})
                    .merge(names, on="c_custkey", how="inner"))
@@ -1037,6 +1047,7 @@ def discounted_brand_revenue_q19(sf_dir: str):
 
     pt = pq.read_table(f"{sf_dir}/part.parquet",
                        columns=["p_partkey", "p_brand", "p_size"])
+    # bound: 3-col part dim build side; swap to the hash-join variant (see brand_revenue_hhi) above a broadcast gate
     brand = pt.column("p_brand").to_pandas().to_numpy()
     size = pt.column("p_size").to_numpy(zero_copy_only=False)
     # class 1: Brand#1, size 1..10; class 2: Brand#2, size 11..30
@@ -1406,6 +1417,7 @@ def orders_monthly_gapfill(sf_dir: str):
         orders.map_batches(to_month, batch_format="pandas",
                            batch_size=131072),
         ["mi"], {"n_orders": ("price", "size"), "revenue": ("price", "sum")},
+        # bound: month grain (calendar)
         n_buckets=8).to_pandas()
 
     full = pd.DataFrame({"mi": np.arange(monthly["mi"].min(),
@@ -1477,6 +1489,7 @@ def revenue_cube(sf_dir: str, broadcast_rows: int = 5_000_000):
         base = grouped_agg(
             orders.map_batches(prep, batch_format="pandas", batch_size=131072),
             ["code"], {"n_orders": ("one", "sum"), "revenue": ("rev", "sum")},
+            # bound: order-priority code grain
             n_buckets=8).to_pandas()
         base["r_name"] = (base["code"] // 64).map(r2name)
         base["c_mktsegment"] = (base["code"] % 64).map(
@@ -1501,6 +1514,7 @@ def revenue_cube(sf_dir: str, broadcast_rows: int = 5_000_000):
             joined.map_batches(prep_j, batch_format="pandas"),
             ["rkey", "c_mktsegment"],
             {"n_orders": ("one", "sum"), "revenue": ("rev", "sum")},
+            # bound: region x market-segment grain
             n_buckets=8).to_pandas()
         base["r_name"] = base["rkey"].map(r2name)
 
@@ -1643,10 +1657,12 @@ def basket_part_pairs(sf_dir: str, k: int = 25, n_buckets: int = 64):
         ["p"], {"n": ("n", "sum")}, n_buckets=8)
 
     top = (pairs.sort(["n_ab", "pa", "pb"], descending=[True, False, False])
+           # bound: limit(k)
            .limit(k).to_pandas())
     need = set(top["pa"].astype(int)) | set(top["pb"].astype(int)) | {-1}
     m = marg.map_batches(
         lambda df: df[df["p"].isin(list(need))],
+        # bound: marginals of the <= 2k parts named in the top-k pairs
         batch_format="pandas").to_pandas()
     n_orders = int(m.loc[m["p"] == -1, "n"].iloc[0])
     lut = dict(zip(m["p"].astype(int), m["n"].astype(int)))
@@ -1720,6 +1736,7 @@ def customer_rfm(sf_dir: str, n_buckets: int = 16):
 
     def quintile_thresholds(metric: str) -> np.ndarray:
         cells = grouped_agg(rfm, [metric], {"cnt": (metric, "size")},
+                            # bound: distinct metric values (<= |customers|); web scale: t-digest sketch
                             n_buckets=8).to_pandas().sort_values(metric)
         vals = cells[metric].to_numpy(dtype=np.int64)
         cum = cells["cnt"].to_numpy(dtype=np.int64).cumsum()
@@ -2136,6 +2153,7 @@ def peak_minute_load(sf_dir: str, n_buckets: int = 8):
     agg = grouped_agg(ev.map_batches(part, batch_format="pandas",
                                      batch_size=131072),
                       ["minute"], {"c": ("c", "sum")},
+                      # bound: minute grain (calendar)
                       n_buckets=n_buckets).to_pandas()
     agg = agg.sort_values(["c", "minute"],
                           ascending=[False, True]).reset_index(drop=True)
@@ -2256,6 +2274,7 @@ def priority_segment_matrix(sf_dir: str, n_buckets: int = 8,
     if n_cust <= broadcast_rows:
         ct = pq.read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
+        # bound: inside the n_cust <= broadcast_rows gate
         seg = ct.column("c_mktsegment").to_pandas()
         cats = np.asarray(sorted(seg.unique()))
         lut = VecLookup(ct.column("c_custkey").to_numpy(),
@@ -2589,6 +2608,7 @@ def qty_discount_corr(sf_dir: str, n_buckets: int = 8):
                       ["g"], {"n": ("n", "sum"), "sq": ("sq", "sum"),
                               "sd": ("sd", "sum"), "sqq": ("sqq", "sum"),
                               "sdd": ("sdd", "sum"), "sqd": ("sqd", "sum")},
+                      # bound: tiny group grain
                       n_buckets=2).to_pandas()
     n = float(agg["n"].iloc[0])
     sq, sd = float(agg["sq"].iloc[0]), float(agg["sd"].iloc[0])
@@ -2628,6 +2648,7 @@ def order_value_deciles(sf_dir: str, n_buckets: int = 16):
     hist = (grouped_agg(ds.map_batches(part, batch_format="pandas"),
                         ["cents"], {"cnt": ("cnt", "sum")},
                         n_buckets=n_buckets)
+            # bound: cents-histogram grain
             .to_pandas().sort_values("cents").reset_index(drop=True))
     n = int(hist["cnt"].sum())
     cum = hist["cnt"].cumsum()
@@ -2680,6 +2701,7 @@ def brand_revenue_hhi(sf_dir: str, broadcast_rows: int = 20_000_000):
         pt = pq.read_table(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_brand"])
         lut = VecLookup(pt.column("p_partkey").to_numpy(),
+                        # bound: inside the n_parts <= broadcast_rows gate
                         pt.column("p_brand").to_pandas().to_numpy())
 
         def attach(df: pd.DataFrame) -> pd.DataFrame:
@@ -2706,6 +2728,7 @@ def brand_revenue_hhi(sf_dir: str, broadcast_rows: int = 20_000_000):
             .agg(rev=("rev", "sum")), batch_format="pandas")
 
     brands = grouped_agg(branded, ["p_brand"], {"rev": ("rev", "sum")},
+                         # bound: brand grain
                          n_buckets=8).to_pandas()
     rev = brands["rev"].to_numpy()
     total = rev.sum()
@@ -2755,10 +2778,12 @@ def revenue_pareto(sf_dir: str, top_num: int = 1, top_den: int = 5,
 
     total = int(per_cust.map_batches(cents_sum,
                                      batch_format="pandas")
+                # bound: one scalar per block
                 .to_pandas()["s"].sum())
     top = (per_cust.sort(["cents", "o_custkey"], descending=[True, False])
            .limit(k))
     top_sum = int(top.map_batches(cents_sum, batch_format="pandas")
+                  # bound: k rows summed
                   .to_pandas()["s"].sum())
     out = pd.DataFrame({
         "n_customers": np.asarray([n], dtype=np.int64),
@@ -2791,6 +2816,7 @@ def churn_features(sf_dir: str, churn_days: int = 28, n_buckets: int = 64):
         return pd.DataFrame({"mx": [int(ts.max())]})
 
     mx_us = int(ev.map_batches(max_ts_part,
+                               # bound: one scalar per block
                                batch_format="pandas").to_pandas()["mx"].max())
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -2960,10 +2986,12 @@ def orders_rolling_30d_daily(sf_dir: str, window_days: int = 30,
 
     agg = grouped_agg(ds.map_batches(deltas, batch_format="pandas"),
                       ["day"], {"delta": ("delta", "sum")},
+                      # bound: day grain (calendar)
                       n_buckets=n_buckets).to_pandas().sort_values("day")
     days = agg["day"].to_numpy(dtype=np.int64)
     # output range = [first, last ORDER day] from the dates themselves
     # (the max net-delta day can cancel to <= 0 -- don't infer it)
+    # bound: one (min,max) day pair per block
     mm = ds.map_batches(day_range, batch_format="pandas").to_pandas()
     lo = int(mm["mn"].min())
     hi = int(mm["mx"].max())
@@ -3050,6 +3078,7 @@ def customer_adoption_curve(sf_dir: str, n_buckets: int = 32):
 
     hist = grouped_agg(first.map_batches(month_part, batch_format="pandas"),
                        ["mon"], {"n_new": ("n_new", "sum")},
+                       # bound: month grain (calendar)
                        n_buckets=8).to_pandas().sort_values("mon")
     out = pd.DataFrame({
         "mon": hist["mon"].to_numpy(dtype=np.int64),

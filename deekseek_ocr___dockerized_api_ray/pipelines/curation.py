@@ -63,6 +63,7 @@ def decontaminate(sf_dir: str, k: int = 5, num: int = 9, den: int = 10):
             [pa.array(sorted(hs), type=pa.uint64())], names=["h"])
 
     bench_rows = ds.map_batches(bench_partial, batch_format="pyarrow",
+                                # bound: benchmark shingle set (a heldout benchmark is small by definition)
                                 batch_size=8192).to_pandas()
     bench_arr = np.unique(bench_rows["h"].to_numpy(dtype=np.uint64))
     bench_ref = ray.put(bench_arr)
@@ -282,6 +283,7 @@ def doc_bm25(sf_dir: str, terms: tuple = _BM25_TERMS,
 
     stats = grouped_agg(
         ds.map_batches(df_partial, batch_format="pyarrow", batch_size=8192),
+        # bound: fixed marker-term grain + 1 sentinel row
         ["term"], {"df": ("df", "sum")}, n_buckets=4).to_pandas()
     total_tokens = int(
         stats.loc[stats["term"] == "\x00total_tokens", "df"].sum())
@@ -399,6 +401,7 @@ def lang_mixing_weights(sf_dir: str, alpha_num: int = 1, alpha_den: int = 2):
 
     counts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
                          ["lang"], {"n_docs": ("n_docs", "sum")},
+                         # bound: language grain
                          n_buckets=4).to_pandas()
     counts = counts.sort_values("lang").reset_index(drop=True)
     n = counts["n_docs"].to_numpy(dtype=np.float64)
@@ -486,6 +489,7 @@ def length_percentile_gate(sf_dir: str, q_num: int = 1, q_den: int = 10):
 
     hist = grouped_agg(ds.map_batches(count_partial, batch_format="pandas"),
                        ["n_chars"], {"cnt": ("cnt", "sum")},
+                       # bound: n_chars histogram grain
                        n_buckets=8).to_pandas()
     hist = hist.sort_values("n_chars").reset_index(drop=True)
     n = int(hist["cnt"].sum())
@@ -780,6 +784,7 @@ def bpe_train(sf_dir: str, n_merges: int = 10):
                               batch_size=65536),
             ["left", "right"], {"n": ("n", "sum")}, n_buckets=16)
         top = counts.sort(["n", "left", "right"],
+                          # bound: limit(1)
                           descending=[True, False, False]).limit(1).take_all()
         if not top:
             break

@@ -82,6 +82,7 @@ def orders_bloom_semi_join(sf_dir: str, min_acctbal: float = 7000.0,
                                     names=["bits"])
 
     partials = rich.map_batches(bloom_partial, batch_format="pyarrow",
+                                # bound: one serialized Bloom per block
                                 batch_size=131072).take_all()
     merged = BloomFilter(m_bits, k_hashes)
     for row in partials:
@@ -176,6 +177,7 @@ def cms_top_ngrams(sf_dir: str, n: int = 2, k: int = 30,
         )
 
     rows = ds.map_batches(sketch_partial, batch_format="pyarrow",
+                          # bound: one fixed-size sketch per block
                           batch_size=16384).take_all()
     merged = CountMinSketch(d, w)
     cands: set = set()
@@ -250,6 +252,7 @@ def emb_quantize(sf_dir: str):
         )
 
     mm = (ds.map_batches(mm_partial, batch_format="pyarrow",
+                         # bound: one (min,max) row per block
                          batch_size=65536).to_pandas()
           .groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max")))
     mn = mm["mn"].to_numpy()
@@ -322,6 +325,7 @@ def label_silhouette(sf_dir: str):
         )
 
     parts = ds.map_batches(cpartial, batch_format="pyarrow",
+                           # bound: label-grain (k x dim) centroid partials per block
                            batch_size=65536).to_pandas()
     labs, cents = [], []
     for label, g in parts.groupby("label", sort=True):
@@ -554,6 +558,7 @@ def trained_centroids(sf_dir: str):
 
     # centroid table is k x dim -- collecting it is the broadcast step
     parts = ds.map_batches(partial, batch_format="pyarrow",
+                           # bound: one (k x dim) centroid partial per block
                            batch_size=65536).take_all()
     acc: dict = {}
     for row in parts:
@@ -652,6 +657,7 @@ def kmeans_fit(sf_dir: str, k: int = 6, iters: int = 2):
     seed_df = (pq.read_table(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"],
                              filters=[("vec_id", "<", k)])
+               # bound: k seed rows (pushed-down point filter)
                .to_pandas().sort_values("vec_id"))
     centroids = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in seed_df["embedding"]])
@@ -674,6 +680,7 @@ def kmeans_fit(sf_dir: str, k: int = 6, iters: int = 2):
             return out
 
         parts = (ds.map_batches(partial, batch_format="pyarrow",
+                                # bound: one (k x dim) partial per block
                                 batch_size=8192).to_pandas())
         new = cents.copy()
         for cl, grp in parts.groupby("cluster"):
@@ -743,6 +750,7 @@ def events_exact_median(sf_dir: str, qs: tuple = (0.5, 0.99),
         return pd.DataFrame({"b": nz.astype(np.int64), "cnt": cnt[nz]})
 
     hist = (ev.map_batches(hist_partial, batch_format="pandas",
+                           # bound: histogram-bucket grain per block
                            batch_size=262144).to_pandas()
             .groupby("b")["cnt"].sum())
     counts = np.zeros(n_hist, dtype=np.int64)
@@ -764,6 +772,7 @@ def events_exact_median(sf_dir: str, qs: tuple = (0.5, 0.99),
         return pd.DataFrame({"b": b[keep], "value": v[keep]})
 
     got = (ev.map_batches(collect, batch_format="pandas",
+                          # bound: rows in the few rank-straddling buckets (narrow by construction; re-bucket on skew)
                           batch_size=262144).to_pandas())
 
     rank_val = {}

@@ -376,11 +376,13 @@ def term_cooccurrence(sf_dir: str, k: int = 50):
 
     top = (pairs.sort(["n_ab", "term_a", "term_b"],
                       descending=[True, False, False])
+           # bound: limit(k)
            .limit(k).to_pandas())
     # only the <=2k marginal rows the survivors touch reach the driver
     needed = set(top["term_a"]) | set(top["term_b"])
     mrows = marg.map_batches(
         lambda df: df[df["term"].isin(needed)], batch_format="pandas"
+    # bound: marginals of the <= 2k terms in the top-k pairs
     ).to_pandas()
     mdf = dict(zip(mrows["term"], mrows["n"]))
     na = top["term_a"].map(mdf).to_numpy(dtype=np.float64)
@@ -430,6 +432,7 @@ def weighted_sample_topk(sf_dir: str, k: int = 100):
 
     tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=8192)
     final = (tops.sort(["skey", "doc_id"], descending=[True, False])
+             # bound: limit(k)
              .limit(k).to_pandas())
     final["skey"] = round_series(final["skey"], 6)
     return final
@@ -567,6 +570,7 @@ def edit_distance_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 5):
         keep = [int(v) in qset for v in batch.column("doc_id").to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
+    # bound: |query_ids| rows (point filter)
     qrows = ds.map_batches(pick, batch_format="pyarrow").take_all()
     qrows.sort(key=lambda r: int(r["doc_id"]))
     q_ref = ray.put([(int(r["doc_id"]), r["text"], r["lang"]) for r in qrows])
@@ -593,6 +597,7 @@ def edit_distance_topk(sf_dir: str, query_ids=(0, 1, 2), k: int = 5):
     # row-wise DP work: small batches so the task pool actually fans out
     tops = ds.map_batches(local_top, batch_format="pyarrow", batch_size=512)
     final = (tops.sort(["query_id", "dist", "doc_id"])
+             # bound: |blocks| x k x |queries| local-top candidates
              .to_pandas().groupby("query_id", as_index=False).head(k))
     final = final.reset_index(drop=True)
     final["rank"] = final.groupby("query_id", sort=False).cumcount() + 1

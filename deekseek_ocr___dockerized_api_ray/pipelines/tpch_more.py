@@ -30,6 +30,7 @@ def _tiny_report(ds, dtypes: dict[str, str], sort_cols: list[str],
     a pandas report with a STABLE schema even when empty -- an empty Ray
     Dataset loses its column names, which would break the driver's
     schema compare on legitimately-empty small-sf results."""
+    # bound: callers pass report-grain datasets only (schema-stabilizing helper)
     df = ds.to_pandas()
     if df.empty:
         df = pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
@@ -235,6 +236,7 @@ def market_share_q8(sf_dir: str, target_nation: int = 3, region: int = 1,
     }
     pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
     part_keys = pt.column("p_partkey").to_numpy(zero_copy_only=False)[
+        # bound: 2-col part dim filter build; gate to the hash-join variant at web scale
         pt.column("p_type").to_pandas().to_numpy() == part_type]
     part_keys.sort()
     part_ref = ray.put(part_keys)
@@ -320,6 +322,7 @@ def product_profit_q9(sf_dir: str, name_substr: str = "widget",
 
     n2name = _nation_names(sf_dir)
     pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    # bound: 2-col part dim (p_name prefix scan); gate to hash join at web scale
     names = pt.column("p_name").to_pandas()
     part_keys = pt.column("p_partkey").to_numpy(zero_copy_only=False)[
         names.str.contains(name_substr, regex=False).to_numpy()]
@@ -430,6 +433,7 @@ def customer_distribution_q13(sf_dir: str):
 
     hist = grouped_agg(per_cust, ["c_count"],
                        {"custdist": ("c_count", "size")}, n_buckets=4)
+    # bound: <= max-orders-per-customer rows
     hist_df = hist.to_pandas()  # <= max-orders-per-customer rows: tiny
 
     n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
@@ -487,11 +491,13 @@ def top_supplier_q15(sf_dir: str):
         batch_format="pandas")
     rounded = rounded.materialize()  # consumed twice: max + filter
     best = rounded.max("total_revenue")
+    # bound: suppliers tied at the max revenue
     winners = rounded.filter(expr=f"total_revenue == {best!r}").to_pandas()
 
     st = pq.read_table(f"{sf_dir}/supplier.parquet",
                        columns=["s_suppkey", "s_name"],
                        filters=pc.field("s_suppkey").isin(winners["l_suppkey"].tolist()))
+    # bound: point-read of the winning suppliers
     out = st.to_pandas().merge(winners.rename(columns={"l_suppkey": "s_suppkey"}),
                                on="s_suppkey")
     return (out[["s_suppkey", "s_name", "total_revenue"]]
@@ -540,6 +546,7 @@ def lapsed_rich_customers_q22(sf_dir: str, nations: tuple[int, ...] = (1, 3, 5, 
     bal = grouped_agg(cust.map_batches(bal_partial, batch_format="pandas",
                                        batch_size=131072),
                       ["k"], {"cents": ("cents", "sum"), "n": ("n", "sum")},
+                      # bound: single-cell aggregate
                       n_buckets=1).to_pandas()
     total_cents, n_pos = int(bal["cents"].iloc[0]), int(bal["n"].iloc[0])
 
@@ -658,6 +665,7 @@ def sole_return_supplier_q21(sf_dir: str, n_buckets: int = 64,
         return pd.DataFrame({"suppkey": df["l_suppkey"].astype("int64"),
                              "numwait": df["numwait"].astype("int64")})
 
+    # bound: one row per waiting supplier (supplier grain)
     out = counts.map_batches(finish, batch_format="pandas").to_pandas()
     out = (out.sort_values(["numwait", "suppkey"], ascending=[False, True])
            .head(limit).reset_index(drop=True))

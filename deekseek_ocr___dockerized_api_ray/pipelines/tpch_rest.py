@@ -111,9 +111,11 @@ def min_cost_supplier_q2(sf_dir: str, region: int = 1, max_size: int = 15,
         pt = pq.read_table(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_name", "p_type", "p_size"])
         ok = ((np.asarray(pt.column("p_size")) <= max_size)
+              # bound: inside the n_part <= broadcast_rows gate
               & (pt.column("p_type").to_pandas().to_numpy() == part_type))
         part_keys, (part_names,) = _sorted_key_lut(
             pt.column("p_partkey").to_numpy(zero_copy_only=False)[ok],
+            # bound: inside the n_part <= broadcast_rows gate
             pt.column("p_name").to_pandas().to_numpy()[ok])
         part_keys_ref = ray.put(part_keys)
     else:
@@ -245,6 +247,7 @@ def important_parts_q11(sf_dir: str, nation: int = 3, mult_num: int = 2,
         return pd.DataFrame({"t": [df["value_e4"].to_numpy().sum()],
                              "k": [len(df)]})
 
+    # bound: one (total, count) row per block
     tk = agg.map_batches(partial_total, batch_format="pandas").to_pandas()
     total_e4 = int(tk["t"].sum())
     n_parts = int(tk["k"].sum())
@@ -295,6 +298,7 @@ def priority_shipping_q12(sf_dir: str, year: int = 1996,
     if n_orders <= broadcast_rows:
         ot = pq.read_table(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_orderpriority"])
+        # bound: inside the n_orders <= broadcast_rows gate
         is_high = (ot.column("o_orderpriority").to_pandas()
                    .isin(["1-URGENT", "2-HIGH"]).to_numpy().astype(np.int64))
         o2high_ref = ray.put(_order_lut(sf_dir, "", values=is_high))
@@ -396,10 +400,13 @@ def part_supplier_counts_q16(sf_dir: str, brand_not: str = "Brand#1",
                            columns=["p_partkey", "p_brand", "p_type", "p_size"])
         psize = np.asarray(pt.column("p_size"), dtype=np.int64)
         ok = (np.isin(psize, sizes_arr)
+              # bound: inside the n_part <= broadcast_rows gate
               & (pt.column("p_brand").to_pandas().to_numpy() != brand_not))
         part_keys, (pbrand, ptype, psz) = _sorted_key_lut(
             pt.column("p_partkey").to_numpy(zero_copy_only=False)[ok],
+            # bound: inside the n_part <= broadcast_rows gate
             pt.column("p_brand").to_pandas().to_numpy()[ok],
+            # bound: inside the n_part <= broadcast_rows gate
             pt.column("p_type").to_pandas().to_numpy()[ok], psize[ok])
         lut_ref = ray.put((part_keys, pbrand, ptype, psz))
 
@@ -489,6 +496,7 @@ def heavy_part_suppliers_q20(sf_dir: str, name_prefix: str = "red ",
 
     n2name = _nation_names(sf_dir)
     pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    # bound: 2-col part dim (p_name prefix scan); gate to hash join at web scale
     fam = pt.column("p_name").to_pandas().str.startswith(name_prefix).to_numpy()
     fam_keys = np.sort(pt.column("p_partkey").to_numpy(zero_copy_only=False)[fam])
     fam_ref = ray.put(fam_keys)
@@ -515,6 +523,7 @@ def heavy_part_suppliers_q20(sf_dir: str, name_prefix: str = "red ",
         li.map_batches(one_pass, batch_format="pandas", batch_size=131072),
         ["l_suppkey"], {"qty": ("qty", "sum")}, n_buckets=8)
 
+    # bound: one row per supplier (tiny dim)
     df = agg.to_pandas()  # <= one row per supplier (tiny dim)
     if df.empty:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _DTYPES.items()})

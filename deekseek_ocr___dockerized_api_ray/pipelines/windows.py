@@ -427,6 +427,7 @@ def streaming_sessionize(sf_dir: str, gap_s: int = _GAP_DEFAULT_S,
         return pd.DataFrame({"lo": [ts.min()], "hi": [ts.max()]})
 
     mms = ev.map_batches(mm, batch_format="pandas",
+                         # bound: one (lo, hi) row per block
                          batch_size=262144).to_pandas()
     lo, hi = int(mms["lo"].min()), int(mms["hi"].max())
     bounds = np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64)
@@ -601,6 +602,7 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
         return pd.DataFrame({"lo": [arr.min()], "hi": [arr.max()]})
 
     mms = ev.map_batches(mm, batch_format="pandas",
+                         # bound: one (lo, hi) row per block
                          batch_size=262144).to_pandas()
     lo, hi = int(mms["lo"].min()), int(mms["hi"].max())
     bounds = np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64)
@@ -628,6 +630,7 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
                            batch_format="pandas", batch_size=131072),
             ["window_start_s", "event_type"],
             {"n_events": ("one", "sum"), "sum_value": ("value", "sum")},
+            # bound: (window, event_type) grain
             n_buckets=min(n_buckets, 16)).to_pandas()
         merged = (pd.concat([state, agg], ignore_index=True)
                   .groupby(["window_start_s", "event_type"], as_index=False)

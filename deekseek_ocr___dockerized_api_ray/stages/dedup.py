@@ -445,6 +445,7 @@ def survivors_from_pairs(docs_ds, verified_pairs_ds, id_col: str = "doc_id",
 
     if n_drop <= 1_000_000:  # broadcast path: ship the key set once
         return _drop_set_filter(
+            # bound: gated at 1M drop keys (broadcast path; anti-join above)
             docs_ds, set(r["node"] for r in drop_ds.iter_rows()), id_col
         )
 
@@ -736,8 +737,9 @@ def verify_pairs_tfidf_cosine(pairs_ds, docs_ds, threshold: float = 0.2,
         docs_ds.map_batches(df_part, batch_format="pyarrow"),
         ["tok"], {"df": ("df", "sum")}, n_buckets=32)
     # top-V by df: distributed sort, only V rows ever reach the driver
-    df_tbl = df_ds.sort(["df", "tok"], descending=[True, False]) \
-        .limit(max_vocab).to_pandas()
+    # bound: max_vocab rows (the top-V cap)
+    df_tbl = (df_ds.sort(["df", "tok"], descending=[True, False])
+              .limit(max_vocab).to_pandas())
     idf = {t: math.log(n_docs / d)
            for t, d in zip(df_tbl["tok"], df_tbl["df"])}
     if len(df_tbl) == max_vocab:  # vocabulary was truncated: floor the tail

@@ -48,6 +48,7 @@ def query_matrix(emb_ds, query_ids: Sequence[int], id_col: str = "vec_id",
         keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
+    # bound: |query_ids| rows (point filter)
     rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: int(r[id_col]))
     ids = [int(r[id_col]) for r in rows]
@@ -197,6 +198,7 @@ def filtered_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
         keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
+    # bound: |query_ids| rows (point filter)
     rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: int(r[id_col]))
     ids = [int(r[id_col]) for r in rows]
@@ -249,6 +251,7 @@ def mmr_topk(emb_ds, query_ids: Sequence[int], k: int = 10, pool: int = 50,
     cand = brute_force_topk(emb_ds, query_ids, k=pool, id_col=id_col,
                             emb_col=emb_col).materialize()
     pool_ids = set()
+    # bound: |queries| x pool candidate ids
     for row in cand.iter_rows():
         pool_ids.add(int(row["vec_id"]))
     pool_ids |= set(int(q) for q in query_ids)
@@ -257,6 +260,7 @@ def mmr_topk(emb_ds, query_ids: Sequence[int], k: int = 10, pool: int = 50,
         keep = [int(v) in pool_ids for v in batch.column(id_col).to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
+    # bound: |queries| x pool vectors (point filter on pool_ids)
     rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
     vecs = {int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64)
             for r in rows}
@@ -799,6 +803,7 @@ def lloyd_codebook(emb_ds, n_clusters: int, iters: int = 2,
         keep = [int(v) in seed_set for v in batch.column(id_col).to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
+    # bound: n_clusters seed rows (point filter)
     rows = emb_ds.map_batches(_pick_seeds, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: int(r[id_col]))
     centroids = np.asarray([np.asarray(r[emb_col], dtype=np.float64)
@@ -821,6 +826,7 @@ def lloyd_codebook(emb_ds, n_clusters: int, iters: int = 2,
             return pd.DataFrame(rows)
 
         parts = emb_ds.map_batches(partial, batch_format="pyarrow",
+                                   # bound: one (<=k x dim) partial per block, not the corpus
                                    batch_size=8192).to_pandas()
         new = cents.copy()
         for cl, grp in parts.groupby("cluster"):
@@ -858,6 +864,7 @@ def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
         keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
+    # bound: |query_ids| rows (point filter)
     qrows = emb_ds.map_batches(_pick_q, batch_format="pyarrow").take_all()
     qrows.sort(key=lambda r: int(r[id_col]))
     qmat = np.asarray([np.asarray(r[emb_col], dtype=np.float64)

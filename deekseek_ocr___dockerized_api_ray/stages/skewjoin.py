@@ -52,6 +52,7 @@ def skew_join(left, right, on: str, right_on: str,
         [on], {"n": ("n", "sum")}, n_buckets=16)
     hot_df = (counts.map_batches(
         lambda df: df[df["n"] >= hot_threshold], batch_format="pandas")
+        # bound: limit(max_hot) hot keys
         .sort("n", descending=True).limit(max_hot).to_pandas())
     # an empty Ray->pandas result can lose its columns entirely
     hot_keys = set(hot_df[on].tolist()) if on in hot_df.columns else set()
@@ -79,6 +80,7 @@ def skew_join(left, right, on: str, right_on: str,
     # right side rows for hot keys: few keys by construction -> tiny
     right_hot = right.map_batches(
         lambda df: df[np.isin(df[right_on].to_numpy(), hot_arr)],
+        # bound: right rows of the few hot keys (hot set is tiny by construction)
         batch_format="pandas", batch_size=131072).to_pandas()
     rh_ref = ray.put(right_hot)
 

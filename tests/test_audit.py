@@ -61,3 +61,18 @@ def test_audit_report_shape(ray_session):
     ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
     assert by["range_lineitem_quantity_gt45"] == int((li["l_quantity"] > 45).sum()) > 0
     assert by["range_events_value_gt400"] == int((ev["value"] > 400).sum())
+
+
+def test_no_unannotated_driver_materializations():
+    """Guardrail (VERDICT r2 #8): every driver-side take_all / to_pandas
+    / iter_rows in the package must state its size bound in a `bound:`
+    comment -- an unbounded materialization cannot land silently."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_materialize",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "audit_materialize.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.audit() == []

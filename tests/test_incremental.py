@@ -88,3 +88,30 @@ def test_stale_tmp_dir_does_not_poison_index(ray_session, tmp_path):
     # the committed index now dedups a re-ingest to zero
     again = ingest_dedup(rd.from_pandas(docs), str(idx_dir)).to_pandas()
     assert len(again) == 0
+
+
+@needs_data
+def test_anti_join_paths_agree(ray_session, tmp_path):
+    """broadcast_digests=0 forces the distributed hash anti-join; it
+    must produce exactly the broadcast-set path's survivors."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.incremental import ingest_dedup
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = docs[docs["doc_id"] % 2 == 0]
+    b = docs[docs["doc_id"] % 2 == 1]
+
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    ingest_dedup(rd.from_pandas(a), idx1).to_pandas()
+    ingest_dedup(rd.from_pandas(a), idx2).to_pandas()
+
+    surv_bcast = ingest_dedup(rd.from_pandas(b), idx1).to_pandas()
+    surv_join = ingest_dedup(rd.from_pandas(b), idx2,
+                             broadcast_digests=0).to_pandas()
+    cols = ["doc_id", "text"]
+    lhs = surv_bcast[cols].sort_values("doc_id").reset_index(drop=True)
+    rhs = surv_join[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
+    assert len(lhs) > 0
