@@ -603,6 +603,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_minute_load": analytics.peak_minute_load,
         "nation_acctbal_boxplot": analytics.nation_acctbal_boxplot,
         "lang_hapax_rate": text.lang_hapax_rate,
+        "per_key_sample": text.per_key_sample,
+        "weighted_sample": text.weighted_sample,
+        "inverted_index": text.inverted_index,
+        # caps set BELOW the sf0.01 grain (31 tokens -> ~200 bigrams,
+        # 31 contexts) so the top-cap + tail-floor branches are the
+        # branches the driver checks
+        "bigram_lm_score": lambda sf_dir: text.bigram_lm_score(
+            sf_dir, max_bigrams=150, max_contexts=24),
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1151,6 +1159,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "per_key_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 5 ORDER BY doc_id
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars,
+                   ROUND(-ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                                   AS DOUBLE) + 0.5)
+                             / 18446744073709551616.0)
+                         / CAST(n_chars AS DOUBLE), 6) AS skey
+            FROM documents
+            ORDER BY -ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                               AS DOUBLE) + 0.5)
+                         / 18446744073709551616.0)
+                     / CAST(n_chars AS DOUBLE), doc_id
+            LIMIT 100
+        """,
+        "inverted_index": r"""
+            WITH t AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list(CAST(doc_id AS VARCHAR)
+                                        ORDER BY doc_id), ',') AS postings
+            FROM t GROUP BY term ORDER BY term
+        """,
+        "bigram_lm_score": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            big AS MATERIALIZED (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, unnest(range(1, len(ts))) AS u(i)),
+            vocab AS (SELECT count(DISTINCT tok) AS v FROM (
+              SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents)),
+            bc AS MATERIALIZED (
+              SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+              ORDER BY count(*) DESC, w1, w2 LIMIT 150),
+            ctx AS MATERIALIZED (
+              SELECT w1, count(*) AS c FROM big GROUP BY 1
+              ORDER BY count(*) DESC, w1 LIMIT 24),
+            fl AS (SELECT min(c) AS cf FROM ctx),
+            scored AS (
+              SELECT b.doc_id,
+                     ln((COALESCE(bc.c, 0) + 1)::DOUBLE
+                        / (COALESCE(ctx.c, fl.cf) + vocab.v)) AS lp
+              FROM big b
+              LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+              LEFT JOIN ctx ON ctx.w1 = b.w1, fl, vocab)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   ROUND(avg(lp), 6) AS lm_score
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "lang_hapax_rate": r"""
             WITH t AS (

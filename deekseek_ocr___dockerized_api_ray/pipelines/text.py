@@ -900,3 +900,235 @@ def lang_hapax_rate(sf_dir: str, n_buckets: int = 32):
         return df[["lang", "vocab", "n_hapax", "hapax_rate"]]
 
     return agg.map_batches(finish, batch_format="pandas").sort("lang")
+
+
+def per_key_sample(sf_dir: str, n: int = 5, key_col: str = "source"):
+    """Deterministic per-key sample: the ``n`` docs per ``key_col`` value
+    that rank first by (md5_number_lower(doc_id), doc_id) -- a seedless,
+    shuffle-free reservoir equivalent (the hash IS the random order, and
+    it is the same order on any cluster size or batch layout).
+
+    Shape: per-batch local prune to <= n rows per key (a batch can never
+    contribute more than n survivors for a key), then ONE bucketed keyed
+    reduce takes the global head-n per key. Shuffle volume <= n x
+    |batches| x |keys-per-batch| rows, never the corpus.
+
+    Output: (doc_id, source) sorted by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import _hash64
+    from ..functions.text_stats import sha1_64
+
+    ds = _docs(sf_dir, ["doc_id", key_col])
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray([_hash64(str(int(d))) for d in df["doc_id"]],
+                       dtype=np.uint64)
+        d = df.assign(h=h).sort_values(["h", "doc_id"])
+        d = d.groupby(key_col, sort=False).head(n)
+        buckets = [sha1_64(str(v)) % 16 for v in d[key_col]]
+        return d.assign(bucket=np.asarray(buckets, dtype=np.int32))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["h", "doc_id"])
+             .groupby(key_col, sort=False).head(n))
+        return g[["doc_id", key_col]].astype({"doc_id": "int64"})
+
+    return (ds.map_batches(local_prune, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("bucket").map_groups(final, batch_format="pandas")
+            .sort("doc_id"))
+
+
+def weighted_sample(sf_dir: str, k: int = 100, weight_col: str = "n_chars"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row's key is -ln(u)/w with u derived from the
+    md5 hash of its doc_id (u = (h + 0.5) / 2^64 in double -- seedless
+    and layout-independent) and w = ``weight_col``; the k smallest keys
+    are the sample, giving inclusion probability proportional to weight.
+
+    Shape: per-batch local top-k (a batch contributes at most k), then
+    one distributed sort + limit(k) -- the corpus never moves.
+
+    Output: (doc_id, n_chars, skey r6) sorted by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import _hash64
+    from ..functions.rounding import round_series
+
+    ds = _docs(sf_dir, ["doc_id", weight_col])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray([float(_hash64(str(int(d)))) for d in df["doc_id"]],
+                       dtype=np.float64)
+        u = (h + 0.5) / 18446744073709551616.0
+        key = -np.log(u) / df[weight_col].to_numpy(dtype=np.float64)
+        return (df.assign(skey_raw=key)
+                .sort_values(["skey_raw", "doc_id"]).head(k))
+
+    got = (ds.map_batches(local_top, batch_format="pandas",
+                          batch_size=65536)
+           .sort(["skey_raw", "doc_id"]).limit(k))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            weight_col: df[weight_col].astype("int64"),
+            "skey": round_series(df["skey_raw"], 6),
+        })
+
+    return got.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+def inverted_index(sf_dir: str):
+    """Build the term -> postings inverted index: per distinct term its
+    document frequency and the comma-joined sorted doc-id posting list
+    (the retrieval substrate; postings serialize as a string so the
+    driver's value-hash compare is format-stable).
+
+    Shape: per-batch distinct (term, doc_id) pairs, ONE keyed shuffle on
+    the term, per-term vectorized assembly. Posting lists are the true
+    output size; a web-scale deployment range-partitions the output by
+    term (the groupby already is that partitioning).
+
+    Output: (term, df, postings) sorted by term.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text_stats import sha1_64
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(term=df["text"].str.split())
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"].notna() & (ex["term"] != "")].drop_duplicates()
+        b = np.asarray([sha1_64(t) % 32 for t in ex["term"]], dtype=np.int32)
+        return ex.assign(bucket=b)
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["term", "doc_id"])
+        out = (g.groupby("term", sort=True)
+               .agg(df=("doc_id", "nunique"),
+                    postings=("doc_id",
+                              lambda s: ",".join(str(int(v))
+                                                 for v in sorted(set(s)))))
+               .reset_index())
+        out["df"] = out["df"].astype("int64")
+        return out[["term", "df", "postings"]]
+
+    return (ds.map_batches(pairs, batch_format="pandas", batch_size=8192)
+            .groupby("bucket").map_groups(assemble, batch_format="pandas")
+            .sort("term"))
+
+
+def bigram_lm_score(sf_dir: str, max_bigrams: int = 1_000_000,
+                    max_contexts: int = 1_000_000):
+    """Per-document bigram language-model score: the mean Laplace
+    log-probability ln((c(w1,w2)+1) / (ctx(w1)+|V|)) over the doc's
+    bigrams -- the classic LM-perplexity quality filter for training
+    corpora.
+
+    Scale shape (mirrors the tfidf vocab cap): both count tables are
+    combiner-reduced then TOP-CAPPED before broadcast -- the top
+    ``max_bigrams`` bigrams keep exact counts (a dropped bigram counts
+    0, its Laplace numerator is 1 anyway) and the top ``max_contexts``
+    contexts keep exact counts with the tail FLOORED at the last kept
+    count (an upper bound on any dropped context -- tail docs are
+    slightly over-penalized, never under). |V| is one distinct-count
+    aggregate. Only the capped tables reach the driver.
+
+    Output: (doc_id, n_bigrams, lm_score r6) for docs with >= 1 bigram,
+    sorted by doc_id.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def big_part(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            ws = t.split()
+            c.update(zip(ws[:-1], ws[1:]))
+        ks = list(c.keys())
+        return pd.DataFrame({"w1": [a for a, _ in ks],
+                             "w2": [b for _, b in ks],
+                             "c": [c[kk] for kk in ks]})
+
+    bc_ds = grouped_agg(ds.map_batches(big_part, batch_format="pandas",
+                                       batch_size=8192),
+                        ["w1", "w2"], {"c": ("c", "sum")}, n_buckets=16)
+    # bound: max_bigrams rows (top-cap, exact head of the count order)
+    bc = (bc_ds.sort(["c", "w1", "w2"], descending=[True, False, False])
+          .limit(max_bigrams).to_pandas())
+
+    def ctx_part(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"]:
+            ws = t.split()
+            c.update(ws[:-1])
+        return pd.DataFrame({"w1": list(c.keys()),
+                             "c": list(c.values())})
+
+    ctx_ds = grouped_agg(ds.map_batches(ctx_part, batch_format="pandas",
+                                        batch_size=8192),
+                         ["w1"], {"c": ("c", "sum")}, n_buckets=16)
+    # bound: max_contexts rows (top-cap with tail floor)
+    ctx = (ctx_ds.sort(["c", "w1"], descending=[True, False])
+           .limit(max_contexts).to_pandas())
+    ctx_floor = (int(ctx["c"].iloc[-1])
+                 if len(ctx) == max_contexts else None)
+
+    def tok_part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df["text"]:
+            toks.update(t.split())
+        return pd.DataFrame({"tok": sorted(toks)})
+
+    # |V|: one distinct-count over the token stream (a scalar; HLL it at
+    # web scale if exactness is not required)
+    vocab = grouped_agg(ds.map_batches(tok_part, batch_format="pandas",
+                                       batch_size=8192),
+                        ["tok"], {"n": ("tok", "size")},
+                        n_buckets=16).count()
+
+    bc_map = {(a, b): int(c) for a, b, c in zip(bc["w1"], bc["w2"], bc["c"])}
+    ctx_map = {w: int(c) for w, c in zip(ctx["w1"], ctx["c"])}
+    model_ref = ray.put((bc_map, ctx_map, ctx_floor, int(vocab)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bcm, cxm, cf, v = ray.get(model_ref)
+        ids, nb, sc = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            ws = t.split()
+            if len(ws) < 2:
+                continue
+            s = 0.0
+            for a, b in zip(ws[:-1], ws[1:]):
+                cx = cxm.get(a, cf)
+                s += math.log((bcm.get((a, b), 0) + 1) / (cx + v))
+            ids.append(int(did))
+            nb.append(len(ws) - 1)
+            sc.append(s / (len(ws) - 1))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "n_bigrams": pd.Series(nb, dtype="int64"),
+                             "lm_score": round_series(pd.Series(sc), 6)})
+
+    return ds.map_batches(score, batch_format="pandas",
+                          batch_size=8192).sort("doc_id")

@@ -165,3 +165,82 @@ def test_scrub_pii():
     assert scrub_pii("nothing here") == {
         "scrubbed": "nothing here", "n_urls": 0, "n_emails": 0, "n_phones": 0,
     }
+
+
+def test_per_key_sample_deterministic_and_bounded(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import per_key_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = per_key_sample(sf, n=5).to_pandas()
+    again = per_key_sample(sf, n=5).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  again.reset_index(drop=True))
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    sizes = docs.groupby("source").size()
+    per_key = got.groupby("source").size()
+    for key, n in per_key.items():
+        assert n == min(5, sizes[key])
+
+
+def test_weighted_sample_matches_local_aes(ray_session):
+    """Engine A-ES selection == an independent local computation of the
+    same seedless keys; higher weights must be overrepresented."""
+    import numpy as np
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = weighted_sample(sf, k=50).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    h = np.asarray([float(_hash64(str(int(d)))) for d in docs["doc_id"]])
+    u = (h + 0.5) / 2.0 ** 64
+    key = -np.log(u) / docs["n_chars"].to_numpy(dtype=np.float64)
+    order = np.lexsort((docs["doc_id"].to_numpy(), key))[:50]
+    expect = set(docs["doc_id"].to_numpy()[order].tolist())
+    assert set(got["doc_id"]) == expect
+    # weight bias: sampled docs should skew longer than the corpus mean
+    assert got["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_inverted_index_invariants(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import inverted_index
+
+    sf = "/root/testdata/sf0.001"
+    idx = inverted_index(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    assert (idx["postings"].str.count(",") + 1 == idx["df"]).all()
+    # spot-check 3 terms against a pandas recomputation
+    for _, row in idx.head(3).iterrows():
+        member = docs[docs["text"].str.split().apply(
+            lambda ws, t=row["term"]: t in ws)]
+        assert row["postings"] == ",".join(
+            str(v) for v in sorted(member["doc_id"]))
+
+
+def test_bigram_lm_score_caps_and_shape(ray_session):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import bigram_lm_score
+
+    sf = "/root/testdata/sf0.001"
+    capped = bigram_lm_score(sf, max_bigrams=150, max_contexts=24).to_pandas()
+    uncapped = bigram_lm_score(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ntok = docs.set_index("doc_id")["text"].str.split().str.len()
+    for _, r in capped.head(20).iterrows():
+        assert r["n_bigrams"] == ntok[r["doc_id"]] - 1
+    # the caps must actually engage (916 bigrams / 31 contexts in data)
+    assert not capped["lm_score"].equals(uncapped["lm_score"])
+    # floored contexts only ever over-penalize
+    m = capped.merge(uncapped, on="doc_id", suffixes=("_c", "_u"))
+    assert (m["lm_score_c"] <= m["lm_score_u"] + 1e-9).all()
