@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # branches the driver checks
         "bigram_lm_score": lambda sf_dir: text.bigram_lm_score(
             sf_dir, max_bigrams=150, max_contexts=24),
+        "doc_length_percentile": text.doc_length_percentile,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1159,6 +1160,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_length_percentile": """
+            SELECT doc_id, n_chars,
+                   ROUND(percent_rank() OVER (ORDER BY n_chars), 6)
+                     AS pct_rank
+            FROM documents ORDER BY doc_id
         """,
         "per_key_sample": """
             SELECT doc_id, source FROM (

@@ -1132,3 +1132,51 @@ def bigram_lm_score(sf_dir: str, max_bigrams: int = 1_000_000,
 
     return ds.map_batches(score, batch_format="pandas",
                           batch_size=8192).sort("doc_id")
+
+
+def doc_length_percentile(sf_dir: str):
+    """Global percent_rank of every document's length -- the window
+    function ``percent_rank() OVER (ORDER BY n_chars)`` WITHOUT a global
+    sort: one combiner-reduced value histogram (the n_chars grain, not
+    the corpus) broadcasts its cumulative counts, and a second streaming
+    pass maps each row to cnt_smaller / (n - 1). Ties share a rank,
+    exactly as SQL rank() does.
+
+    Output: (doc_id, n_chars, pct_rank r6) sorted by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).agg(cnt=("n_chars", "size"))
+        return g
+
+    # bound: n_chars value grain (a histogram, never the corpus)
+    hist = grouped_agg(ds.map_batches(hist_part, batch_format="pandas",
+                                      batch_size=131072),
+                       ["n_chars"], {"cnt": ("cnt", "sum")},
+                       n_buckets=8).to_pandas().sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cum_below = np.concatenate(([0], np.cumsum(
+        hist["cnt"].to_numpy(dtype=np.int64))))[:-1]
+    n_total = int(hist["cnt"].sum())
+    cdf_ref = ray.put((vals, cum_below, n_total))
+
+    def rank_batch(df: pd.DataFrame) -> pd.DataFrame:
+        v, below, n = ray.get(cdf_ref)
+        idx = np.searchsorted(v, df["n_chars"].to_numpy(dtype=np.int64))
+        pr = below[idx] / max(n - 1, 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["n_chars"].astype("int64"),
+            "pct_rank": round_series(pd.Series(pr), 6),
+        })
+
+    return ds.map_batches(rank_batch, batch_format="pandas",
+                          batch_size=131072).sort("doc_id")

@@ -738,20 +738,118 @@ def knn_graph(emb_ds, k: int = 5, id_col: str = "vec_id",
     return cand.groupby("vec_id").map_groups(_final, batch_format="pyarrow")
 
 
-def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
-                            id_col: str = "vec_id", emb_col: str = "embedding"):
-    """EXACT all-pairs cosine >= threshold -- the brute-force baseline the
-    banded `embedding_neardup_pairs` approximates.
+def _neardup_pairs_ivf(emb_ds, threshold: float, id_col: str, emb_col: str,
+                       n_clusters: int, n_probe: int, iters: int):
+    """Scale path of ``embedding_neardup_exact``: trained-IVF cell
+    cogroups emit (probe x member) qualifying pairs per cell; one keyed
+    shuffle of n x n_probe slim rows in, one per-pair dedup reduce out.
+    Exact when n_probe == n_clusters (total coverage)."""
+    import ray
 
-    Shape: the normalized corpus matrix is broadcast ONCE via ``ray.put``
-    (ids + f64 matrix), then every batch does one matmul against it and
-    emits its (id_a < id_b) qualifying pairs -- zero shuffle, O(n^2)
-    compute. This is the small/medium-corpus exact path (corpus matrix
-    must fit the object store); at web scale use the LSH variant.
+    centroids = lloyd_codebook(emb_ds, n_clusters, iters, id_col, emb_col)
+    cent_ref = ray.put(centroids)
+    probe = min(n_probe, n_clusters)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _batch_matrix(batch, emb_col)
+        rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        order = np.argsort(dist, axis=1, kind="stable")[:, :probe]
+        packed = _normalize(mat)
+        blobs = [packed[i].tobytes() for i in range(len(rids))]
+        out_cl, out_id, out_bin, out_mem = [], [], [], []
+        for j in range(probe):
+            out_cl.extend(order[:, j].tolist())
+            out_id.extend(rids.tolist())
+            out_bin.extend(blobs)
+            out_mem.extend([j == 0] * len(rids))
+        return pa.Table.from_arrays(
+            [pa.array(out_cl, type=pa.int32()),
+             pa.array(out_id, type=pa.int64()),
+             pa.array(out_bin, type=pa.binary()),
+             pa.array(out_mem, type=pa.bool_())],
+            names=["cluster", id_col, "embin", "is_member"],
+        )
+
+    def _cell_pairs(group: pa.Table) -> pa.Table:
+        mem_mask = np.asarray(group.column("is_member").to_pylist())
+        ids_all = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        blobs = group.column("embin").to_pylist()
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.float64())],
+            names=["id_a", "id_b", "cosine"])
+        if not mem_mask.any():
+            return empty
+        mat_all = np.vstack([np.frombuffer(b, dtype=np.float64)
+                             for b in blobs])
+        m_ids, m_mat = ids_all[mem_mask], mat_all[mem_mask]
+        sims = mat_all @ m_mat.T  # (probes, members), both normalized
+        # half-away r6 BEFORE the threshold compare (exact-path parity)
+        r6 = np.where(sims >= 0, np.floor(sims * 1e6 + 0.5) / 1e6,
+                      -np.floor(-sims * 1e6 + 0.5) / 1e6)
+        mask = r6 >= threshold
+        pi, mi = np.nonzero(mask)
+        a, b = ids_all[pi], m_ids[mi]
+        keep = a != b
+        a, b, v = a[keep], b[keep], r6[pi[keep], mi[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_arrays(
+            [pa.array(lo, type=pa.int64()), pa.array(hi, type=pa.int64()),
+             pa.array(v, type=pa.float64())],
+            names=["id_a", "id_b", "cosine"],
+        )
+
+    cand = (emb_ds.map_batches(_expand, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(_cell_pairs, batch_format="pyarrow"))
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # bound: per-group conversion inside map_groups (one id_a's
+        # pairs), not a driver materialization
+        df = group.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # a pair surfaces once per shared cell; dedup in a keyed reduce
+    return cand.groupby("id_a").map_groups(_dedup, batch_format="pyarrow")
+
+
+def embedding_neardup_exact(emb_ds, threshold: float = 0.4,
+                            id_col: str = "vec_id", emb_col: str = "embedding",
+                            broadcast_rows: int = 200_000,
+                            n_clusters: int = 16, n_probe: int = 4,
+                            iters: int = 2):
+    """All-pairs cosine >= threshold -- the brute-force baseline the
+    banded `embedding_neardup_pairs` approximates. SIZE-GATED hybrid
+    (same construction as ``knn_graph``):
+
+    - ``n <= broadcast_rows``: EXACT -- the normalized corpus matrix is
+      broadcast ONCE via ``ray.put`` (ids + f64 matrix), every batch
+      does one matmul against it and emits its (id_a < id_b) qualifying
+      pairs; zero shuffle, O(n^2) compute, the only whole-corpus
+      materialization (bounded by the gate).
+    - above the gate: trained-IVF cell cogroups -- each vector is a
+      MEMBER of its nearest cell and a PROBE of its ``n_probe`` nearest
+      cells; pairs are emitted inside each cell between probes and
+      members (id_a < id_b, dedup across cells in the keyed reduce).
+      With ``n_probe == n_clusters`` coverage is total and the output is
+      EXACT; partial probing trades recall for pruning exactly like IVF
+      search. No driver-side corpus at any size.
+
     Returns (id_a, id_b, cosine r6).
     """
     import ray
 
+    n = emb_ds.count()
+    if n > broadcast_rows:
+        return _neardup_pairs_ivf(emb_ds, threshold, id_col, emb_col,
+                                  n_clusters, n_probe, iters)
+
+    # bound: gated at broadcast_rows vectors (exact baseline twin)
     ids_list, mats = [], []
     for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
         batch_size=8192, batch_format="pyarrow"

@@ -249,3 +249,24 @@ def test_knn_graph_paths_agree(emb_ds):
     assert len(g & e) / len(e) >= 0.5
     # every vector still gets k neighbors
     assert (ivf_part.groupby("vec_id").size() == 5).all()
+
+
+def test_neardup_exact_paths_agree(emb_ds):
+    """Gated embedding_neardup_exact: the IVF cell path with total probe
+    coverage must equal the exact broadcast path pair-for-pair."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        embedding_neardup_exact,
+    )
+
+    ds, _ = emb_ds
+    cols = ["id_a", "id_b", "cosine"]
+    exact = embedding_neardup_exact(ds, threshold=0.4,
+                                    broadcast_rows=10_000).to_pandas()
+    ivf = embedding_neardup_exact(ds, threshold=0.4, broadcast_rows=0,
+                                  n_clusters=4, n_probe=4).to_pandas()
+    lhs = exact[cols].sort_values(cols).reset_index(drop=True)
+    rhs = ivf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
+    assert len(lhs) > 0  # the planted near-dup pair must be found
