@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         minhash_dedup,
         simhash_dedup,
         simhash_neardup_pairs,
+        snm_candidate_pairs,
         verify_pairs_jaccard,
         verify_pairs_ngram_jaccard,
     )
@@ -364,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_pairs(sf_dir: str):
         return simhash_neardup_pairs(_docs_ds(sf_dir), max_hamming=3)
 
+    def snm_pairs(sf_dir: str):
+        return snm_candidate_pairs(_docs_ds(sf_dir), skey_len=16,
+                                   blk_len=4, window=5)
+
     def simhash_survivors(sf_dir: str):
         return simhash_dedup(_docs_ds(sf_dir), max_hamming=3)
 
@@ -427,6 +432,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from deekseek_ocr___dockerized_api_ray.stages.similarity import knn_graph
 
         return knn_graph(_emb_ds(sf_dir), k=5)
+
+    def emb_mutual_nn(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            mutual_nn_pairs,
+        )
+
+        return mutual_nn_pairs(_emb_ds(sf_dir))
 
     def emb_project(sf_dir: str):
         # Johnson-Lindenstrauss reduction, seeded matrix inlined in SQL
@@ -556,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_survivors": minhash_survivors,
         "neardup_clusters": neardup_clusters,
         "simhash_pairs": simhash_pairs,
+        "snm_candidate_pairs": snm_pairs,
         "simhash_survivors": simhash_survivors,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "ngram_containment_pairs": ngram_containment_pairs,
@@ -612,6 +625,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_score": lambda sf_dir: text.bigram_lm_score(
             sf_dir, max_bigrams=150, max_contexts=24),
         "doc_length_percentile": text.doc_length_percentile,
+        # max_vocab=16 < the 31-token test vocabulary: the driver checks
+        # the capped branch (same convention as bigram_lm_score)
+        "lang_term_logodds": lambda sf_dir: text.lang_term_logodds(
+            sf_dir, max_vocab=16),
+        "events_ks_test": sequences.events_ks_test,
+        "benford_order_totals": analytics.benford_order_totals,
+        "event_weekday_mutual_info": sequences.event_weekday_mutual_info,
+        "part_authority_hits": analytics.part_authority_hits,
+        "emb_mutual_nn": emb_mutual_nn,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1166,6 +1188,166 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(percent_rank() OVER (ORDER BY n_chars), 6)
                      AS pct_rank
             FROM documents ORDER BY doc_id
+        """,
+        "snm_candidate_pairs": """
+            -- blocked sorted-neighborhood: window pairs within
+            -- PARTITION BY blk, exactly the engine's block boundary
+            WITH o AS (
+              SELECT substring(lower(text), 1, 4) AS blk,
+                     substring(lower(text), 1, 16) AS skey, doc_id,
+                     row_number() OVER (
+                       PARTITION BY substring(lower(text), 1, 4)
+                       ORDER BY substring(lower(text), 1, 16), doc_id
+                     ) AS rn
+              FROM documents)
+            SELECT a.blk, a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(c.rn - a.rn AS BIGINT) AS gap
+            FROM o a JOIN o c
+              ON c.blk = a.blk AND c.rn > a.rn AND c.rn <= a.rn + 4
+            ORDER BY a.blk, id_a, id_b
+        """,
+        "events_ks_test": """
+            -- two-sample KS over the pooled distinct-value grid; the
+            -- ECDF ratios divide exact int64 counts as doubles, like
+            -- the engine
+            WITH d AS (
+              SELECT value AS val,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS ca,
+                     SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS cb
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY val),
+            c AS (
+              SELECT val, SUM(ca) OVER (ORDER BY val) AS cca,
+                          SUM(cb) OVER (ORDER BY val) AS ccb
+              FROM d),
+            t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM d)
+            SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+                   ROUND(MAX(ABS(CAST(c.cca AS DOUBLE) / CAST(t.na AS DOUBLE)
+                               - CAST(c.ccb AS DOUBLE) / CAST(t.nb AS DOUBLE))),
+                         6) AS ks_d
+            FROM c, t GROUP BY t.na, t.nb
+        """,
+        "event_weekday_mutual_info": """
+            -- MI over OBSERVED cells (0 ln 0 = 0); marginals from the
+            -- same observed-cell table (zero cells add nothing);
+            -- grouping into 7 weekday bins is label-invariant, so the
+            -- engine's Monday-origin weekday matches DuckDB's
+            WITH c AS MATERIALIZED (
+              SELECT event_type AS t, dayofweek(ts) AS w,
+                     CAST(COUNT(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2),
+            rt AS (SELECT t, SUM(o) AS r FROM c GROUP BY t),
+            ct AS (SELECT w, SUM(o) AS cc FROM c GROUP BY w),
+            tot AS (SELECT SUM(o) AS n FROM c),
+            mi AS (
+              SELECT SUM((c.o / tot.n)
+                         * ln((c.o * tot.n) / (rt.r * ct.cc))) AS mi
+              FROM c JOIN rt ON rt.t = c.t JOIN ct ON ct.w = c.w, tot),
+            hh AS (
+              SELECT -SUM((r / tot.n) * ln(r / tot.n)) AS h_r
+              FROM rt, tot),
+            hc AS (
+              SELECT -SUM((cc / tot.n) * ln(cc / tot.n)) AS h_c
+              FROM ct, tot)
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   ROUND(mi.mi, 6) AS mi,
+                   ROUND(hh.h_r, 6) AS h_type,
+                   ROUND(hc.h_c, 6) AS h_weekday,
+                   ROUND(mi.mi / sqrt(hh.h_r * hc.h_c), 6) AS nmi
+            FROM tot, mi, hh, hc
+        """,
+        "part_authority_hits": """
+            -- one unnormalized HITS sweep; all sums are exact integer
+            -- counts, the single division happens on the k-row top list
+            WITH e AS (
+              SELECT o_custkey AS u, l_partkey AS p, COUNT(*) AS w
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2),
+            h AS (SELECT u, SUM(w) AS hub FROM e GROUP BY u),
+            a AS (SELECT p, SUM(e.w * h.hub) AS wa
+                  FROM e JOIN h USING (u) GROUP BY p),
+            t AS (SELECT p, wa,
+                         row_number() OVER (ORDER BY wa DESC, p) AS rk
+                  FROM a ORDER BY wa DESC, p LIMIT 20),
+            m AS (SELECT MAX(wa) AS mx FROM t)
+            SELECT CAST(t.p AS BIGINT) AS p_partkey,
+                   ROUND(CAST(t.wa AS DOUBLE) / CAST(m.mx AS DOUBLE), 6)
+                     AS authority,
+                   CAST(t.rk AS BIGINT) AS rk
+            FROM t, m ORDER BY t.rk
+        """,
+        "emb_mutual_nn": """
+            -- reciprocal rank-1 cosine neighbors, each pair once
+            WITH nn AS (
+              SELECT vec_id, neighbor_id FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id)
+              WHERE rank = 1)
+            SELECT x.vec_id AS id_a, x.neighbor_id AS id_b
+            FROM nn x JOIN nn y
+              ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
+            WHERE x.vec_id < x.neighbor_id
+        """,
+        "benford_order_totals": """
+            -- leading digit from the integer part (exact int ops, no
+            -- log10-of-value float risk); expected share log10(1+1/d)
+            WITH d AS (
+              SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                         AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1),
+            t AS (SELECT SUM(n) AS nt FROM d)
+            SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+                   ROUND(CAST(d.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6)
+                     AS frac,
+                   ROUND(log10(1 + 1.0 / CAST(d.digit AS DOUBLE)), 6)
+                     AS p_benford
+            FROM d, t ORDER BY d.digit
+        """,
+        "lang_term_logodds": """
+            -- Fightin'-Words log-odds w/ informative Dirichlet prior,
+            -- vocabulary capped at top-16 corpus-tf terms (tf desc,
+            -- term asc) exactly like the engine's distributed
+            -- sort+limit; observed (lang, term) pairs only
+            WITH tok AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            lt AS MATERIALIZED (
+              SELECT lang, term, COUNT(*) AS y FROM tok
+              WHERE term != '' GROUP BY 1, 2),
+            tv AS (SELECT term, SUM(y) AS yw FROM lt GROUP BY term),
+            vocab AS (SELECT term, yw FROM tv
+                      ORDER BY yw DESC, term LIMIT 16),
+            l2 AS (SELECT l.lang, l.term, CAST(l.y AS DOUBLE) AS y,
+                          CAST(v.yw AS DOUBLE) AS yw
+                   FROM lt l JOIN vocab v USING (term)),
+            nl AS (SELECT lang, SUM(y) AS n_l FROM l2 GROUP BY lang),
+            nt AS (SELECT SUM(y) AS n FROM l2),
+            sc AS (SELECT l2.lang, l2.term, l2.y, l2.yw, nl.n_l, nt.n,
+                          200.0 * l2.yw / nt.n AS aw
+                   FROM l2 JOIN nl USING (lang), nt),
+            z AS (SELECT lang, term, CAST(y AS BIGINT) AS y_lw,
+                         ROUND((ln((y + aw) / (n_l + 200.0 - y - aw))
+                              - ln(((yw - y) + aw)
+                                   / (n - n_l + 200.0 - (yw - y) - aw)))
+                               / sqrt(1.0 / (y + aw)
+                                      + 1.0 / ((yw - y) + aw)), 6) AS z
+                  FROM sc)
+            SELECT lang, term, y_lw, z, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY z DESC, term) AS rk
+                  FROM z)
+            WHERE rk <= 5 ORDER BY lang, rk
         """,
         "per_key_sample": """
             SELECT doc_id, source FROM (

@@ -3138,3 +3138,132 @@ def orders_yoy(sf_dir: str, n_buckets: int = 16):
     # bounded month grain: single-batch finish
     return (monthly.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def benford_order_totals(sf_dir: str, n_buckets: int = 4):
+    """Benford's-law first-significant-digit audit of order totals --
+    the classic fraud/synthetic-data screen.  Digit taken from the
+    decimal string of floor(o_totalprice) (all totals >= 1), so both
+    engines extract it with exact integer/string ops, no log10-of-value
+    float risk; the expected Benford share log10(1 + 1/d) and the
+    observed fraction round at r6.
+
+    Shape: per-batch partial counts per digit (<= 9 rows cross the
+    wire per batch), one tiny keyed reduce, 9-row finish -- the order
+    stream is never shuffled.
+
+    Output: (digit, n, frac r6, p_benford r6) sorted by digit.
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        dg = np.floor(df["o_totalprice"].to_numpy(dtype=np.float64)).astype(np.int64)
+        while (dg >= 10).any():  # <= 6 strides: leading decimal digit
+            dg = np.where(dg >= 10, dg // 10, dg)
+        g = pd.DataFrame({"digit": dg})
+        return g.groupby("digit", as_index=False).agg(n=("digit", "size"))
+
+    counts = grouped_agg(
+        orders.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["digit"], {"n": ("n", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("digit").reset_index(drop=True)
+        n = g["n"].to_numpy(dtype=np.int64)
+        tot = int(n.sum())
+        d = g["digit"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "digit": d,
+            "n": n,
+            "frac": round_series(pd.Series(n / tot), 6).to_numpy(),
+            "p_benford": round_series(
+                pd.Series(np.log10(1.0 + 1.0 / d)), 6).to_numpy(),
+        })
+
+    # 9 digit rows: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def part_authority_hits(sf_dir: str, k: int = 20, n_buckets: int = 16):
+    """HITS authority scores on the customer -> part bipartite purchase
+    graph (Kleinberg): one unnormalized hub/authority sweep -- hub(u) =
+    total items bought by u, authority(p) = sum over buyers of
+    w_up * hub(u) -- then ONE normalization by the max at the end.  All
+    intermediate sums are integer counts (exact in doubles), so the
+    distributed sum order cannot drift the float tree; the only division
+    happens once on the driver-visible top-k.
+
+    Shape: lineitem joins orders on orderkey (one distributed hash
+    join), (cust, part) combiner weights, hub totals via a keyed reduce
+    joined back edge-side (second hash join -- customer cardinality is
+    dimension-bounded but never collected), authority via a second
+    keyed reduce, then a distributed sort+limit for the top-k (the
+    driver sees k rows).
+
+    Output: (p_partkey, authority r6, rk) -- top-k by raw authority
+    desc, partkey asc; authority normalized to max = 1.
+    """
+    import ray
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        cpus = 4
+    nparts = max(2, cpus // 2)
+
+    e = li.join(orders, join_type="inner", num_partitions=nparts,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def w_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "l_partkey"], as_index=False,
+                       sort=False).agg(w=("l_partkey", "size"))
+        return g
+
+    edges = grouped_agg(
+        e.map_batches(w_partial, batch_format="pandas", batch_size=131072),
+        ["o_custkey", "l_partkey"], {"w": ("w", "sum")}, n_buckets=n_buckets)
+
+    hub = grouped_agg(edges, ["o_custkey"], {"hub": ("w", "sum")},
+                      n_buckets=n_buckets)
+
+    eh = edges.join(hub, join_type="inner", num_partitions=nparts,
+                    on=("o_custkey",))
+
+    def wa_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(dtype=np.int64),
+            "wa": (df["w"].to_numpy(dtype=np.int64)
+                   * df["hub"].to_numpy(dtype=np.int64)),
+        })
+        return g.groupby("l_partkey", as_index=False).agg(wa=("wa", "sum"))
+
+    auth = grouped_agg(
+        eh.map_batches(wa_partial, batch_format="pandas",
+                       batch_size=131072),
+        ["l_partkey"], {"wa": ("wa", "sum")}, n_buckets=n_buckets)
+
+    # bound: k rows (distributed sort+limit; raw authorities are exact
+    # int64 so the top-k and its max are order-independent)
+    top = (auth.sort(["wa", "l_partkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    mx = float(top["wa"].max())
+
+    top = top.reset_index(drop=True)
+    out = pd.DataFrame({
+        "p_partkey": top["l_partkey"].to_numpy(dtype=np.int64),
+        "authority": round_series(
+            pd.Series(top["wa"].to_numpy(dtype=np.float64) / mx), 6
+        ).to_numpy(),
+        "rk": np.arange(1, len(top) + 1, dtype=np.int64),
+    })
+    return out

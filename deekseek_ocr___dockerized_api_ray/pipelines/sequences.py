@@ -1083,3 +1083,114 @@ def event_weekday_chi2(sf_dir: str, n_buckets: int = 8):
     # 35 cells: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def events_ks_test(sf_dir: str, type_a: str = "click", type_b: str = "view",
+                   n_buckets: int = 8):
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of two event types -- the drift detector a data-quality
+    monitor runs between cohorts/partitions.  D = max over pooled
+    distinct values v of |ECDF_a(v) - ECDF_b(v)|.
+
+    Shape: per-batch partial counts per (value, side) -- the VALUE GRAIN,
+    not the event stream -- combiner-reduced with one keyed shuffle; the
+    driver then folds the distinct-value histogram into cumulative counts
+    (bound: distinct values of a bounded-precision metric, ~6.6k at
+    sf0.01; at 100 TB quantize the metric or pre-bin to cap the grain).
+
+    Output: one row (n_a, n_b, ks_d r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["event_type"].isin([type_a, type_b])]
+        if m.empty:
+            return pd.DataFrame({"value": pd.Series([], dtype="float64"),
+                                 "ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64")})
+        is_a = (m["event_type"] == type_a).to_numpy()
+        g = pd.DataFrame({"value": m["value"].to_numpy(),
+                          "ca": is_a.astype(np.int64),
+                          "cb": (~is_a).astype(np.int64)})
+        return g.groupby("value", as_index=False, sort=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum"))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["value"], {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("value").reset_index(drop=True)
+        cca = g["ca"].to_numpy(dtype=np.int64).cumsum()
+        ccb = g["cb"].to_numpy(dtype=np.int64).cumsum()
+        na, nb = int(cca[-1]), int(ccb[-1])
+        d = np.abs(cca / na - ccb / nb).max()
+        return pd.DataFrame({
+            "n_a": pd.array([na], dtype="int64"),
+            "n_b": pd.array([nb], dtype="int64"),
+            "ks_d": round_series(pd.Series([d]), 6).to_numpy(),
+        })
+
+    # value-grain histogram: the finish legitimately runs in one batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 22))
+
+
+def event_weekday_mutual_info(sf_dir: str, n_buckets: int = 8):
+    """Mutual information (nats) between event_type and weekday, with
+    the marginal entropies and the normalized MI -- the dependence
+    strength companion to event_weekday_chi2's significance test.
+    MI sums OBSERVED cells only (0 ln 0 = 0 by convention), each term
+    (o/n) * ln(o*n / (r*c)) with the identical float tree in the SQL
+    oracle.
+
+    Shape: one combiner count per (type, weekday) cell -- 35 cells --
+    then a trivially small finish; the event stream is never shuffled.
+
+    Output: one row (n, mi r6, h_type r6, h_weekday r6, nmi r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        wd = pd.to_datetime(df["ts"]).dt.dayofweek.to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "weekday": wd})
+        return (g.groupby(["event_type", "weekday"], as_index=False,
+                          sort=False).agg(o=("weekday", "size")))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["event_type", "weekday"], {"o": ("o", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.pivot_table(index="event_type", columns="weekday",
+                              values="o", fill_value=0, aggfunc="sum")
+        obs = full.to_numpy(dtype=np.float64)
+        n = obs.sum()
+        r = obs.sum(axis=1, keepdims=True)
+        c = obs.sum(axis=0, keepdims=True)
+        nz = obs > 0
+        mi = ((obs / n) * np.log((obs * n) / (r * c), where=nz,
+                                 out=np.zeros_like(obs)))[nz].sum()
+        pr, pc = r / n, c / n
+        h_r = -(pr * np.log(pr)).sum()
+        h_c = -(pc * np.log(pc)).sum()
+        nmi = mi / np.sqrt(h_r * h_c)
+        return pd.DataFrame({
+            "n": pd.array([int(n)], dtype="int64"),
+            "mi": round_series(pd.Series([mi]), 6).to_numpy(),
+            "h_type": round_series(pd.Series([h_r]), 6).to_numpy(),
+            "h_weekday": round_series(pd.Series([h_c]), 6).to_numpy(),
+            "nmi": round_series(pd.Series([nmi]), 6).to_numpy(),
+        })
+
+    # 35 cells: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

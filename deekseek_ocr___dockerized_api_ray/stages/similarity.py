@@ -994,3 +994,45 @@ def ivf_trained_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
     qref = _ray.put(_normalize(qmat.copy()))
     return brute_force_topk(filtered, query_ids, k, id_col, emb_col,
                             queries=(q_ids_sorted, qref))
+
+
+def mutual_nn_pairs(emb_ds, id_col: str = "vec_id",
+                    emb_col: str = "embedding", **knn_kwargs):
+    """Mutual-nearest-neighbor pairs: (a, b) such that b is a's single
+    nearest cosine neighbor AND a is b's -- the high-precision pairing
+    rule entity-resolution and bitext-mining pipelines use (Artetxe &
+    Schwenk's margin criterion reduces to this at k=1).
+
+    Shape: the k=1 kNN graph (size-gated exact/IVF hybrid from
+    ``knn_graph``) self-joined against its own reversal -- ONE
+    distributed hash join on (vec_id, neighbor_id) -- then a vectorized
+    orientation filter keeps each mutual pair once (id_a < id_b).
+    Nothing corpus-sized is collected beyond knn_graph's own gate.
+
+    Output: (id_a, id_b) -- id_a < id_b.
+    """
+    import ray
+
+    nn = knn_graph(emb_ds, k=1, id_col=id_col, emb_col=emb_col,
+                   **knn_kwargs).select_columns(["vec_id", "neighbor_id"])
+
+    rev = nn.rename_columns({"vec_id": "r_nbr", "neighbor_id": "r_vec"})
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        cpus = 4
+    j = nn.join(rev, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("vec_id", "neighbor_id"), right_on=("r_vec", "r_nbr"))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        b = np.asarray(batch.column("neighbor_id").to_pylist(),
+                       dtype=np.int64)
+        keep = a < b
+        return pa.Table.from_arrays(
+            [pa.array(a[keep], type=pa.int64()),
+             pa.array(b[keep], type=pa.int64())],
+            names=["id_a", "id_b"])
+
+    return j.map_batches(orient, batch_format="pyarrow")

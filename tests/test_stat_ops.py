@@ -1,0 +1,238 @@
+"""Unit/invariant tests for the statistical corpus-audit operators
+(SNM blocking, two-sample KS, Benford audit, Fightin'-Words log-odds);
+full oracle parity is swept in test_entry.py."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+needs_data = pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+
+
+def _df(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+@needs_data
+def test_snm_pairs_match_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        snm_candidate_pairs,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = (_df(snm_candidate_pairs(docs, skey_len=16, blk_len=4, window=5))
+           .sort_values(["blk", "id_a", "id_b"]).reset_index(drop=True))
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+    pdf["skey"] = pdf["text"].str.lower().str.slice(0, 16)
+    pdf["blk"] = pdf["skey"].str.slice(0, 4)
+    rows = []
+    for blk, g in pdf.groupby("blk"):
+        ids = g.sort_values(["skey", "doc_id"])["doc_id"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(1, 5):
+                if i + j < len(ids):
+                    rows.append((blk, ids[i], ids[i + j], j))
+    want = (pd.DataFrame(rows, columns=["blk", "id_a", "id_b", "gap"])
+            .sort_values(["blk", "id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["blk", "id_a", "id_b", "gap"]].astype({"gap": "int64"}), want)
+
+
+@needs_data
+def test_ks_statistic_matches_ecdf_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        events_ks_test,
+    )
+
+    got = _df(events_ks_test(SF))
+    assert len(got) == 1
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = np.sort(ev.loc[ev["event_type"] == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev["event_type"] == "view", "value"].to_numpy())
+    pooled = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, pooled, side="right") / len(a)
+    cb = np.searchsorted(b, pooled, side="right") / len(b)
+    d_ref = np.abs(ca - cb).max()
+
+    assert int(got["n_a"].iloc[0]) == len(a)
+    assert int(got["n_b"].iloc[0]) == len(b)
+    assert abs(float(got["ks_d"].iloc[0]) - d_ref) < 1e-6
+    assert 0.0 <= float(got["ks_d"].iloc[0]) <= 1.0
+
+
+@needs_data
+def test_benford_digits_cover_orders(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        benford_order_totals,
+    )
+
+    got = _df(benford_order_totals(SF))
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    first = (orders["o_totalprice"].astype("int64").astype(str)
+             .str.slice(0, 1).astype(int))
+    want = first.value_counts().sort_index()
+
+    assert got["n"].sum() == len(orders)
+    assert list(got["digit"]) == list(want.index)
+    assert list(got["n"]) == list(want.values)
+    # observed fractions and Benford expectations each total ~1 when all
+    # nine digits appear
+    assert abs(got["frac"].sum() - 1.0) < 1e-4
+    if len(got) == 9:
+        assert abs(got["p_benford"].sum() - 1.0) < 1e-4
+
+
+@needs_data
+def test_logodds_formula_and_vocab_cap(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        lang_term_logodds,
+    )
+
+    got = _df(lang_term_logodds(SF, max_vocab=16, k=5))
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "text"])
+    ex = (docs.assign(term=docs["text"].str.split(" "))
+          .loc[:, ["lang", "term"]].explode("term"))
+    ex = ex[ex["term"] != ""]
+    lt = ex.groupby(["lang", "term"], as_index=False).size()
+    tv = (lt.groupby("term", as_index=False)["size"].sum()
+          .sort_values(["size", "term"], ascending=[False, True]).head(16))
+    vocab = dict(zip(tv["term"], tv["size"]))
+    l2 = lt[lt["term"].isin(vocab)].copy()
+    n = float(sum(vocab.values()))
+    nl = l2.groupby("lang")["size"].sum().to_dict()
+    a0 = 200.0
+
+    # every reported term is inside the capped vocabulary
+    assert set(got["term"]).issubset(set(vocab))
+
+    y = l2["size"].to_numpy(dtype=np.float64)
+    yw = l2["term"].map(vocab).to_numpy(dtype=np.float64)
+    n_l = l2["lang"].map(nl).to_numpy(dtype=np.float64)
+    aw = a0 * yw / n
+    delta = (np.log((y + aw) / (n_l + a0 - y - aw))
+             - np.log(((yw - y) + aw) / (n - n_l + a0 - (yw - y) - aw)))
+    z = np.round(delta / np.sqrt(1.0 / (y + aw) + 1.0 / ((yw - y) + aw)), 6)
+    l2["z"] = z
+    want = (l2.sort_values(["lang", "z", "term"],
+                           ascending=[True, False, True])
+            .groupby("lang").head(5))
+    for lang, g in want.groupby("lang"):
+        gg = got[got["lang"] == lang].sort_values("rk")
+        assert list(gg["term"]) == list(g["term"])
+        assert np.allclose(gg["z"].to_numpy(),
+                           g["z"].to_numpy(), atol=1e-6)
+
+
+@needs_data
+def test_logodds_uncapped_equals_full_vocab(ray_session):
+    """With the cap above the true vocabulary size the cap is a no-op:
+    both settings must produce identical rankings."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        lang_term_logodds,
+    )
+
+    wide = _df(lang_term_logodds(SF, max_vocab=1000, k=3))
+    wider = _df(lang_term_logodds(SF, max_vocab=5000, k=3))
+    pd.testing.assert_frame_equal(wide.reset_index(drop=True),
+                                  wider.reset_index(drop=True))
+
+
+@needs_data
+def test_mutual_info_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        event_weekday_mutual_info,
+    )
+
+    got = _df(event_weekday_mutual_info(SF))
+    assert len(got) == 1
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    ct = pd.crosstab(ev["event_type"],
+                     pd.to_datetime(ev["ts"]).dt.dayofweek).to_numpy(float)
+    n = ct.sum()
+    r = ct.sum(axis=1, keepdims=True)
+    c = ct.sum(axis=0, keepdims=True)
+    nz = ct > 0
+    mi_ref = ((ct / n) * np.log((ct * n) / (r * c),
+                                where=nz, out=np.zeros_like(ct)))[nz].sum()
+
+    assert int(got["n"].iloc[0]) == int(n)
+    assert abs(float(got["mi"].iloc[0]) - mi_ref) < 1e-6
+    # MI bounded by min of the marginal entropies; NMI in [0, 1]
+    assert 0.0 <= float(got["mi"].iloc[0]) <= min(
+        float(got["h_type"].iloc[0]), float(got["h_weekday"].iloc[0])) + 1e-9
+    assert 0.0 <= float(got["nmi"].iloc[0]) <= 1.0
+
+
+@needs_data
+def test_hits_authority_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        part_authority_hits,
+    )
+
+    got = _df(part_authority_hits(SF, k=20))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    e = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .groupby(["o_custkey", "l_partkey"], as_index=False)
+         .agg(w=("l_partkey", "size")))
+    hub = e.groupby("o_custkey")["w"].sum().rename("hub")
+    e = e.join(hub, on="o_custkey")
+    auth = ((e["w"] * e["hub"]).groupby(e["l_partkey"]).sum()
+            .sort_values(ascending=False))
+    want = (pd.DataFrame({"p": auth.index, "wa": auth.values})
+            .sort_values(["wa", "p"], ascending=[False, True]).head(20))
+
+    assert list(got["p_partkey"]) == list(want["p"])
+    assert np.allclose(got["authority"].to_numpy(),
+                       want["wa"].to_numpy(float)
+                       / float(want["wa"].max()), atol=1e-6)
+    assert float(got["authority"].iloc[0]) == 1.0
+
+
+@needs_data
+def test_mutual_nn_pairs_reciprocal_and_complete(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        mutual_nn_pairs,
+    )
+
+    got = _df(mutual_nn_pairs(
+        rd.read_parquet(f"{SF}/embeddings.parquet")))
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack(emb["embedding"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = m @ m.T
+    np.fill_diagonal(sim, -np.inf)
+    # nearest neighbor, cosine desc then vec_id asc (matches the oracle)
+    order = np.lexsort((ids[None, :].repeat(len(ids), 0),
+                        -sim))  # lexsort: last key primary
+    nn = ids[order[:, 0]]
+    nn_of = dict(zip(ids, nn))
+    want = sorted({(min(a, b), max(a, b))
+                   for a, b in nn_of.items() if nn_of[b] == a})
+    got_pairs = sorted(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == want
+    assert all(a < b for a, b in got_pairs)
