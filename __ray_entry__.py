@@ -634,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_weekday_mutual_info": sequences.event_weekday_mutual_info,
         "part_authority_hits": analytics.part_authority_hits,
         "emb_mutual_nn": emb_mutual_nn,
+        "source_contamination_matrix": curation.source_contamination_matrix,
+        # max_rank=24 < the 31-token test vocabulary: capped branch checked
+        "corpus_zipf_fit": text.corpus_zipf_fit,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -961,6 +964,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
+        # verified near-dup pairs (identical machinery/config as
+        # ngram_jaccard_pairs) rolled up to unordered source pairs
+        "source_contamination_matrix": f"""
+            WITH pr AS ({_oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3)})
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pr JOIN documents da ON da.doc_id = pr.id_a
+                    JOIN documents db ON db.doc_id = pr.id_b
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "ngram_containment_pairs": _oracles.ngram_containment_pairs_sql(
             threshold=0.5, n=3),
         "tfidf_cosine_pairs": _oracles.tfidf_cosine_pairs_sql(
@@ -1228,6 +1242,36 @@ def oracle_sql() -> dict[str, str]:
                                - CAST(c.ccb AS DOUBLE) / CAST(t.nb AS DOUBLE))),
                          6) AS ks_d
             FROM c, t GROUP BY t.na, t.nb
+        """,
+        "corpus_zipf_fit": """
+            -- OLS of ln(tf) on ln(rank) over the top-24 terms; tf ties
+            -- have identical y, so rank tie-breaks cannot move the fit
+            WITH tv AS (
+              SELECT term, COUNT(*) AS tf
+              FROM (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != '' GROUP BY term),
+            rk AS (
+              SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, term)
+                             AS DOUBLE)) AS x,
+                     ln(CAST(tf AS DOUBLE)) AS y
+              FROM tv ORDER BY tf DESC, term LIMIT 24),
+            s AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+                     SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                     SUM(y * y) AS syy
+              FROM rk),
+            f AS (
+              SELECT n, sx, sy,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                     pow(n * sxy - sx * sy, 2)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+              FROM s)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   ROUND(slope, 6) AS slope,
+                   ROUND((sy - slope * sx) / n, 6) AS intercept,
+                   ROUND(r2, 6) AS r2
+            FROM f
         """,
         "event_weekday_mutual_info": """
             -- MI over OBSERVED cells (0 ln 0 = 0); marginals from the

@@ -917,3 +917,60 @@ def doc_novelty_rate(sf_dir: str, n_buckets: int = 64):
         return df[["doc_id", "n_bigrams", "n_novel", "novelty"]]
 
     return agg.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+def source_contamination_matrix(sf_dir: str, threshold: float = 0.3,
+                                n: int = 3, n_buckets: int = 8):
+    """Cross-source near-duplicate contamination matrix: for every
+    unordered source pair, how many VERIFIED near-dup document pairs
+    (word-n-gram Jaccard >= threshold over banded-MinHash candidates,
+    the exact `ngram_jaccard_pairs` machinery) span them -- the
+    leakage report a corpus assembled from many crawls/feeds needs
+    before mixing (same-source rows on the diagonal).
+
+    Shape: everything up to the verified pairs reuses the oracled LSH
+    chain; sources attach via two distributed hash joins (the id ->
+    source map is corpus-sized, never a broadcast); the pair
+    orientation canonicalizes to (least, greatest) vectorized; the
+    final matrix is a |sources|^2-bounded combiner aggregate.
+
+    Output: (source_a, source_b, n_pairs) sorted, source_a <= source_b.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import lsh_candidate_pairs, verify_pairs_ngram_jaccard
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    pairs = verify_pairs_ngram_jaccard(
+        lsh_candidate_pairs(docs), docs, threshold=threshold, n=n)
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        cpus = 4
+    nparts = max(2, cpus // 2)
+    src = docs.select_columns(["doc_id", "source"])
+    a = pairs.select_columns(["id_a", "id_b"]).join(
+        src, join_type="inner", num_partitions=nparts,
+        on=("id_a",), right_on=("doc_id",)).rename_columns(
+        {"source": "src_a"})
+    b = a.join(src, join_type="inner", num_partitions=nparts,
+               on=("id_b",), right_on=("doc_id",)).rename_columns(
+        {"source": "src_b"})
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        sa = df["src_a"].to_numpy()
+        sb = df["src_b"].to_numpy()
+        lo = np.where(sa <= sb, sa, sb)
+        hi = np.where(sa <= sb, sb, sa)
+        g = pd.DataFrame({"source_a": lo, "source_b": hi})
+        return g.groupby(["source_a", "source_b"],
+                         as_index=False).agg(n_pairs=("source_a", "size"))
+
+    out = grouped_agg(
+        b.map_batches(canon, batch_format="pandas", batch_size=131072),
+        ["source_a", "source_b"], {"n_pairs": ("n_pairs", "sum")},
+        n_buckets=n_buckets)
+    return out.sort(["source_a", "source_b"])

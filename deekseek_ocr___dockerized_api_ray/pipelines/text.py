@@ -1282,3 +1282,58 @@ def lang_term_logodds(sf_dir: str, max_vocab: int = 16, a0: float = 200.0,
 
     return (scored.groupby("lang").map_groups(topk, batch_format="pandas")
             .sort(["lang", "rk"]))
+
+
+def corpus_zipf_fit(sf_dir: str, max_rank: int = 24, n_buckets: int = 16):
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS of ln(tf) on ln(rank) for the top-``max_rank`` terms (tf desc,
+    term asc tie-break -- ties make rank order float-relevant, so both
+    engines pin it).  The Zipf exponent s = -slope; r2 says how
+    Zipf-like the corpus is (a synthetic/templated corpus shows up as a
+    flat, high-r2-but-small-s profile).
+
+    Scale shape: term totals are a combiner aggregate; the fit inputs
+    come from a distributed sort+limit -- the driver sees max_rank
+    rows, never the Heaps-law vocabulary.  max_rank=24 < the 31-token
+    test vocabulary, so the driver checks the capped branch.
+
+    Output: one row (n_terms, slope r6, intercept r6, r2 r6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = df["text"].str.split(" ").explode()
+        ex = ex[ex != ""]
+        g = ex.value_counts().rename_axis("term").reset_index(name="tf")
+        return g
+
+    tv = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=8192),
+        ["term"], {"tf": ("tf", "sum")}, n_buckets=n_buckets)
+
+    # bound: max_rank rows (distributed sort+limit IS the cap)
+    top = (tv.sort(["tf", "term"], descending=[True, False])
+           .limit(max_rank).to_pandas())
+    r = np.arange(1, len(top) + 1, dtype=np.float64)
+    x = np.log(r)
+    y = np.log(top["tf"].to_numpy(dtype=np.float64))
+    n = float(len(top))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy))
+    return pd.DataFrame({
+        "n_terms": pd.array([int(n)], dtype="int64"),
+        "slope": round_series(pd.Series([slope]), 6).to_numpy(),
+        "intercept": round_series(pd.Series([intercept]), 6).to_numpy(),
+        "r2": round_series(pd.Series([r2]), 6).to_numpy(),
+    })

@@ -236,3 +236,49 @@ def test_mutual_nn_pairs_reciprocal_and_complete(ray_session):
     got_pairs = sorted(zip(got["id_a"], got["id_b"]))
     assert got_pairs == want
     assert all(a < b for a, b in got_pairs)
+
+
+@needs_data
+def test_contamination_matrix_totals_and_orientation(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        source_contamination_matrix,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        verify_pairs_ngram_jaccard,
+    )
+    import ray.data as rd
+
+    got = _df(source_contamination_matrix(SF))
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    n_pairs = verify_pairs_ngram_jaccard(
+        lsh_candidate_pairs(docs), docs, threshold=0.3, n=3).count()
+
+    # every verified pair lands in exactly one matrix cell
+    assert int(got["n_pairs"].sum()) == n_pairs
+    assert (got["source_a"] <= got["source_b"]).all()
+    assert (got["n_pairs"] > 0).all()
+
+
+@needs_data
+def test_zipf_fit_matches_polyfit(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        corpus_zipf_fit,
+    )
+
+    got = _df(corpus_zipf_fit(SF, max_rank=24))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    tf = (docs["text"].str.split(" ").explode().replace("", np.nan)
+          .dropna().value_counts())
+    top = tf.sort_values(ascending=False).head(24)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top.to_numpy(dtype=np.float64))
+    slope_ref, intercept_ref = np.polyfit(x, y, 1)
+    r2_ref = np.corrcoef(x, y)[0, 1] ** 2
+
+    assert int(got["n_terms"].iloc[0]) == 24
+    assert abs(float(got["slope"].iloc[0]) - slope_ref) < 1e-5
+    assert abs(float(got["intercept"].iloc[0]) - intercept_ref) < 1e-5
+    assert abs(float(got["r2"].iloc[0]) - r2_ref) < 1e-5
+    assert float(got["slope"].iloc[0]) < 0  # Zipf: frequency falls with rank
