@@ -637,6 +637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_contamination_matrix": curation.source_contamination_matrix,
         # max_rank=24 < the 31-token test vocabulary: capped branch checked
         "corpus_zipf_fit": text.corpus_zipf_fit,
+        "corpus_heaps_fit": text.corpus_heaps_fit,
+        "user_decayed_value": analytics.user_decayed_value,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1242,6 +1244,53 @@ def oracle_sql() -> dict[str, str]:
                                - CAST(c.ccb AS DOUBLE) / CAST(t.nb AS DOUBLE))),
                          6) AS ks_d
             FROM c, t GROUP BY t.na, t.nb
+        """,
+        "corpus_heaps_fit": """
+            -- V_i = terms first seen by doc-id threshold t_i, T_i =
+            -- tokens by t_i; thresholds from exact integer math
+            WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
+            cps AS (SELECT i, ((i + 1) * mx.m) // 10 AS t
+                    FROM range(0, 10) r(i), mx),
+            dt AS (SELECT doc_id, COUNT(*) AS ntok FROM tok2
+                   GROUP BY doc_id),
+            tcum AS (SELECT cps.i, SUM(dt.ntok) AS tt
+                     FROM cps JOIN dt ON dt.doc_id <= cps.t GROUP BY 1),
+            fd AS (SELECT term, MIN(doc_id) AS fdoc FROM tok2
+                   GROUP BY term),
+            vcum AS (SELECT cps.i, COUNT(*) AS vv
+                     FROM cps JOIN fd ON fd.fdoc <= cps.t GROUP BY 1),
+            pts AS (SELECT ln(CAST(tt AS DOUBLE)) AS x,
+                           ln(CAST(vv AS DOUBLE)) AS y
+                    FROM tcum JOIN vcum USING (i)),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x * x) AS sxx,
+                         SUM(x * y) AS sxy, SUM(y * y) AS syy
+                  FROM pts),
+            f AS (SELECT n, sx, sy,
+                         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+                         pow(n * sxy - sx * sy, 2)
+                           / ((n * sxx - sx * sx)
+                              * (n * syy - sy * sy)) AS r2
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   ROUND(beta, 6) AS beta,
+                   ROUND((sy - beta * sx) / n, 6) AS lnk,
+                   ROUND(r2, 6) AS r2
+            FROM f
+        """,
+        "user_decayed_value": """
+            -- ages in exact int64 microseconds, one double division,
+            -- lambda = ln(2)/half_life shared as written
+            WITH mx AS (SELECT MAX(ts) AS tmax FROM events)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value * exp(-(ln(2) / 7.0)
+                     * (CAST(epoch_us(mx.tmax) - epoch_us(ts) AS DOUBLE)
+                        / 86400000000.0))), 6) AS decayed
+            FROM events, mx GROUP BY user_id ORDER BY user_id
         """,
         "corpus_zipf_fit": """
             -- OLS of ln(tf) on ln(rank) over the top-24 terms; tf ties

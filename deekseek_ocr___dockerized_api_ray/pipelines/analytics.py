@@ -3267,3 +3267,54 @@ def part_authority_hits(sf_dir: str, k: int = 20, n_buckets: int = 16):
         "rk": np.arange(1, len(top) + 1, dtype=np.int64),
     })
     return out
+
+
+def user_decayed_value(sf_dir: str, half_life_days: float = 7.0,
+                       n_buckets: int = 16):
+    """Per-user exponentially time-decayed value score -- the standard
+    recency-weighted engagement feature: sum of value * exp(-lambda *
+    age_days) with lambda = ln(2) / half_life, ages measured from the
+    global max timestamp in EXACT int64 microseconds before the single
+    double division (both engines share the float tree; the summed
+    per-row terms commute within the r6 rounding digit, same contract
+    as every revenue sum in this suite).
+
+    Shape: one scalar max-ts aggregate, then per-batch partial decayed
+    sums per user -> one keyed combiner reduce. The event stream is
+    never shuffled raw.
+
+    Output: (user_id, n, decayed r6) sorted by user_id.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    tmax_us = pd.Timestamp(ev.max("ts")).value // 1000  # ns -> us
+    lam = np.log(2.0) / half_life_days
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = (pd.to_datetime(df["ts"]).astype("datetime64[us]")
+                 .astype("int64").to_numpy())
+        age_days = (tmax_us - ts_us).astype(np.float64) / 86400000000.0
+        dec = df["value"].to_numpy(dtype=np.float64) * np.exp(-lam * age_days)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(dtype=np.int64),
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "decayed": dec})
+        return g.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), decayed=("decayed", "sum"))
+
+    agg = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas", batch_size=131072),
+        ["user_id"], {"n": ("n", "sum"), "decayed": ("decayed", "sum")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "n": df["n"].to_numpy(dtype=np.int64),
+            "decayed": round_series(df["decayed"], 6).to_numpy(),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas",
+                           batch_size=131072).sort("user_id")

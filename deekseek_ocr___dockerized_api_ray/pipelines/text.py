@@ -1337,3 +1337,99 @@ def corpus_zipf_fit(sf_dir: str, max_rank: int = 24, n_buckets: int = 16):
         "intercept": round_series(pd.Series([intercept]), 6).to_numpy(),
         "r2": round_series(pd.Series([r2]), 6).to_numpy(),
     })
+
+
+def corpus_heaps_fit(sf_dir: str, n_checkpoints: int = 10,
+                     n_buckets: int = 16):
+    """Heaps'-law fit V = K * T^beta: vocabulary growth against token
+    count along the doc_id order, sampled at ``n_checkpoints`` doc-id
+    thresholds t_i = ((i+1) * max_id) // n  (exact integer math in both
+    engines).  V_i counts terms whose FIRST containing doc_id <= t_i;
+    T_i sums tokens of docs <= t_i.  OLS of ln V on ln T gives beta
+    (typically 0.4-0.6 on natural text; ~0 on a closed-vocabulary
+    corpus -- exactly the synthetic-data signature this audits).
+
+    Scale shape: per-term min-doc and per-doc token counts are combiner
+    aggregates (two keyed shuffles on the term / doc grain); each term
+    and doc then folds into its checkpoint BUCKET, so only
+    n_checkpoints partial rows reach the driver, never the vocabulary
+    or the corpus.  The docstring of `corpus_zipf_fit` covers the
+    rank-capped frequency twin.
+
+    Output: one row (n_points, beta r6, lnk r6, r2 r6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    max_id = int(ds.max("doc_id"))
+    thr = np.array([((i + 1) * max_id) // n_checkpoints
+                    for i in range(n_checkpoints)], dtype=np.int64)
+
+    def tok_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        cnt = ex.groupby("doc_id").size()
+        bkt = np.searchsorted(thr, cnt.index.to_numpy(dtype=np.int64),
+                              side="left")
+        g = pd.DataFrame({"bkt": bkt,
+                          "ntok": cnt.to_numpy(dtype=np.int64)})
+        return g.groupby("bkt", as_index=False).agg(ntok=("ntok", "sum"))
+
+    tsum = grouped_agg(
+        ds.map_batches(tok_rows, batch_format="pyarrow", batch_size=8192),
+        ["bkt"], {"ntok": ("ntok", "sum")}, n_buckets=4)
+
+    def term_first(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return (ex.groupby("term", as_index=False)
+                .agg(fdoc=("doc_id", "min")))
+
+    fd = grouped_agg(
+        ds.map_batches(term_first, batch_format="pyarrow", batch_size=8192),
+        ["term"], {"fdoc": ("fdoc", "min")}, n_buckets=n_buckets)
+
+    def first_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bkt = np.searchsorted(thr, df["fdoc"].to_numpy(dtype=np.int64),
+                              side="left")
+        g = pd.DataFrame({"bkt": bkt})
+        return g.groupby("bkt", as_index=False).agg(v=("bkt", "size"))
+
+    vsum = grouped_agg(
+        fd.map_batches(first_bucket, batch_format="pandas",
+                       batch_size=131072),
+        ["bkt"], {"v": ("v", "sum")}, n_buckets=4)
+
+    # bound: n_checkpoints rows each (the checkpoint grain)
+    tp = tsum.to_pandas().set_index("bkt")["ntok"]
+    vp = vsum.to_pandas().set_index("bkt")["v"]
+    t_cum = np.zeros(n_checkpoints, dtype=np.int64)
+    v_cum = np.zeros(n_checkpoints, dtype=np.int64)
+    for i in range(n_checkpoints):
+        t_cum[i] = (t_cum[i - 1] if i else 0) + int(tp.get(i, 0))
+        v_cum[i] = (v_cum[i - 1] if i else 0) + int(vp.get(i, 0))
+
+    x = np.log(t_cum.astype(np.float64))
+    y = np.log(v_cum.astype(np.float64))
+    n = float(n_checkpoints)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy))
+    return pd.DataFrame({
+        "n_points": pd.array([n_checkpoints], dtype="int64"),
+        "beta": round_series(pd.Series([beta]), 6).to_numpy(),
+        "lnk": round_series(pd.Series([lnk]), 6).to_numpy(),
+        "r2": round_series(pd.Series([r2]), 6).to_numpy(),
+    })

@@ -282,3 +282,54 @@ def test_zipf_fit_matches_polyfit(ray_session):
     assert abs(float(got["intercept"].iloc[0]) - intercept_ref) < 1e-5
     assert abs(float(got["r2"].iloc[0]) - r2_ref) < 1e-5
     assert float(got["slope"].iloc[0]) < 0  # Zipf: frequency falls with rank
+
+
+@needs_data
+def test_heaps_fit_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        corpus_heaps_fit,
+    )
+
+    got = _df(corpus_heaps_fit(SF, n_checkpoints=10))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ex = (docs.assign(term=docs["text"].str.split(" "))
+          .loc[:, ["doc_id", "term"]].explode("term"))
+    ex = ex[ex["term"] != ""]
+    m = int(docs["doc_id"].max())
+    thr = [((i + 1) * m) // 10 for i in range(10)]
+    T = np.array([int((ex["doc_id"] <= t).sum()) for t in thr], float)
+    first = ex.groupby("term")["doc_id"].min()
+    V = np.array([int((first <= t).sum()) for t in thr], float)
+    beta_ref, lnk_ref = np.polyfit(np.log(T), np.log(V), 1)
+
+    assert int(got["n_points"].iloc[0]) == 10
+    assert abs(float(got["beta"].iloc[0]) - beta_ref) < 1e-5
+    assert abs(float(got["lnk"].iloc[0]) - lnk_ref) < 1e-5
+    # vocabulary grows sublinearly in tokens on this closed-vocab corpus
+    assert 0.0 <= float(got["beta"].iloc[0]) < 1.0
+
+
+@needs_data
+def test_decayed_value_matches_pandas_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        user_decayed_value,
+    )
+
+    got = _df(user_decayed_value(SF)).set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    age_days = (int(ts_us.max()) - ts_us) / 86400000000.0
+    lam = np.log(2.0) / 7.0
+    dec = ev["value"] * np.exp(-lam * age_days)
+    want = dec.groupby(ev["user_id"]).sum()
+
+    assert np.allclose(got["decayed"].reindex(want.index).to_numpy(),
+                       want.to_numpy(), atol=1e-5)
+    # decay only shrinks: every score is <= the plain sum and positive
+    plain = ev.groupby("user_id")["value"].sum()
+    assert (got["decayed"].reindex(plain.index).to_numpy()
+            <= plain.to_numpy() + 1e-9).all()
+    assert (got["decayed"] > 0).all()
+    assert int(got["n"].sum()) == len(ev)
