@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure kernels behind the
+distributed operators: the distributed result must equal a brute-force
+reference on arbitrary tiny inputs, not just the driver testdata."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = st.text(alphabet="ab ", min_size=0, max_size=24)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=30))
+def test_snm_window_pairs_property(ray_session, texts):
+    """Blocked-SNM pairs == brute-force windows over any corpus."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        snm_candidate_pairs,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = snm_candidate_pairs(rd.from_pandas(df), skey_len=6, blk_len=2,
+                              window=3).to_pandas()
+
+    ref = df.copy()
+    ref["skey"] = ref["text"].str.lower().str.slice(0, 6)
+    ref["blk"] = ref["skey"].str.slice(0, 2)
+    rows = []
+    for blk, g in ref.groupby("blk"):
+        ids = g.sort_values(["skey", "doc_id"])["doc_id"].to_numpy()
+        for i in range(len(ids)):
+            for j in (1, 2):
+                if i + j < len(ids):
+                    rows.append((blk, ids[i], ids[i + j], j))
+    want = sorted(rows)
+    if len(got) == 0:  # empty Ray datasets drop their schema
+        assert want == []
+        return
+    assert sorted(zip(got["blk"], got["id_a"], got["id_b"],
+                      got["gap"])) == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),
+                          st.integers(0, 4),
+                          st.integers(1, 100)),
+                min_size=1, max_size=60))
+def test_grouped_agg_sum_property(ray_session, rows):
+    """grouped_agg == pandas groupby-sum for any (k1, k2, v) multiset."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.agg import grouped_agg
+
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    got = (grouped_agg(rd.from_pandas(df), ["k1", "k2"],
+                       {"s": ("v", "sum"), "mx": ("v", "max")},
+                       n_buckets=4)
+           .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    want = (df.groupby(["k1", "k2"], as_index=False)
+            .agg(s=("v", "sum"), mx=("v", "max"))
+            .sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"s": "int64", "mx": "int64"}), want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(3, 16), st.integers(2, 5))
+def test_mutual_nn_property(ray_session, n, dim):
+    """Mutual-NN pairs == numpy brute force on random-ish vectors
+    (deterministic per (n, dim) via a seeded generator)."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        mutual_nn_pairs,
+    )
+
+    rng = np.random.default_rng(n * 100 + dim)
+    m = rng.normal(size=(n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [m[i].tolist() for i in range(n)]})
+    got = mutual_nn_pairs(rd.from_pandas(df)).to_pandas()
+
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = norm @ norm.T
+    np.fill_diagonal(sim, -np.inf)
+    order = np.lexsort((np.tile(np.arange(n), (n, 1)), -sim))
+    nn = order[:, 0]
+    want = sorted({(min(i, int(nn[i])), max(i, int(nn[i])))
+                   for i in range(n) if nn[nn[i]] == i})
+    assert sorted(zip(got["id_a"], got["id_b"])) == want
