@@ -369,6 +369,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return snm_candidate_pairs(_docs_ds(sf_dir), skey_len=16,
                                    blk_len=4, window=5)
 
+    def quality_survivors_q(sf_dir: str):
+        # same verified pairs as neardup_clusters; representative =
+        # max n_chars (ties: min doc_id) instead of min id
+        import ray.data as rd
+
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            quality_survivors,
+        )
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        pairs = verify_pairs_jaccard(
+            lsh_candidate_pairs(docs), docs, threshold=0.8)
+        return quality_survivors(docs, pairs)
+
     def simhash_survivors(sf_dir: str):
         return simhash_dedup(_docs_ds(sf_dir), max_hamming=3)
 
@@ -639,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_zipf_fit": text.corpus_zipf_fit,
         "corpus_heaps_fit": text.corpus_heaps_fit,
         "user_decayed_value": analytics.user_decayed_value,
+        "events_mannwhitney_u": sequences.events_mannwhitney_u,
+        "weekend_conversion_ztest": sequences.weekend_conversion_ztest,
+        "quality_survivors": quality_survivors_q,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -963,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _oracles.minhash_candidates_sql(),
         "minhash_survivors": _oracles.minhash_survivors_sql(threshold=0.8),
         "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
+        "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
@@ -1389,6 +1407,68 @@ def oracle_sql() -> dict[str, str]:
             FROM nn x JOIN nn y
               ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
             WHERE x.vec_id < x.neighbor_id
+        """,
+        "events_mannwhitney_u": """
+            -- midranks over the pooled distinct-value grid; rank sums
+            -- are multiples of 1/2 so U is exact in both engines; the
+            -- tie-corrected z divides once at the end
+            WITH d AS (
+              SELECT value AS val,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS ca,
+                     SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS cb
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY val),
+            c AS (
+              SELECT val, CAST(ca AS DOUBLE) AS ca, CAST(cb AS DOUBLE) AS cb,
+                     CAST(ca + cb AS DOUBLE) AS t,
+                     CAST(SUM(ca + cb) OVER (ORDER BY val) - (ca + cb)
+                          AS DOUBLE) AS before
+              FROM d),
+            t AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                         CAST(SUM(cb) AS DOUBLE) AS nb FROM d),
+            r AS (SELECT SUM(ca * (before + (t + 1.0) / 2.0)) AS ra,
+                         SUM(t * t * t - t) AS ties
+                  FROM c),
+            f AS (SELECT t.na, t.nb, r.ties,
+                         r.ra - t.na * (t.na + 1.0) / 2.0 AS ua
+                  FROM t, r)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   ROUND(ua, 6) AS u_a,
+                   ROUND((ua - na * nb / 2.0)
+                         / sqrt((na * nb / 12.0)
+                                * ((na + nb + 1.0)
+                                   - ties / ((na + nb)
+                                             * (na + nb - 1.0)))), 6) AS z
+            FROM f
+        """,
+        "weekend_conversion_ztest": """
+            -- group = the day set {Saturday, Sunday}: dayofweek(ts) IN
+            -- (0, 6) under DuckDB's Sunday origin selects the same days
+            -- as pandas' dow >= 5
+            WITH g AS (
+              SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                       AS we,
+                     COUNT(*) AS n,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS x
+              FROM events GROUP BY 1),
+            f AS (
+              SELECT
+                CAST(MAX(CASE WHEN we = 0 THEN n END) AS DOUBLE) AS n1,
+                CAST(MAX(CASE WHEN we = 0 THEN x END) AS DOUBLE) AS x1,
+                CAST(MAX(CASE WHEN we = 1 THEN n END) AS DOUBLE) AS n2,
+                CAST(MAX(CASE WHEN we = 1 THEN x END) AS DOUBLE) AS x2
+              FROM g)
+            SELECT CAST(n1 AS BIGINT) AS n_wd, CAST(n2 AS BIGINT) AS n_we,
+                   ROUND(x1 / n1, 6) AS p_wd,
+                   ROUND(x2 / n2, 6) AS p_we,
+                   ROUND((x1 / n1 - x2 / n2)
+                         / sqrt(((x1 + x2) / (n1 + n2))
+                                * (1.0 - (x1 + x2) / (n1 + n2))
+                                * (1.0 / n1 + 1.0 / n2)), 6) AS z
+            FROM f
         """,
         "benford_order_totals": """
             -- leading digit from the integer part (exact int ops, no

@@ -655,3 +655,37 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s)
 WHERE rank <= {k}"""
+
+
+def quality_survivors_sql(threshold: float = 0.8) -> str:
+    """Quality-aware survivor selection: in each component of the
+    verified-pair closure keep the member with max n_chars (ties by
+    min doc_id); docs outside any component always survive.  Matches
+    stages/dedup.quality_survivors over the same verified pairs."""
+    return (
+        f"WITH RECURSIVE {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        """,
+sym AS (SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+lab AS (
+  SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+  FROM (SELECT DISTINCT src FROM sym) n
+  JOIN reach r ON r.src = n.src GROUP BY n.src),
+best AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           row_number() OVER (
+             PARTITION BY l.cluster_id
+             ORDER BY d.n_chars DESC, l.doc_id) AS rk
+    FROM lab l JOIN documents d USING (doc_id)) WHERE rk = 1)
+SELECT d.* FROM documents d
+LEFT JOIN lab ON lab.doc_id = d.doc_id
+WHERE lab.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM best)
+ORDER BY d.doc_id"""
+    )

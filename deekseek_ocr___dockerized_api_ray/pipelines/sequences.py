@@ -1194,3 +1194,117 @@ def event_weekday_mutual_info(sf_dir: str, n_buckets: int = 8):
     # 35 cells: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def events_mannwhitney_u(sf_dir: str, type_a: str = "click",
+                         type_b: str = "view", n_buckets: int = 8):
+    """Mann-Whitney U (rank-sum) test between the value distributions
+    of two event types -- the nonparametric median-shift companion to
+    ``events_ks_test``'s shape test.  Midranks handle ties exactly:
+    rank sums are multiples of 1/2, exactly representable in doubles,
+    so U is bit-identical in both engines regardless of sum order; the
+    tie-corrected normal approximation z divides once at the end.
+
+    Shape: identical to events_ks_test -- (value, side) combiner counts
+    (the VALUE GRAIN crosses the wire, never the stream), cumulative
+    midranks folded on the driver (bound: distinct values).
+
+    Output: one row (n_a, n_b, u_a r6, z r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["event_type"].isin([type_a, type_b])]
+        if m.empty:
+            return pd.DataFrame({"value": pd.Series([], dtype="float64"),
+                                 "ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64")})
+        is_a = (m["event_type"] == type_a).to_numpy()
+        g = pd.DataFrame({"value": m["value"].to_numpy(),
+                          "ca": is_a.astype(np.int64),
+                          "cb": (~is_a).astype(np.int64)})
+        return g.groupby("value", as_index=False, sort=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum"))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["value"], {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values("value").reset_index(drop=True)
+        ca = g["ca"].to_numpy(dtype=np.float64)
+        cb = g["cb"].to_numpy(dtype=np.float64)
+        t = ca + cb
+        before = t.cumsum() - t
+        midrank = before + (t + 1.0) / 2.0
+        na, nb = ca.sum(), cb.sum()
+        ra = (ca * midrank).sum()
+        u_a = ra - na * (na + 1.0) / 2.0
+        nn = na + nb
+        ties = (t * t * t - t).sum()
+        var = (na * nb / 12.0) * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+        z = (u_a - na * nb / 2.0) / np.sqrt(var)
+        return pd.DataFrame({
+            "n_a": pd.array([int(na)], dtype="int64"),
+            "n_b": pd.array([int(nb)], dtype="int64"),
+            "u_a": round_series(pd.Series([u_a]), 6).to_numpy(),
+            "z": round_series(pd.Series([z]), 6).to_numpy(),
+        })
+
+    # value-grain histogram: the finish legitimately runs in one batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 22))
+
+
+def weekend_conversion_ztest(sf_dir: str, n_buckets: int = 4):
+    """Two-proportion z-test: is the purchase share of events different
+    on weekends vs weekdays?  The A/B-test primitive over calendar
+    segments.  Group membership is the DAY SET {Saturday, Sunday} --
+    identical under pandas' Monday-origin and DuckDB's Sunday-origin
+    weekday numbering, so no label translation is needed.  Pooled
+    p = (x1+x2)/(n1+n2); z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)).
+
+    Shape: four combiner counts; the event stream is never shuffled.
+
+    Output: one row (n_wd, n_we, p_wd r6, p_we r6, z r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        dow = pd.to_datetime(df["ts"]).dt.dayofweek.to_numpy(dtype=np.int64)
+        we = (dow >= 5).astype(np.int64)  # Sat=5, Sun=6 (Monday origin)
+        pur = (df["event_type"] == "purchase").to_numpy().astype(np.int64)
+        g = pd.DataFrame({"we": we, "n": np.ones(len(df), dtype=np.int64),
+                          "x": pur})
+        return g.groupby("we", as_index=False).agg(n=("n", "sum"),
+                                                   x=("x", "sum"))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["we"], {"n": ("n", "sum"), "x": ("x", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.set_index("we")
+        n1, x1 = float(g.loc[0, "n"]), float(g.loc[0, "x"])  # weekday
+        n2, x2 = float(g.loc[1, "n"]), float(g.loc[1, "x"])  # weekend
+        p1, p2 = x1 / n1, x2 / n2
+        p = (x1 + x2) / (n1 + n2)
+        z = (p1 - p2) / np.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+        return pd.DataFrame({
+            "n_wd": pd.array([int(n1)], dtype="int64"),
+            "n_we": pd.array([int(n2)], dtype="int64"),
+            "p_wd": round_series(pd.Series([p1]), 6).to_numpy(),
+            "p_we": round_series(pd.Series([p2]), 6).to_numpy(),
+            "z": round_series(pd.Series([z]), 6).to_numpy(),
+        })
+
+    # 2 rows: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

@@ -868,3 +868,66 @@ def snm_candidate_pairs(docs_ds, skey_len: int = 16, blk_len: int = 4,
     keyed = docs_ds.map_batches(keys, batch_format="pyarrow")
     return keyed.groupby("bucket").map_groups(bucket_pairs,
                                               batch_format="pandas")
+
+
+def quality_survivors(docs_ds, verified_pairs_ds, quality_col: str = "n_chars",
+                      id_col: str = "doc_id",
+                      num_partitions: Optional[int] = None,
+                      broadcast_drop: int = 1_000_000):
+    """Quality-aware near-dup collapse: within each connected component
+    of the verified duplicate pairs keep the HIGHEST-quality member
+    (quality desc, id asc tie-break) instead of ``survivors_from_pairs``'
+    minimum id -- what production curation actually ships (drop the
+    truncated mirror, keep the full-length original).
+
+    Shape: component labels from the size-gated ``component_labels``
+    hybrid; quality attaches to the label table via ONE distributed
+    hash join (labels are pair-endpoint-sized, far smaller than the
+    corpus); each cluster's non-representatives come out of a keyed
+    groupby (cluster cardinality-bounded groups); the final filter is
+    broadcast-set below ``broadcast_drop`` drop keys, hash anti-join
+    above -- the survivors_from_pairs gate, same path equivalence.
+
+    Output: the surviving docs_ds rows (all columns).
+    """
+    import pandas as pd
+    import ray
+
+    labels = component_labels(verified_pairs_ds)
+    if labels.count() == 0:
+        return docs_ds
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, cpus // 2)
+
+    q = docs_ds.select_columns([id_col, quality_col])
+    lq = labels.join(q, join_type="inner", num_partitions=num_partitions,
+                     on=("node",), right_on=(id_col,))
+
+    def drops_of_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([quality_col, "node"],
+                              ascending=[False, True])
+        return pd.DataFrame({"node": g["node"].to_numpy(dtype=np.int64)[1:]})
+
+    drop_ds = (lq.groupby("label")
+               .map_groups(drops_of_cluster, batch_format="pandas")
+               .materialize())
+    n_drop = drop_ds.count()
+
+    if n_drop <= broadcast_drop:
+        # bound: gated at broadcast_drop keys (anti-join above the gate)
+        return _drop_set_filter(
+            docs_ds, set(r["node"] for r in drop_ds.iter_rows()), id_col)
+
+    marked = drop_ds.map_batches(
+        lambda b: b.append_column("__dup", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    joined = docs_ds.join(marked, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(id_col,), right_on=("node",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("__dup"))).drop_columns(["__dup"]),
+        batch_format="pyarrow",
+    )

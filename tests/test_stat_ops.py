@@ -333,3 +333,78 @@ def test_decayed_value_matches_pandas_reference(ray_session):
             <= plain.to_numpy() + 1e-9).all()
     assert (got["decayed"] > 0).all()
     assert int(got["n"].sum()) == len(ev)
+
+
+@needs_data
+def test_mannwhitney_matches_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        events_mannwhitney_u,
+    )
+
+    got = _df(events_mannwhitney_u(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    a = ev.loc[ev["event_type"] == "click", "value"].to_numpy()
+    b = ev.loc[ev["event_type"] == "view", "value"].to_numpy()
+    pooled = np.concatenate([a, b])
+    ranks = pd.Series(pooled).rank(method="average").to_numpy()
+    ra = ranks[: len(a)].sum()
+    u_ref = ra - len(a) * (len(a) + 1) / 2.0
+
+    assert int(got["n_a"].iloc[0]) == len(a)
+    assert int(got["n_b"].iloc[0]) == len(b)
+    assert abs(float(got["u_a"].iloc[0]) - u_ref) < 1e-6
+    # U bounded by n_a * n_b
+    assert 0.0 <= float(got["u_a"].iloc[0]) <= len(a) * len(b)
+
+
+@needs_data
+def test_weekend_ztest_matches_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        weekend_conversion_ztest,
+    )
+
+    got = _df(weekend_conversion_ztest(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    we = pd.to_datetime(ev["ts"]).dt.dayofweek >= 5
+    pur = ev["event_type"] == "purchase"
+    n1, x1 = int((~we).sum()), int((pur & ~we).sum())
+    n2, x2 = int(we.sum()), int((pur & we).sum())
+    p = (x1 + x2) / (n1 + n2)
+    z_ref = ((x1 / n1 - x2 / n2)
+             / np.sqrt(p * (1 - p) * (1 / n1 + 1 / n2)))
+
+    assert int(got["n_wd"].iloc[0]) == n1
+    assert int(got["n_we"].iloc[0]) == n2
+    assert abs(float(got["z"].iloc[0]) - z_ref) < 1e-6
+
+
+@needs_data
+def test_quality_survivors_keep_best_member(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        component_labels,
+        lsh_candidate_pairs,
+        quality_survivors,
+        verify_pairs_jaccard,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    pairs = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                                 threshold=0.8)
+    got = quality_survivors(docs, pairs).to_pandas()
+    labels = component_labels(pairs).to_pandas()
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+    lab = labels.merge(pdf, left_on="node", right_on="doc_id")
+    best = (lab.sort_values(["n_chars", "node"], ascending=[False, True])
+            .groupby("label").head(1)["node"])
+    in_comp = set(labels["node"])
+    want = (set(pdf["doc_id"]) - in_comp) | set(best)
+
+    assert set(got["doc_id"]) == want
+    # one survivor per cluster, and it is the max-quality member
+    assert len(got) == len(pdf) - len(in_comp) + lab["label"].nunique()
