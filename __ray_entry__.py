@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney_u": sequences.events_mannwhitney_u,
         "weekend_conversion_ztest": sequences.weekend_conversion_ztest,
         "quality_survivors": quality_survivors_q,
+        "doc_lang_mix": text.doc_lang_mix,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -831,6 +832,35 @@ def oracle_sql() -> dict[str, str]:
         {_WS}) AS clean_text
     FROM documents
     """
+    # shared by lang_term_logodds + doc_lang_mix: capped-vocab
+    # Fightin'-Words z-scores, ranked per language
+    _logodds_ctes = """tok AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            lt AS MATERIALIZED (
+              SELECT lang, term, COUNT(*) AS y FROM tok
+              WHERE term != '' GROUP BY 1, 2),
+            tv AS (SELECT term, SUM(y) AS yw FROM lt GROUP BY term),
+            vocab AS (SELECT term, yw FROM tv
+                      ORDER BY yw DESC, term LIMIT 16),
+            l2 AS (SELECT l.lang, l.term, CAST(l.y AS DOUBLE) AS y,
+                          CAST(v.yw AS DOUBLE) AS yw
+                   FROM lt l JOIN vocab v USING (term)),
+            nl AS (SELECT lang, SUM(y) AS n_l FROM l2 GROUP BY lang),
+            nt AS (SELECT SUM(y) AS n FROM l2),
+            sc AS (SELECT l2.lang, l2.term, l2.y, l2.yw, nl.n_l, nt.n,
+                          200.0 * l2.yw / nt.n AS aw
+                   FROM l2 JOIN nl USING (lang), nt),
+            z AS (SELECT lang, term, CAST(y AS BIGINT) AS y_lw,
+                         ROUND((ln((y + aw) / (n_l + 200.0 - y - aw))
+                              - ln(((yw - y) + aw)
+                                   / (n - n_l + 200.0 - (yw - y) - aw)))
+                               / sqrt(1.0 / (y + aw)
+                                      + 1.0 / ((yw - y) + aw)), 6) AS z
+                  FROM sc),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY lang ORDER BY z DESC, term) AS rk
+                       FROM z)"""
     return {
         "doc_token_stats": r"""
             SELECT doc_id,
@@ -1487,40 +1517,42 @@ def oracle_sql() -> dict[str, str]:
                      AS p_benford
             FROM d, t ORDER BY d.digit
         """,
-        "lang_term_logodds": """
+        "lang_term_logodds": f"""
             -- Fightin'-Words log-odds w/ informative Dirichlet prior,
             -- vocabulary capped at top-16 corpus-tf terms (tf desc,
             -- term asc) exactly like the engine's distributed
             -- sort+limit; observed (lang, term) pairs only
-            WITH tok AS (
-              SELECT lang, unnest(string_split(text, ' ')) AS term
-              FROM documents),
-            lt AS MATERIALIZED (
-              SELECT lang, term, COUNT(*) AS y FROM tok
-              WHERE term != '' GROUP BY 1, 2),
-            tv AS (SELECT term, SUM(y) AS yw FROM lt GROUP BY term),
-            vocab AS (SELECT term, yw FROM tv
-                      ORDER BY yw DESC, term LIMIT 16),
-            l2 AS (SELECT l.lang, l.term, CAST(l.y AS DOUBLE) AS y,
-                          CAST(v.yw AS DOUBLE) AS yw
-                   FROM lt l JOIN vocab v USING (term)),
-            nl AS (SELECT lang, SUM(y) AS n_l FROM l2 GROUP BY lang),
-            nt AS (SELECT SUM(y) AS n FROM l2),
-            sc AS (SELECT l2.lang, l2.term, l2.y, l2.yw, nl.n_l, nt.n,
-                          200.0 * l2.yw / nt.n AS aw
-                   FROM l2 JOIN nl USING (lang), nt),
-            z AS (SELECT lang, term, CAST(y AS BIGINT) AS y_lw,
-                         ROUND((ln((y + aw) / (n_l + 200.0 - y - aw))
-                              - ln(((yw - y) + aw)
-                                   / (n - n_l + 200.0 - (yw - y) - aw)))
-                               / sqrt(1.0 / (y + aw)
-                                      + 1.0 / ((yw - y) + aw)), 6) AS z
-                  FROM sc)
+            WITH {_logodds_ctes}
             SELECT lang, term, y_lw, z, CAST(rk AS BIGINT) AS rk
-            FROM (SELECT *, row_number() OVER (
-                    PARTITION BY lang ORDER BY z DESC, term) AS rk
-                  FROM z)
-            WHERE rk <= 5 ORDER BY lang, rk
+            FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+        """,
+        "doc_lang_mix": f"""
+            -- per-doc classification against the induced log-odds
+            -- lexicons (top-5 z per language); entropy uses the
+            -- engine's ln(n) - sum(c ln c)/n algebra
+            WITH {_logodds_ctes},
+            lex AS (SELECT lang, term FROM ranked WHERE rk <= 5),
+            dtok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            hits AS (
+              SELECT t.doc_id, l.lang, COUNT(*) AS c
+              FROM dtok t JOIN lex l USING (term) GROUP BY 1, 2),
+            tots AS (
+              SELECT doc_id, SUM(c) AS n,
+                     SUM(c * ln(CAST(c AS DOUBLE))) AS sc
+              FROM hits GROUP BY doc_id),
+            top AS (
+              SELECT doc_id, lang, c FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, lang) AS rk
+                FROM hits) WHERE rk = 1)
+            SELECT t.doc_id, top.lang AS top_lang,
+                   CAST(top.c AS BIGINT) AS n_hits_top,
+                   CAST(t.n AS BIGINT) AS n_hits_total,
+                   ROUND(ln(CAST(t.n AS DOUBLE))
+                         - t.sc / CAST(t.n AS DOUBLE), 6) AS mix_entropy
+            FROM tots t JOIN top USING (doc_id) ORDER BY t.doc_id
         """,
         "per_key_sample": """
             SELECT doc_id, source FROM (

@@ -1433,3 +1433,72 @@ def corpus_heaps_fit(sf_dir: str, n_checkpoints: int = 10,
         "lnk": round_series(pd.Series([lnk]), 6).to_numpy(),
         "r2": round_series(pd.Series([r2]), 6).to_numpy(),
     })
+
+
+def doc_lang_mix(sf_dir: str, max_vocab: int = 16, k: int = 5):
+    """Per-document language-mix classification against the INDUCED
+    lexicons: the top-``k`` log-odds terms of each language (from
+    ``lang_term_logodds``) become that language's lexicon; every doc is
+    scored by lexicon-hit counts -- majority language, hit totals, and
+    the mix entropy ln(n) - sum(c ln c)/n (0 = single-language doc,
+    higher = code-switching / template mixing).  Operator COMPOSITION:
+    lexicon induction feeds classification, both oracled.
+
+    Scale shape: the lexicon is |langs| x k rows (driver-bounded,
+    broadcast once); scoring is ONE streaming map_batches -- each doc's
+    hits resolve entirely inside its batch via a vectorized merge, so
+    the corpus is never shuffled.  Zero-hit docs drop out (no lexicon
+    evidence).
+
+    Output: (doc_id, top_lang, n_hits_top, n_hits_total,
+    mix_entropy r6) sorted by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..functions.rounding import round_series
+
+    # bound: |langs| x k rows (the induced lexicon)
+    lex = lang_term_logodds(sf_dir, max_vocab=max_vocab,
+                            k=k).to_pandas()[["term", "lang"]]
+    lex_ref = ray.put(lex)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lx = ray.get(lex_ref)
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        m = ex.merge(lx, on="term")
+        if m.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "top_lang": pd.Series([], dtype=object),
+                "n_hits_top": pd.Series([], dtype="int64"),
+                "n_hits_total": pd.Series([], dtype="int64"),
+                "mix_entropy": pd.Series([], dtype="float64"),
+            })
+        hits = (m.groupby(["doc_id", "lang"], as_index=False)
+                .agg(c=("lang", "size")))
+        c = hits["c"].to_numpy(dtype=np.float64)
+        hits["clnc"] = c * np.log(c)
+        tot = hits.groupby("doc_id").agg(n=("c", "sum"),
+                                         sc=("clnc", "sum"))
+        top = (hits.sort_values(["doc_id", "c", "lang"],
+                                ascending=[True, False, True])
+               .groupby("doc_id").head(1).set_index("doc_id"))
+        n = tot["n"].to_numpy(dtype=np.float64)
+        ent = np.log(n) - tot["sc"].to_numpy() / n
+        return pd.DataFrame({
+            "doc_id": tot.index.to_numpy(dtype=np.int64),
+            "top_lang": top["lang"].reindex(tot.index).to_numpy(),
+            "n_hits_top": top["c"].reindex(tot.index).to_numpy(np.int64),
+            "n_hits_total": tot["n"].to_numpy(dtype=np.int64),
+            "mix_entropy": round_series(pd.Series(ent), 6).to_numpy(),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=8192).sort("doc_id")

@@ -408,3 +408,38 @@ def test_quality_survivors_keep_best_member(ray_session):
     assert set(got["doc_id"]) == want
     # one survivor per cluster, and it is the max-quality member
     assert len(got) == len(pdf) - len(in_comp) + lab["label"].nunique()
+
+
+@needs_data
+def test_doc_lang_mix_invariants(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        doc_lang_mix,
+        lang_term_logodds,
+    )
+
+    got = _df(doc_lang_mix(SF))
+    lex = _df(lang_term_logodds(SF, max_vocab=16, k=5))
+
+    # all 500 docs hit the lexicon on this corpus (shared vocabulary)
+    assert len(got) == 500
+    assert set(got["top_lang"]).issubset(set(lex["lang"]))
+    assert (got["n_hits_top"] <= got["n_hits_total"]).all()
+    assert (got["mix_entropy"] >= 0).all()
+    # single-language docs have zero entropy; mixed docs positive
+    single = got["n_hits_top"] == got["n_hits_total"]
+    assert (got.loc[single, "mix_entropy"] == 0).all()
+    assert (got.loc[~single, "mix_entropy"] > 0).all()
+
+    # spot-check one doc against a direct count
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    row = docs.iloc[0]
+    toks = [t for t in row["text"].split(" ") if t]
+    counts = {}
+    for _, r in lex.iterrows():
+        c = sum(1 for t in toks if t == r["term"])
+        if c:
+            counts[r["lang"]] = counts.get(r["lang"], 0) + c
+    g0 = got[got["doc_id"] == row["doc_id"]].iloc[0]
+    assert int(g0["n_hits_total"]) == sum(counts.values())
+    assert int(g0["n_hits_top"]) == max(counts.values())
