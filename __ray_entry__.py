@@ -657,6 +657,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_conversion_ztest": sequences.weekend_conversion_ztest,
         "quality_survivors": quality_survivors_q,
         "doc_lang_mix": text.doc_lang_mix,
+        "weekend_type_jsd": sequences.weekend_type_jsd,
+        "source_pii_wilson": text.source_pii_wilson,
+        # HLL registers are rows-only (like events_user_reach_hll); the
+        # differential test asserts exact equality with the batch op
+        "streaming_user_reach_hll": relational.streaming_user_reach_hll,
         "transition_dwell_times": sequences.transition_dwell_times,
         "source_pii_rate": text.source_pii_rate,
         "customer_adoption_curve": analytics.customer_adoption_curve,
@@ -1733,6 +1738,79 @@ def oracle_sql() -> dict[str, str]:
                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             WHERE src_type IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "weekend_type_jsd": """
+            -- JSD between weekday/weekend event-type mixes; H over
+            -- nonzero cells, M = (P+Q)/2; day-set membership is
+            -- numbering-origin invariant
+            WITH c AS (
+              SELECT event_type,
+                     CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                       AS we,
+                     COUNT(*) AS o
+              FROM events GROUP BY 1, 2),
+            tt AS (SELECT
+                     CAST(SUM(CASE WHEN we = 0 THEN o ELSE 0 END)
+                          AS DOUBLE) AS n1,
+                     CAST(SUM(CASE WHEN we = 1 THEN o ELSE 0 END)
+                          AS DOUBLE) AS n2
+                   FROM c),
+            pq AS (
+              SELECT event_type,
+                     CAST(SUM(CASE WHEN we = 0 THEN o ELSE 0 END)
+                          AS DOUBLE) / tt.n1 AS pp,
+                     CAST(SUM(CASE WHEN we = 1 THEN o ELSE 0 END)
+                          AS DOUBLE) / tt.n2 AS qq
+              FROM c, tt GROUP BY event_type, tt.n1, tt.n2),
+            hs AS (
+              SELECT
+                -SUM(CASE WHEN (pp + qq) / 2.0 > 0
+                     THEN ((pp + qq) / 2.0) * ln((pp + qq) / 2.0)
+                     ELSE 0 END) AS hm,
+                -SUM(CASE WHEN pp > 0 THEN pp * ln(pp) ELSE 0 END) AS hp,
+                -SUM(CASE WHEN qq > 0 THEN qq * ln(qq) ELSE 0 END) AS hq
+              FROM pq)
+            SELECT CAST(tt.n1 AS BIGINT) AS n_wd,
+                   CAST(tt.n2 AS BIGINT) AS n_we,
+                   ROUND(hs.hm - (hs.hp + hs.hq) / 2.0, 6) AS jsd,
+                   ROUND((hs.hm - (hs.hp + hs.hq) / 2.0) / ln(2.0), 6)
+                     AS jsd_norm
+            FROM tt, hs
+        """,
+        "source_pii_wilson": r"""
+            WITH u AS (
+              SELECT source,
+                     len(regexp_extract_all(text, 'https?://[^\s]+')) AS nu,
+                     regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+              FROM documents),
+            e AS (
+              SELECT source, nu,
+                     len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+                     regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+              FROM u),
+            f AS (
+              SELECT source,
+                     CASE WHEN nu + ne
+                          + len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]'))
+                          > 0 THEN 1 ELSE 0 END AS pii
+              FROM e),
+            a AS (
+              SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(pii) AS DOUBLE) AS x
+              FROM f GROUP BY 1),
+            w AS (
+              SELECT source, n, x, x / n AS p,
+                     x / n + 1.96 * 1.96 / (2.0 * n) AS center,
+                     1.96 * sqrt((x / n) * (1.0 - x / n) / n
+                                 + 1.96 * 1.96 / (4.0 * n * n)) AS spread,
+                     1.0 + 1.96 * 1.96 / n AS denom
+              FROM a)
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(x AS BIGINT) AS n_pii_docs,
+                   ROUND(p, 6) AS p,
+                   ROUND((center - spread) / denom, 6) AS lo,
+                   ROUND((center + spread) / denom, 6) AS hi
+            FROM w ORDER BY source
         """,
         "source_pii_rate": r"""
             WITH u AS (

@@ -787,3 +787,104 @@ def orders_snapshot_diff(sf_dir: str, n_buckets: int = 64):
         })
 
     return merged.map_batches(classify, batch_format="pandas").sort("o_orderkey")
+
+
+def streaming_user_reach_hll(sf_dir: str, p: int = 12, n_chunks: int = 4,
+                             n_buckets: int = 16):
+    """STREAMING distinct-user reach per event_type: the event log is
+    processed as ``n_chunks`` time-ordered micro-batches, each running
+    the same distributed HLL partial+keyed merge as the batch operator
+    (`events_user_reach_hll`); per-type REGISTERS carry across chunks
+    and merge by register-wise max.  Because max is associative,
+    commutative and idempotent, the final registers are IDENTICAL to
+    the batch pass no matter how the stream is chunked -- the
+    differential test asserts exact equality, not approximation.
+
+    State = |event_types| x 2^p bytes (key-cardinality bounded; at
+    high-cardinality keys keep the state table distributed and merge
+    via the same keyed groupby -- the sketches are already rows).
+
+    Output: (event_type, n_users_approx) -- byte-equal to the batch op.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.sketch import HyperLogLog
+    from ..functions.text_stats import sha1_64
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "ts"])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"lo": [ts_us.min()], "hi": [ts_us.max()]})
+
+    # bound: one (lo, hi) row per block
+    mms = ev.map_batches(mm, batch_format="pandas",
+                         batch_size=262144).to_pandas()
+    lo, hi = int(mms["lo"].min()), int(mms["hi"].max())
+    bounds = np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64)
+
+    def chunk_partial(batch: pa.Table, lo_us: int, hi_us: int) -> pa.Table:
+        df = batch.to_pandas()
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        keep = (ts_us >= lo_us) & (ts_us < hi_us)
+        sketches: dict = {}
+        for et, uid in zip(df["event_type"].to_numpy()[keep],
+                           df["user_id"].to_numpy()[keep]):
+            sketches.setdefault(et, HyperLogLog(p)).add(str(uid))
+        return pa.Table.from_arrays(
+            [pa.array(list(sketches), type=pa.string()),
+             pa.array([s.serialize() for s in sketches.values()],
+                      type=pa.binary())],
+            names=["event_type", "sketch"])
+
+    def merge_regs(batch: pa.Table) -> pa.Table:
+        merged: dict = {}
+        for et, data in zip(batch.column("event_type").to_pylist(),
+                            batch.column("sketch").to_pylist()):
+            h = HyperLogLog.deserialize(data, p)
+            merged[et] = merged[et].merge(h) if et in merged else h
+        return pa.Table.from_arrays(
+            [pa.array(list(merged), type=pa.string()),
+             pa.array([s.serialize() for s in merged.values()],
+                      type=pa.binary())],
+            names=["event_type", "sketch"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [sha1_64(v) % n_buckets
+             for v in batch.column("event_type").to_pylist()]
+        return batch.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    # bound: |event_types| x 2^p-byte register state (the stream state)
+    state = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "sketch": pd.Series(dtype=object)})
+    for i in range(n_chunks):
+        lo_us, hi_us = int(bounds[i]), int(bounds[i + 1])
+        # bound: one sketch row per (block, type) reduced to |types|
+        chunk = (ev.map_batches(
+            lambda b, a=lo_us, c=hi_us: chunk_partial(b, a, c),
+            batch_format="pyarrow", batch_size=131072)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(
+                lambda t: merge_regs(t.drop_columns(["bucket"])),
+                batch_format="pyarrow")
+            # bound: |event_types| sketch rows after the keyed merge
+            .to_pandas())
+        both = pd.concat([state, chunk], ignore_index=True)
+        folded: dict = {}
+        for et, data in zip(both["event_type"], both["sketch"]):
+            h = HyperLogLog.deserialize(bytes(data), p)
+            folded[et] = folded[et].merge(h) if et in folded else h
+        state = pd.DataFrame({
+            "event_type": list(folded),
+            "sketch": [s.serialize() for s in folded.values()]})
+
+    out = pd.DataFrame({
+        "event_type": state["event_type"].to_numpy(),
+        "n_users_approx": [
+            int(round(HyperLogLog.deserialize(bytes(d), p).estimate()))
+            for d in state["sketch"]]})
+    return out.sort_values("event_type").reset_index(drop=True)

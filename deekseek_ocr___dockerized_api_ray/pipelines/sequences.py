@@ -1308,3 +1308,62 @@ def weekend_conversion_ztest(sf_dir: str, n_buckets: int = 4):
     # 2 rows: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def weekend_type_jsd(sf_dir: str, n_buckets: int = 4):
+    """Jensen-Shannon divergence between the event-type distributions
+    of weekdays vs weekends -- the symmetric, bounded [0, ln 2]
+    distribution-shift measure (the KS/U tests compare VALUES; this
+    compares the categorical MIX).  JSD = H(M) - (H(P)+H(Q))/2 with
+    M = (P+Q)/2, natural log; jsd_norm divides by ln 2.  Group
+    membership is the {Saturday, Sunday} day set (origin-invariant).
+
+    Shape: one combiner count per (event_type, is_weekend) cell --
+    2 x |types| cells -- then a trivially small finish.
+
+    Output: one row (n_wd, n_we, jsd r6, jsd_norm r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        dow = pd.to_datetime(df["ts"]).dt.dayofweek.to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "we": (dow >= 5).astype(np.int64)})
+        return (g.groupby(["event_type", "we"], as_index=False)
+                .agg(o=("we", "size")))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["event_type", "we"], {"o": ("o", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.pivot_table(index="event_type", columns="we", values="o",
+                              fill_value=0, aggfunc="sum")
+        for col in (0, 1):
+            if col not in full.columns:
+                full[col] = 0
+        wd = full[0].to_numpy(dtype=np.float64)
+        we = full[1].to_numpy(dtype=np.float64)
+        n1, n2 = wd.sum(), we.sum()
+        p, q = wd / n1, we / n2
+        m = (p + q) / 2.0
+
+        def h(x):
+            nz = x > 0
+            return -(x[nz] * np.log(x[nz])).sum()
+
+        jsd = h(m) - (h(p) + h(q)) / 2.0
+        return pd.DataFrame({
+            "n_wd": pd.array([int(n1)], dtype="int64"),
+            "n_we": pd.array([int(n2)], dtype="int64"),
+            "jsd": round_series(pd.Series([jsd]), 6).to_numpy(),
+            "jsd_norm": round_series(pd.Series([jsd / np.log(2.0)]),
+                                     6).to_numpy(),
+        })
+
+    # 2 x |types| cells: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

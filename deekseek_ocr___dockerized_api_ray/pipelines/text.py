@@ -1502,3 +1502,63 @@ def doc_lang_mix(sf_dir: str, max_vocab: int = 16, k: int = 5):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=8192).sort("doc_id")
+
+
+def source_pii_wilson(sf_dir: str, z: float = 1.96):
+    """Per-source PII rate with the Wilson score interval -- the
+    uncertainty-aware version of ``source_pii_rate`` (a 25-doc source
+    at 8% and a 10k-doc source at 8% are very different findings).
+    Wilson bounds: (p + z^2/2n -/+ z*sqrt(p(1-p)/n + z^2/4n^2))
+    / (1 + z^2/n); z = 1.96 literal in both engines.
+
+    Shape: identical to source_pii_rate -- whole-doc flags in one
+    streaming pass, a |sources|-bounded combiner reduce, bounds
+    computed on the aggregate rows.
+
+    Output: (source, n_docs, n_pii_docs, p r6, lo r6, hi r6) sorted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import scrub_pii
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def part(batch: pa.Table) -> "pd.DataFrame":
+        flags = []
+        for t in batch.column("text").to_pylist():
+            r = scrub_pii(t)
+            flags.append(int(r["n_urls"] + r["n_emails"] + r["n_phones"] > 0))
+        df = pd.DataFrame({"source": batch.column("source").to_pylist(),
+                           "pii": flags})
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("pii", "size"), n_pii_docs=("pii", "sum"))
+
+    agg = grouped_agg(ds.map_batches(part, batch_format="pyarrow"),
+                      ["source"],
+                      {"n_docs": ("n_docs", "sum"),
+                       "n_pii_docs": ("n_pii_docs", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].to_numpy(dtype=np.float64)
+        x = df["n_pii_docs"].to_numpy(dtype=np.float64)
+        p = x / n
+        z2 = z * z
+        center = p + z2 / (2.0 * n)
+        spread = z * np.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        denom = 1.0 + z2 / n
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_docs": df["n_docs"].to_numpy(dtype=np.int64),
+            "n_pii_docs": df["n_pii_docs"].to_numpy(dtype=np.int64),
+            "p": round_series(pd.Series(p), 6).to_numpy(),
+            "lo": round_series(pd.Series((center - spread) / denom),
+                               6).to_numpy(),
+            "hi": round_series(pd.Series((center + spread) / denom),
+                               6).to_numpy(),
+        })
+
+    return (agg.map_batches(finish, batch_format="pandas",
+                            batch_size=1 << 20).sort("source"))

@@ -443,3 +443,69 @@ def test_doc_lang_mix_invariants(ray_session):
     g0 = got[got["doc_id"] == row["doc_id"]].iloc[0]
     assert int(g0["n_hits_total"]) == sum(counts.values())
     assert int(g0["n_hits_top"]) == max(counts.values())
+
+
+@needs_data
+def test_streaming_hll_equals_batch_exactly(ray_session):
+    """Register-max merging is associative/commutative/idempotent, so
+    the chunked stream must reproduce the batch estimates EXACTLY."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_user_reach_hll,
+        streaming_user_reach_hll,
+    )
+
+    batch = (_df(events_user_reach_hll(SF))
+             .sort_values("event_type").reset_index(drop=True))
+    for n_chunks in (1, 3, 5):
+        stream = streaming_user_reach_hll(SF, n_chunks=n_chunks)
+        pd.testing.assert_frame_equal(stream, batch)
+
+
+@needs_data
+def test_jsd_matches_reference_and_bounds(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        weekend_type_jsd,
+    )
+
+    got = _df(weekend_type_jsd(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    we = pd.to_datetime(ev["ts"]).dt.dayofweek >= 5
+    pv = ev.loc[~we, "event_type"].value_counts(normalize=True)
+    qv = ev.loc[we, "event_type"].value_counts(normalize=True)
+    types = sorted(set(pv.index) | set(qv.index))
+    p = np.array([pv.get(t, 0.0) for t in types])
+    q = np.array([qv.get(t, 0.0) for t in types])
+    m = (p + q) / 2
+
+    def h(x):
+        nz = x > 0
+        return -(x[nz] * np.log(x[nz])).sum()
+
+    jsd_ref = h(m) - (h(p) + h(q)) / 2
+
+    assert abs(float(got["jsd"].iloc[0]) - jsd_ref) < 1e-6
+    assert 0.0 <= float(got["jsd"].iloc[0]) <= np.log(2.0) + 1e-9
+    assert 0.0 <= float(got["jsd_norm"].iloc[0]) <= 1.0
+
+
+@needs_data
+def test_wilson_interval_brackets_p(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        source_pii_rate,
+        source_pii_wilson,
+    )
+
+    got = _df(source_pii_wilson(SF))
+    rate = _df(source_pii_rate(SF)).set_index("source")
+
+    assert (got["lo"] <= got["p"]).all() and (got["p"] <= got["hi"]).all()
+    assert (got["lo"] >= 0).all() and (got["hi"] <= 1).all()
+    # p agrees with the plain-rate op
+    assert np.allclose(got.set_index("source")["p"]
+                       .reindex(rate.index).to_numpy(),
+                       rate["pii_rate"].to_numpy(), atol=1e-6)
+    # wider interval for smaller n at similar p: monotone sanity on one
+    # pair if available
+    w = (got["hi"] - got["lo"]).to_numpy()
+    assert (w > 0).all()
