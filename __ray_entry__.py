@@ -369,6 +369,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return snm_candidate_pairs(_docs_ds(sf_dir), skey_len=16,
                                    blk_len=4, window=5)
 
+    def neardup_degree_hist_q(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            neardup_degree_hist,
+        )
+
+        docs = _docs_ds(sf_dir)
+        pairs = verify_pairs_jaccard(
+            lsh_candidate_pairs(docs), docs, threshold=0.8)
+        return neardup_degree_hist(docs, pairs)
+
     def quality_survivors_q(sf_dir: str):
         # same verified pairs as neardup_clusters; representative =
         # max n_chars (ties: min doc_id) instead of min id
@@ -659,6 +669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_mix": text.doc_lang_mix,
         "weekend_type_jsd": sequences.weekend_type_jsd,
         "source_pii_wilson": text.source_pii_wilson,
+        "customer_value_trend": analytics.customer_value_trend,
+        "neardup_degree_hist": neardup_degree_hist_q,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1016,6 +1028,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_survivors": _oracles.minhash_survivors_sql(threshold=0.8),
         "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
+        "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
+        "customer_value_trend": """
+            -- per-customer OLS slope from moment sums; x = exact
+            -- integer days since 1992-01-01
+            WITH m AS (
+              SELECT o_custkey,
+                     CAST(date_diff('day', TIMESTAMP '1992-01-01',
+                                    o_orderdate) AS DOUBLE) AS x,
+                     o_totalprice AS y
+              FROM orders),
+            s AS (
+              SELECT o_custkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM m GROUP BY 1)
+            SELECT o_custkey, CAST(n AS BIGINT) AS n,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     AS slope
+            FROM s WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+            ORDER BY o_custkey
+        """,
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),

@@ -689,3 +689,19 @@ LEFT JOIN lab ON lab.doc_id = d.doc_id
 WHERE lab.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM best)
 ORDER BY d.doc_id"""
     )
+
+
+def neardup_degree_hist_sql(threshold: float = 0.8) -> str:
+    """Degree histogram of the verified near-dup graph; matches
+    stages/dedup.neardup_degree_hist over the same verified pairs."""
+    return (
+        f"WITH {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        """,
+e AS (SELECT id_a AS id FROM verified
+      UNION ALL SELECT id_b FROM verified),
+d AS (SELECT id, COUNT(*) AS deg FROM e GROUP BY id)
+SELECT CAST(deg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY deg ORDER BY degree"""
+    )

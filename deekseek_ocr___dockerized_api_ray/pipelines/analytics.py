@@ -3318,3 +3318,70 @@ def user_decayed_value(sf_dir: str, half_life_days: float = 7.0,
 
     return agg.map_batches(finish, batch_format="pandas",
                            batch_size=131072).sort("user_id")
+
+
+def customer_value_trend(sf_dir: str, n_buckets: int = 32):
+    """Per-customer OLS trend of order value over time -- group-wise
+    regression at REAL key cardinality (every customer, not a handful
+    of types): slope in currency/day from the moment sums
+    (n, Sx, Sy, Sxx, Sxy) accumulated as combiner partials per
+    customer.  x = days since the 1992-01-01 epoch from exact integer
+    dates, so both engines share the float tree; customers need >= 2
+    distinct-x orders for a defined slope (degenerate ones drop out).
+
+    Shape: one streaming pass emitting per-batch per-customer moment
+    partials -> ONE keyed combiner reduce -> vectorized closed-form
+    slope.  No window, no sort, no driver state: the canonical
+    "per-entity model fit" shape that still works when customers number
+    10^9.
+
+    Output: (o_custkey, n, slope r6) sorted by custkey.
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    origin = np.datetime64("1992-01-01", "D").astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (np.asarray(df["o_orderdate"], dtype="datetime64[D]")
+             .astype(np.int64) - origin).astype(np.float64)
+        y = df["o_totalprice"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        return g.groupby("o_custkey", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), sxy=("sxy", "sum"))
+
+    agg = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=131072),
+        ["o_custkey"],
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxx": ("sxx", "sum"), "sxy": ("sxy", "sum")},
+        n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        sx = df["sx"].to_numpy()
+        sy = df["sy"].to_numpy()
+        sxx = df["sxx"].to_numpy()
+        sxy = df["sxy"].to_numpy()
+        denom = n * sxx - sx * sx
+        ok = (df["n"].to_numpy() >= 2) & (denom != 0.0)
+        slope = np.zeros(len(df))
+        slope[ok] = (n[ok] * sxy[ok] - sx[ok] * sy[ok]) / denom[ok]
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64)[ok],
+            "n": df["n"].to_numpy(dtype=np.int64)[ok],
+            "slope": round_series(pd.Series(slope[ok]), 6).to_numpy(),
+        })
+        return out
+
+    return (agg.map_batches(finish, batch_format="pandas",
+                            batch_size=131072).sort("o_custkey"))

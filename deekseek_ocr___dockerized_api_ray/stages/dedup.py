@@ -931,3 +931,50 @@ def quality_survivors(docs_ds, verified_pairs_ds, quality_col: str = "n_chars",
         lambda b: b.filter(pc.is_null(b.column("__dup"))).drop_columns(["__dup"]),
         batch_format="pyarrow",
     )
+
+
+def neardup_degree_hist(docs_ds, verified_pairs_ds, n_buckets: int = 8):
+    """Degree histogram of the verified near-dup graph: how many docs
+    have exactly k verified duplicates -- the audit that tells a
+    template-heavy crawl (hub docs with degree 100+) from organic
+    near-dups (degree 1-2), and the empirical input to the
+    survivors_from_pairs component-diameter bound.
+
+    Shape: endpoint explode -> per-id degree (keyed combiner on the
+    pair-endpoint grain) -> degree histogram (keyed combiner on the
+    degree grain). Nothing corpus-sized leaves the cluster.
+
+    Output: (degree, n_docs) sorted by degree.
+    """
+    import pandas as pd
+
+    from .agg import grouped_agg
+
+    def endpoints(batch: pa.Table) -> pd.DataFrame:
+        ids = np.concatenate([
+            np.asarray(batch.column("id_a").to_pylist(), dtype=np.int64),
+            np.asarray(batch.column("id_b").to_pylist(), dtype=np.int64)])
+        g = pd.DataFrame({"id": ids})
+        return g.groupby("id", as_index=False).agg(deg=("id", "size"))
+
+    deg = grouped_agg(
+        verified_pairs_ds.map_batches(endpoints, batch_format="pyarrow",
+                                      batch_size=131072),
+        ["id"], {"deg": ("deg", "sum")}, n_buckets=n_buckets)
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("deg", as_index=False).agg(n_docs=("deg", "size"))
+        return g
+
+    hist = grouped_agg(
+        deg.map_batches(hist_part, batch_format="pandas",
+                        batch_size=131072),
+        ["deg"], {"n_docs": ("n_docs", "sum")}, n_buckets=4)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "degree": df["deg"].to_numpy(dtype=np.int64),
+            "n_docs": df["n_docs"].to_numpy(dtype=np.int64)})
+
+    return (hist.map_batches(cast, batch_format="pandas",
+                             batch_size=1 << 20).sort("degree"))

@@ -509,3 +509,53 @@ def test_wilson_interval_brackets_p(ray_session):
     # pair if available
     w = (got["hi"] - got["lo"]).to_numpy()
     assert (w > 0).all()
+
+
+@needs_data
+def test_customer_trend_matches_polyfit(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        customer_value_trend,
+    )
+
+    got = _df(customer_value_trend(SF)).set_index("o_custkey")
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    origin = np.datetime64("1992-01-01", "D").astype(np.int64)
+    orders["x"] = (orders["o_orderdate"].to_numpy()
+                   .astype("datetime64[D]").astype(np.int64)
+                   - origin).astype(float)
+    checked = 0
+    for ck, g in orders.groupby("o_custkey"):
+        if len(g) < 2 or g["x"].nunique() < 2:
+            assert ck not in got.index
+            continue
+        slope_ref = np.polyfit(g["x"], g["o_totalprice"], 1)[0]
+        assert abs(float(got.loc[ck, "slope"]) - slope_ref) < 1e-4
+        checked += 1
+        if checked >= 30:
+            break
+    assert checked == 30
+
+
+@needs_data
+def test_degree_hist_totals(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        neardup_degree_hist,
+        verify_pairs_jaccard,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                                 threshold=0.8)
+    pdf = pairs.to_pandas()
+    got = _df(neardup_degree_hist(docs, pairs))
+
+    # sum of degree*count == 2 * |edges|; doc totals == distinct endpoints
+    assert int((got["degree"] * got["n_docs"]).sum()) == 2 * len(pdf)
+    assert int(got["n_docs"].sum()) == len(
+        set(pdf["id_a"]) | set(pdf["id_b"]))
