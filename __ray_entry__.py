@@ -671,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_pii_wilson": text.source_pii_wilson,
         "customer_value_trend": analytics.customer_value_trend,
         "neardup_degree_hist": neardup_degree_hist_q,
+        "orders_skyline": analytics.orders_skyline,
+        "markov_entropy_rate": sequences.markov_entropy_rate,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1029,6 +1031,52 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
+        "orders_skyline": """
+            -- Pareto frontier by double NOT EXISTS domination (exact
+            -- ties on both dims all survive)
+            WITH o AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(epoch(o_orderdate) AS BIGINT) AS date_s
+              FROM orders)
+            SELECT a.o_orderkey, a.o_totalprice, a.date_s
+            FROM o a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM o b
+              WHERE b.o_totalprice >= a.o_totalprice
+                AND b.date_s >= a.date_s
+                AND (b.o_totalprice > a.o_totalprice
+                     OR b.date_s > a.date_s))
+            ORDER BY a.o_orderkey
+        """,
+        "markov_entropy_rate": """
+            -- H = sum pi(src) * (ln n_src - sum c ln c / n_src) over
+            -- the per-user consecutive-pair transition counts
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS src
+              FROM events),
+            t AS (
+              SELECT src AS src_type, event_type AS dst_type,
+                     COUNT(*) AS n
+              FROM s WHERE src IS NOT NULL GROUP BY 1, 2),
+            ps AS (
+              SELECT src_type, SUM(CAST(n AS DOUBLE)) AS ns,
+                     SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+                       AS sc
+              FROM t GROUP BY 1),
+            tot AS (SELECT SUM(ns) AS n FROM ps),
+            hm AS (SELECT ln(CAST(COUNT(DISTINCT dst_type) AS DOUBLE))
+                     AS h_max FROM t),
+            r AS (SELECT SUM((ns / tot.n) * (ln(ns) - sc / ns)) AS rate
+                  FROM ps, tot)
+            SELECT CAST(tot.n AS BIGINT) AS n_transitions,
+                   ROUND(r.rate, 6) AS entropy_rate,
+                   ROUND(hm.h_max, 6) AS h_max,
+                   ROUND(r.rate / hm.h_max, 6) AS ratio
+            FROM tot, r, hm
+        """,
         "customer_value_trend": """
             -- per-customer OLS slope from moment sums; x = exact
             -- integer days since 1992-01-01

@@ -3385,3 +3385,63 @@ def customer_value_trend(sf_dir: str, n_buckets: int = 32):
 
     return (agg.map_batches(finish, batch_format="pandas",
                             batch_size=131072).sort("o_custkey"))
+
+
+def orders_skyline(sf_dir: str):
+    """2-D Pareto frontier (SKYLINE) of orders over (o_totalprice,
+    o_orderdate): the orders no other order beats on BOTH price and
+    recency -- the classic custom operator the Dataset API lacks.
+    Domination: b dominates a iff b.price >= a.price AND b.date >=
+    a.date AND at least one strictly greater (exact ties on both dims
+    all survive).
+
+    Shape: the skyline operator's textbook distributed form -- each
+    batch computes its LOCAL skyline (one vectorized sorted prune;
+    local skylines preserve the global skyline because domination is
+    transitive), and only local survivors reach the final merge, which
+    runs the IDENTICAL prune once more.  Survivor volume is the
+    frontier size, not the corpus.
+
+    Output: (o_orderkey, o_totalprice, date_s) sorted by o_orderkey;
+    date_s = epoch seconds of the order date.
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice",
+                                      "o_orderdate"])
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        """Drop dominated rows. dominated(i) = max{d : p > p_i} >= d_i
+        OR max{d : p == p_i} > d_i -- both terms vectorized over the
+        (p desc, d desc) sort."""
+        g = g.sort_values(["o_totalprice", "date_s", "o_orderkey"],
+                          ascending=[False, False, True]).reset_index(drop=True)
+        p = g["o_totalprice"].to_numpy()
+        d = g["date_s"].to_numpy()
+        grp_max_d = pd.Series(d).groupby(p, sort=False).transform("max").to_numpy()
+        run = np.maximum.accumulate(d)
+        new_grp = np.concatenate(([True], p[1:] != p[:-1]))
+        starts = np.flatnonzero(new_grp)
+        prev_run = np.concatenate(
+            ([np.iinfo(np.int64).min], run[:-1]))[starts]
+        prefix_max = np.repeat(prev_run, np.diff(
+            np.concatenate((starts, [len(p)]))))
+        dominated = (prefix_max >= d) | (grp_max_d > d)
+        return g[~dominated]
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.asarray(df["o_orderdate"], dtype="datetime64[s]").astype(np.int64)
+        g = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "o_totalprice": df["o_totalprice"].to_numpy(dtype=np.float64),
+            "date_s": d,
+        })
+        return prune(g)
+
+    # local skylines preserve the global frontier; the union is
+    # frontier-sized. bound: local-skyline survivor union
+    cand = orders.map_batches(local_skyline, batch_format="pandas",
+                              batch_size=131072).to_pandas()
+    return (prune(cand).sort_values("o_orderkey").reset_index(drop=True)
+            [["o_orderkey", "o_totalprice", "date_s"]])

@@ -1367,3 +1367,68 @@ def weekend_type_jsd(sf_dir: str, n_buckets: int = 4):
     # 2 x |types| cells: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def markov_entropy_rate(sf_dir: str, n_buckets: int = 64):
+    """Entropy rate of the first-order event-type Markov chain under
+    the empirical source distribution: H = sum_src pi(src) * H(dst|src)
+    with pi(src) = n_src / n and the per-source conditional entropy in
+    the suite's exact algebra H = ln(n_src) - sum(c ln c)/n_src.  Low
+    entropy rate = templated/bot-like sessions; high = organic mixing.
+
+    Shape: the event_transitions kernel (ONE keyed shuffle on user,
+    per-bucket vectorized shift) -> (src, dst) combiner counts -> a
+    |types|^2-cell finish.
+
+    Output: one row (n_transitions, entropy_rate r6, h_max r6,
+    ratio r6); h_max = ln(|dst types observed|).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        user = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = user[1:] == user[:-1]
+        src = np.roll(et, 1)[same]
+        dst = et[same]
+        return (pd.DataFrame({"src_type": src, "dst_type": dst})
+                .groupby(["src_type", "dst_type"], as_index=False,
+                         sort=False).agg(n=("dst_type", "size")))
+
+    bucketed = ev.map_batches(
+        lambda df: _user_bucket(df, "user_id", n_buckets),
+        batch_format="pandas", batch_size=131072)
+    partial = bucketed.groupby("bucket").map_groups(
+        lambda df: pairs_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    counts = grouped_agg(partial, ["src_type", "dst_type"],
+                         {"n": ("n", "sum")}, n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src_type", "dst_type"]).reset_index(drop=True)
+        c = df["n"].to_numpy(dtype=np.float64)
+        clnc = c * np.log(c)
+        g = pd.DataFrame({"src": df["src_type"], "c": c, "clnc": clnc})
+        per_src = g.groupby("src").agg(ns=("c", "sum"), sc=("clnc", "sum"))
+        ns = per_src["ns"].to_numpy()
+        h_src = np.log(ns) - per_src["sc"].to_numpy() / ns
+        n = ns.sum()
+        rate = ((ns / n) * h_src).sum()
+        h_max = np.log(float(df["dst_type"].nunique()))
+        return pd.DataFrame({
+            "n_transitions": pd.array([int(n)], dtype="int64"),
+            "entropy_rate": round_series(pd.Series([rate]), 6).to_numpy(),
+            "h_max": round_series(pd.Series([h_max]), 6).to_numpy(),
+            "ratio": round_series(pd.Series([rate / h_max]), 6).to_numpy(),
+        })
+
+    # |types|^2 cells: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

@@ -95,3 +95,49 @@ def test_mutual_nn_property(ray_session, n, dim):
     want = sorted({(min(i, int(nn[i])), max(i, int(nn[i])))
                    for i in range(n) if nn[nn[i]] == i})
     assert sorted(zip(got["id_a"], got["id_b"])) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                min_size=1, max_size=40))
+def test_skyline_prune_matches_brute_force(ray_session, pts):
+    """The vectorized skyline prune == O(n^2) domination on small-grid
+    points (heavy ties by construction)."""
+    import importlib
+
+    am = importlib.import_module(
+        "deekseek_ocr___dockerized_api_ray.pipelines.analytics")
+
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(len(pts), dtype=np.int64),
+        "o_totalprice": np.array([p for p, _ in pts], dtype=np.float64),
+        "date_s": np.array([d for _, d in pts], dtype=np.int64),
+    })
+
+    # pull the inner prune via a tiny fake-module trampoline: run the
+    # public op over an in-memory dataset instead
+    import ray.data as rd
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        odf = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_totalprice": df["o_totalprice"],
+            "o_orderdate": pd.to_datetime(df["date_s"], unit="s"),
+        })
+        odf.to_parquet(os.path.join(td, "orders.parquet"))
+        got = am.orders_skyline(td)
+
+    keep = []
+    for i in range(len(df)):
+        dominated = False
+        for j in range(len(df)):
+            if i == j:
+                continue
+            bp, bd = pts[j]
+            ap, ad = pts[i]
+            if bp >= ap and bd >= ad and (bp > ap or bd > ad):
+                dominated = True
+                break
+        if not dominated:
+            keep.append(i)
+    assert sorted(got["o_orderkey"]) == keep

@@ -559,3 +559,28 @@ def test_degree_hist_totals(ray_session):
     assert int((got["degree"] * got["n_docs"]).sum()) == 2 * len(pdf)
     assert int(got["n_docs"].sum()) == len(
         set(pdf["id_a"]) | set(pdf["id_b"]))
+
+
+@needs_data
+def test_entropy_rate_matches_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        markov_entropy_rate,
+    )
+
+    got = _df(markov_entropy_rate(SF))
+    ev = (pd.read_parquet(f"{SF}/events.parquet",
+                          columns=["event_id", "ts", "user_id",
+                                   "event_type"])
+          .sort_values(["user_id", "ts", "event_id"]))
+    src = ev.groupby("user_id")["event_type"].shift(1)
+    tr = pd.DataFrame({"src": src, "dst": ev["event_type"]}).dropna()
+    cnt = tr.groupby(["src", "dst"]).size()
+    h_rate = 0.0
+    n = len(tr)
+    for s, g in cnt.groupby(level=0):
+        p = g / g.sum()
+        h_rate += (g.sum() / n) * -(p * np.log(p)).sum()
+
+    assert int(got["n_transitions"].iloc[0]) == n
+    assert abs(float(got["entropy_rate"].iloc[0]) - h_rate) < 1e-6
+    assert 0.0 <= float(got["ratio"].iloc[0]) <= 1.0
