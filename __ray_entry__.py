@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_degree_hist": neardup_degree_hist_q,
         "orders_skyline": analytics.orders_skyline,
         "markov_entropy_rate": sequences.markov_entropy_rate,
+        "source_checksums": text.source_checksums,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1031,6 +1032,16 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
+        "source_checksums": """
+            -- order-invariant XOR-fold of per-doc md5 halves; any
+            -- partitioning computes the same fingerprint
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   bit_xor(md5_number_lower(
+                     CAST(doc_id AS VARCHAR) || ':' || text)) AS xor_lo,
+                   bit_xor(md5_number_upper(
+                     CAST(doc_id AS VARCHAR) || ':' || text)) AS xor_hi
+            FROM documents GROUP BY source ORDER BY source
+        """,
         "orders_skyline": """
             -- Pareto frontier by double NOT EXISTS domination (exact
             -- ties on both dims all survive)

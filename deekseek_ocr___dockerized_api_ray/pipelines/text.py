@@ -1562,3 +1562,65 @@ def source_pii_wilson(sf_dir: str, z: float = 1.96):
 
     return (agg.map_batches(finish, batch_format="pandas",
                             batch_size=1 << 20).sort("source"))
+
+
+def source_checksums(sf_dir: str):
+    """Order-invariant integrity fingerprints per source: XOR-fold of
+    per-doc 128-bit md5 digests (as DuckDB's md5_number_lower/upper
+    halves of ``doc_id || ':' || text``) plus counts -- the Merkle-lite
+    dataset checksum that verifies a copied / re-partitioned / resumed
+    corpus bit-for-bit without ordering or single-threaded hashing.
+    XOR is associative, commutative and self-inverse, so ANY
+    partitioning computes the same fingerprint, and a single changed,
+    dropped or duplicated doc flips it.
+
+    Shape: per-batch per-source partials (XOR + count), one tiny
+    |sources|-grain finish.  The corpus streams once; nothing larger
+    than the source grain crosses the wire.
+
+    Output: (source, n_docs, xor_lo, xor_hi) sorted by source
+    (uint64 fingerprint halves).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo = np.empty(len(df), dtype=np.uint64)
+        hi = np.empty(len(df), dtype=np.uint64)
+        for i, (d, t) in enumerate(zip(df["doc_id"].astype(str),
+                                       df["text"])):
+            dig = hashlib.md5((d + ":" + t).encode("utf-8")).digest()
+            lo[i] = int.from_bytes(dig[8:], "little")
+            hi[i] = int.from_bytes(dig[:8], "little")
+        g = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "lo": lo, "hi": hi})
+        agg = g.groupby("source").agg(
+            n_docs=("lo", "size"),
+            xor_lo=("lo", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64))),
+            xor_hi=("hi", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64))))
+        return agg.reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("source").agg(
+            n_docs=("n_docs", "sum"),
+            xor_lo=("xor_lo", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64))),
+            xor_hi=("xor_hi", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64)))).reset_index()
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        return agg.sort_values("source").reset_index(drop=True)
+
+    # |sources| partial rows per batch: the finish is grain-bounded
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=131072)
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas",
+                         batch_size=1 << 20))

@@ -584,3 +584,43 @@ def test_entropy_rate_matches_reference(ray_session):
     assert int(got["n_transitions"].iloc[0]) == n
     assert abs(float(got["entropy_rate"].iloc[0]) - h_rate) < 1e-6
     assert 0.0 <= float(got["ratio"].iloc[0]) <= 1.0
+
+
+@needs_data
+def test_checksums_partition_invariant_and_sensitive(ray_session):
+    """XOR fingerprints must be identical under any partitioning and
+    flip when a single doc changes."""
+    import hashlib
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        source_checksums,
+    )
+
+    got = _df(source_checksums(SF)).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+
+    # single-threaded reference fold (reverse order: XOR is commutative)
+    ref = {}
+    for _, r in docs.iloc[::-1].iterrows():
+        dig = hashlib.md5(f"{r['doc_id']}:{r['text']}".encode()).digest()
+        lo = int.from_bytes(dig[8:], "little")
+        hi = int.from_bytes(dig[:8], "little")
+        c = ref.setdefault(r["source"], [0, 0, 0])
+        c[0] += 1
+        c[1] ^= lo
+        c[2] ^= hi
+    for src, (n, lo, hi) in ref.items():
+        assert int(got.loc[src, "n_docs"]) == n
+        assert int(got.loc[src, "xor_lo"]) == lo
+        assert int(got.loc[src, "xor_hi"]) == hi
+
+    # sensitivity: changing one doc's text changes that source's
+    # fingerprint (swap old digest out of the fold, new one in)
+    d0 = docs.iloc[0]
+    old = hashlib.md5(f"{d0['doc_id']}:{d0['text']}".encode()).digest()
+    new = hashlib.md5(f"{d0['doc_id']}:{d0['text']}X".encode()).digest()
+    mutated = (ref[d0["source"]][1]
+               ^ int.from_bytes(old[8:], "little")
+               ^ int.from_bytes(new[8:], "little"))
+    assert mutated != int(got.loc[d0["source"], "xor_lo"])
