@@ -144,6 +144,18 @@ def run_bench() -> dict:
     queries["minhash_survivors"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import snm_candidate_pairs
+
+    snm_candidate_pairs(docs).count()
+    queries["snm_pairs"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import source_checksums
+
+    source_checksums(SF_DIR).count()
+    queries["source_checksums"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     from deekseek_ocr___dockerized_api_ray.stages.similarity import (
         embedding_neardup_pairs,
     )
