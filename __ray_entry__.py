@@ -674,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": analytics.orders_skyline,
         "markov_entropy_rate": sequences.markov_entropy_rate,
         "source_checksums": text.source_checksums,
+        "event_weekday_residuals": sequences.event_weekday_residuals,
+        "dedup_rate_by_source": curation.dedup_rate_by_source,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1032,6 +1034,28 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
+        "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
+        "event_weekday_residuals": """
+            -- (obs - e)/sqrt(e) per cell over the full row x col cross;
+            -- weekday translated to the engine's Monday=0 origin
+            WITH c AS MATERIALIZED (
+              SELECT event_type AS t, (dayofweek(ts) + 6) % 7 AS w,
+                     CAST(COUNT(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2),
+            rt AS (SELECT t, SUM(o) AS r FROM c GROUP BY t),
+            ct AS (SELECT w, SUM(o) AS cc FROM c GROUP BY w),
+            tot AS (SELECT SUM(o) AS n FROM c),
+            cr AS (SELECT rt.t, ct.w, rt.r, ct.cc FROM rt CROSS JOIN ct),
+            cell AS (
+              SELECT cr.t, cr.w, COALESCE(c.o, 0) AS o,
+                     (cr.r * cr.cc) / (SELECT n FROM tot) AS e
+              FROM cr LEFT JOIN c ON c.t = cr.t AND c.w = cr.w)
+            SELECT t AS event_type, CAST(w AS BIGINT) AS weekday,
+                   CAST(o AS BIGINT) AS obs,
+                   ROUND(e, 6) AS expected,
+                   ROUND((o - e) / sqrt(e), 6) AS std_resid
+            FROM cell ORDER BY event_type, weekday
+        """,
         "source_checksums": """
             -- order-invariant XOR-fold of per-doc md5 halves; any
             -- partitioning computes the same fingerprint

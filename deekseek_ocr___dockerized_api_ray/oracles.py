@@ -705,3 +705,23 @@ SELECT CAST(deg AS BIGINT) AS degree,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM d GROUP BY deg ORDER BY degree"""
     )
+
+
+def dedup_rate_by_source_sql(threshold: float = 0.8) -> str:
+    """Per-source verified near-dup involvement; matches
+    pipelines/curation.dedup_rate_by_source."""
+    return (
+        f"WITH {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        """,
+m AS (SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM verified
+        UNION ALL SELECT id_b FROM verified))
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM documents d LEFT JOIN m ON m.id = d.doc_id
+GROUP BY d.source ORDER BY d.source"""
+    )

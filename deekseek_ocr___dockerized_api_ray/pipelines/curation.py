@@ -974,3 +974,103 @@ def source_contamination_matrix(sf_dir: str, threshold: float = 0.3,
         ["source_a", "source_b"], {"n_pairs": ("n_pairs", "sum")},
         n_buckets=n_buckets)
     return out.sort(["source_a", "source_b"])
+
+
+def dedup_rate_by_source(sf_dir: str, threshold: float = 0.8,
+                         broadcast_members: int = 1_000_000,
+                         n_buckets: int = 8):
+    """Per-source near-duplicate involvement: what fraction of each
+    source's docs appear in >= 1 VERIFIED near-dup pair (char-Jaccard
+    >= threshold over the banded-MinHash candidates) -- the
+    source-procurement report that says which feeds are redundant
+    before mixing weights are chosen.
+
+    Shape: verified pairs -> distinct endpoints (pair-endpoint-grain
+    combiner) -> size-gated membership attach (broadcast id set under
+    ``broadcast_members``, hash left-join above) -> |sources|-bounded
+    rate finish.
+
+    Output: (source, n_docs, n_dup_docs, dup_rate r6) sorted by source.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.dedup import lsh_candidate_pairs, verify_pairs_jaccard
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    pairs = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                                 threshold=threshold)
+
+    def endpoints(batch: pa.Table) -> pd.DataFrame:
+        ids = np.concatenate([
+            np.asarray(batch.column("id_a").to_pylist(), dtype=np.int64),
+            np.asarray(batch.column("id_b").to_pylist(), dtype=np.int64)])
+        return pd.DataFrame({"doc_id": np.unique(ids)})
+
+    members = grouped_agg(
+        pairs.map_batches(endpoints, batch_format="pyarrow",
+                          batch_size=131072).map_batches(
+            lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["doc_id"], {"one": ("one", "max")}, n_buckets=n_buckets
+    ).materialize()
+    n_members = members.count()
+
+    if n_members <= broadcast_members:
+        # bound: gated at broadcast_members dup-involved ids (hash
+        # left-join above the gate)
+        mem = set(r["doc_id"] for r in members.iter_rows())
+        mem_ref = ray.put(mem)
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(mem_ref)
+            dup = df["doc_id"].map(lambda i: i in m).astype(np.int64)
+            g = pd.DataFrame({"source": df["source"].to_numpy(),
+                              "n": np.ones(len(df), dtype=np.int64),
+                              "d": dup.to_numpy()})
+            return g.groupby("source", as_index=False).agg(
+                n_docs=("n", "sum"), n_dup_docs=("d", "sum"))
+
+        flagged = docs.select_columns(["doc_id", "source"]).map_batches(
+            flag, batch_format="pandas", batch_size=131072)
+    else:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        else:
+            cpus = 4
+        joined = docs.select_columns(["doc_id", "source"]).join(
+            members, join_type="left_outer",
+            num_partitions=max(2, cpus // 2),
+            on=("doc_id",), right_on=("doc_id",))
+
+        def flag_joined(df: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "source": df["source"].to_numpy(),
+                "n": np.ones(len(df), dtype=np.int64),
+                "d": df["one"].fillna(0).to_numpy(dtype=np.int64)})
+            return g.groupby("source", as_index=False).agg(
+                n_docs=("n", "sum"), n_dup_docs=("d", "sum"))
+
+        flagged = joined.map_batches(flag_joined, batch_format="pandas",
+                                     batch_size=131072)
+
+    agg = grouped_agg(flagged, ["source"],
+                      {"n_docs": ("n_docs", "sum"),
+                       "n_dup_docs": ("n_dup_docs", "sum")},
+                      n_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "n_docs": df["n_docs"].to_numpy(dtype=np.int64),
+            "n_dup_docs": df["n_dup_docs"].to_numpy(dtype=np.int64),
+            "dup_rate": round_series(
+                pd.Series(df["n_dup_docs"].to_numpy(dtype=np.float64)
+                          / df["n_docs"].to_numpy(dtype=np.float64)),
+                6).to_numpy(),
+        })
+
+    return (agg.map_batches(finish, batch_format="pandas",
+                            batch_size=1 << 20).sort("source"))

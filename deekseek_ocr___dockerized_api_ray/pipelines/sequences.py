@@ -1432,3 +1432,59 @@ def markov_entropy_rate(sf_dir: str, n_buckets: int = 64):
     # |types|^2 cells: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def event_weekday_residuals(sf_dir: str, n_buckets: int = 8):
+    """Standardized residuals (obs - exp) / sqrt(exp) for every
+    event_type x weekday cell -- the drill-down that says WHICH cells
+    drive ``event_weekday_chi2``.  Expected counts come from the full
+    row x col cross INCLUDING empty cells, identical float tree to the
+    chi2 op; weekday labels use the pandas Monday=0 origin and the
+    oracle translates DuckDB's Sunday origin to match.
+
+    Shape: the chi2 combiner (35 cells) with a per-cell finish.
+
+    Output: (event_type, weekday, obs, expected r6, std_resid r6)
+    sorted by type, weekday.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        wd = pd.to_datetime(df["ts"]).dt.dayofweek.to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "weekday": wd})
+        return (g.groupby(["event_type", "weekday"], as_index=False,
+                          sort=False).agg(o=("weekday", "size")))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["event_type", "weekday"], {"o": ("o", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        full = df.pivot_table(index="event_type", columns="weekday",
+                              values="o", fill_value=0, aggfunc="sum")
+        obs = full.to_numpy(dtype=np.float64)
+        n = obs.sum()
+        r = obs.sum(axis=1, keepdims=True)
+        c = obs.sum(axis=0, keepdims=True)
+        e = (r * c) / n
+        resid = (obs - e) / np.sqrt(e)
+        rows = []
+        for i, et in enumerate(full.index):
+            for j, wd in enumerate(full.columns):
+                rows.append((et, int(wd), int(obs[i, j]), e[i, j],
+                             resid[i, j]))
+        out = pd.DataFrame(rows, columns=["event_type", "weekday", "obs",
+                                          "expected", "std_resid"])
+        out["expected"] = round_series(out["expected"], 6)
+        out["std_resid"] = round_series(out["std_resid"], 6)
+        out["obs"] = out["obs"].astype("int64")
+        out["weekday"] = out["weekday"].astype("int64")
+        return out.sort_values(["event_type", "weekday"]).reset_index(drop=True)
+
+    # 35 cells: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

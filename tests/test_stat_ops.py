@@ -624,3 +624,49 @@ def test_checksums_partition_invariant_and_sensitive(ray_session):
                ^ int.from_bytes(old[8:], "little")
                ^ int.from_bytes(new[8:], "little"))
     assert mutated != int(got.loc[d0["source"], "xor_lo"])
+
+
+@needs_data
+def test_residuals_reconstruct_chi2(ray_session):
+    """Sum of squared standardized residuals == the chi2 statistic."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        event_weekday_chi2,
+        event_weekday_residuals,
+    )
+
+    res = _df(event_weekday_residuals(SF))
+    chi = _df(event_weekday_chi2(SF))
+    # residuals are rounded r6; reconstruction is approximate at 1e-3
+    assert abs((res["std_resid"] ** 2).sum()
+               - float(chi["chi2"].iloc[0])) < 1e-3
+    assert int(res["obs"].sum()) == int(chi["n"].iloc[0])
+    assert len(res) == 35  # full 5-type x 7-day cross incl. empty cells
+
+
+@needs_data
+def test_dedup_rate_consistent_with_pairs(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        dedup_rate_by_source,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    got = _df(dedup_rate_by_source(SF))
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    pdf = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                               threshold=0.8).to_pandas()
+    members = set(pdf["id_a"]) | set(pdf["id_b"])
+    ddf = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "source"])
+    want = (ddf.assign(d=ddf["doc_id"].isin(members).astype(int))
+            .groupby("source").agg(n=("d", "size"), x=("d", "sum")))
+
+    g = got.set_index("source")
+    assert (g["n_docs"].reindex(want.index) == want["n"]).all()
+    assert (g["n_dup_docs"].reindex(want.index) == want["x"]).all()
+    assert int(g["n_dup_docs"].sum()) == len(members)
