@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_checksums": text.source_checksums,
         "event_weekday_residuals": sequences.event_weekday_residuals,
         "dedup_rate_by_source": curation.dedup_rate_by_source,
+        "part_name_er": text.part_name_er,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1035,6 +1036,44 @@ def oracle_sql() -> dict[str, str]:
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
+        "part_name_er": """
+            -- full ER composition: blocked JW edges >= 0.9 over the
+            -- distinct-name dictionary, transitive closure, canonical =
+            -- the component's min 63-bit name hash (UBIGINT LEAST ==
+            -- the engine's int64 min after >> 1)
+            WITH RECURSIVE n AS MATERIALIZED (
+              SELECT DISTINCT p_name FROM part),
+            h AS MATERIALIZED (
+              SELECT p_name, md5_number_lower(p_name) >> 1 AS hid
+              FROM n),
+            e AS (
+              SELECT ha.hid AS a, hb.hid AS b
+              FROM n na
+              JOIN n nb
+                ON split_part(na.p_name, ' ', 1)
+                   = split_part(nb.p_name, ' ', 1)
+               AND na.p_name < nb.p_name
+              JOIN h ha ON ha.p_name = na.p_name
+              JOIN h hb ON hb.p_name = nb.p_name
+              WHERE jaro_winkler_similarity(na.p_name, nb.p_name) >= 0.9),
+            sym AS (SELECT a AS src, b AS dst FROM e
+                    UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s
+                ON r.dst = s.src),
+            lab AS (
+              SELECT n2.src AS hid, LEAST(n2.src, MIN(r.dst)) AS lbl
+              FROM (SELECT DISTINCT src FROM sym) n2
+              JOIN reach r ON r.src = n2.src GROUP BY n2.src)
+            SELECT h.p_name,
+                   COALESCE(hc.p_name, h.p_name) AS canonical_name
+            FROM h
+            LEFT JOIN lab ON lab.hid = h.hid
+            LEFT JOIN h hc ON hc.hid = lab.lbl
+            ORDER BY h.p_name
+        """,
         "event_weekday_residuals": """
             -- (obs - e)/sqrt(e) per cell over the full row x col cross;
             -- weekday translated to the engine's Monday=0 origin

@@ -1624,3 +1624,119 @@ def source_checksums(sf_dir: str):
             .repartition(1)
             .map_batches(finish, batch_format="pandas",
                          batch_size=1 << 20))
+
+
+def part_name_er(sf_dir: str, threshold: float = 0.9,
+                 num_partitions: int = 8, broadcast_labels: int = 1_000_000,
+                 n_buckets: int = 16):
+    """End-to-end ENTITY RESOLUTION over the part-name dictionary --
+    the full record-linkage composition, each stage already oracled on
+    its own: first-word blocking + vectorized Jaro-Winkler verify
+    (`part_name_jw_pairs`), connected components over the match edges
+    (`component_labels`' size-gated hybrid), and canonicalization to
+    the component's minimum name-hash member.  Names are keyed by
+    ``md5_number_lower(name) >> 1`` (63-bit, so int64 min-label order
+    == DuckDB's UBIGINT LEAST order).
+
+    Shape: linkage over the distinct-name dictionary; the (node ->
+    label) table broadcasts when component membership is under
+    ``broadcast_labels``, else attaches via ONE hash join; canonical
+    names then resolve inside a bucketed keyed groupby on the label
+    (each component's canonical member is in its own group -- no second
+    join, which trips Ray 2.49's join-after-join key resolution).
+
+    Output: (p_name, canonical_name) for every distinct name (self
+    when unmatched), sorted by p_name.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+    from ..functions.text_stats import sha1_64
+    from ..stages.agg import grouped_agg
+    from ..stages.dedup import component_labels
+
+    pairs = part_name_jw_pairs(sf_dir, threshold=threshold)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_a": np.array([_hash64(s) >> 1 for s in df["name_a"]],
+                             dtype=np.int64),
+            "id_b": np.array([_hash64(s) >> 1 for s in df["name_b"]],
+                             dtype=np.int64),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas",
+                              batch_size=131072)
+    labels = component_labels(edges).materialize()
+    n_lab = labels.count()
+
+    names = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def name_hid(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["p_name"].unique()
+        return pd.DataFrame({
+            "p_name": u,
+            "hid": np.array([_hash64(s) >> 1 for s in u], dtype=np.int64),
+            "one": np.ones(len(u), dtype=np.int64),
+        })
+
+    dic = grouped_agg(
+        names.map_batches(name_hid, batch_format="pandas",
+                          batch_size=131072),
+        ["p_name", "hid"], {"one": ("one", "max")},
+        n_buckets=8).select_columns(["p_name", "hid"])
+
+    if n_lab <= broadcast_labels:
+        # bound: gated at broadcast_labels (node -> label) rows
+        labmap = {r["node"]: r["label"] for r in labels.iter_rows()}
+        lab_ref = ray.put(labmap)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lm = ray.get(lab_ref)
+            lbl = df["hid"].map(lambda h: lm.get(h, h)).to_numpy(
+                dtype=np.int64)
+            return df.assign(lbl=lbl)
+
+        withlab = dic.map_batches(attach, batch_format="pandas",
+                                  batch_size=131072)
+    else:
+        lab2 = labels.rename_columns({"node": "hid2"})
+        j = dic.join(lab2, join_type="left_outer",
+                     num_partitions=num_partitions,
+                     on=("hid",), right_on=("hid2",))
+
+        def attach_joined(df: pd.DataFrame) -> pd.DataFrame:
+            lbl = df["label"].where(df["label"].notna(),
+                                    df["hid"]).to_numpy(dtype=np.int64)
+            return pd.DataFrame({"p_name": df["p_name"].to_numpy(),
+                                 "hid": df["hid"].to_numpy(dtype=np.int64),
+                                 "lbl": lbl})
+
+        withlab = j.map_batches(attach_joined, batch_format="pandas",
+                                batch_size=131072)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["lbl"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        return df.assign(bucket=(h % np.uint64(n_buckets)).astype(np.int32))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        canon = df.loc[df["hid"] == df["lbl"], ["lbl", "p_name"]].rename(
+            columns={"p_name": "canonical_name"})
+        out = df.merge(canon, on="lbl", how="left")
+        cn = out["canonical_name"].where(out["canonical_name"].notna(),
+                                         out["p_name"])
+        return pd.DataFrame({"p_name": out["p_name"].to_numpy(),
+                             "canonical_name": cn.to_numpy()})
+
+    return (withlab.map_batches(bucket, batch_format="pandas",
+                                batch_size=131072)
+            .groupby("bucket").map_groups(
+                lambda g: resolve(g.drop(columns=["bucket"])),
+                batch_format="pandas")
+            .sort("p_name"))

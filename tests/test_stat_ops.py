@@ -670,3 +670,34 @@ def test_dedup_rate_consistent_with_pairs(ray_session):
     assert (g["n_docs"].reindex(want.index) == want["n"]).all()
     assert (g["n_dup_docs"].reindex(want.index) == want["x"]).all()
     assert int(g["n_dup_docs"].sum()) == len(members)
+
+
+@needs_data
+def test_part_name_er_canonicalization(ray_session):
+    """ER output: canonical is a member of each name's JW component,
+    idempotent (canonical of canonical = itself), and unmatched names
+    map to themselves."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        part_name_er,
+        part_name_jw_pairs,
+    )
+
+    got = _df(part_name_er(SF, threshold=0.9))
+    pairs = _df(part_name_jw_pairs(SF, threshold=0.9))
+
+    cmap = dict(zip(got["p_name"], got["canonical_name"]))
+    # idempotence
+    for n, c in cmap.items():
+        assert cmap[c] == c
+    # matched pairs share a canonical name (edges are within components)
+    for _, r in pairs.iterrows():
+        assert cmap[r["name_a"]] == cmap[r["name_b"]]
+    # names not in any pair are their own canonical
+    in_pairs = set(pairs["name_a"]) | set(pairs["name_b"])
+    for n, c in cmap.items():
+        if n not in in_pairs:
+            assert c == n
+    # every name accounted for exactly once
+    docs = pd.read_parquet(f"{SF}/part.parquet", columns=["p_name"])
+    assert set(got["p_name"]) == set(docs["p_name"].unique())
+    assert len(got) == docs["p_name"].nunique()
