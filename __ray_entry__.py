@@ -369,6 +369,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return snm_candidate_pairs(_docs_ds(sf_dir), skey_len=16,
                                    blk_len=4, window=5)
 
+    def minhash_estimator_audit_q(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            minhash_estimator_audit,
+        )
+
+        return minhash_estimator_audit(_docs_ds(sf_dir))
+
     def neardup_degree_hist_q(sf_dir: str):
         from deekseek_ocr___dockerized_api_ray.stages.dedup import (
             neardup_degree_hist,
@@ -677,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_weekday_residuals": sequences.event_weekday_residuals,
         "dedup_rate_by_source": curation.dedup_rate_by_source,
         "part_name_er": text.part_name_er,
+        "minhash_estimator_audit": minhash_estimator_audit_q,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1036,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
+        "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
         "part_name_er": """
             -- full ER composition: blocked JW edges >= 0.9 over the
             -- distinct-name dictionary, transitive closure, canonical =

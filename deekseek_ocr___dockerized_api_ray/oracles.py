@@ -725,3 +725,30 @@ SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents d LEFT JOIN m ON m.id = d.doc_id
 GROUP BY d.source ORDER BY d.source"""
     )
+
+
+def minhash_estimator_audit_sql(n_hashes: int = 64) -> str:
+    """Per-candidate-pair MinHash estimate vs exact char-Jaccard;
+    matches stages/dedup.minhash_estimator_audit (threshold-0 verified
+    CTE supplies the exact score; est = equal-component fraction from
+    the sig CTE; abs_err computed from the two ROUNDED operands in
+    both engines)."""
+    return (
+        f"WITH {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold=0.0)}"
+        f""",
+est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS eq
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.hid = sa.hid
+  GROUP BY c.id_a, c.id_b)
+SELECT v.id_a, v.id_b,
+       ROUND(CAST(e.eq AS DOUBLE) / {n_hashes}, 6) AS est_jaccard,
+       v.jaccard AS exact_jaccard,
+       ROUND(ABS(ROUND(CAST(e.eq AS DOUBLE) / {n_hashes}, 6)
+                 - v.jaccard), 6) AS abs_err
+FROM verified v JOIN est e ON e.id_a = v.id_a AND e.id_b = v.id_b
+ORDER BY v.id_a, v.id_b"""
+    )

@@ -978,3 +978,53 @@ def neardup_degree_hist(docs_ds, verified_pairs_ds, n_buckets: int = 8):
 
     return (hist.map_batches(cast, batch_format="pandas",
                              batch_size=1 << 20).sort("degree"))
+
+
+def minhash_estimator_audit(docs_ds, n_hashes: int = 64, bands: int = 16,
+                            k: int = 5, seed: int = 42,
+                            text_col: str = "text", id_col: str = "doc_id"):
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of equal signature components)
+    against the EXACT char-k-shingle Jaccard, plus the absolute error
+    -- the report that justifies (or re-sizes) the signature length
+    before trusting banded dedup at corpus scale.  E[est] = J and
+    sd = sqrt(J(1-J)/n_hashes), so n_hashes=64 puts ~95% of pairs
+    within +/-0.125.
+
+    Shape: candidates from the oracled LSH chain; pair texts attach via
+    the size-gated ``_pair_texts`` helper, and BOTH scores recompute
+    per batch from the texts (signatures are deterministic), so no
+    signature table is joined or shuffled.
+
+    Output: (id_a, id_b, est_jaccard r6, exact_jaccard r6, abs_err r6).
+    """
+    import pandas as pd
+
+    pairs = lsh_candidate_pairs(docs_ds, n_hashes, bands, k,
+                                text_col, id_col, seed)
+    b = _pair_texts(pairs, docs_ds, text_col, id_col, None,
+                    256 * 1024 * 1024)
+    mh = MinHasher(n_hashes=n_hashes, seed=seed)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        est, exact, err = [], [], []
+        for x, y in zip(ta, tb):
+            sa = mh.signature(shingle_hashes(x, k))
+            sb = mh.signature(shingle_hashes(y, k))
+            e = round_half_away(float((sa == sb).mean()), 6)
+            j = round_half_away(
+                jaccard(char_shingles(x, k), char_shingles(y, k)), 6)
+            est.append(e)
+            exact.append(j)
+            err.append(round_half_away(abs(e - j), 6))
+        return pa.Table.from_arrays(
+            [batch.column("id_a"), batch.column("id_b"),
+             pa.array(est, type=pa.float64()),
+             pa.array(exact, type=pa.float64()),
+             pa.array(err, type=pa.float64())],
+            names=["id_a", "id_b", "est_jaccard", "exact_jaccard",
+                   "abs_err"])
+
+    return b.map_batches(_score, batch_format="pyarrow")

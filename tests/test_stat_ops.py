@@ -701,3 +701,28 @@ def test_part_name_er_canonicalization(ray_session):
     docs = pd.read_parquet(f"{SF}/part.parquet", columns=["p_name"])
     assert set(got["p_name"]) == set(docs["p_name"].unique())
     assert len(got) == docs["p_name"].nunique()
+
+
+@needs_data
+def test_minhash_estimator_error_bound(ray_session):
+    """The estimator audit's observed error obeys the binomial bound:
+    mean abs error well under 3 * sd(J=0.5) = 3 * 0.0625."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        minhash_estimator_audit,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = _df(minhash_estimator_audit(docs))
+
+    assert len(got) > 100
+    assert ((got["est_jaccard"] >= 0) & (got["est_jaccard"] <= 1)).all()
+    assert ((got["exact_jaccard"] >= 0)
+            & (got["exact_jaccard"] <= 1)).all()
+    assert np.allclose(
+        got["abs_err"],
+        (got["est_jaccard"] - got["exact_jaccard"]).abs().round(6),
+        atol=2e-6)
+    assert got["abs_err"].mean() < 3 * 0.0625
