@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": curation.dedup_rate_by_source,
         "part_name_er": text.part_name_er,
         "minhash_estimator_audit": minhash_estimator_audit_q,
+        "revenue_seasonal_decompose": analytics.revenue_seasonal_decompose,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1045,6 +1046,33 @@ def oracle_sql() -> dict[str, str]:
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
+        "revenue_seasonal_decompose": """
+            -- additive decompose over integer-cents daily revenue:
+            -- window means of exact integers cannot drift the float
+            -- tree; weekday translated to the Monday=0 origin
+            WITH d AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS rev_c
+              FROM orders GROUP BY 1),
+            t AS (
+              SELECT day, CAST(rev_c AS DOUBLE) / 100.0 AS rev,
+                     AVG(CAST(rev_c AS DOUBLE)) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       / 100.0 AS trend,
+                     (dayofweek(day) + 6) % 7 AS wd
+              FROM d),
+            s AS (SELECT wd, AVG(rev - trend) AS seasonal
+                  FROM t GROUP BY wd)
+            SELECT CAST(epoch(CAST(t.day AS TIMESTAMP)) AS BIGINT)
+                     AS day_s,
+                   ROUND(t.rev, 2) AS revenue,
+                   ROUND(t.trend, 6) AS trend,
+                   ROUND(s.seasonal, 6) AS seasonal,
+                   ROUND(t.rev - t.trend - s.seasonal, 6) AS resid
+            FROM t JOIN s USING (wd) ORDER BY day_s
+        """,
         "part_name_er": """
             -- full ER composition: blocked JW edges >= 0.9 over the
             -- distinct-name dictionary, transitive closure, canonical =

@@ -3445,3 +3445,63 @@ def orders_skyline(sf_dir: str):
                               batch_size=131072).to_pandas()
     return (prune(cand).sort_values("o_orderkey").reset_index(drop=True)
             [["o_orderkey", "o_totalprice", "date_s"]])
+
+
+def revenue_seasonal_decompose(sf_dir: str, window: int = 7,
+                               n_buckets: int = 8):
+    """Classical additive decomposition of daily order revenue:
+    trend = centered ``window``-row moving average over the observed
+    day sequence (partial frames at the edges, min_periods=1 ==
+    SQL's ROWS BETWEEN k PRECEDING AND k FOLLOWING), weekday seasonal =
+    mean detrended residual per weekday (Monday=0 origin), remainder =
+    revenue - trend - seasonal.  The anomaly-screening view of the
+    revenue series (a spike shows up in the remainder, not the level).
+
+    Shape: one day-grain combiner over orders; the decomposition runs
+    on the driver over the CALENDAR-BOUNDED day table (bound: observed
+    days).  Row-based windows over observed days -- gapfill first if
+    calendar exactness matters (orders_monthly_gapfill).
+
+    Output: (day_s, revenue r2, trend r6, seasonal r6, resid r6)
+    sorted by day.
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.asarray(df["o_orderdate"], dtype="datetime64[D]")
+        # integer cents: daily sums and window means stay EXACT doubles
+        # (integers < 2^53), so rolling-sum accumulation cannot drift
+        # the float tree vs the oracle's per-frame AVG
+        cents = np.floor(df["o_totalprice"].to_numpy(dtype=np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"day": d, "rev_c": cents})
+        return g.groupby("day", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    daily = grouped_agg(
+        orders.map_batches(cells, batch_format="pandas",
+                           batch_size=131072),
+        ["day"], {"rev_c": ("rev_c", "sum")}, n_buckets=n_buckets)
+
+    # bound: observed-day grain (the calendar, not the order stream)
+    df = daily.to_pandas().sort_values("day").reset_index(drop=True)
+    rev = df["rev_c"].to_numpy(dtype=np.int64) / 100.0
+    trend = (pd.Series(df["rev_c"].to_numpy(dtype=np.float64))
+             .rolling(window, center=True, min_periods=1)
+             .mean().to_numpy()) / 100.0
+    wd = pd.to_datetime(df["day"]).dt.dayofweek.to_numpy(dtype=np.int64)
+    det = rev - trend
+    seasonal_by_wd = pd.Series(det).groupby(wd).mean()
+    seasonal = seasonal_by_wd.reindex(wd).to_numpy()
+    resid = rev - trend - seasonal
+    day_s = (np.asarray(df["day"], dtype="datetime64[s]")
+             .astype(np.int64))
+    return pd.DataFrame({
+        "day_s": day_s,
+        "revenue": round_series(pd.Series(rev), 2).to_numpy(),
+        "trend": round_series(pd.Series(trend), 6).to_numpy(),
+        "seasonal": round_series(pd.Series(seasonal), 6).to_numpy(),
+        "resid": round_series(pd.Series(resid), 6).to_numpy(),
+    })

@@ -726,3 +726,25 @@ def test_minhash_estimator_error_bound(ray_session):
         (got["est_jaccard"] - got["exact_jaccard"]).abs().round(6),
         atol=2e-6)
     assert got["abs_err"].mean() < 3 * 0.0625
+
+
+@needs_data
+def test_seasonal_decompose_reconstructs(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        revenue_seasonal_decompose,
+    )
+
+    got = _df(revenue_seasonal_decompose(SF))
+    # additive identity: trend + seasonal + resid == revenue (r6 slack)
+    recon = got["trend"] + got["seasonal"] + got["resid"]
+    assert np.allclose(recon, got["revenue"], atol=5e-6)
+    # seasonal components sum to ~0 across weekdays (mean detrended)
+    wd = pd.to_datetime(got["day_s"], unit="s").dt.dayofweek
+    per_wd = got.groupby(wd.to_numpy())["seasonal"].first()
+    assert len(per_wd) == 7
+    # total revenue matches the orders table in cents
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100
+                     + 0.5).astype(np.int64).sum()
+    assert abs(got["revenue"].sum() * 100 - cents) < 1
