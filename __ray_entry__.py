@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_er": text.part_name_er,
         "minhash_estimator_audit": minhash_estimator_audit_q,
         "revenue_seasonal_decompose": analytics.revenue_seasonal_decompose,
+        "corpus_health_report": audit.corpus_health_report,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -893,7 +894,7 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (
                          PARTITION BY lang ORDER BY z DESC, term) AS rk
                        FROM z)"""
-    return {
+    out = {
         "doc_token_stats": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -3662,3 +3663,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_suppkey
         """,
     }
+    # composite corpus health report: UNION ALL of the members' own
+    # oracle SQL, harvesting each scalar (composition, not duplication)
+    _health_members = [
+        ("entropy_rate_ratio", "markov_entropy_rate", "ratio"),
+        ("heaps_beta", "corpus_heaps_fit", "beta"),
+        ("ks_click_view", "events_ks_test", "ks_d"),
+        ("mannwhitney_z", "events_mannwhitney_u", "z"),
+        ("mutual_info_nmi", "event_weekday_mutual_info", "nmi"),
+        ("weekend_jsd_norm", "weekend_type_jsd", "jsd_norm"),
+        ("zipf_slope", "corpus_zipf_fit", "slope"),
+    ]
+    out["corpus_health_report"] = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, {col} AS value FROM ({out[q]})"
+        for m, q, col in _health_members
+    ) + "\nORDER BY metric"
+    return out

@@ -137,3 +137,45 @@ def data_quality_audit(sf_dir: str) -> pd.DataFrame:
         counts = list(pool.map(lambda n: int(checks[n]()), names))
     return pd.DataFrame({"check_name": names,
                          "n_violations": pd.array(counts, dtype="int64")})
+
+
+def corpus_health_report(sf_dir: str):
+    """One-call corpus HEALTH REPORT: the scalar audit statistics of
+    seven already-oracled operators as a (metric, value) table -- the
+    dashboard row a curation run logs per snapshot.  Each member is the
+    full distributed operator (nothing re-implemented); this composite
+    just harvests their scalar outputs, and its oracle is the UNION ALL
+    of the members' own SQL.
+
+    Metrics: zipf_slope, heaps_beta, ks_click_view, mutual_info_nmi,
+    entropy_rate_ratio, weekend_jsd_norm, mannwhitney_z.
+
+    Output: (metric, value r6) sorted by metric.
+    """
+    import pandas as pd
+
+    from .sequences import (
+        event_weekday_mutual_info,
+        events_ks_test,
+        events_mannwhitney_u,
+        markov_entropy_rate,
+        weekend_type_jsd,
+    )
+    from .text import corpus_heaps_fit, corpus_zipf_fit
+
+    def scalar(res, col: str) -> float:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        # bound: every member emits exactly one row
+        return float(df[col].iloc[0])
+
+    rows = [
+        ("entropy_rate_ratio", scalar(markov_entropy_rate(sf_dir), "ratio")),
+        ("heaps_beta", scalar(corpus_heaps_fit(sf_dir), "beta")),
+        ("ks_click_view", scalar(events_ks_test(sf_dir), "ks_d")),
+        ("mannwhitney_z", scalar(events_mannwhitney_u(sf_dir), "z")),
+        ("mutual_info_nmi", scalar(event_weekday_mutual_info(sf_dir),
+                                   "nmi")),
+        ("weekend_jsd_norm", scalar(weekend_type_jsd(sf_dir), "jsd_norm")),
+        ("zipf_slope", scalar(corpus_zipf_fit(sf_dir), "slope")),
+    ]
+    return pd.DataFrame(rows, columns=["metric", "value"])
