@@ -687,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_estimator_audit": minhash_estimator_audit_q,
         "revenue_seasonal_decompose": analytics.revenue_seasonal_decompose,
         "corpus_health_report": audit.corpus_health_report,
+        "events_nearest_order_join": relational.events_nearest_order_join,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1047,6 +1048,43 @@ def oracle_sql() -> dict[str, str]:
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
+        "events_nearest_order_join": """
+            -- nearest-in-time order either direction; equal distance
+            -- prefers the earlier (backward) order; same-date orders
+            -- pre-dedup to MIN o_orderkey; all time math in exact
+            -- int64 microseconds with floor-div to seconds
+            WITH od AS (
+              SELECT o_custkey AS u, o_orderdate AS d,
+                     MIN(o_orderkey) AS k
+              FROM orders GROUP BY 1, 2),
+            e AS (SELECT event_id, user_id, ts FROM events),
+            bk AS (
+              SELECT e.event_id, MAX(od.d) AS bd
+              FROM e JOIN od ON od.u = e.user_id AND od.d <= e.ts
+              GROUP BY e.event_id),
+            fw AS (
+              SELECT e.event_id, MIN(od.d) AS fd
+              FROM e JOIN od ON od.u = e.user_id AND od.d > e.ts
+              GROUP BY e.event_id),
+            pick AS (
+              SELECT e.event_id, e.user_id, e.ts,
+                     CASE WHEN bk.bd IS NOT NULL
+                               AND (fw.fd IS NULL
+                                    OR epoch_us(e.ts) - epoch_us(bk.bd)
+                                       <= epoch_us(fw.fd) - epoch_us(e.ts))
+                          THEN bk.bd ELSE fw.fd END AS nd
+              FROM e
+              LEFT JOIN bk ON bk.event_id = e.event_id
+              LEFT JOIN fw ON fw.event_id = e.event_id)
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) // 1000000 AS ts_s,
+                   od.k AS nearest_orderkey,
+                   epoch_us(p.nd) // 1000000 AS nearest_date_s,
+                   ABS(epoch_us(p.ts) - epoch_us(p.nd)) // 1000000
+                     AS dist_s
+            FROM pick p JOIN od ON od.u = p.user_id AND od.d = p.nd
+            WHERE p.nd IS NOT NULL ORDER BY p.event_id
+        """,
         "revenue_seasonal_decompose": """
             -- additive decompose over integer-cents daily revenue:
             -- window means of exact integers cannot drift the float

@@ -164,8 +164,8 @@ def corpus_health_report(sf_dir: str):
     from .text import corpus_heaps_fit, corpus_zipf_fit
 
     def scalar(res, col: str) -> float:
-        df = res.to_pandas() if hasattr(res, "to_pandas") else res
         # bound: every member emits exactly one row
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
         return float(df[col].iloc[0])
 
     rows = [

@@ -888,3 +888,108 @@ def streaming_user_reach_hll(sf_dir: str, p: int = 12, n_chunks: int = 4,
             int(round(HyperLogLog.deserialize(bytes(d), p).estimate()))
             for d in state["sketch"]]})
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_nearest_order_join(sf_dir: str, n_buckets: int = 64):
+    """NEAREST temporal join: for each event, the user's order closest
+    in time in EITHER direction -- the enrichment an attribution model
+    wants when effects precede or follow the touchpoint.  Deterministic
+    tie rules: equal distance prefers the EARLIER (backward) order;
+    equal dates pre-dedup to MIN o_orderkey (same as the as-of twin).
+
+    Shape: identical to events_last_order_asof's cogroup -- both sides
+    tagged and bucketed on hash(user), ONE keyed shuffle, then per
+    bucket a backward and a strictly-forward ``pandas.merge_asof``
+    with a vectorized pick; no global sort, no driver state.
+
+    Output: (event_id, user_id, ts_s, nearest_orderkey,
+    nearest_date_s, dist_s); events whose user has no orders drop out.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("Int64"),
+            "t": np.asarray(df["ts"], dtype="datetime64[us]"),
+            "o_orderkey": pd.Series([pd.NA] * len(df), dtype="Int64"),
+            "side": 0,
+        })
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["o_custkey"].astype("int64"),
+            "event_id": pd.Series([pd.NA] * len(df), dtype="Int64"),
+            "t": np.asarray(df["o_orderdate"], dtype="datetime64[us]"),
+            "o_orderkey": df["o_orderkey"].astype("Int64"),
+            "side": 1,
+        })
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
+
+    cols = ["event_id", "user_id", "ts_s", "nearest_orderkey",
+            "nearest_date_s", "dist_s"]
+
+    def nearest_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0]
+        right = group[group["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols)
+        right = (right.sort_values(["user_id", "t", "o_orderkey"])
+                 .drop_duplicates(["user_id", "t"], keep="first"))
+        rr = (right[["user_id", "t", "o_orderkey"]].sort_values("t")
+              .rename(columns={"o_orderkey": "nk", "t": "od"}))
+        ls = left.sort_values("t")
+        back = pd.merge_asof(ls, rr, left_on="t", right_on="od",
+                             by="user_id", direction="backward",
+                             allow_exact_matches=True)
+        fwd = pd.merge_asof(ls, rr, left_on="t", right_on="od",
+                            by="user_id", direction="forward",
+                            allow_exact_matches=False)
+        t_us = np.asarray(back["t"], dtype="datetime64[us]").astype(np.int64)
+        # NaT.astype(float) is iNaT (-9.2e18), NOT NaN: mask via isna
+        # BEFORE the numeric view
+        bmiss = back["od"].isna().to_numpy()
+        fmiss = fwd["od"].isna().to_numpy()
+        bd = np.asarray(back["od"], dtype="datetime64[us]").astype(np.float64)
+        fd = np.asarray(fwd["od"], dtype="datetime64[us]").astype(np.float64)
+        bdist = t_us - bd
+        fdist = fd - t_us
+        use_b = ~bmiss & (fmiss | (bdist <= fdist))
+        use_f = bmiss & ~fmiss
+        nd = np.where(use_b, bd, fd)
+        nk = np.where(use_b, back["nk"].to_numpy(dtype="float64",
+                                                 na_value=np.nan),
+                      fwd["nk"].to_numpy(dtype="float64", na_value=np.nan))
+        keep = use_b | use_f
+        # integer microseconds end-to-end: float-divide-then-truncate
+        # disagrees with SQL casts, int64 floor-div cannot
+        nd_i = nd[keep].astype(np.int64)
+        t_k = t_us[keep]
+        dist_us = np.where(use_b[keep], t_k - nd_i, nd_i - t_k)
+        return pd.DataFrame({
+            "event_id": back["event_id"].to_numpy(dtype="int64",
+                                                  na_value=0)[keep],
+            "user_id": back["user_id"].to_numpy(dtype=np.int64)[keep],
+            "ts_s": (t_k // 1_000_000).astype(np.int64),
+            "nearest_orderkey": nk[keep].astype(np.int64),
+            "nearest_date_s": (nd_i // 1_000_000).astype(np.int64),
+            "dist_s": (dist_us // 1_000_000).astype(np.int64),
+        })
+
+    both = (ev.map_batches(tag_events, batch_format="pandas",
+                           batch_size=131072)
+            .union(orders.map_batches(tag_orders, batch_format="pandas",
+                                      batch_size=131072)))
+    return (both.groupby("bucket")
+            .map_groups(lambda g: nearest_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))

@@ -748,3 +748,36 @@ def test_seasonal_decompose_reconstructs(ray_session):
     cents = np.floor(orders["o_totalprice"].to_numpy() * 100
                      + 0.5).astype(np.int64).sum()
     assert abs(got["revenue"].sum() * 100 - cents) < 1
+
+
+@needs_data
+def test_nearest_join_against_brute_force(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_nearest_order_join,
+    )
+
+    got = _df(events_nearest_order_join(SF)).set_index("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    od = (orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+          .drop_duplicates(["o_custkey", "o_orderdate"]))
+    by_u = {u: g for u, g in od.groupby("o_custkey")}
+    checked = 0
+    for _, r in ev.head(200).iterrows():
+        g = by_u.get(r["user_id"])
+        if g is None:
+            assert r["event_id"] not in got.index
+            continue
+        t = r["ts"].value // 1000  # us
+        d_us = g["o_orderdate"].astype("datetime64[us]").astype("int64")
+        dist = (t - d_us).abs()
+        # equal distance prefers the earlier date (backward)
+        best = g.loc[dist.idxmin()] if (dist == dist.min()).sum() == 1 \
+            else g.loc[d_us[dist == dist.min()].idxmin()]
+        row = got.loc[r["event_id"]]
+        assert int(row["nearest_orderkey"]) == int(best["o_orderkey"])
+        checked += 1
+    assert checked >= 150
