@@ -1560,9 +1560,9 @@ def oracle_sql() -> dict[str, str]:
                               * (n * syy - sy * sy)) AS r2
                   FROM s)
             SELECT CAST(n AS BIGINT) AS n_points,
-                   ROUND(beta, 6) AS beta,
-                   ROUND((sy - beta * sx) / n, 6) AS lnk,
-                   ROUND(r2, 6) AS r2
+                   ROUND(beta, 6) + 0.0 AS beta,
+                   ROUND((sy - beta * sx) / n, 6) + 0.0 AS lnk,
+                   ROUND(r2, 6) + 0.0 AS r2
             FROM f
         """,
         "user_decayed_value": """
@@ -1600,9 +1600,9 @@ def oracle_sql() -> dict[str, str]:
                        / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
               FROM s)
             SELECT CAST(n AS BIGINT) AS n_terms,
-                   ROUND(slope, 6) AS slope,
-                   ROUND((sy - slope * sx) / n, 6) AS intercept,
-                   ROUND(r2, 6) AS r2
+                   ROUND(slope, 6) + 0.0 AS slope,
+                   ROUND((sy - slope * sx) / n, 6) + 0.0 AS intercept,
+                   ROUND(r2, 6) + 0.0 AS r2
             FROM f
         """,
         "event_weekday_mutual_info": """

@@ -1333,9 +1333,9 @@ def corpus_zipf_fit(sf_dir: str, max_rank: int = 24, n_buckets: int = 16):
                                      * (n * syy - sy * sy))
     return pd.DataFrame({
         "n_terms": pd.array([int(n)], dtype="int64"),
-        "slope": round_series(pd.Series([slope]), 6).to_numpy(),
-        "intercept": round_series(pd.Series([intercept]), 6).to_numpy(),
-        "r2": round_series(pd.Series([r2]), 6).to_numpy(),
+        "slope": round_series(pd.Series([slope]), 6).to_numpy() + 0.0,
+        "intercept": round_series(pd.Series([intercept]), 6).to_numpy() + 0.0,
+        "r2": round_series(pd.Series([r2]), 6).to_numpy() + 0.0,
     })
 
 
@@ -1427,11 +1427,13 @@ def corpus_heaps_fit(sf_dir: str, n_checkpoints: int = 10,
     lnk = (sy - beta * sx) / n
     r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx)
                                      * (n * syy - sy * sy))
+    # + 0.0 normalizes IEEE -0.0: on a closed-vocab corpus beta's tiny
+    # numerator sign is sum-order noise, and str(-0.0) != str(0.0)
     return pd.DataFrame({
         "n_points": pd.array([n_checkpoints], dtype="int64"),
-        "beta": round_series(pd.Series([beta]), 6).to_numpy(),
-        "lnk": round_series(pd.Series([lnk]), 6).to_numpy(),
-        "r2": round_series(pd.Series([r2]), 6).to_numpy(),
+        "beta": round_series(pd.Series([beta]), 6).to_numpy() + 0.0,
+        "lnk": round_series(pd.Series([lnk]), 6).to_numpy() + 0.0,
+        "r2": round_series(pd.Series([r2]), 6).to_numpy() + 0.0,
     })
 
 
