@@ -464,6 +464,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return knn_graph(_emb_ds(sf_dir), k=5)
 
+    def ann_hard_negatives(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            hard_negative_topk,
+        )
+
+        return hard_negative_topk(_emb_ds(sf_dir), _QUERY_IDS, k=3)
+
     def emb_mutual_nn(sf_dir: str):
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
             mutual_nn_pairs,
@@ -688,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_seasonal_decompose": analytics.revenue_seasonal_decompose,
         "corpus_health_report": audit.corpus_health_report,
         "events_nearest_order_join": relational.events_nearest_order_join,
+        "ann_hard_negatives": ann_hard_negatives,
+        "temperature_mixture_sample": text.temperature_mixture_sample,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1048,6 +1057,58 @@ def oracle_sql() -> dict[str, str]:
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
+        "ann_hard_negatives": f"""
+            -- nearest WRONG-label neighbors (contrastive hard
+            -- negatives): the ann_topk_filtered oracle with the
+            -- predicate negated
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS qlabel,
+                     CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings
+              WHERE vec_id IN ({",".join(str(i) for i in _QUERY_IDS)})),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qe) AS sim
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+            WHERE rank <= 3
+        """,
+        "temperature_mixture_sample": """
+            -- alpha-sampling quotas: n_s^0.5 shares, largest-remainder
+            -- allocation (ties: source asc), then the deterministic
+            -- md5-order per-source head
+            WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+                       GROUP BY 1),
+            w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS wt
+                  FROM c),
+            tw AS (SELECT SUM(wt) AS s FROM w),
+            sh AS (SELECT source, wt / tw.s * 200 AS share FROM w, tw),
+            b AS (SELECT source, CAST(floor(share) AS BIGINT) AS base,
+                         share - floor(share) AS rem
+                  FROM sh),
+            tot AS (SELECT 200 - SUM(base) AS short FROM b),
+            q AS (SELECT source,
+                         base + CASE WHEN row_number() OVER (
+                             ORDER BY rem DESC, source) <= tot.short
+                           THEN 1 ELSE 0 END AS quota
+                  FROM b, tot),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5_number_lower(
+                             CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.source
+            FROM r JOIN q USING (source)
+            WHERE r.rn <= q.quota ORDER BY r.doc_id
+        """,
         "events_nearest_order_join": """
             -- nearest-in-time order either direction; equal distance
             -- prefers the earlier (backward) order; same-date orders

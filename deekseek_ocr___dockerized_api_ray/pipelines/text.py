@@ -1742,3 +1742,85 @@ def part_name_er(sf_dir: str, threshold: float = 0.9,
                 lambda g: resolve(g.drop(columns=["bucket"])),
                 batch_format="pandas")
             .sort("p_name"))
+
+
+def temperature_mixture_sample(sf_dir: str, total: int = 200,
+                               temp_num: int = 1, temp_den: int = 2,
+                               key_col: str = "source"):
+    """Temperature-based mixture sampling -- the data-mixing primitive
+    multilingual/multi-source LLM pipelines use (alpha-sampling a la
+    mC4/XLM-R): per-source quotas proportional to n_s^T (T =
+    temp_num/temp_den, default 0.5 upweights small sources), allocated
+    by largest remainder (ties: source asc) so quotas sum to ``total``
+    exactly, then the deterministic seedless per-source head by
+    (md5(doc_id), doc_id) order -- the per_key_sample machinery with a
+    PER-KEY quota.
+
+    Shape: one |sources|-grain count reduce -> driver quota solve
+    (bound: source grain) -> broadcast quota map -> per-batch local
+    prune to <= quota_s rows per source -> ONE bucketed keyed reduce.
+    A quota can exceed a source's size; the head then just takes the
+    whole source.
+
+    Output: (doc_id, source) sorted by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import _hash64
+    from ..functions.text_stats import sha1_64
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["doc_id", key_col])
+
+    def cnt_part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key_col, as_index=False)
+                .agg(n=(key_col, "size")))
+
+    counts = grouped_agg(
+        ds.map_batches(cnt_part, batch_format="pandas",
+                       batch_size=131072),
+        [key_col], {"n": ("n", "sum")}, n_buckets=4
+        # bound: |sources| rows (the mixing grain)
+    ).to_pandas().sort_values(key_col).reset_index(drop=True)
+
+    t = temp_num / temp_den
+    w = np.power(counts["n"].to_numpy(dtype=np.float64), t)
+    share = w / w.sum() * total
+    base = np.floor(share).astype(np.int64)
+    rem = share - base
+    short = int(total - base.sum())
+    # largest remainder, ties by source asc (counts already source-asc)
+    order = np.lexsort((np.arange(len(rem)), -rem))
+    quota = base.copy()
+    quota[order[:short]] += 1
+    qmap = dict(zip(counts[key_col], quota))
+    q_ref = ray.put(qmap)
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        h = np.asarray([_hash64(str(int(d))) for d in df["doc_id"]],
+                       dtype=np.uint64)
+        d = df.assign(h=h).sort_values(["h", "doc_id"])
+        d = (d.groupby(key_col, sort=False, group_keys=False)
+             .apply(lambda g: g.head(int(qm.get(g.name, 0)))))
+        if d.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 key_col: pd.Series(dtype=object),
+                                 "h": pd.Series(dtype="uint64"),
+                                 "bucket": pd.Series(dtype="int32")})
+        buckets = [sha1_64(str(v)) % 16 for v in d[key_col]]
+        return d.assign(bucket=np.asarray(buckets, dtype=np.int32))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        g = (group.sort_values(["h", "doc_id"])
+             .groupby(key_col, sort=False, group_keys=False)
+             .apply(lambda x: x.head(int(qm.get(x.name, 0)))))
+        return g[["doc_id", key_col]].astype({"doc_id": "int64"})
+
+    return (ds.map_batches(local_prune, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("bucket").map_groups(final, batch_format="pandas")
+            .sort("doc_id"))

@@ -147,7 +147,7 @@ class FilteredCosineTopKStage:
 
     def __init__(self, query_ids, query_labels, query_ref, k,
                  id_col: str = "vec_id", emb_col: str = "embedding",
-                 filter_col: str = "label"):
+                 filter_col: str = "label", negate: bool = False):
         import ray
 
         self.query_ids = query_ids
@@ -157,6 +157,9 @@ class FilteredCosineTopKStage:
         self.id_col = id_col
         self.emb_col = emb_col
         self.filter_col = filter_col
+        # negate=True flips the predicate: candidates must NOT share the
+        # query's filter value (hard-negative mining)
+        self.negate = negate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
@@ -165,7 +168,7 @@ class FilteredCosineTopKStage:
         sims = m @ self.q.T
         out_q, out_id, out_sim = [], [], []
         for qi, (qid, ql) in enumerate(zip(self.query_ids, self.query_labels)):
-            mask = labels == ql
+            mask = (labels != ql) if self.negate else (labels == ql)
             if not mask.any():
                 continue
             sub_ids, sub = ids[mask], sims[mask, qi]
@@ -1036,3 +1039,57 @@ def mutual_nn_pairs(emb_ds, id_col: str = "vec_id",
             names=["id_a", "id_b"])
 
     return j.map_batches(orient, batch_format="pyarrow")
+
+
+def hard_negative_topk(emb_ds, query_ids: Sequence[int], k: int = 3,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       filter_col: str = "label"):
+    """HARD-NEGATIVE MINING: for each query vector, the top-k most
+    cosine-similar corpus vectors with a DIFFERENT ``filter_col`` value
+    -- the contrastive-training pair miner (nearest wrong-label
+    neighbors are the informative negatives).  Same broadcast-queries /
+    per-batch matmul / tiny keyed reduce shape as brute_force_topk;
+    the negated label mask is the only change.
+
+    Returns (query_id, vec_id, rank) with rank 1..k.
+    """
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    # bound: |query_ids| rows (point filter)
+    rows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r[id_col]))
+    ids = [int(r[id_col]) for r in rows]
+    qlabels = np.asarray([r[filter_col] for r in rows])
+    mat = _normalize(np.asarray([r[emb_col] for r in rows], dtype=np.float64))
+    qref = ray.put(mat)
+
+    cand = emb_ds.map_batches(
+        FilteredCosineTopKStage(query_ids=ids, query_labels=qlabels,
+                                query_ref=qref, k=k + 1, id_col=id_col,
+                                emb_col=emb_col, filter_col=filter_col,
+                                negate=True),
+        batch_format="pyarrow",
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        vids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        sims = np.asarray(group.column("cosine").to_pylist(), dtype=np.float64)
+        mask = vids != qid
+        vids, sims = vids[mask], sims[mask]
+        order = np.lexsort((vids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [pa.array([qid] * len(order), type=pa.int64()),
+             pa.array(vids[order].tolist(), type=pa.int64()),
+             pa.array(list(range(1, len(order) + 1)), type=pa.int64())],
+            names=["query_id", "vec_id", "rank"],
+        )
+
+    return cand.groupby("query_id").map_groups(_final,
+                                               batch_format="pyarrow")

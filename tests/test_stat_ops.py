@@ -781,3 +781,50 @@ def test_nearest_join_against_brute_force(ray_session):
         assert int(row["nearest_orderkey"]) == int(best["o_orderkey"])
         checked += 1
     assert checked >= 150
+
+
+@needs_data
+def test_temperature_sample_quota_semantics(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        temperature_mixture_sample,
+    )
+
+    got = _df(temperature_mixture_sample(SF, total=200))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+
+    assert len(got) == 200
+    # equal-size sources (25 docs x 20 sources) -> exactly 10 each
+    per_src = got.groupby("source").size()
+    assert (per_src == 10).all() and len(per_src) == 20
+    # each source's picks are its md5-order head
+    import hashlib
+    for src, g in got.groupby("source"):
+        pool = docs.loc[docs["source"] == src, "doc_id"]
+        h = {d: int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:],
+                               "little") for d in pool}
+        want = sorted(pool, key=lambda d: (h[d], d))[:10]
+        assert sorted(g["doc_id"]) == sorted(want)
+
+
+@needs_data
+def test_hard_negatives_are_wrong_label(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    got = _df(hard_negative_topk(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), [0, 1, 2, 3, 4],
+        k=3))
+
+    assert len(got) == 15
+    for _, r in got.iterrows():
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert r["vec_id"] != r["query_id"]
+    # ranks are 1..3 per query
+    assert (got.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3])).all()
