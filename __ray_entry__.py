@@ -697,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest_order_join": relational.events_nearest_order_join,
         "ann_hard_negatives": ann_hard_negatives,
         "temperature_mixture_sample": text.temperature_mixture_sample,
+        "leakage_safe_split": curation.leakage_safe_split,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1057,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
+        "leakage_safe_split": _oracles.leakage_safe_split_sql(threshold=0.8),
         "ann_hard_negatives": f"""
             -- nearest WRONG-label neighbors (contrastive hard
             -- negatives): the ann_topk_filtered oracle with the

@@ -752,3 +752,33 @@ SELECT v.id_a, v.id_b,
 FROM verified v JOIN est e ON e.id_a = v.id_a AND e.id_b = v.id_b
 ORDER BY v.id_a, v.id_b"""
     )
+
+
+def leakage_safe_split_sql(threshold: float = 0.8) -> str:
+    """Cluster-keyed 80/10/10 split; matches
+    pipelines/curation.leakage_safe_split."""
+    return (
+        f"WITH RECURSIVE {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        """,
+sym AS (SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+lab AS (
+  SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+  FROM (SELECT DISTINCT src FROM sym) n
+  JOIN reach r ON r.src = n.src GROUP BY n.src),
+keyed AS (
+  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN md5_number_lower(CAST(cluster_id AS VARCHAR)) % 100 < 80
+            THEN 'train'
+            WHEN md5_number_lower(CAST(cluster_id AS VARCHAR)) % 100 < 90
+            THEN 'val' ELSE 'test' END AS split
+FROM keyed ORDER BY doc_id"""
+    )

@@ -1074,3 +1074,78 @@ def dedup_rate_by_source(sf_dir: str, threshold: float = 0.8,
 
     return (agg.map_batches(finish, batch_format="pandas",
                             batch_size=1 << 20).sort("source"))
+
+
+def leakage_safe_split(sf_dir: str, threshold: float = 0.8,
+                       broadcast_labels: int = 1_000_000,
+                       num_partitions: int = 8):
+    """Leakage-safe train/val/test split: the split key is the doc's
+    verified near-dup COMPONENT (min-id label; own id when unmatched),
+    so near-duplicate documents always land on the SAME side -- the fix
+    for the eval-contamination failure mode of doc-level hashing
+    (train_test_split's twin, same 80/10/10 md5 cut points applied to
+    the cluster id).
+
+    Shape: component labels from the size-gated hybrid; the (node ->
+    label) table broadcasts under ``broadcast_labels``, else attaches
+    via one hash left-join; the split tag is a stateless map.
+
+    Output: (doc_id, cluster_id, split) -- split in
+    {'train','val','test'}.
+    """
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import (
+        component_labels,
+        lsh_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                                 threshold=threshold)
+    labels = component_labels(pairs).materialize()
+    n_lab = labels.count()
+
+    def split_of(keys) -> list:
+        out = []
+        for kk in keys:
+            h = int.from_bytes(
+                hashlib.md5(str(int(kk)).encode()).digest()[8:],
+                "little") % 100
+            out.append("train" if h < 80 else ("val" if h < 90 else "test"))
+        return out
+
+    ids = docs.select_columns(["doc_id"])
+    if n_lab <= broadcast_labels:
+        # bound: gated at broadcast_labels (node -> label) rows
+        labmap = {r["node"]: r["label"] for r in labels.iter_rows()}
+        lab_ref = ray.put(labmap)
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            lm = ray.get(lab_ref)
+            cid = df["doc_id"].map(lambda d: lm.get(d, d)).to_numpy(
+                dtype=np.int64)
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(
+                dtype=np.int64), "cluster_id": cid,
+                "split": split_of(cid)})
+
+        return ids.map_batches(tag, batch_format="pandas",
+                               batch_size=131072)
+
+    j = ids.join(labels, join_type="left_outer",
+                 num_partitions=num_partitions,
+                 on=("doc_id",), right_on=("node",))
+
+    def tag_joined(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["label"].where(df["label"].notna(),
+                                df["doc_id"]).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(
+            dtype=np.int64), "cluster_id": cid, "split": split_of(cid)})
+
+    return j.map_batches(tag_joined, batch_format="pandas",
+                         batch_size=131072)

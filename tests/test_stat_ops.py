@@ -828,3 +828,33 @@ def test_hard_negatives_are_wrong_label(ray_session):
     # ranks are 1..3 per query
     assert (got.groupby("query_id")["rank"].apply(
         lambda s: sorted(s) == [1, 2, 3])).all()
+
+
+@needs_data
+def test_leakage_safe_split_clusters_stay_together(ray_session):
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        leakage_safe_split,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        verify_pairs_jaccard,
+    )
+
+    got = _df(leakage_safe_split(SF)).set_index("doc_id")
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                                 threshold=0.8).to_pandas()
+
+    # every verified near-dup pair shares cluster AND split side
+    for _, r in pairs.iterrows():
+        assert (got.loc[r["id_a"], "cluster_id"]
+                == got.loc[r["id_b"], "cluster_id"])
+        assert got.loc[r["id_a"], "split"] == got.loc[r["id_b"], "split"]
+    assert len(got) == 500
+    # all three splits appear and shares are roughly 80/10/10
+    frac = got["split"].value_counts(normalize=True)
+    assert set(frac.index) == {"train", "val", "test"}
+    assert 0.6 < frac["train"] < 0.95
