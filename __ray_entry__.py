@@ -698,6 +698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hard_negatives": ann_hard_negatives,
         "temperature_mixture_sample": text.temperature_mixture_sample,
         "leakage_safe_split": curation.leakage_safe_split,
+        "doc_char_entropy": text.doc_char_entropy,
+        "order_cohort_retention": analytics.order_cohort_retention,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1059,6 +1061,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
         "leakage_safe_split": _oracles.leakage_safe_split_sql(threshold=0.8),
+        "doc_char_entropy": """
+            -- per-doc character histogram entropy, the suite's
+            -- ln(n) - sum(c ln c)/n algebra (ASCII: char == byte)
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents),
+            cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+            s AS (
+              SELECT doc_id, SUM(n) AS nt, COUNT(*) AS k,
+                     SUM(CAST(n AS DOUBLE)
+                         * ln(CAST(n AS DOUBLE))) AS sc
+              FROM cc GROUP BY doc_id)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_chars_calc,
+                   CAST(k AS BIGINT) AS charset,
+                   ROUND(ln(CAST(nt AS DOUBLE))
+                         - sc / CAST(nt AS DOUBLE), 6) AS entropy
+            FROM s ORDER BY doc_id
+        """,
+        "order_cohort_retention": """
+            -- quarterly retention triangle; quarter index year*4+(q-1)
+            -- exact in both engines
+            WITH q AS (
+              SELECT o_custkey AS c,
+                     year(o_orderdate) * 4 + (quarter(o_orderdate) - 1)
+                       AS q
+              FROM orders),
+            f AS (SELECT c, MIN(q) AS fq FROM q GROUP BY c),
+            a AS (SELECT DISTINCT c, q FROM q),
+            o AS (
+              SELECT f.fq AS cohort_q, a.q - f.fq AS "offset",
+                     COUNT(*) AS n_active
+              FROM a JOIN f USING (c)
+              WHERE a.q - f.fq <= 8 GROUP BY 1, 2),
+            b AS (SELECT cohort_q, n_active AS base FROM o
+                  WHERE "offset" = 0)
+            SELECT o.cohort_q, CAST(o."offset" AS BIGINT) AS "offset",
+                   CAST(o.n_active AS BIGINT) AS n_active,
+                   ROUND(CAST(o.n_active AS DOUBLE)
+                         / CAST(b.base AS DOUBLE), 6) AS retention
+            FROM o JOIN b USING (cohort_q)
+            ORDER BY o.cohort_q, o."offset"
+        """,
         "ann_hard_negatives": f"""
             -- nearest WRONG-label neighbors (contrastive hard
             -- negatives): the ann_topk_filtered oracle with the

@@ -3505,3 +3505,96 @@ def revenue_seasonal_decompose(sf_dir: str, window: int = 7,
         "seasonal": round_series(pd.Series(seasonal), 6).to_numpy(),
         "resid": round_series(pd.Series(resid), 6).to_numpy(),
     })
+
+
+def order_cohort_retention(sf_dir: str, max_offset: int = 8,
+                           n_buckets: int = 16):
+    """Quarterly cohort retention over orders: customers grouped by the
+    quarter of their FIRST order; for each offset 0..max_offset, the
+    share of the cohort that placed an order in cohort_quarter + offset
+    -- the classic retention triangle, on the orders table.
+
+    Quarter index = year * 4 + (quarter - 1), exact integer math in
+    both engines.
+
+    Shape: per-customer first-quarter (combiner min) and distinct
+    (customer, quarter) activity (combiner max-one) -> cohort attaches
+    to activity via ONE hash join keyed on customer -> (cohort, offset)
+    combiner counts -> cohort-size divide at the |cohorts x offsets|
+    finish.  The orders stream never shuffles raw.
+
+    Output: (cohort_q, offset, n_active, retention r6) sorted; offset 0
+    rows have retention 1.0 by construction.
+    """
+    import ray
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def qidx(dates) -> np.ndarray:
+        d = pd.to_datetime(pd.Series(np.asarray(dates)))
+        return (d.dt.year * 4 + (d.dt.quarter - 1)).to_numpy(
+            dtype=np.int64)
+
+    def first_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c": df["o_custkey"].to_numpy(dtype=np.int64),
+                          "q": qidx(df["o_orderdate"])})
+        return g.groupby("c", as_index=False).agg(fq=("q", "min"))
+
+    first = grouped_agg(
+        orders.map_batches(first_part, batch_format="pandas",
+                           batch_size=131072),
+        ["c"], {"fq": ("fq", "min")}, n_buckets=n_buckets)
+
+    def act_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c": df["o_custkey"].to_numpy(dtype=np.int64),
+                          "q": qidx(df["o_orderdate"]),
+                          "one": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(["c", "q"], as_index=False).agg(one=("one", "max"))
+
+    act = grouped_agg(
+        orders.map_batches(act_part, batch_format="pandas",
+                           batch_size=131072),
+        ["c", "q"], {"one": ("one", "max")}, n_buckets=n_buckets)
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        cpus = 4
+    j = act.join(first, join_type="inner",
+                 num_partitions=max(2, cpus // 2), on=("c",))
+
+    def off_part(df: pd.DataFrame) -> pd.DataFrame:
+        off = df["q"].to_numpy(dtype=np.int64) - df["fq"].to_numpy(
+            dtype=np.int64)
+        keep = off <= max_offset
+        g = pd.DataFrame({"cohort_q": df["fq"].to_numpy(
+            dtype=np.int64)[keep], "offset": off[keep],
+            "one": np.ones(int(keep.sum()), dtype=np.int64)})
+        return g.groupby(["cohort_q", "offset"], as_index=False).agg(
+            n_active=("one", "sum"))
+
+    cells = grouped_agg(
+        j.map_batches(off_part, batch_format="pandas",
+                      batch_size=131072),
+        ["cohort_q", "offset"], {"n_active": ("n_active", "sum")},
+        n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cohort_q", "offset"]).reset_index(drop=True)
+        base = df.loc[df["offset"] == 0].set_index("cohort_q")["n_active"]
+        size = df["cohort_q"].map(base).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "cohort_q": df["cohort_q"].to_numpy(dtype=np.int64),
+            "offset": df["offset"].to_numpy(dtype=np.int64),
+            "n_active": df["n_active"].to_numpy(dtype=np.int64),
+            "retention": round_series(
+                pd.Series(df["n_active"].to_numpy(dtype=np.float64)
+                          / size), 6).to_numpy(),
+        })
+
+    # |cohorts x offsets| cells: the finish legitimately runs in one batch
+    return (cells.repartition(1)
+            .map_batches(finish, batch_format="pandas",
+                         batch_size=1 << 20))

@@ -1824,3 +1824,48 @@ def temperature_mixture_sample(sf_dir: str, total: int = 200,
                            batch_size=65536)
             .groupby("bucket").map_groups(final, batch_format="pandas")
             .sort("doc_id"))
+
+
+def doc_char_entropy(sf_dir: str):
+    """Per-document character-distribution entropy -- the cheap
+    gibberish/encoding-damage quality signal (natural text sits in a
+    narrow entropy band; base64 blobs and aaaa-runs fall outside).
+    H = ln(n) - sum(c ln c)/n over the doc's character counts, the
+    suite's exact entropy algebra.
+
+    Shape: one stateless streaming pass; each doc's character histogram
+    is built inside its batch with one vectorized byte-level
+    np.unique per doc (ASCII corpus == byte == char, matching DuckDB's
+    string_split(text, '')).
+
+    Output: (doc_id, n_chars_calc, charset, entropy r6) sorted by
+    doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        out_n, out_k, out_h = [], [], []
+        for t in batch.column("text").to_pylist():
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            _, counts = np.unique(b, return_counts=True)
+            c = counts.astype(np.float64)
+            n = c.sum()
+            h = np.log(n) - (c * np.log(c)).sum() / n
+            out_n.append(int(n))
+            out_k.append(len(c))
+            out_h.append(h)
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "n_chars_calc": np.asarray(out_n, dtype=np.int64),
+            "charset": np.asarray(out_k, dtype=np.int64),
+            "entropy": round_series(pd.Series(out_h), 6).to_numpy(),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow",
+                          batch_size=8192).sort("doc_id")

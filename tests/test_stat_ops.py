@@ -858,3 +858,45 @@ def test_leakage_safe_split_clusters_stay_together(ray_session):
     frac = got["split"].value_counts(normalize=True)
     assert set(frac.index) == {"train", "val", "test"}
     assert 0.6 < frac["train"] < 0.95
+
+
+@needs_data
+def test_char_entropy_bounds_and_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        doc_char_entropy,
+    )
+
+    got = _df(doc_char_entropy(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    assert len(got) == len(docs)
+    # entropy in [0, ln(charset)]
+    assert (got["entropy"] >= 0).all()
+    assert (got["entropy"] <= np.log(got["charset"]) + 1e-9).all()
+    # spot-check one doc
+    t = docs["text"].iloc[0]
+    b = np.frombuffer(t.encode(), dtype=np.uint8)
+    _, c = np.unique(b, return_counts=True)
+    p = c / c.sum()
+    h_ref = -(p * np.log(p)).sum()
+    assert abs(float(got["entropy"].iloc[0]) - h_ref) < 1e-6
+
+
+@needs_data
+def test_cohort_retention_triangle(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        order_cohort_retention,
+    )
+
+    got = _df(order_cohort_retention(SF))
+    # offset-0 retention is exactly 1, later offsets never exceed it
+    base = got[got["offset"] == 0]
+    assert (base["retention"] == 1.0).all()
+    assert (got["retention"] <= 1.0).all() and (got["retention"] > 0).all()
+    # monotone cohort sizes: n_active at offset>0 <= cohort size
+    sizes = base.set_index("cohort_q")["n_active"]
+    assert (got["n_active"] <= got["cohort_q"].map(sizes)).all()
+    # cohort sizes sum to the distinct customer count
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey"])
+    assert int(sizes.sum()) == orders["o_custkey"].nunique()
