@@ -700,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": curation.leakage_safe_split,
         "doc_char_entropy": text.doc_char_entropy,
         "order_cohort_retention": analytics.order_cohort_retention,
+        "source_length_drift": text.source_length_drift,
+        "events_windowed_funnel": analytics.events_windowed_funnel,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1061,6 +1063,69 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
         "leakage_safe_split": _oracles.leakage_safe_split_sql(threshold=0.8),
+        "events_windowed_funnel": """
+            -- 3-step windowed funnel, earliest-anchor semantics:
+            -- each step strictly after the previous and within 168h
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+            s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, MIN(e.t) AS t2
+              FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.t > s1.t1
+                AND e.t <= s1.t1 + 604800000000 GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, MIN(e.t) AS t3
+              FROM e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                AND e.t <= s2.t2 + 604800000000 GROUP BY 1)
+            SELECT s1.user_id, s1.t1 AS t1_us,
+                   COALESCE(s2.t2, -1) AS t2_us,
+                   COALESCE(s3.t3, -1) AS t3_us,
+                   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                             WHEN s2.t2 IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS stage
+            FROM s1
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY s1.user_id
+        """,
+        "source_length_drift": """
+            -- per-source KS vs the corpus complement, ECDFs evaluated
+            -- at the full pooled value grid (CROSS JOIN == the
+            -- engine's zero-filled pivot)
+            WITH s AS (SELECT source FROM documents GROUP BY source),
+            v AS (SELECT n_chars, source, COUNT(*) AS cnt
+                  FROM documents GROUP BY 1, 2),
+            g AS (SELECT n_chars, SUM(cnt) AS tot FROM v GROUP BY 1),
+            x AS (
+              SELECT s.source, g.n_chars,
+                     COALESCE(v.cnt, 0) AS ca,
+                     g.tot - COALESCE(v.cnt, 0) AS cb
+              FROM s CROSS JOIN g
+              LEFT JOIN v ON v.source = s.source
+                         AND v.n_chars = g.n_chars),
+            c AS (
+              SELECT source, n_chars,
+                     SUM(ca) OVER (PARTITION BY source
+                                   ORDER BY n_chars) AS cca,
+                     SUM(cb) OVER (PARTITION BY source
+                                   ORDER BY n_chars) AS ccb
+              FROM x),
+            t AS (SELECT source, SUM(ca) AS na, SUM(cb) AS nb
+                  FROM x GROUP BY source)
+            SELECT c.source, CAST(t.na AS BIGINT) AS n_src,
+                   CAST(t.nb AS BIGINT) AS n_rest,
+                   ROUND(MAX(ABS(CAST(cca AS DOUBLE)
+                                 / CAST(t.na AS DOUBLE)
+                               - CAST(ccb AS DOUBLE)
+                                 / CAST(t.nb AS DOUBLE))), 6) AS ks_d
+            FROM c JOIN t USING (source)
+            GROUP BY c.source, t.na, t.nb ORDER BY c.source
+        """,
         "doc_char_entropy": """
             -- per-doc character histogram entropy, the suite's
             -- ln(n) - sum(c ln c)/n algebra (ASCII: char == byte)

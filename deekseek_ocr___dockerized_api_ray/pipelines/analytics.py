@@ -3598,3 +3598,75 @@ def order_cohort_retention(sf_dir: str, max_offset: int = 8,
     return (cells.repartition(1)
             .map_batches(finish, batch_format="pandas",
                          batch_size=1 << 20))
+
+
+def events_windowed_funnel(sf_dir: str, window_hours: int = 168,
+                           n_buckets: int = 64):
+    """Three-step WINDOWED funnel view -> click -> purchase: each next
+    step must land STRICTLY AFTER the previous step and within
+    ``window_hours`` of it -- the time-bound conversion definition
+    product analytics actually uses (an unbounded funnel overcounts).
+    First qualifying event per step (earliest-anchor semantics: t2 =
+    first click in (t1, t1+W], t3 = first purchase in (t2, t2+W]).
+
+    Shape: batch-level prefilter to the three step types, ONE bucketed
+    keyed shuffle on user_id, then a vectorized per-bucket kernel
+    (three chained groupby-min + window-filtered merges). No self-join
+    of the log, no driver state.
+
+    Output: (user_id, t1_us, t2_us [-1], t3_us [-1], stage 1|2|3)
+    sorted by user_id, for every user with a view event.
+    """
+    import ray.data as rd
+
+    w_us = window_hours * 3_600_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["event_type"].isin(("view", "click", "purchase"))]
+        out = pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(dtype=np.int64),
+            "t": np.asarray(m["ts"], dtype="datetime64[us]")
+                 .astype(np.int64),
+            "event_type": m["event_type"].to_numpy()})
+        return out.assign(bucket=(out["user_id"] % n_buckets)
+                          .astype("int32"))
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        s1 = (df[df["event_type"] == "view"]
+              .groupby("user_id", as_index=False)["t"].min()
+              .rename(columns={"t": "t1"}))
+        if s1.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "t1_us": pd.Series(dtype="int64"),
+                                 "t2_us": pd.Series(dtype="int64"),
+                                 "t3_us": pd.Series(dtype="int64"),
+                                 "stage": pd.Series(dtype="int64")})
+        c = df[df["event_type"] == "click"].merge(s1, on="user_id")
+        c = c[(c["t"] > c["t1"]) & (c["t"] <= c["t1"] + w_us)]
+        s2 = (c.groupby("user_id", as_index=False)["t"].min()
+              .rename(columns={"t": "t2"}))
+        p = df[df["event_type"] == "purchase"].merge(s2, on="user_id")
+        p = p[(p["t"] > p["t2"]) & (p["t"] <= p["t2"] + w_us)]
+        s3 = (p.groupby("user_id", as_index=False)["t"].min()
+              .rename(columns={"t": "t3"}))
+        out = (s1.merge(s2, on="user_id", how="left")
+               .merge(s3, on="user_id", how="left"))
+        stage = np.where(out["t3"].notna(), 3,
+                         np.where(out["t2"].notna(), 2, 1))
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(dtype=np.int64),
+            "t1_us": out["t1"].to_numpy(dtype=np.int64),
+            "t2_us": out["t2"].fillna(-1).to_numpy(dtype=np.int64),
+            "t3_us": out["t3"].fillna(-1).to_numpy(dtype=np.int64),
+            "stage": stage.astype(np.int64),
+        })
+
+    return (ev.map_batches(prefilter, batch_format="pandas",
+                           batch_size=131072)
+            .groupby("bucket")
+            .map_groups(lambda g: funnel(g.drop(columns=["bucket"])),
+                        batch_format="pandas")
+            .sort("user_id"))

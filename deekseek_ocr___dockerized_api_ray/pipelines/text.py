@@ -1869,3 +1869,53 @@ def doc_char_entropy(sf_dir: str):
 
     return ds.map_batches(ent, batch_format="pyarrow",
                           batch_size=8192).sort("doc_id")
+
+
+def source_length_drift(sf_dir: str, n_buckets: int = 8):
+    """Per-source distribution drift: the two-sample KS statistic
+    between each source's doc-length distribution and the REST of the
+    corpus -- the per-feed outlier screen (a feed whose length profile
+    diverges usually changed its extraction or got polluted).
+
+    Shape: ONE (n_chars, source) combiner histogram (value grain x
+    source grain crosses the wire, never the corpus); the driver then
+    computes every source-vs-complement ECDF pair from the same
+    histogram (bound: |sources| x value grain).
+
+    Output: (source, n_src, n_rest, ks_d r6) sorted by source.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["n_chars", "source"], as_index=False)
+                .agg(cnt=("source", "size")))
+
+    hist = grouped_agg(
+        ds.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["n_chars", "source"], {"cnt": ("cnt", "sum")},
+        n_buckets=n_buckets
+        # bound: |sources| x n_chars value grain (a histogram)
+    ).to_pandas()
+
+    pivot = (hist.pivot_table(index="n_chars", columns="source",
+                              values="cnt", fill_value=0, aggfunc="sum")
+             .sort_index())
+    counts = pivot.to_numpy(dtype=np.int64)
+    totals = counts.sum(axis=0)
+    grand = counts.sum(axis=1)
+    rows = []
+    for j, src in enumerate(pivot.columns):
+        ca = counts[:, j].cumsum()
+        cb = (grand - counts[:, j]).cumsum()
+        na, nb = int(ca[-1]), int(cb[-1])
+        d = np.abs(ca / na - cb / nb).max()
+        rows.append((src, na, nb, d))
+    out = pd.DataFrame(rows, columns=["source", "n_src", "n_rest", "ks_d"])
+    out["ks_d"] = round_series(out["ks_d"], 6)
+    return out.sort_values("source").reset_index(drop=True)

@@ -900,3 +900,51 @@ def test_cohort_retention_triangle(ray_session):
     orders = pd.read_parquet(f"{SF}/orders.parquet",
                              columns=["o_custkey"])
     assert int(sizes.sum()) == orders["o_custkey"].nunique()
+
+
+@needs_data
+def test_source_length_drift_vs_pairwise_ks(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        source_length_drift,
+    )
+
+    got = _df(source_length_drift(SF)).set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "n_chars"])
+    src = docs["source"].iloc[0]
+    a = np.sort(docs.loc[docs["source"] == src, "n_chars"].to_numpy())
+    b = np.sort(docs.loc[docs["source"] != src, "n_chars"].to_numpy())
+    pooled = np.unique(docs["n_chars"].to_numpy())
+    d_ref = np.abs(np.searchsorted(a, pooled, "right") / len(a)
+                   - np.searchsorted(b, pooled, "right") / len(b)).max()
+
+    assert abs(float(got.loc[src, "ks_d"]) - d_ref) < 1e-6
+    assert int(got.loc[src, "n_src"]) == len(a)
+    assert ((got["ks_d"] >= 0) & (got["ks_d"] <= 1)).all()
+    assert (got["n_src"] + got["n_rest"] == len(docs)).all()
+
+
+@needs_data
+def test_windowed_funnel_semantics(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.analytics import (
+        events_windowed_funnel,
+    )
+
+    got = _df(events_windowed_funnel(SF))
+    w_us = 168 * 3_600_000_000
+    # window + ordering constraints hold wherever a step fired
+    s2 = got[got["t2_us"] >= 0]
+    assert ((s2["t2_us"] > s2["t1_us"])
+            & (s2["t2_us"] <= s2["t1_us"] + w_us)).all()
+    s3 = got[got["t3_us"] >= 0]
+    assert ((s3["t3_us"] > s3["t2_us"])
+            & (s3["t3_us"] <= s3["t2_us"] + w_us)).all()
+    # stage is consistent with which steps fired
+    assert (got.loc[got["stage"] == 1, "t2_us"] == -1).all()
+    assert (got.loc[got["stage"] == 2, "t3_us"] == -1).all()
+    assert (got.loc[got["stage"] == 3, "t3_us"] >= 0).all()
+    # one row per user with a view
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    assert len(got) == ev.loc[ev["event_type"] == "view",
+                              "user_id"].nunique()
