@@ -702,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_cohort_retention": analytics.order_cohort_retention,
         "source_length_drift": text.source_length_drift,
         "events_windowed_funnel": analytics.events_windowed_funnel,
+        "bm25_search_topk": curation.bm25_search_topk,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -3888,4 +3889,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT '{m}' AS metric, {col} AS value FROM ({out[q]})"
         for m, q, col in _health_members
     ) + "\nORDER BY metric"
+    # search top-k: doc_bm25's own SQL ranked + limited (composition)
+    out["bm25_search_topk"] = f"""
+        SELECT doc_id, dl, bm25, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY bm25 DESC, doc_id) AS rk
+          FROM ({out["doc_bm25"]}))
+        WHERE rk <= 10 ORDER BY rk
+    """
     return out

@@ -1149,3 +1149,27 @@ def leakage_safe_split(sf_dir: str, threshold: float = 0.8,
 
     return j.map_batches(tag_joined, batch_format="pandas",
                          batch_size=131072)
+
+
+def bm25_search_topk(sf_dir: str, k: int = 10):
+    """SEARCH: the top-k most relevant documents for the fixed BM25
+    query -- `doc_bm25`'s scores fed through a distributed sort+limit
+    with a deterministic (score desc, doc_id asc) tie-break on the
+    r6-rounded score.  Completes the retrieval story (inverted_index
+    builds the index, doc_bm25 scores, this ranks).
+
+    Output: (doc_id, dl, bm25, rk) rows 1..k.
+    """
+    scored = doc_bm25(sf_dir)
+    top = (scored.sort(["bm25", "doc_id"], descending=[True, False])
+           .limit(k))
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["bm25", "doc_id"],
+                             ascending=[False, True])
+              .reset_index(drop=True))
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    # bound: k rows (the limit)
+    return add_rank(top.to_pandas())
