@@ -703,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_drift": text.source_length_drift,
         "events_windowed_funnel": analytics.events_windowed_funnel,
         "bm25_search_topk": curation.bm25_search_topk,
+        "term_graph_triangles": curation.term_graph_triangles,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1064,6 +1065,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
         "leakage_safe_split": _oracles.leakage_safe_split_sql(threshold=0.8),
+        "term_graph_triangles": """
+            -- triangle census: ordered-edge 2-join closure; wedges
+            -- from per-node degrees; clustering = closed/total wedges
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.term AS src, b.term AS dst
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term),
+            adj AS (SELECT src AS n FROM e UNION ALL SELECT dst FROM e),
+            d AS (SELECT n, COUNT(*) AS k FROM adj GROUP BY n),
+            w AS (SELECT SUM(k * (k - 1) // 2) AS wedges FROM d),
+            tri AS (
+              SELECT COUNT(*) AS t
+              FROM e e1
+              JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+              JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+            SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_nodes,
+                   CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST(tri.t AS BIGINT) AS n_triangles,
+                   CAST(w.wedges AS BIGINT) AS n_wedges,
+                   ROUND(CAST(3 * tri.t AS DOUBLE)
+                         / CAST(w.wedges AS DOUBLE), 6) AS clustering
+            FROM tri, w
+        """,
         "events_windowed_funnel": """
             -- 3-step windowed funnel, earliest-anchor semantics:
             -- each step strictly after the previous and within 168h

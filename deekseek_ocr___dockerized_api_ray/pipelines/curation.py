@@ -1173,3 +1173,104 @@ def bm25_search_topk(sf_dir: str, k: int = 10):
 
     # bound: k rows (the limit)
     return add_rank(top.to_pandas())
+
+
+def term_graph_triangles(sf_dir: str, broadcast_edges: int = 2_000_000,
+                         n_buckets: int = 16):
+    """Triangle census of the term co-occurrence graph: triangle count,
+    wedge (open 2-path) count, and the global clustering coefficient
+    3*triangles / wedges -- the graph-cohesion audit (templated corpora
+    produce near-clique term graphs, organic text does not).
+
+    Shape: undirected distinct edges from per-doc term pairs (combiner
+    reduced); BELOW ``broadcast_edges`` the edge SET broadcasts once
+    and triangles count inside a node-keyed groupby (each node's
+    neighbor pairs probed against the set -- no join-after-join, which
+    Ray 2.49 can't plan); the documented scale path cogroups edges by
+    min-node and probes per bucket.  Counts divide once at the end.
+
+    Output: one row (n_nodes, n_edges, n_triangles, n_wedges,
+    clustering r6).
+    """
+    import ray
+    import ray.data as rd
+
+    from itertools import combinations
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows_a, rows_b = [], []
+        for t in df["text"]:
+            terms = sorted(set(x for x in t.split(" ") if x))
+            for a, b in combinations(terms, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        part = pd.DataFrame({"src": rows_a, "dst": rows_b})
+        return part.drop_duplicates()
+
+    edges = grouped_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       batch_size=2048).map_batches(
+            lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["src", "dst"], {"one": ("one", "max")},
+        n_buckets=n_buckets).select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+
+    # bound: gated at broadcast_edges distinct term-pair edges (the
+    # vocab-pair grain; cogroup-by-min-node probing above the gate)
+    epdf = edges.to_pandas()
+    eset = set(zip(epdf["src"], epdf["dst"]))
+    eref = ray.put(eset)
+
+    # adjacency rows: each edge contributes to both endpoints' lists
+    both = pd.concat([
+        epdf,
+        epdf.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+    ], ignore_index=True)
+    nodes_ds = rd.from_pandas(both)
+
+    def tri_part(group: pd.DataFrame) -> pd.DataFrame:
+        es = ray.get(eref)
+        tri = 0
+        wedges = 0
+        for _, g in group.groupby("src", sort=False):
+            nbrs = sorted(g["dst"])
+            k = len(nbrs)
+            wedges += k * (k - 1) // 2
+            for a, b in combinations(nbrs, 2):
+                if (a, b) in es or (b, a) in es:
+                    tri += 1
+        return pd.DataFrame({"tri": pd.array([tri], dtype="int64"),
+                             "wedges": pd.array([wedges], dtype="int64")})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text_stats import sha1_64
+
+        b = [sha1_64(str(v)) % n_buckets for v in df["src"]]
+        return df.assign(bucket=np.asarray(b, dtype=np.int32))
+
+    parts = (nodes_ds.map_batches(bucket, batch_format="pandas")
+             .groupby("bucket").map_groups(
+                 lambda g: tri_part(g.drop(columns=["bucket"])),
+                 batch_format="pandas")
+             # bound: n_buckets partial rows
+             .to_pandas())
+    tri_closed = int(parts["tri"].sum())  # each triangle seen at 3 apexes
+    wedges = int(parts["wedges"].sum())
+    n_tri = tri_closed // 3
+    n_nodes = int(pd.concat([epdf["src"], epdf["dst"]]).nunique())
+    clustering = tri_closed / wedges if wedges else 0.0
+    return pd.DataFrame({
+        "n_nodes": pd.array([n_nodes], dtype="int64"),
+        "n_edges": pd.array([n_edges], dtype="int64"),
+        "n_triangles": pd.array([n_tri], dtype="int64"),
+        "n_wedges": pd.array([wedges], dtype="int64"),
+        "clustering": round_series(pd.Series([clustering]), 6).to_numpy(),
+    })

@@ -948,3 +948,30 @@ def test_windowed_funnel_semantics(ray_session):
                          columns=["user_id", "event_type"])
     assert len(got) == ev.loc[ev["event_type"] == "view",
                               "user_id"].nunique()
+
+
+@needs_data
+def test_triangle_census_identities(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        term_graph_triangles,
+    )
+
+    got = _df(term_graph_triangles(SF)).iloc[0]
+    # 0 <= clustering <= 1; closed wedges = 3 * triangles <= wedges
+    assert 0.0 <= got["clustering"] <= 1.0
+    assert 3 * got["n_triangles"] <= got["n_wedges"]
+    # brute-force check on the small test graph
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    from itertools import combinations
+    edges = set()
+    for t in docs["text"]:
+        terms = sorted(set(x for x in t.split(" ") if x))
+        edges.update(combinations(terms, 2))
+    nodes = sorted({n for e in edges for n in e})
+    tri = 0
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in edges and (a, c) in edges and (b, c) in edges):
+            tri += 1
+    assert int(got["n_triangles"]) == tri
+    assert int(got["n_edges"]) == len(edges)
+    assert int(got["n_nodes"]) == len(nodes)
