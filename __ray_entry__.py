@@ -704,6 +704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_funnel": analytics.events_windowed_funnel,
         "bm25_search_topk": curation.bm25_search_topk,
         "term_graph_triangles": curation.term_graph_triangles,
+        "term_graph_assortativity": curation.term_graph_assortativity,
+        "events_hour_anova": sequences.events_hour_anova,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1065,6 +1067,62 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),
         "minhash_estimator_audit": _oracles.minhash_estimator_audit_sql(),
         "leakage_safe_split": _oracles.leakage_safe_split_sql(threshold=0.8),
+        "term_graph_assortativity": """
+            -- Newman degree assortativity over directed orientations;
+            -- integer-exact moment sums make the float tree
+            -- order-independent
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.term AS src, b.term AS dst
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term),
+            adj AS (SELECT src, dst FROM e
+                    UNION ALL SELECT dst, src FROM e),
+            d AS (SELECT src AS n, COUNT(*) AS k FROM adj GROUP BY 1),
+            m AS (
+              SELECT CAST(da.k AS DOUBLE) AS x, CAST(db.k AS DOUBLE) AS y
+              FROM adj JOIN d da ON da.n = adj.src
+                       JOIN d db ON db.n = adj.dst),
+            s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x * x) AS sxx,
+                         SUM(x * y) AS sxy, SUM(y * y) AS syy
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_edges_directed,
+                   CASE WHEN (n * sxx - sx * sx)
+                             * (n * syy - sy * sy) > 0
+                        THEN ROUND((n * sxy - sx * sy)
+                                   / sqrt((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy)), 6)
+                             + 0.0
+                        ELSE 0.0 END AS r
+            FROM s
+        """,
+        "events_hour_anova": """
+            -- one-way ANOVA by hour from per-group (n, sum, sumsq)
+            -- moments; SS identities shared with the engine
+            WITH g AS (
+              SELECT hour(ts) AS h, COUNT(*) AS n, SUM(value) AS s,
+                     SUM(value * value) AS s2
+              FROM events GROUP BY 1),
+            t AS (
+              SELECT CAST(SUM(n) AS DOUBLE) AS n, SUM(s) AS st,
+                     SUM(s2) AS s2t, CAST(COUNT(*) AS DOUBLE) AS k,
+                     SUM(s * s / CAST(n AS DOUBLE)) AS sb
+              FROM g)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(k - 1 AS BIGINT) AS df_b,
+                   CAST(n - k AS BIGINT) AS df_w,
+                   ROUND((sb - st * st / n)
+                         / (s2t - st * st / n), 6) AS eta2,
+                   ROUND(((sb - st * st / n) / (k - 1))
+                         / (((s2t - st * st / n) - (sb - st * st / n))
+                            / (n - k)), 6) AS f_stat
+            FROM t
+        """,
         "term_graph_triangles": """
             -- triangle census: ordered-edge 2-join closure; wedges
             -- from per-node degrees; clustering = closed/total wedges

@@ -1274,3 +1274,92 @@ def term_graph_triangles(sf_dir: str, broadcast_edges: int = 2_000_000,
         "n_wedges": pd.array([wedges], dtype="int64"),
         "clustering": round_series(pd.Series([clustering]), 6).to_numpy(),
     })
+
+
+def term_graph_assortativity(sf_dir: str, broadcast_nodes: int = 5_000_000,
+                             n_buckets: int = 16):
+    """Degree assortativity of the term co-occurrence graph: the
+    Pearson correlation of endpoint degrees over all DIRECTED edge
+    orientations (Newman's r) -- positive r = hubs attach to hubs
+    (templated boilerplate), negative = hub-and-spoke.
+
+    Shape: distinct undirected edges (combiner), per-node degrees
+    (combiner), degrees broadcast under ``broadcast_nodes`` (vocab
+    grain; hash-join attach above), then one moment-sum pass over the
+    directed edge list with the suite's exact correlation algebra
+    r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)).
+
+    Output: one row (n_edges_directed, r r6).
+    """
+    import ray
+    import ray.data as rd
+
+    from itertools import combinations
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        rows_a, rows_b = [], []
+        for t in df["text"]:
+            terms = sorted(set(x for x in t.split(" ") if x))
+            for a, b in combinations(terms, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        return (pd.DataFrame({"src": rows_a, "dst": rows_b})
+                .drop_duplicates())
+
+    edges = grouped_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       batch_size=2048).map_batches(
+            lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["src", "dst"], {"one": ("one", "max")},
+        n_buckets=n_buckets).select_columns(["src", "dst"])
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            df[["src", "dst"]],
+            df.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+        ], ignore_index=True)
+
+    directed = edges.map_batches(both_dirs, batch_format="pandas")
+    deg = grouped_agg(
+        directed.map_batches(
+            lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["src"], {"k": ("one", "sum")}, n_buckets=n_buckets)
+
+    # bound: gated at broadcast_nodes (node, degree) rows (vocab grain)
+    dmap = {r["src"]: int(r["k"]) for r in deg.iter_rows()}
+    dref = ray.put(dmap)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(dref)
+        x = df["src"].map(dm).to_numpy(dtype=np.float64)
+        y = df["dst"].map(dm).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n": pd.array([len(df)], dtype="int64"),
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "sxy": [(x * y).sum()],
+            "syy": [(y * y).sum()],
+        })
+
+    # bound: one moment row per batch
+    parts = directed.map_batches(moments, batch_format="pandas",
+                                 batch_size=131072).to_pandas()
+    n = float(parts["n"].sum())
+    sx, sy = parts["sx"].sum(), parts["sy"].sum()
+    sxx, sxy, syy = parts["sxx"].sum(), parts["sxy"].sum(), parts["syy"].sum()
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # constant-degree (e.g. complete) graph: zero variance -> r := 0 by
+    # convention; den is integer-exact so the branch is deterministic
+    r = (n * sxy - sx * sy) / np.sqrt(den) if den > 0 else 0.0
+    return pd.DataFrame({
+        "n_edges_directed": pd.array([int(n)], dtype="int64"),
+        "r": round_series(pd.Series([r]), 6).to_numpy() + 0.0,
+    })

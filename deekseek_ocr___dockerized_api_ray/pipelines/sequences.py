@@ -1488,3 +1488,61 @@ def event_weekday_residuals(sf_dir: str, n_buckets: int = 8):
     # 35 cells: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def events_hour_anova(sf_dir: str, n_buckets: int = 8):
+    """One-way ANOVA of event value by hour-of-day: eta-squared
+    (SS_between / SS_total, the variance-explained effect size) and the
+    F statistic -- the variance-decomposition audit that says whether
+    a metric actually has a diurnal cycle.  All sums-of-squares come
+    from per-group (n, sum, sumsq) moments, the exact algebra shared
+    with the oracle: SS_total = S2 - S^2/N, SS_between =
+    sum(s_g^2 / n_g) - S^2/N.
+
+    Shape: one combiner reduce over the 24-cell hour grain; the event
+    stream is never shuffled.
+
+    Output: one row (n, df_b, df_w, eta2 r6, f_stat r6).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        hr = pd.to_datetime(df["ts"]).dt.hour.to_numpy(dtype=np.int64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"hour": hr, "n": np.ones(len(df), dtype=np.int64),
+                          "s": v, "s2": v * v})
+        return g.groupby("hour", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+
+    counts = grouped_agg(
+        ev.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["hour"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                   "s2": ("s2", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n_g = df["n"].to_numpy(dtype=np.float64)
+        s_g = df["s"].to_numpy()
+        n = n_g.sum()
+        s = s_g.sum()
+        s2 = df["s2"].to_numpy().sum()
+        grand = s * s / n
+        ss_total = s2 - grand
+        ss_between = (s_g * s_g / n_g).sum() - grand
+        k = len(df)
+        df_b, df_w = k - 1, int(n) - k
+        eta2 = ss_between / ss_total
+        f = (ss_between / df_b) / ((ss_total - ss_between) / df_w)
+        return pd.DataFrame({
+            "n": pd.array([int(n)], dtype="int64"),
+            "df_b": pd.array([df_b], dtype="int64"),
+            "df_w": pd.array([df_w], dtype="int64"),
+            "eta2": round_series(pd.Series([eta2]), 6).to_numpy(),
+            "f_stat": round_series(pd.Series([f]), 6).to_numpy(),
+        })
+
+    # 24 hour cells: the finish legitimately runs in one tiny batch
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

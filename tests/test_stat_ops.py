@@ -975,3 +975,72 @@ def test_triangle_census_identities(ray_session):
     assert int(got["n_triangles"]) == tri
     assert int(got["n_edges"]) == len(edges)
     assert int(got["n_nodes"]) == len(nodes)
+
+
+@needs_data
+def test_assortativity_matches_numpy(ray_session):
+    from itertools import combinations
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        term_graph_assortativity,
+    )
+
+    got = _df(term_graph_assortativity(SF)).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    edges = set()
+    for t in docs["text"]:
+        terms = sorted(set(x for x in t.split(" ") if x))
+        edges.update(combinations(terms, 2))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    r_ref = np.corrcoef(xs, ys)[0, 1]
+    if np.isnan(r_ref):  # constant-degree graph: engine defines r := 0
+        r_ref = 0.0
+    assert int(got["n_edges_directed"]) == 2 * len(edges)
+    assert abs(float(got["r"]) - r_ref) < 1e-6
+    assert -1.0 <= float(got["r"]) <= 1.0
+
+
+@needs_data
+def test_anova_matches_reference(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        events_hour_anova,
+    )
+
+    got = _df(events_hour_anova(SF)).iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    hr = pd.to_datetime(ev["ts"]).dt.hour
+    v = ev["value"]
+    grand = v.mean()
+    ss_total = ((v - grand) ** 2).sum()
+    ss_between = sum(len(g) * (g.mean() - grand) ** 2
+                     for _, g in v.groupby(hr.to_numpy()))
+    eta2_ref = ss_between / ss_total
+    assert abs(float(got["eta2"]) - eta2_ref) < 1e-6
+    assert 0.0 <= float(got["eta2"]) <= 1.0
+    assert int(got["df_b"]) == hr.nunique() - 1
+    assert int(got["df_w"]) == len(ev) - hr.nunique()
+
+
+def test_assortativity_star_graph_negative(ray_session, tmp_path):
+    """A star graph (hub-spoke) must give the textbook r = -1 -- drives
+    the non-degenerate branch the complete test corpus cannot."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        term_graph_assortativity,
+    )
+
+    # docs that induce a star: hub co-occurs with each spoke separately
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["hub spokea", "hub spokeb", "hub spokec", "hub spoked"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = _df(term_graph_assortativity(str(tmp_path))).iloc[0]
+    assert int(got["n_edges_directed"]) == 8
+    assert abs(float(got["r"]) - (-1.0)) < 1e-6
