@@ -706,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_graph_triangles": curation.term_graph_triangles,
         "term_graph_assortativity": curation.term_graph_assortativity,
         "events_hour_anova": sequences.events_hour_anova,
+        "source_drift_fdr": text.source_drift_fdr,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -3976,6 +3977,37 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT '{m}' AS metric, {col} AS value FROM ({out[q]})"
         for m, q, col in _health_members
     ) + "\nORDER BY metric"
+    # FDR-corrected drift report: composed from source_length_drift's
+    # own SQL; the Kolmogorov series runs on the r6 statistic so both
+    # engines share operands
+    out["source_drift_fdr"] = f"""
+        WITH base AS ({out["source_length_drift"]}),
+        l AS (SELECT source, ks_d,
+                     sqrt(CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                          / (CAST(n_src AS DOUBLE)
+                             + CAST(n_rest AS DOUBLE))) * ks_d AS lam
+              FROM base),
+        pp AS (SELECT source, ks_d,
+                 LEAST(GREATEST(2.0 * (exp(-2.0 * 1 * (lam * lam))
+                                     - exp(-2.0 * 4 * (lam * lam))
+                                     + exp(-2.0 * 9 * (lam * lam))
+                                     - exp(-2.0 * 16 * (lam * lam))
+                                     + exp(-2.0 * 25 * (lam * lam))),
+                                0.0), 1.0) AS p
+               FROM l),
+        rk AS (SELECT *, row_number() OVER (ORDER BY p, source) AS rn,
+                      COUNT(*) OVER () AS n
+               FROM pp),
+        adj AS (SELECT *, LEAST(MIN(p * n / rn) OVER (
+                    ORDER BY rn ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING), 1.0) AS p_adj
+                FROM rk)
+        SELECT source, ks_d, ROUND(p, 6) AS p,
+               ROUND(p_adj, 6) AS p_adj,
+               CAST(CASE WHEN p_adj <= 0.05 THEN 1 ELSE 0 END
+                    AS BIGINT) AS sig
+        FROM adj ORDER BY source
+    """
     # search top-k: doc_bm25's own SQL ranked + limited (composition)
     out["bm25_search_topk"] = f"""
         SELECT doc_id, dl, bm25, CAST(rk AS BIGINT) AS rk FROM (

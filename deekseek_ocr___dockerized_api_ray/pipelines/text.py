@@ -1919,3 +1919,51 @@ def source_length_drift(sf_dir: str, n_buckets: int = 8):
     out = pd.DataFrame(rows, columns=["source", "n_src", "n_rest", "ks_d"])
     out["ks_d"] = round_series(out["ks_d"], 6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def source_drift_fdr(sf_dir: str, alpha_num: int = 5,
+                     alpha_den: int = 100):
+    """Multiple-testing-corrected drift report: the per-source KS
+    statistics (`source_length_drift`) converted to asymptotic
+    p-values (two-sided Kolmogorov series truncated at 5 terms,
+    lambda = sqrt(na*nb/(na+nb)) * D on the r6 statistic so both
+    engines share operands exactly) and Benjamini-Hochberg adjusted --
+    20 sources means ONE source at p=0.04 is expected noise; the FDR
+    step is what makes the drift screen actionable.
+
+    Shape: the member op does the distributed work; this runs on its
+    |sources|-grain output (bound: source grain).
+
+    Output: (source, ks_d, p r6, p_adj r6, sig) sorted by source;
+    sig = 1 iff p_adj <= alpha.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+
+    stats = source_length_drift(sf_dir)  # pandas, |sources| rows
+
+    na = stats["n_src"].to_numpy(dtype=np.float64)
+    nb = stats["n_rest"].to_numpy(dtype=np.float64)
+    d = stats["ks_d"].to_numpy(dtype=np.float64)
+    lam = np.sqrt(na * nb / (na + nb)) * d
+    t = [np.exp(-2.0 * (k * k) * (lam * lam)) for k in (1, 2, 3, 4, 5)]
+    p = 2.0 * (t[0] - t[1] + t[2] - t[3] + t[4])
+    p = np.minimum(np.maximum(p, 0.0), 1.0)
+
+    n = len(stats)
+    order = np.lexsort((stats["source"].to_numpy(), p))
+    ranked = p[order] * n / np.arange(1, n + 1, dtype=np.float64)
+    adj_sorted = np.minimum(np.minimum.accumulate(ranked[::-1])[::-1], 1.0)
+    adj = np.empty(n)
+    adj[order] = adj_sorted
+    alpha = alpha_num / alpha_den
+    out = pd.DataFrame({
+        "source": stats["source"].to_numpy(),
+        "ks_d": stats["ks_d"].to_numpy(),
+        "p": round_series(pd.Series(p), 6).to_numpy(),
+        "p_adj": round_series(pd.Series(adj), 6).to_numpy(),
+        "sig": (adj <= alpha).astype(np.int64),
+    })
+    return out.sort_values("source").reset_index(drop=True)

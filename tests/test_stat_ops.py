@@ -1044,3 +1044,21 @@ def test_assortativity_star_graph_negative(ray_session, tmp_path):
     got = _df(term_graph_assortativity(str(tmp_path))).iloc[0]
     assert int(got["n_edges_directed"]) == 8
     assert abs(float(got["r"]) - (-1.0)) < 1e-6
+
+
+@needs_data
+def test_fdr_monotone_and_bounds(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        source_drift_fdr,
+    )
+
+    got = _df(source_drift_fdr(SF))
+    assert ((got["p"] >= 0) & (got["p"] <= 1)).all()
+    assert ((got["p_adj"] >= 0) & (got["p_adj"] <= 1)).all()
+    # BH never shrinks a p-value (within r6 rounding slack)
+    assert (got["p_adj"] >= got["p"] - 1e-6).all()
+    # adjusted values are monotone in the p-ordering
+    o = got.sort_values(["p", "source"]).reset_index(drop=True)
+    assert (np.diff(o["p_adj"].to_numpy()) >= -1e-9).all()
+    # sig flags agree with the 0.05 threshold on p_adj
+    assert (got["sig"] == (got["p_adj"] <= 0.05).astype(int)).all()
