@@ -707,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_graph_assortativity": curation.term_graph_assortativity,
         "events_hour_anova": sequences.events_hour_anova,
         "source_drift_fdr": text.source_drift_fdr,
+        "doclen_twoway_anova": text.doclen_twoway_anova,
         # HLL registers are rows-only (like events_user_reach_hll); the
         # differential test asserts exact equality with the batch op
         "streaming_user_reach_hll": relational.streaming_user_reach_hll,
@@ -1101,6 +1102,39 @@ def oracle_sql() -> dict[str, str]:
                              + 0.0
                         ELSE 0.0 END AS r
             FROM s
+        """,
+        "doclen_twoway_anova": """
+            -- two-way SS from cell moments; n_chars is integer so
+            -- every sum is exact and the identities are deterministic
+            WITH c AS (
+              SELECT lang, source, COUNT(*) AS n,
+                     SUM(CAST(n_chars AS DOUBLE)) AS s,
+                     SUM(CAST(n_chars AS DOUBLE)
+                         * CAST(n_chars AS DOUBLE)) AS s2
+              FROM documents GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS n, SUM(s) AS st,
+                         SUM(s2) AS s2t FROM c),
+            a AS (SELECT SUM(ss * ss / nn) AS sa FROM (
+                    SELECT lang, CAST(SUM(n) AS DOUBLE) AS nn,
+                           SUM(s) AS ss FROM c GROUP BY lang)),
+            b AS (SELECT SUM(ss * ss / nn) AS sb FROM (
+                    SELECT source, CAST(SUM(n) AS DOUBLE) AS nn,
+                           SUM(s) AS ss FROM c GROUP BY source)),
+            ce AS (SELECT SUM(s * s / CAST(n AS DOUBLE)) AS sc FROM c)
+            SELECT CAST(t.n AS BIGINT) AS n,
+                   ROUND(a.sa - t.st * t.st / t.n, 4) AS ss_lang,
+                   ROUND(b.sb - t.st * t.st / t.n, 4) AS ss_source,
+                   ROUND((ce.sc - t.st * t.st / t.n)
+                         - (a.sa - t.st * t.st / t.n)
+                         - (b.sb - t.st * t.st / t.n), 4) AS ss_inter,
+                   ROUND((t.s2t - t.st * t.st / t.n)
+                         - (ce.sc - t.st * t.st / t.n), 4) AS ss_resid,
+                   ROUND((a.sa - t.st * t.st / t.n)
+                         / (t.s2t - t.st * t.st / t.n), 6) AS eta2_lang,
+                   ROUND((b.sb - t.st * t.st / t.n)
+                         / (t.s2t - t.st * t.st / t.n), 6)
+                     AS eta2_source
+            FROM t, a, b, ce
         """,
         "events_hour_anova": """
             -- one-way ANOVA by hour from per-group (n, sum, sumsq)

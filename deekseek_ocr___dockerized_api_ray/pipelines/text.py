@@ -1967,3 +1967,75 @@ def source_drift_fdr(sf_dir: str, alpha_num: int = 5,
         "sig": (adj <= alpha).astype(np.int64),
     })
     return out.sort_values("source").reset_index(drop=True)
+
+
+def doclen_twoway_anova(sf_dir: str, n_buckets: int = 8):
+    """Two-way variance decomposition of document length over
+    lang x source: factor sums of squares from the cell-moment
+    identities (SS_A = sum_a S_a^2/n_a - S^2/N, likewise B; cells =
+    sum_ab S_ab^2/n_ab - S^2/N; interaction = cells - A - B; residual =
+    total - cells; sequential identities, exact parity with the
+    oracle on possibly unbalanced cells).  Answers "is doc length a
+    language effect, a feed effect, or their interaction?".
+
+    Shape: ONE combiner reduce over the |langs| x |sources| cell grain
+    (every SS above derives from cell (n, sum) + a global sumsq); the
+    corpus is never shuffled.
+
+    Output: one row (n, ss_lang r4, ss_source r4, ss_inter r4,
+    ss_resid r4, eta2_lang r6, eta2_source r6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["n_chars"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                          "source": df["source"].to_numpy(),
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "s": v, "s2": v * v})
+        return g.groupby(["lang", "source"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+
+    agg = grouped_agg(
+        ds.map_batches(cells, batch_format="pandas", batch_size=131072),
+        ["lang", "source"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                             "s2": ("s2", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n_ab = df["n"].to_numpy(dtype=np.float64)
+        s_ab = df["s"].to_numpy()
+        n = n_ab.sum()
+        s = s_ab.sum()
+        s2 = df["s2"].to_numpy().sum()
+        grand = s * s / n
+        la = df.assign(nn=n_ab, ss=s_ab).groupby("lang").agg(
+            nn=("nn", "sum"), ss=("ss", "sum"))
+        sb = df.assign(nn=n_ab, ss=s_ab).groupby("source").agg(
+            nn=("nn", "sum"), ss=("ss", "sum"))
+        ss_a = (la["ss"].to_numpy() ** 2 / la["nn"].to_numpy()).sum() - grand
+        ss_b = (sb["ss"].to_numpy() ** 2 / sb["nn"].to_numpy()).sum() - grand
+        ss_cells = (s_ab * s_ab / n_ab).sum() - grand
+        ss_total = s2 - grand
+        ss_inter = ss_cells - ss_a - ss_b
+        ss_resid = ss_total - ss_cells
+        return pd.DataFrame({
+            "n": pd.array([int(n)], dtype="int64"),
+            "ss_lang": round_series(pd.Series([ss_a]), 4).to_numpy(),
+            "ss_source": round_series(pd.Series([ss_b]), 4).to_numpy(),
+            "ss_inter": round_series(pd.Series([ss_inter]), 4).to_numpy(),
+            "ss_resid": round_series(pd.Series([ss_resid]), 4).to_numpy(),
+            "eta2_lang": round_series(pd.Series([ss_a / ss_total]),
+                                      6).to_numpy(),
+            "eta2_source": round_series(pd.Series([ss_b / ss_total]),
+                                        6).to_numpy(),
+        })
+
+    # |langs| x |sources| cells: the finish legitimately runs in one batch
+    return (agg.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=1 << 20))

@@ -1062,3 +1062,27 @@ def test_fdr_monotone_and_bounds(ray_session):
     assert (np.diff(o["p_adj"].to_numpy()) >= -1e-9).all()
     # sig flags agree with the 0.05 threshold on p_adj
     assert (got["sig"] == (got["p_adj"] <= 0.05).astype(int)).all()
+
+
+@needs_data
+def test_twoway_anova_identities(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        doclen_twoway_anova,
+    )
+
+    got = _df(doclen_twoway_anova(SF)).iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    v = docs["n_chars"].astype(float)
+    grand = v.mean()
+    ss_total = ((v - grand) ** 2).sum()
+    ss_lang = sum(len(g) * (g.mean() - grand) ** 2
+                  for _, g in v.groupby(docs["lang"].to_numpy()))
+    assert abs(float(got["ss_lang"]) - ss_lang) < 1e-2
+    # decomposition reassembles the total
+    total = (float(got["ss_lang"]) + float(got["ss_source"])
+             + float(got["ss_inter"]) + float(got["ss_resid"]))
+    assert abs(total - ss_total) < 1e-2
+    assert 0.0 <= float(got["eta2_lang"]) <= 1.0
+    assert 0.0 <= float(got["eta2_source"]) <= 1.0
+    assert int(got["n"]) == len(docs)
