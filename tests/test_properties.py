@@ -141,3 +141,35 @@ def test_skyline_prune_matches_brute_force(ray_session, pts):
         if not dominated:
             keep.append(i)
     assert sorted(got["o_orderkey"]) == keep
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=500.0,
+                          allow_nan=False),
+                min_size=2, max_size=40),
+       st.lists(st.floats(min_value=0.01, max_value=500.0,
+                          allow_nan=False),
+                min_size=2, max_size=40))
+def test_ks_kernel_property(ray_session, xs, ys):
+    """The value-grain KS fold == the classic two-pointer KS on raw
+    samples, for arbitrary float samples with duplicates."""
+    import importlib
+
+    sm = importlib.import_module(
+        "deekseek_ocr___dockerized_api_ray.pipelines.sequences")
+
+    # replicate the op's finish kernel on a synthetic histogram
+    a = np.sort(np.asarray(xs, dtype=np.float64))
+    b = np.sort(np.asarray(ys, dtype=np.float64))
+    vals = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, vals, "right")
+    cb = np.searchsorted(b, vals, "right")
+    d_grid = np.abs(ca / len(a) - cb / len(b)).max()
+
+    # brute-force: sup over all real x of |F_a - F_b| is attained at
+    # sample points, i.e. the grid evaluation is exact
+    d_brute = 0.0
+    for x in vals:
+        d_brute = max(d_brute,
+                      abs((a <= x).mean() - (b <= x).mean()))
+    assert abs(d_grid - d_brute) < 1e-12

@@ -1086,3 +1086,43 @@ def test_twoway_anova_identities(ray_session):
     assert 0.0 <= float(got["eta2_lang"]) <= 1.0
     assert 0.0 <= float(got["eta2_source"]) <= 1.0
     assert int(got["n"]) == len(docs)
+
+
+def test_temperature_sample_unequal_sources(ray_session, tmp_path):
+    """Unequal source sizes drive the largest-remainder branch the
+    uniform driver corpus never hits: quotas must sum exactly to the
+    target, favor small sources at T=0.5, and never exceed a source's
+    size when the quota is larger than the pool."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        temperature_mixture_sample,
+    )
+
+    sizes = {"big": 400, "mid": 80, "tiny": 8}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"doc {i}", src))
+            i += 1
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        tmp_path / "documents.parquet")
+
+    total = 100
+    got = _df(temperature_mixture_sample(str(tmp_path), total=total))
+    per = got.groupby("source").size()
+
+    # replicate the quota solver
+    import numpy as np
+    srcs = sorted(sizes)
+    w = np.power([float(sizes[s]) for s in srcs], 0.5)
+    share = w / w.sum() * total
+    base = np.floor(share).astype(int)
+    rem = share - base
+    short = total - base.sum()
+    order = np.lexsort((np.arange(len(rem)), -rem))
+    quota = base.copy()
+    quota[order[:short]] += 1
+    for s, q in zip(srcs, quota):
+        assert per.get(s, 0) == min(q, sizes[s])
+    # T=0.5 upweights: tiny's share of the sample >> its corpus share
+    assert per["tiny"] / total > sizes["tiny"] / sum(sizes.values())
