@@ -1175,29 +1175,14 @@ def bm25_search_topk(sf_dir: str, k: int = 10):
     return add_rank(top.to_pandas())
 
 
-def term_graph_triangles(sf_dir: str, broadcast_edges: int = 2_000_000,
-                         n_buckets: int = 16):
-    """Triangle census of the term co-occurrence graph: triangle count,
-    wedge (open 2-path) count, and the global clustering coefficient
-    3*triangles / wedges -- the graph-cohesion audit (templated corpora
-    produce near-clique term graphs, organic text does not).
-
-    Shape: undirected distinct edges from per-doc term pairs (combiner
-    reduced); BELOW ``broadcast_edges`` the edge SET broadcasts once
-    and triangles count inside a node-keyed groupby (each node's
-    neighbor pairs probed against the set -- no join-after-join, which
-    Ray 2.49 can't plan); the documented scale path cogroups edges by
-    min-node and probes per bucket.  Counts divide once at the end.
-
-    Output: one row (n_nodes, n_edges, n_triangles, n_wedges,
-    clustering r6).
-    """
-    import ray
+def _term_edges(sf_dir: str, n_buckets: int = 16):
+    """Distinct undirected term co-occurrence edges (src < dst) as a
+    MATERIALIZED Dataset -- per-doc term pairs combiner-reduced through
+    one keyed exchange. Shared by the two term-graph audits."""
     import ray.data as rd
 
     from itertools import combinations
 
-    from ..functions.rounding import round_series
     from ..stages.agg import grouped_agg
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1214,59 +1199,153 @@ def term_graph_triangles(sf_dir: str, broadcast_edges: int = 2_000_000,
         part = pd.DataFrame({"src": rows_a, "dst": rows_b})
         return part.drop_duplicates()
 
-    edges = grouped_agg(
+    return grouped_agg(
         ds.map_batches(pair_partial, batch_format="pyarrow",
                        batch_size=2048).map_batches(
             lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
             batch_format="pandas"),
         ["src", "dst"], {"one": ("one", "max")},
         n_buckets=n_buckets).select_columns(["src", "dst"]).materialize()
-    n_edges = edges.count()
 
-    # bound: gated at broadcast_edges distinct term-pair edges (the
-    # vocab-pair grain; cogroup-by-min-node probing above the gate)
-    epdf = edges.to_pandas()
-    eset = set(zip(epdf["src"], epdf["dst"]))
-    eref = ray.put(eset)
 
-    # adjacency rows: each edge contributes to both endpoints' lists
-    both = pd.concat([
-        epdf,
-        epdf.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
-    ], ignore_index=True)
-    nodes_ds = rd.from_pandas(both)
-
-    def tri_part(group: pd.DataFrame) -> pd.DataFrame:
-        es = ray.get(eref)
-        tri = 0
-        wedges = 0
-        for _, g in group.groupby("src", sort=False):
-            nbrs = sorted(g["dst"])
-            k = len(nbrs)
-            wedges += k * (k - 1) // 2
-            for a, b in combinations(nbrs, 2):
-                if (a, b) in es or (b, a) in es:
-                    tri += 1
-        return pd.DataFrame({"tri": pd.array([tri], dtype="int64"),
-                             "wedges": pd.array([wedges], dtype="int64")})
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+def _bucket_by(col: str, n_buckets: int):
+    """map_batches fn adding ``bucket = sha1_64(col) % n_buckets``."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text_stats import sha1_64
 
-        b = [sha1_64(str(v)) % n_buckets for v in df["src"]]
+        b = [sha1_64(str(v)) % n_buckets for v in df[col]]
         return df.assign(bucket=np.asarray(b, dtype=np.int32))
+    return fn
 
-    parts = (nodes_ds.map_batches(bucket, batch_format="pandas")
-             .groupby("bucket").map_groups(
-                 lambda g: tri_part(g.drop(columns=["bucket"])),
-                 batch_format="pandas")
-             # bound: n_buckets partial rows
-             .to_pandas())
-    tri_closed = int(parts["tri"].sum())  # each triangle seen at 3 apexes
-    wedges = int(parts["wedges"].sum())
-    n_tri = tri_closed // 3
-    n_nodes = int(pd.concat([epdf["src"], epdf["dst"]]).nunique())
-    clustering = tri_closed / wedges if wedges else 0.0
+
+def term_graph_triangles(sf_dir: str, broadcast_edges: int = 2_000_000,
+                         n_buckets: int = 16):
+    """Triangle census of the term co-occurrence graph: triangle count,
+    wedge (open 2-path) count, and the global clustering coefficient
+    3*triangles / wedges -- the graph-cohesion audit (templated corpora
+    produce near-clique term graphs, organic text does not).
+
+    Shape: undirected distinct edges (src < dst, combiner reduced).
+    Wedges come from per-node degrees alone (vocab-grain combiner).
+    Triangles use min-node orientation -- each node groups its GREATER
+    neighbors and each triangle {x<y<z} is found exactly once at x:
+      * BELOW ``broadcast_edges``: the edge set broadcasts once
+        (``ray.put``) and neighbor pairs are probed against it inside a
+        node-keyed groupby.
+      * ABOVE the gate (the 100 TB path): neighbor pairs are emitted as
+        candidate rows and cogrouped with the edge list on a pair-hash
+        bucket -- one extra keyed exchange, NO edge set on the driver.
+    Both branches are path-equivalence tested (tests/test_term_graph
+    _paths.py) and feed the same closing arithmetic.
+
+    Output: one row (n_nodes, n_edges, n_triangles, n_wedges,
+    clustering r6).
+    """
+    import ray
+
+    from itertools import combinations
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    edges = _term_edges(sf_dir, n_buckets)
+    n_edges = edges.count()
+
+    # degrees over both orientations (vocab-grain combiner)
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            df[["src", "dst"]],
+            df.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+        ], ignore_index=True)
+
+    deg = grouped_agg(
+        edges.map_batches(both_dirs, batch_format="pandas").map_batches(
+            lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["src"], {"k": ("one", "sum")}, n_buckets=n_buckets).materialize()
+    n_nodes = deg.count()
+
+    def wedge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"wedges": pd.array([int((k * (k - 1) // 2).sum())],
+                                                dtype="int64")})
+
+    # bound: one wedge-sum row per batch of the vocab-grain degree table
+    wedges = int(deg.map_batches(wedge_partial, batch_format="pandas",
+                                 batch_size=131072)
+                 .to_pandas()["wedges"].sum())
+
+    if n_edges <= broadcast_edges:
+        # below gate: broadcast the edge set, probe per min-node group
+        # bound: gated at broadcast_edges distinct term-pair edges
+        epdf = edges.to_pandas()
+        eref = ray.put(set(zip(epdf["src"], epdf["dst"])))
+
+        def tri_part(group: pd.DataFrame) -> pd.DataFrame:
+            es = ray.get(eref)
+            tri = 0
+            for _, g in group.groupby("src", sort=False):
+                nbrs = sorted(g["dst"])  # all > src: min-node orientation
+                for a, b in combinations(nbrs, 2):
+                    if (a, b) in es:
+                        tri += 1
+            return pd.DataFrame({"tri": pd.array([tri], dtype="int64")})
+
+        parts = (edges.map_batches(_bucket_by("src", n_buckets),
+                                   batch_format="pandas")
+                 .groupby("bucket").map_groups(
+                     lambda g: tri_part(g.drop(columns=["bucket"])),
+                     batch_format="pandas")
+                 # bound: n_buckets partial rows
+                 .to_pandas())
+        n_tri = int(parts["tri"].sum())
+    else:
+        # above gate: emit wedge-candidate pairs per min node, cogroup
+        # with the edge list on a pair-hash bucket; a candidate that
+        # matches an edge closes a triangle. Driver never sees edges.
+        def cand_part(group: pd.DataFrame) -> pd.DataFrame:
+            rows_a, rows_b = [], []
+            for _, g in group.groupby("src", sort=False):
+                nbrs = sorted(g["dst"])
+                for a, b in combinations(nbrs, 2):
+                    rows_a.append(a)
+                    rows_b.append(b)
+            return pd.DataFrame({"src": rows_a, "dst": rows_b,
+                                 "kind": np.zeros(len(rows_a),
+                                                  dtype=np.int8)})
+
+        cands = (edges.map_batches(_bucket_by("src", n_buckets),
+                                   batch_format="pandas")
+                 .groupby("bucket").map_groups(
+                     lambda g: cand_part(g.drop(columns=["bucket"])),
+                     batch_format="pandas"))
+        tagged_edges = edges.map_batches(
+            lambda df: df.assign(kind=np.ones(len(df), dtype=np.int8)),
+            batch_format="pandas")
+
+        def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.text_stats import sha1_64
+
+            b = [sha1_64(s + "\x00" + d) % n_buckets
+                 for s, d in zip(df["src"], df["dst"])]
+            return df.assign(bucket=np.asarray(b, dtype=np.int32))
+
+        def close_part(group: pd.DataFrame) -> pd.DataFrame:
+            e = group[group["kind"] == 1][["src", "dst"]]
+            c = group[group["kind"] == 0][["src", "dst"]]
+            tri = len(c.merge(e, on=["src", "dst"]))
+            return pd.DataFrame({"tri": pd.array([tri], dtype="int64")})
+
+        parts = (cands.union(tagged_edges)
+                 .map_batches(pair_bucket, batch_format="pandas")
+                 .groupby("bucket").map_groups(
+                     lambda g: close_part(g.drop(columns=["bucket"])),
+                     batch_format="pandas")
+                 # bound: n_buckets partial rows
+                 .to_pandas())
+        n_tri = int(parts["tri"].sum())
+
+    clustering = 3 * n_tri / wedges if wedges else 0.0
     return pd.DataFrame({
         "n_nodes": pd.array([n_nodes], dtype="int64"),
         "n_edges": pd.array([n_edges], dtype="int64"),
@@ -1284,42 +1363,29 @@ def term_graph_assortativity(sf_dir: str, broadcast_nodes: int = 5_000_000,
     (templated boilerplate), negative = hub-and-spoke.
 
     Shape: distinct undirected edges (combiner), per-node degrees
-    (combiner), degrees broadcast under ``broadcast_nodes`` (vocab
-    grain; hash-join attach above), then one moment-sum pass over the
-    directed edge list with the suite's exact correlation algebra
+    (combiner), then one moment-sum pass over the directed edge list
+    with the suite's exact correlation algebra
     r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)).
+    Degree attach is gated on the node count (vocab grain):
+      * BELOW ``broadcast_nodes``: the (node, degree) map broadcasts
+        once (``ray.put``) and both endpoint degrees map inside
+        ``map_batches``.
+      * ABOVE the gate (the 100 TB path): TWO hash joins via
+        ``checkpointed_join`` (src-degree then dst-degree; the helper
+        renames the colliding ``k`` payload so Ray 2.49's chained-join
+        bug never fires) -- the degree table stays in the object store.
+    Both branches feed the identical moment pass and are
+    path-equivalence tested (tests/test_term_graph_paths.py).
 
     Output: one row (n_edges_directed, r r6).
     """
     import ray
-    import ray.data as rd
-
-    from itertools import combinations
 
     from ..functions.rounding import round_series
     from ..stages.agg import grouped_agg
+    from ..stages.joins import checkpointed_join
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def pair_partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.to_pandas()
-        rows_a, rows_b = [], []
-        for t in df["text"]:
-            terms = sorted(set(x for x in t.split(" ") if x))
-            for a, b in combinations(terms, 2):
-                rows_a.append(a)
-                rows_b.append(b)
-        return (pd.DataFrame({"src": rows_a, "dst": rows_b})
-                .drop_duplicates())
-
-    edges = grouped_agg(
-        ds.map_batches(pair_partial, batch_format="pyarrow",
-                       batch_size=2048).map_batches(
-            lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
-            batch_format="pandas"),
-        ["src", "dst"], {"one": ("one", "max")},
-        n_buckets=n_buckets).select_columns(["src", "dst"])
+    edges = _term_edges(sf_dir, n_buckets)
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.concat([
@@ -1327,21 +1393,20 @@ def term_graph_assortativity(sf_dir: str, broadcast_nodes: int = 5_000_000,
             df.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
         ], ignore_index=True)
 
-    directed = edges.map_batches(both_dirs, batch_format="pandas")
+    directed = edges.map_batches(both_dirs,
+                                 batch_format="pandas").materialize()
     deg = grouped_agg(
         directed.map_batches(
             lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
             batch_format="pandas"),
-        ["src"], {"k": ("one", "sum")}, n_buckets=n_buckets)
+        ["src", ], {"k": ("one", "sum")},
+        n_buckets=n_buckets).materialize()
+    n_nodes = deg.count()
 
-    # bound: gated at broadcast_nodes (node, degree) rows (vocab grain)
-    dmap = {r["src"]: int(r["k"]) for r in deg.iter_rows()}
-    dref = ray.put(dmap)
-
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        dm = ray.get(dref)
-        x = df["src"].map(dm).to_numpy(dtype=np.float64)
-        y = df["dst"].map(dm).to_numpy(dtype=np.float64)
+    def moments(df: pd.DataFrame, xcol: str = "kx",
+                ycol: str = "ky") -> pd.DataFrame:
+        x = df[xcol].to_numpy(dtype=np.float64)
+        y = df[ycol].to_numpy(dtype=np.float64)
         return pd.DataFrame({
             "n": pd.array([len(df)], dtype="int64"),
             "sx": [x.sum()], "sy": [y.sum()],
@@ -1349,9 +1414,41 @@ def term_graph_assortativity(sf_dir: str, broadcast_nodes: int = 5_000_000,
             "syy": [(y * y).sum()],
         })
 
-    # bound: one moment row per batch
-    parts = directed.map_batches(moments, batch_format="pandas",
-                                 batch_size=131072).to_pandas()
+    if n_nodes <= broadcast_nodes:
+        # below gate: broadcast the degree map once
+        # bound: gated at broadcast_nodes (node, degree) rows
+        dmap = {r["src"]: int(r["k"]) for r in deg.iter_rows()}
+        dref = ray.put(dmap)
+
+        def map_moments(df: pd.DataFrame) -> pd.DataFrame:
+            dm = ray.get(dref)
+            d2 = pd.DataFrame({"kx": df["src"].map(dm),
+                               "ky": df["dst"].map(dm)})
+            return moments(d2)
+
+        # bound: one moment row per batch
+        parts = directed.map_batches(map_moments, batch_format="pandas",
+                                     batch_size=131072).to_pandas()
+    else:
+        # above gate: attach degrees with two hash joins -- the degree
+        # table never leaves the object store
+        from ..stages.joins import default_num_partitions
+        nparts = default_num_partitions(n_nodes)
+        j1 = checkpointed_join(
+            directed, deg.map_batches(
+                lambda df: df.rename(columns={"src": "node", "k": "kx"}),
+                batch_format="pandas"),
+            on=("src",), right_on=("node",), num_partitions=nparts,
+            left_cols=["src", "dst"], right_cols=["node", "kx"])
+        j2 = checkpointed_join(
+            j1, deg.map_batches(
+                lambda df: df.rename(columns={"src": "node", "k": "ky"}),
+                batch_format="pandas"),
+            on=("dst",), right_on=("node",), num_partitions=nparts,
+            left_cols=["src", "dst", "kx"], right_cols=["node", "ky"])
+        # bound: one moment row per batch
+        parts = j2.map_batches(moments, batch_format="pandas",
+                               batch_size=131072).to_pandas()
     n = float(parts["n"].sum())
     sx, sy = parts["sx"].sum(), parts["sy"].sum()
     sxx, sxy, syy = parts["sxx"].sum(), parts["sxy"].sum(), parts["syy"].sum()
