@@ -943,7 +943,9 @@ def events_nearest_order_join(sf_dir: str, n_buckets: int = 64):
         left = group[group["side"] == 0]
         right = group[group["side"] == 1]
         if left.empty or right.empty:
-            return pd.DataFrame(columns=cols)
+            # typed empty frame: object-dtype columns become null-typed
+            # in Arrow and clash with nonempty groups' int64 schema
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
         right = (right.sort_values(["user_id", "t", "o_orderkey"])
                  .drop_duplicates(["user_id", "t"], keep="first"))
         rr = (right[["user_id", "t", "o_orderkey"]].sort_values("t")
@@ -965,12 +967,14 @@ def events_nearest_order_join(sf_dir: str, n_buckets: int = 64):
         bdist = t_us - bd
         fdist = fd - t_us
         use_b = ~bmiss & (fmiss | (bdist <= fdist))
-        use_f = bmiss & ~fmiss
         nd = np.where(use_b, bd, fd)
         nk = np.where(use_b, back["nk"].to_numpy(dtype="float64",
                                                  na_value=np.nan),
                       fwd["nk"].to_numpy(dtype="float64", na_value=np.nan))
-        keep = use_b | use_f
+        # keep any event with >=1 neighbor; ~use_b with both present
+        # means forward is strictly closer (NOT a drop -- the driver
+        # corpus never exercises both-sides, the synthetic test does)
+        keep = ~(bmiss & fmiss)
         # integer microseconds end-to-end: float-divide-then-truncate
         # disagrees with SQL casts, int64 floor-div cannot
         nd_i = nd[keep].astype(np.int64)

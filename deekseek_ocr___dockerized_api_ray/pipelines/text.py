@@ -1418,9 +1418,14 @@ def corpus_heaps_fit(sf_dir: str, n_checkpoints: int = 10,
         t_cum[i] = (t_cum[i - 1] if i else 0) + int(tp.get(i, 0))
         v_cum[i] = (v_cum[i - 1] if i else 0) + int(vp.get(i, 0))
 
-    x = np.log(t_cum.astype(np.float64))
-    y = np.log(v_cum.astype(np.float64))
-    n = float(n_checkpoints)
+    # empty checkpoints (no tokens / no first-seen terms yet -- a
+    # sparse or skewed doc_id space) carry no Heaps evidence: drop them
+    # from the fit, exactly as the oracle's INNER JOIN tcum/vcum
+    # USING (i) drops checkpoint rows with empty cumulative groups
+    keep = (t_cum > 0) & (v_cum > 0)
+    x = np.log(t_cum[keep].astype(np.float64))
+    y = np.log(v_cum[keep].astype(np.float64))
+    n = float(keep.sum())
     sx, sy = x.sum(), y.sum()
     sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
@@ -1430,7 +1435,7 @@ def corpus_heaps_fit(sf_dir: str, n_checkpoints: int = 10,
     # + 0.0 normalizes IEEE -0.0: on a closed-vocab corpus beta's tiny
     # numerator sign is sum-order noise, and str(-0.0) != str(0.0)
     return pd.DataFrame({
-        "n_points": pd.array([n_checkpoints], dtype="int64"),
+        "n_points": pd.array([int(n)], dtype="int64"),
         "beta": round_series(pd.Series([beta]), 6).to_numpy() + 0.0,
         "lnk": round_series(pd.Series([lnk]), 6).to_numpy() + 0.0,
         "r2": round_series(pd.Series([r2]), 6).to_numpy() + 0.0,

@@ -159,8 +159,14 @@ def ingest_dedup(new_ds, index_dir: str, text_col: str = "text",
                 lambda b: b.select(["dighex"]).append_column(
                     "__hit", pa.array([1] * b.num_rows, type=pa.int8())),
                 batch_format="pyarrow")
+        # partitions clamped by BOTH sides' row counts: the gate only
+        # proves hits is big; a tiny new-batch uniq side with more
+        # partitions than rows hits the Ray 2.49 empty-hash-partition
+        # failure (both datasets are materialized, so count() is free)
+        from .joins import default_num_partitions
+        nparts = default_num_partitions(uniq.count(), hits_ds.count())
         joined = uniq.map_batches(add_hex, batch_format="pyarrow").join(
-            hits_marked, join_type="left_outer", num_partitions=64,
+            hits_marked, join_type="left_outer", num_partitions=nparts,
             on=("dighex",))
         survivors = joined.map_batches(
             lambda b: b.filter(pc.is_null(b.column("__hit")))

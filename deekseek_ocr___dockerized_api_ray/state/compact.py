@@ -33,12 +33,22 @@ def recover_compaction(src_dir: str) -> bool:
     if not os.path.isdir(parent):
         return False
     siblings = sorted(os.listdir(parent))
+    backups = [d for d in siblings if d.startswith(base + ".precompact_")]
     if not os.path.isdir(src_dir):
-        backups = [d for d in siblings if d.startswith(base + ".precompact_")]
         if backups:
-            # at most one can exist (each run deletes its own on success)
+            # at most one can exist here: the stale-backup sweep below
+            # (run whenever src_dir IS present) removes any backup left
+            # behind by a crash after the second rename, so a missing
+            # src_dir can only co-exist with the single backup made by
+            # the run that just crashed between its two renames.
             os.replace(os.path.join(parent, backups[0]), src_dir)
             restored = True
+    else:
+        # src_dir present => every .precompact_* is garbage by
+        # construction (its run completed the second rename); sweep
+        # them so a later crash can never pick a stale snapshot.
+        for d in backups:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     for d in siblings:
         if d.startswith(base + ".compact_"):
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)

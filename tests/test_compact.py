@@ -105,3 +105,33 @@ def test_compact_merges_many_small_files_below_target(ray_session, small_files_d
     assert stats["files_before"] == 8
     assert stats["files_after"] == 1
     assert stats["rows"] == 800
+
+
+def test_recover_sweeps_stale_backup_when_src_present(ray_session,
+                                                      small_files_dir):
+    """A backup left behind AFTER a completed second rename (crash before
+    the cleanup rmtree) is garbage; recover_compaction must sweep it when
+    src_dir exists, or a later between-renames crash could restore the
+    STALE snapshot over newer data (ADVICE r3)."""
+    import shutil
+
+    from deekseek_ocr___dockerized_api_ray.state.compact import (
+        recover_compaction)
+
+    # stale backup = an OLD snapshot (fewer files) next to a live src
+    stale = small_files_dir + ".precompact_00000000"
+    os.makedirs(stale)
+    pd.DataFrame({"k": [0]}).to_parquet(os.path.join(stale, "old.parquet"))
+    live_files = sorted(os.listdir(small_files_dir))
+
+    assert recover_compaction(small_files_dir) is False
+    assert not os.path.isdir(stale)          # swept
+    assert sorted(os.listdir(small_files_dir)) == live_files  # untouched
+
+    # the dangerous sequel: crash between renames NOW leaves exactly one
+    # backup, so the restore branch can never pick a stale snapshot
+    backup = small_files_dir + ".precompact_ffffffff"
+    os.replace(small_files_dir, backup)
+    assert recover_compaction(small_files_dir) is True
+    assert sorted(os.listdir(small_files_dir)) == live_files
+    del shutil

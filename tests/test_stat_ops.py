@@ -1126,3 +1126,89 @@ def test_temperature_sample_unequal_sources(ray_session, tmp_path):
         assert per.get(s, 0) == min(q, sizes[s])
     # T=0.5 upweights: tiny's share of the sample >> its corpus share
     assert per["tiny"] / total > sizes["tiny"] / sum(sizes.values())
+
+
+def test_heaps_fit_sparse_docid_matches_oracle(ray_session, tmp_path):
+    """Empty doc-id checkpoints (ids clustered near max) must be dropped
+    from the fit on BOTH sides: the oracle's INNER JOIN silently drops
+    them; the engine previously fit log(0) = -inf points (ADVICE r3)."""
+    import duckdb
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        corpus_heaps_fit,
+    )
+
+    # ids 900..1000 => thresholds 100..800 see no docs: 8 empty points
+    rng = np.random.default_rng(7)
+    ids = np.arange(900, 1001)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in ids]
+    pd.DataFrame({"doc_id": ids, "text": texts}).to_parquet(
+        tmp_path / "documents.parquet")
+
+    got = _df(corpus_heaps_fit(str(tmp_path), n_checkpoints=10))
+    assert np.isfinite(got[["beta", "lnk", "r2"]].to_numpy()).all()
+    assert int(got["n_points"].iloc[0]) == 2  # only thresholds 900, 1000
+
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sdf = con.execute(m.oracle_sql()["corpus_heaps_fit"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(sdf.columns)
+    a = got[cols].reset_index(drop=True).astype(str)
+    b = sdf[cols].reset_index(drop=True).astype(str)
+    assert a.equals(b), (a, b)
+
+
+def test_nearest_order_join_one_sided_bucket_schema(ray_session, tmp_path):
+    """A bucket whose users have only events (or only orders) returns the
+    typed empty frame; object-dtype empties become null-typed in Arrow
+    and crash map_groups schema unification (ADVICE r3)."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_nearest_order_join,
+    )
+
+    # n_buckets=4: user 1 events-only (bucket 1), user 2 orders-only
+    # (bucket 2), user 3 both (bucket 3) -> two one-sided buckets
+    ev = pd.DataFrame({
+        "event_id": [10, 11, 12],
+        "user_id": [1, 3, 3],
+        "ts": pd.to_datetime(["2024-01-05", "2024-02-01", "2024-03-01"]),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": [100, 101, 102],
+        "o_custkey": [2, 3, 3],
+        "o_orderdate": pd.to_datetime(["2024-01-10", "2024-01-20",
+                                       "2024-02-10"]),
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    orders.to_parquet(tmp_path / "orders.parquet")
+
+    got = (events_nearest_order_join(str(tmp_path), n_buckets=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # only user 3's events survive; user 1 (no orders) drops out
+    assert got["event_id"].tolist() == [11, 12]
+    assert got["user_id"].tolist() == [3, 3]
+    # 2024-02-01 is 12d from 01-20, 9d from 02-10 -> forward order 102
+    assert got["nearest_orderkey"].tolist() == [102, 102]
+    assert (got.dtypes == "int64").all(), got.dtypes
+
+    # oracle parity on the synthetic tables: the driver corpus never
+    # has both neighbors for one event, this fixture does
+    import duckdb
+
+    import __ray_entry__ as m
+
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    sdf = con.execute(m.oracle_sql()["events_nearest_order_join"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(sdf.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = sdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b), (a, b)
