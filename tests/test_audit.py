@@ -76,3 +76,42 @@ def test_no_unannotated_driver_materializations():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.audit() == []
+
+
+def test_audit_catches_phantom_gate(tmp_path):
+    """Guardrail-of-the-guardrail (VERDICT r3 #3): a `bound:` comment
+    claiming 'gated at <param>' where no enclosing condition tests the
+    parameter must FAIL the audit (two rounds shipped exactly that);
+    a real gate and a `bound-static:` grain must pass."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_materialize",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "audit_materialize.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fixture = tmp_path / "pkg"
+    fixture.mkdir()
+    (fixture / "phantom.py").write_text(
+        "def phantom(ds, broadcast_edges=2_000_000):\n"
+        "    # bound: gated at broadcast_edges distinct edges\n"
+        "    edges = ds.to_pandas()\n"
+        "    return len(edges)\n")
+    (fixture / "real.py").write_text(
+        "def real(ds, broadcast_edges=2_000_000):\n"
+        "    n = ds.count()\n"
+        "    if n <= broadcast_edges:\n"
+        "        # bound: gated at broadcast_edges distinct edges\n"
+        "        return ds.to_pandas()\n"
+        "    return ds\n"
+        "\n"
+        "def static_grain(ds):\n"
+        "    # bound-static: 24 hour-of-day rows\n"
+        "    return ds.to_pandas()\n")
+
+    got = mod.audit(str(fixture))
+    assert len(got) == 1, got
+    assert "phantom.py:3" in got[0] and "phantom bound" in got[0]
+    assert "broadcast_edges" in got[0]
