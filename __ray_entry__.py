@@ -564,7 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return embedding_neardup_exact(_emb_ds(sf_dir), threshold=0.4)
 
-    return {
+    q = {
         # flagship extraction (non-SQL: mock-OCR + reference clean chain)
         "extract_interleaved": extract_interleaved,
         "extract_markdown": extract_markdown,
@@ -851,6 +851,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": scale_ops.kmeans_fit,
         "events_exact_median": scale_ops.events_exact_median,
     }
+    # The driver's correctness window covers only the FIRST 50 entries, so
+    # order them to sample every operator family (extraction, cleaning,
+    # dedup, curation, ANN, tokenize/pack, sampling, TPC-H, windows,
+    # streaming, joins, stats, graph, search, analytics, sketches) rather
+    # than whichever families happen to be registered first.
+    head = [
+        "extract_interleaved", "grounding_boxes",
+        "doc_clean_text", "doc_token_stats", "doc_quality",
+        "doc_char_entropy", "langid_predict", "doc_scrub_pii",
+        "exact_dedup_docs", "minhash_candidates", "minhash_survivors",
+        "neardup_clusters", "ngram_jaccard_pairs", "tfidf_cosine_pairs",
+        "leakage_safe_split", "semdedup",
+        "ann_topk", "ann_lsh", "ann_ivf_trained", "emb_neardup",
+        "knn_graph", "ann_hard_negatives",
+        "doc_bpe_encode", "pack_plan", "jsonl_shards",
+        "stratified_sample", "lang_sample_exact_k",
+        "temperature_mixture_sample", "train_test_split",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "min_cost_supplier_q2", "priority_shipping_q12",
+        "events_sessionize", "streaming_sessionize", "events_sliding_hour",
+        "events_windowed_funnel", "streaming_tumbling_hour",
+        "events_last_order_asof", "events_nearest_order_join",
+        "events_ks_test", "source_drift_fdr", "doclen_twoway_anova",
+        "benford_order_totals",
+        "term_graph_triangles", "term_graph_assortativity",
+        "bm25_search_topk", "inverted_index",
+        "revenue_pareto", "streaming_user_reach_hll",
+    ]
+    assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
+    return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 
 
 # ---------------------------------------------------------------------------

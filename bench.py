@@ -228,8 +228,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
+        # MULT=4 (2.4M docs): fixed per-session overhead (~4-5 s actor-pool
+        # startup + first read wave) drops to ~2% of even the 16-CPU leg,
+        # so the ratio measures the engine, not the startup constant
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1", BENCH_REPS="1",
-                   BENCH_DOCS_MULT=os.environ.get("BENCH_DOCS_MULT", "2"))
+                   BENCH_DOCS_MULT=os.environ.get("BENCH_DOCS_MULT", "4"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -250,6 +253,10 @@ def run_scaling() -> dict:
     r_hi = min((r for r in runs if r["num_cpus"] == hi), key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-leg spread (max/min over the pooled invocations): >1.3x means
+    # the box was noisy enough that single readings are untrustworthy
+    secs_lo = [r["value"] for r in runs if r["num_cpus"] == lo]
+    secs_hi = [r["value"] for r in runs if r["num_cpus"] == hi]
     return {
         "metric": f"scaling efficiency (N={lo} vs 4N={hi} CPUs, same input)",
         f"sec_{lo}": t_lo,
@@ -257,6 +264,8 @@ def run_scaling() -> dict:
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        f"spread_{lo}": round(max(secs_lo) / min(secs_lo), 3),
+        f"spread_{hi}": round(max(secs_hi) / min(secs_hi), 3),
         "sf": SF_DIR,
         "n_docs": r_lo["n_docs"],
         "all_secs": {f"run{i}_cpus{r['num_cpus']}": r["value"] for i, r in enumerate(runs)},

@@ -324,7 +324,20 @@ def _make_bucket_builder(mode: str, extract_images: bool):
 
 def _add_doc_bucket(flat_ds, n_buckets: int):
     def _add(batch: pa.Table) -> pa.Table:
-        buckets = [sha1_64(d) % n_buckets for d in batch.column("doc_id").to_pylist()]
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # span rows repeat each doc_id ~n_spans times: hash the
+        # dictionary (one sha1 per UNIQUE doc), then take per row
+        col = batch.column("doc_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        per_doc = np.fromiter(
+            (sha1_64(d) % n_buckets for d in enc.dictionary.to_pylist()),
+            dtype=np.int32, count=len(enc.dictionary),
+        )
+        buckets = per_doc[enc.indices.to_numpy(zero_copy_only=False)]
         return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
     return flat_ds.map_batches(_add, batch_format="pyarrow")

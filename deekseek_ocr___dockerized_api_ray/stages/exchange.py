@@ -26,12 +26,33 @@ from typing import Callable, Optional
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
+
+#: Spill-stage re-batch size. The map side writes one file per TOUCHED
+#: bucket per batch, so file count ~ (rows / batch_size) * n_buckets --
+#: at the default 1024-row batches a 10M-span job with 64 buckets would
+#: spray ~600k 16-row files. 64k-row batches put ~1k rows in each file.
+SPILL_BATCH_ROWS = 65536
+
+_SPILL_EXT = ".arrow"
+_IPC_OPTS = pa.ipc.IpcWriteOptions(compression="lz4")
+
+
+def _write_spill_file(table: pa.Table, path: str) -> None:
+    with pa.OSFile(path, "wb") as sink:
+        with pa.ipc.new_file(sink, table.schema, options=_IPC_OPTS) as w:
+            w.write_table(table)
+
+
+def _read_spill_file(path: str) -> pa.Table:
+    with pa.memory_map(path, "r") as src:
+        return pa.ipc.open_file(src).read_all()
 
 
 def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
-    """Map side: partition every batch by bucket into per-bucket parquet
-    appends. Returns total rows written (consumes the Dataset).
+    """Map side: partition every batch by bucket into per-bucket Arrow-IPC
+    appends (lz4 frames -- ~3x cheaper to encode/decode than parquet for
+    a spill file that lives minutes). Returns total rows written
+    (consumes the Dataset).
 
     Refuses a dirty spill_dir: stale files from a previous map phase
     would be read by the reduce side and silently inflate results.
@@ -39,10 +60,10 @@ def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
     for b in range(n_buckets):
         bdir = os.path.join(spill_dir, f"bucket={b:05d}")
         os.makedirs(bdir, exist_ok=True)
-        stale = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        stale = [f for f in os.listdir(bdir) if f.endswith(_SPILL_EXT)]
         if stale:
             raise ValueError(
-                f"spill dir {bdir} already contains {len(stale)} parquet file(s); "
+                f"spill dir {bdir} already contains {len(stale)} spill file(s); "
                 "pass a fresh directory or let partitioned_exchange(fresh=True) clean it"
             )
 
@@ -61,10 +82,9 @@ def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
             body = sorted_batch.drop_columns([bucket_col])
             for b, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
                 path = os.path.join(
-                    spill_dir, f"bucket={int(b):05d}", f"{uuid.uuid4().hex}.parquet"
+                    spill_dir, f"bucket={int(b):05d}", f"{uuid.uuid4().hex}{_SPILL_EXT}"
                 )
-                pq.write_table(body.slice(lo, hi - lo), path,
-                               compression="zstd", compression_level=1)
+                _write_spill_file(body.slice(lo, hi - lo), path)
         return pa.Table.from_arrays(
             [pa.array([batch.num_rows], type=pa.int64())], names=["rows"]
         )
@@ -79,6 +99,7 @@ def spill_write(ds, bucket_col: str, n_buckets: int, spill_dir: str) -> int:
     stats = ds.map_batches(
         _write,
         batch_format="pyarrow",
+        batch_size=SPILL_BATCH_ROWS,
         max_retries=0,
         retry_exceptions=False,
     )
@@ -96,10 +117,10 @@ def reduce_buckets(spill_dir: str, n_buckets: int,
         outs = []
         for b in batch.column("id").to_pylist():
             bdir = os.path.join(spill_dir, f"bucket={int(b):05d}")
-            files = [os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")]
+            files = [os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(_SPILL_EXT)]
             if not files:
                 continue
-            outs.append(reduce_fn(pa.concat_tables([pq.read_table(f) for f in files])))
+            outs.append(reduce_fn(pa.concat_tables([_read_spill_file(f) for f in files])))
         if not outs:
             return empty_schema.empty_table() if empty_schema is not None else pa.table({})
         return pa.concat_tables(outs)

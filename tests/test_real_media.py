@@ -170,3 +170,36 @@ def test_pdf_rasterize_real_fitz(ray_session, tmp_path):
     assert img.format == "PNG"
     assert img.size[0] == out.column("width")[0].as_py()
     assert img.size[0] > 1200  # 144 dpi doubles the 612pt page
+
+
+_VENDORED_PNG = os.path.join(os.path.dirname(__file__), "data", "known_good.png")
+# produced by an independent encoder (stdlib zlib/struct, scripts in git
+# history) -- sha-pinned so the artifact itself can't drift
+_VENDORED_SHA = "1be159e6f0bba9f292733895e2ac32389e73e47a349ba62095464a3cf51eb5c0"
+
+
+def test_vendored_png_decodes_to_known_pixels(ray_session):
+    """The vendored PNG (NOT produced by PIL -- breaks the circularity of
+    the generate-with-PIL tests above) decodes to its documented gradient:
+    R = x*16, G = y*20, B = 128 over a 16x12 canvas."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from deekseek_ocr___dockerized_api_ray.stages.multimodal import (
+        MediaDecodeStage,
+    )
+
+    payload = open(_VENDORED_PNG, "rb").read()
+    assert hashlib.sha256(payload).hexdigest() == _VENDORED_SHA
+    out = MediaDecodeStage()(pa.Table.from_pydict({
+        "media_ref": ["vendored"], "payload": [payload]}))
+    assert out.column("dec_width")[0].as_py() == 16
+    assert out.column("dec_height")[0].as_py() == 12
+    arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    expected = np.stack(
+        [np.tile((np.arange(16) * 16 % 256), (12, 1)),
+         np.tile((np.arange(12) * 20 % 256)[:, None], (1, 16)),
+         np.full((12, 16), 128)], axis=2).astype(np.uint8)
+    assert np.array_equal(arr, expected)
+    assert abs(out.column("mean_byte")[0].as_py() - float(expected.mean())) < 1e-6
