@@ -409,6 +409,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lsh_candidate_pairs(docs), docs, threshold=0.3, n=3
         )
 
+    def _substr_spans(sf_dir: str):
+        # ExactSubstr (Lee et al. 2021) mask at word-8-gram grain
+        from deekseek_ocr___dockerized_api_ray.pipelines.substring import (
+            duplicated_substring_spans,
+        )
+
+        return duplicated_substring_spans(sf_dir, k=8)
+
+    def _substr_clean(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.pipelines.substring import (
+            substring_dedup_clean,
+        )
+
+        return substring_dedup_clean(sf_dir, k=8)
+
     def tfidf_cosine_pairs(sf_dir: str):
         # stop-word-discounting pair similarity (idf = ln(N/df));
         # max_vocab=16 < the 31-token test vocabulary so the top-V cap
@@ -609,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_candidate_pairs": snm_pairs,
         "simhash_survivors": simhash_survivors,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "duplicated_substring_spans": _substr_spans,
+        "substring_dedup_clean": _substr_clean,
         "ngram_containment_pairs": ngram_containment_pairs,
         "tfidf_cosine_pairs": tfidf_cosine_pairs,
         # similarity search
@@ -1070,6 +1087,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        # ExactSubstr at k=8 words: a position is covered by a duplicated
+        # substring of length >= k IFF some duplicated k-window covers it,
+        # so the mask is the union of duplicated 8-gram extents
+        "duplicated_substring_spans": """
+            WITH w AS MATERIALIZED (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS MATERIALIZED (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(ws[i:i+7], ' ') AS gram
+              FROM w, unnest(range(1, len(ws) - 6)) AS u(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            seed AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            m AS (
+              SELECT doc_id, pos,
+                     max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+              FROM seed),
+            s2 AS (
+              SELECT doc_id, pos,
+                     SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM m)
+            SELECT doc_id, min(pos) AS start_word,
+                   max(pos) + 7 AS end_word,
+                   max(pos) + 7 - min(pos) + 1 AS n_words
+            FROM s2 GROUP BY doc_id, island
+        """,
+        "substring_dedup_clean": """
+            WITH w AS MATERIALIZED (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS MATERIALIZED (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(ws[i:i+7], ' ') AS gram
+              FROM w, unnest(range(1, len(ws) - 6)) AS u(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            seed AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            mask AS (
+              SELECT DISTINCT doc_id, pos + j AS mpos
+              FROM seed, unnest(range(0, 8)) AS r(j)),
+            allw AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS word
+              FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+            kept AS (
+              SELECT a.doc_id, a.pos, a.word
+              FROM allw a LEFT JOIN mask m
+                ON a.doc_id = m.doc_id AND a.pos = m.mpos
+              WHERE m.mpos IS NULL),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(len(string_split(d.text, ' '))
+                        - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed_words
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "events_followups_range": """
             SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b

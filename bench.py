@@ -116,10 +116,14 @@ def run_bench() -> dict:
     # exploded strategy via the disk-partitioned exchange (the GPU-backend
     # dataflow shape), for the record alongside the fused headline
     spill = f"/dev/shm/bench_spill_{NUM_CPUS}"  # tmpfs: see sink note above
-    t0 = time.perf_counter()
-    run_extract(read_corpus(corpus_path), mode="markdown", strategy="exploded",
-                ocr_concurrency=max(2, (3 * NUM_CPUS) // 4), spill_dir=spill).count()
-    queries["extract_exploded_spill"] = round(time.perf_counter() - t0, 3)
+    exploded_sec = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):  # min-of-k: co-tenancy outliers hit single shots hard
+        shutil.rmtree(spill, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_extract(read_corpus(corpus_path), mode="markdown", strategy="exploded",
+                    ocr_concurrency=max(2, (3 * NUM_CPUS) // 4), spill_dir=spill).count()
+        exploded_sec = min(exploded_sec, time.perf_counter() - t0)
+    queries["extract_exploded_spill"] = round(exploded_sec, 3)
     shutil.rmtree(spill, ignore_errors=True)
 
     t0 = time.perf_counter()
