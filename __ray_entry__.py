@@ -409,6 +409,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lsh_candidate_pairs(docs), docs, threshold=0.3, n=3
         )
 
+    def prefix_ngram_pairs_exact(sf_dir: str):
+        # EXACT all-pairs similarity join (prefix filtering, Bayardo
+        # et al. 2007) -- the exact counterpart of ngram_jaccard_pairs'
+        # LSH blocking; same measure, same rounding
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            prefix_filter_ngram_pairs,
+        )
+
+        return prefix_filter_ngram_pairs(_docs_ds(sf_dir), threshold=0.3, n=3)
+
     def _substr_spans(sf_dir: str):
         # ExactSubstr (Lee et al. 2021) mask at word-8-gram grain
         from deekseek_ocr___dockerized_api_ray.pipelines.substring import (
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "duplicated_substring_spans": _substr_spans,
         "substring_dedup_clean": _substr_clean,
+        "prefix_ngram_pairs_exact": prefix_ngram_pairs_exact,
         "ngram_containment_pairs": ngram_containment_pairs,
         "tfidf_cosine_pairs": tfidf_cosine_pairs,
         # similarity search
@@ -1651,6 +1662,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
+        "prefix_ngram_pairs_exact": _oracles.exact_ngram_pairs_sql(
+            threshold=0.3, n=3),
         # verified near-dup pairs (identical machinery/config as
         # ngram_jaccard_pairs) rolled up to unordered source pairs
         "source_contamination_matrix": f"""

@@ -782,3 +782,33 @@ SELECT doc_id, cluster_id,
             THEN 'val' ELSE 'test' END AS split
 FROM keyed ORDER BY doc_id"""
     )
+
+
+def exact_ngram_pairs_sql(threshold: float = 0.3, n: int = 3) -> str:
+    """ALL pairs (id_a < id_b) with word-n-gram Jaccard >= threshold --
+    the blocking-free ground truth that prefix_filter_ngram_pairs must
+    reproduce exactly (same distinct-gram convention and r6 rounding as
+    ngram_jaccard_pairs_sql)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""WITH wrds AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+ngr AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM wrds, unnest(range(1, len(w) - {n - 2})) AS u(i)
+  WHERE len(w) >= {n}
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+  FROM wrds WHERE len(w) BETWEEN 1 AND {n - 1}
+),
+gcnt AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
+ginter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+  FROM ngr x JOIN ngr y ON y.g = x.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.ni::DOUBLE / (na.n + nb.n - i.ni), 6) AS ngram_jaccard
+FROM ginter i
+JOIN gcnt na ON na.doc_id = i.id_a
+JOIN gcnt nb ON nb.doc_id = i.id_b
+WHERE ROUND(i.ni::DOUBLE / (na.n + nb.n - i.ni), 6) >= {threshold}"""

@@ -1028,3 +1028,135 @@ def minhash_estimator_audit(docs_ds, n_hashes: int = 64, bands: int = 16,
                    "abs_err"])
 
     return b.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              broadcast_df: int = 5_000_000,
+                              n_buckets: int = 64):
+    """EXACT set-similarity join: every pair with word-n-gram Jaccard
+    >= threshold, found by prefix filtering (Chaudhuri et al. 2006 /
+    Bayardo et al. 2007 "All Pairs") instead of approximate LSH
+    blocking -- the exact counterpart of the LSH-blocked
+    ``verify_pairs_ngram_jaccard`` chain, same measure and rounding.
+
+    Blocking invariant: with every doc's distinct gram set ordered by
+    the GLOBAL (df asc, gram asc) order, two sets with J >= t must
+    share a token inside their first ``sz - ceil(t*sz) + 1`` tokens,
+    so grouping prefix tokens finds every qualifying pair; exact
+    verification then removes false candidates. Prefix tokens are the
+    RAREST by construction, which keeps per-token groups small (the
+    published skew defense of this algorithm).
+
+    The gram -> df table broadcasts once below ``broadcast_df`` distinct
+    grams; above the gate, gram-occurrence rows hash-join the df table
+    and prefixes are selected inside a doc-keyed bucket groupby.
+    Returns (id_a, id_b, ngram_jaccard r6) rows >= threshold.
+    """
+    import math
+
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import word_ngrams
+    from ..stages.agg import grouped_agg
+
+    def doc_grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids, gs = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+            for g in word_ngrams(t, n):
+                ids.append(i)
+                gs.append(g)
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             "g": gs, "one": np.ones(len(ids), np.int64)})
+
+    occ = docs_ds.map_batches(doc_grams, batch_format="pandas",
+                              batch_size=4096)
+    dfreq = grouped_agg(occ, ["g"], {"df": ("one", "sum")},
+                        n_buckets=n_buckets).materialize()
+    n_grams = dfreq.count()
+
+    def prefix_of(group: pd.DataFrame) -> pd.DataFrame:
+        """group = all (gram, df) rows of >=1 docs; emit each doc's
+        prefix tokens + set size (vectorized per doc via cumcount)."""
+        g = group.sort_values([id_col, "df", "g"], kind="mergesort")
+        sz = g.groupby(id_col, sort=False)[id_col].transform("size")
+        rank = g.groupby(id_col, sort=False).cumcount()
+        p = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        keep = rank < p
+        return pd.DataFrame({
+            "g": g["g"].to_numpy()[keep],
+            id_col: g[id_col].to_numpy()[keep],
+            "sz": sz.to_numpy()[keep]})
+
+    if n_grams <= broadcast_df:
+        # bound: gated at broadcast_df distinct grams (hash join +
+        # doc-keyed bucket groupby above the gate)
+        dmap = {r["g"]: r["df"] for r in dfreq.iter_rows()}
+        dref = ray.put(dmap)
+
+        def prefix_local(df: pd.DataFrame) -> pd.DataFrame:
+            dm = ray.get(dref)
+            rows = doc_grams(df)
+            rows["df"] = rows["g"].map(dm).astype(np.int64)
+            return prefix_of(rows)
+
+        prefixes = docs_ds.map_batches(prefix_local, batch_format="pandas",
+                                       batch_size=4096)
+    else:
+        from ..stages.joins import default_num_partitions
+
+        joined = occ.select_columns([id_col, "g"]).join(
+            dfreq, join_type="inner",
+            num_partitions=default_num_partitions(n_grams),
+            on=("g",), right_on=("g",))
+
+        def bucket_docs(df: pd.DataFrame) -> pd.DataFrame:
+            b = df[id_col].map(lambda d: sha1_64(str(d)) % n_buckets)
+            return df.assign(bucket=b.astype(np.int32))
+
+        prefixes = (joined.map_batches(bucket_docs, batch_format="pandas",
+                                       batch_size=131072)
+                    .groupby("bucket")
+                    .map_groups(lambda g: prefix_of(g.drop(columns=["bucket"])),
+                                batch_format="pandas"))
+
+    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        """Pairs sharing a prefix gram, with the length filter
+        t * max(sz) <= min(sz) (a necessary condition for J >= t)."""
+        outs = []
+        for _, g in group.groupby("g", sort=False):
+            if len(g) < 2:
+                continue
+            m = g.merge(g, on="g", suffixes=("_a", "_b"))
+            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            lo = np.minimum(m["sz_a"], m["sz_b"])
+            hi = np.maximum(m["sz_a"], m["sz_b"])
+            m = m[threshold * hi <= lo]
+            outs.append(pd.DataFrame({
+                "id_a": m[f"{id_col}_a"].to_numpy(dtype=np.int64),
+                "id_b": m[f"{id_col}_b"].to_numpy(dtype=np.int64),
+                "one": np.ones(len(m), dtype=np.int64)}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "one": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    def bucket_gram(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["g"].map(lambda s: sha1_64(s) % n_buckets)
+        return df.assign(bucket=b.astype(np.int32))
+
+    cand = (prefixes.map_batches(bucket_gram, batch_format="pandas",
+                                 batch_size=131072)
+            .groupby("bucket")
+            .map_groups(lambda g: pairs_in_group(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+    uniq = grouped_agg(cand, ["id_a", "id_b"], {"one": ("one", "max")},
+                       n_buckets=n_buckets).select_columns(["id_a", "id_b"])
+    return verify_pairs_ngram_jaccard(uniq, docs_ds, threshold=threshold, n=n,
+                                      text_col=text_col, id_col=id_col)

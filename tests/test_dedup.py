@@ -311,3 +311,34 @@ def test_tfidf_vocab_cap_floors_tail_idf(ray_session):
     uncapped = verify_pairs_tfidf_cosine(
         pairs, docs, threshold=0.0).to_pandas()["tfidf_cosine"].iloc[0]
     assert capped != uncapped
+
+
+def test_prefix_filter_exact_paths_agree(ray_session):
+    """prefix_filter_ngram_pairs: broadcast-df and join-df gate paths
+    emit identical pairs on the real corpus, and the exact join is a
+    SUPERSET of the LSH-blocked chain (same measure, same threshold --
+    LSH can only lose candidates, never add)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        prefix_filter_ngram_pairs,
+        verify_pairs_ngram_jaccard,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = prefix_filter_ngram_pairs(docs, threshold=0.3, n=3).to_pandas()
+    b = prefix_filter_ngram_pairs(docs, threshold=0.3, n=3,
+                                  broadcast_df=0).to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    assert len(a) > 0
+
+    lsh = verify_pairs_ngram_jaccard(
+        lsh_candidate_pairs(docs), docs, threshold=0.3, n=3).to_pandas()
+    exact_set = set(zip(a["id_a"], a["id_b"]))
+    assert set(zip(lsh["id_a"], lsh["id_b"])) <= exact_set
