@@ -815,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_skew_join": relational.segment_revenue_skew_join,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
+        "dsir_importance_weights": curation.dsir_importance_weights,
         "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
         "semdedup": curation.semdedup,
         "doc_bm25": curation.doc_bm25,
@@ -3303,6 +3304,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "decontaminate": _oracles.decontaminate_sql(),
+        "dsir_importance_weights": """
+            WITH tk AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            t2 AS (SELECT doc_id, lang, term FROM tk WHERE term != ''),
+            tv AS (SELECT term,
+                          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t,
+                          COUNT(*) AS c_r
+                   FROM t2 GROUP BY term),
+            vocab AS MATERIALIZED (
+              SELECT term, c_t, c_r FROM tv
+              ORDER BY c_r DESC, term LIMIT 16),
+            tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r,
+                           COUNT(*) AS v FROM vocab),
+            -- add-one smoothing with integer-exact ln operands (matches
+            -- the engine's float tree bit-for-bit)
+            lw AS (SELECT term,
+                          ln((c_t + 1.0) * (n_r + v))
+                          - ln((c_r + 1.0) * (n_t + v)) AS lw
+                   FROM vocab, tot),
+            d AS (SELECT doc_id, term, COUNT(*) AS n
+                  FROM t2 JOIN vocab USING (term) GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_vocab_tokens,
+                   ROUND(SUM(n * lw), 6) AS logweight
+            FROM d JOIN lw USING (term)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "doc_tfidf_top_terms": _oracles.doc_tfidf_top_terms_sql(),
         "semdedup": _oracles.semdedup_sql(),
         "nation_trade_volume_q7": """

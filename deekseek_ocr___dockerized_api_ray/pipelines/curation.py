@@ -1460,3 +1460,85 @@ def term_graph_assortativity(sf_dir: str, broadcast_nodes: int = 5_000_000,
         "n_edges_directed": pd.array([int(n)], dtype="int64"),
         "r": round_series(pd.Series([r]), 6).to_numpy() + 0.0,
     })
+
+
+def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
+                            max_vocab: int = 16, n_buckets: int = 16):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc
+    log p_target(x) - log p_raw(x) under bag-of-unigram models, the
+    score an importance resampler feeds Gumbel-top-k selection. Target
+    distribution = the ``target_lang`` slice; raw = the whole corpus.
+
+    Both models live on a vocabulary CAPPED at top-``max_vocab`` terms
+    by corpus tf (distributed sort+limit -- the driver sees V rows,
+    never the Heaps-law vocabulary; same cap discipline as
+    lang_term_logodds / verify_pairs_tfidf_cosine). Add-one smoothing
+    over the V-term support keeps every operand an exact integer until
+    the final ln, so engine and oracle share the float tree
+    bit-for-bit; the per-doc sum's term order differs between engines
+    and is absorbed at r6.
+
+    Scale shape: (term) combiner counts with a target/raw split -> the
+    V-row vocab table broadcasts once (ray.put); per-doc scoring is a
+    stateless vocab-filtered explode + local groupby INSIDE each batch
+    (docs are whole rows -- zero shuffle). Docs with no vocab token
+    carry no evidence and are dropped (oracle's inner join does the
+    same).
+
+    Output: (doc_id, n_vocab_tokens, logweight r6) sorted by doc_id.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def term_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["lang", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        ex["is_t"] = (ex["lang"] == target_lang).astype(np.int64)
+        g = ex.groupby("term", as_index=False, sort=False).agg(
+            c_t=("is_t", "sum"), c_r=("term", "size"))
+        return g
+
+    tc = grouped_agg(
+        ds.map_batches(term_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["term"], {"c_t": ("c_t", "sum"), "c_r": ("c_r", "sum")},
+        n_buckets=n_buckets)
+    # bound: max_vocab rows (the cap IS the bound; tail terms never
+    # leave the cluster)
+    vocab = (tc.sort(["c_r", "term"], descending=[True, False])
+             .limit(max_vocab).to_pandas())
+    v = len(vocab)
+    n_t = int(vocab["c_t"].sum())
+    n_r = int(vocab["c_r"].sum())
+    # integer-exact ln operands: lw = ln((c_t+1)(n_r+V)) - ln((c_r+1)(n_t+V))
+    lw = (np.log((vocab["c_t"].to_numpy(np.int64) + 1.0) * (n_r + v))
+          - np.log((vocab["c_r"].to_numpy(np.int64) + 1.0) * (n_t + v)))
+    lw_ref = ray.put(dict(zip(vocab["term"], lw)))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lwm = ray.get(lw_ref)
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"].isin(lwm)]
+        if ex.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_vocab_tokens": pd.Series([], dtype="int64"),
+                                 "logweight": pd.Series([], dtype="float64")})
+        g = ex.groupby(["doc_id", "term"], as_index=False, sort=True).agg(
+            n=("term", "size"))
+        g["w"] = g["n"].to_numpy(np.float64) * g["term"].map(lwm).to_numpy(np.float64)
+        out = g.groupby("doc_id", as_index=False, sort=False).agg(
+            n_vocab_tokens=("n", "sum"), logweight=("w", "sum"))
+        out["n_vocab_tokens"] = out["n_vocab_tokens"].astype("int64")
+        out["logweight"] = round_series(out["logweight"], 6)
+        return out
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=8192).sort("doc_id")

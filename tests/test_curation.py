@@ -280,3 +280,47 @@ def test_length_percentile_gate_threshold_is_order_statistic(ray_session,
     got = length_percentile_gate(str(tmp_path)).to_pandas()
     # ceil(0.1*100)=10th order statistic = 19 -> keep n_chars >= 19
     assert got["n_chars"].min() == 19 and len(got) == 91
+
+
+def test_dsir_weights_match_brute_force(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        dsir_importance_weights,
+    )
+
+    # 2 'en' (target) docs + 2 'de' docs over a 4-term vocabulary; one
+    # doc carries only an out-of-vocab term when the cap bites (V=3)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "lang": ["en", "en", "de", "de", "de"],
+        "text": ["alpha alpha beta", "alpha gamma", "beta beta gamma gamma",
+                 "beta delta", "delta"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (dsir_importance_weights(str(tmp_path), max_vocab=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute force: vocab = top-3 by corpus tf (beta 4, alpha 3, gamma 3;
+    # delta 2 misses the cap)
+    counts = {"beta": (1, 4), "alpha": (3, 3), "gamma": (1, 3)}
+    n_t = sum(ct for ct, _ in counts.values())
+    n_r = sum(cr for _, cr in counts.values())
+    v = 3
+    lw = {t: np.log((ct + 1.0) * (n_r + v)) - np.log((cr + 1.0) * (n_t + v))
+          for t, (ct, cr) in counts.items()}
+    expect = {
+        0: 2 * lw["alpha"] + lw["beta"],
+        1: lw["alpha"] + lw["gamma"],
+        2: 2 * lw["beta"] + 2 * lw["gamma"],
+        3: lw["beta"],
+        # doc 4: only the OOV 'delta' -> dropped (no evidence)
+    }
+    assert got["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got["n_vocab_tokens"].tolist() == [3, 2, 4, 1]
+    for _, r in got.iterrows():
+        assert abs(r["logweight"] - expect[r["doc_id"]]) < 1e-6
+    # directional: the all-target-heavy doc outranks the raw-heavy one
+    w = dict(zip(got["doc_id"], got["logweight"]))
+    assert w[0] > w[2]
