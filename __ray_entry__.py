@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hour": relational.events_tumbling_hour,
         # incremental watermark variant; must equal the batch output
         "streaming_tumbling_hour": windows.streaming_tumbling_hour,
+        "events_late_data": windows.events_late_data,
         "part_filter_topk": relational.part_filter_topk,
         "distinct_flag_status": distinct_flag_status,
         "orders_semi_join": relational.orders_semi_join,
@@ -2624,6 +2625,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_late_data": """
+            WITH a AS (
+              SELECT event_id, epoch_us(ts) AS ts_us,
+                     epoch_us(ts)
+                     + ((event_id % 86400) * 48271 % 601) * 1000000 AS arr_us
+              FROM events),
+            w AS (
+              SELECT *, MAX(ts_us) OVER (
+                       ORDER BY arr_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS hwm_us
+              FROM a)
+            SELECT event_id,
+                   ts_us // 1000000 AS ts_s,
+                   arr_us // 1000000 AS arrival_s,
+                   COALESCE(ts_us < hwm_us - 120000000, FALSE) AS is_late,
+                   CAST(CASE WHEN COALESCE(ts_us < hwm_us - 120000000, FALSE)
+                             THEN (hwm_us - 120000000 - ts_us) // 1000000
+                             ELSE 0 END AS BIGINT) AS lateness_obs_s
+            FROM w ORDER BY event_id
         """,
         "streaming_tumbling_hour": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,

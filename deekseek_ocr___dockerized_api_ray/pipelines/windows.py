@@ -648,3 +648,87 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
     out["sum_value"] = round_series(out["sum_value"], 2)
     return (out.sort_values(["window_start_s", "event_type"])
             .reset_index(drop=True))
+
+
+def events_late_data(sf_dir: str, lateness_s: int = 120,
+                     jitter_mod: int = 601):
+    """Watermark late-data tagging (the beam/flink side-output): each
+    event ARRIVES at event-time + a deterministic jitter (out-of-order
+    delivery); the watermark trails the max event time seen so far by
+    ``lateness_s``, and an event is LATE when its event time has
+    already fallen behind the watermark at its arrival -- the row a
+    streaming sink would route to the late-correction channel rather
+    than the live aggregate.
+
+    Jitter is integer-exact and SQL-expressible on both engines:
+    ``((event_id % 86400) * 48271) % jitter_mod`` seconds (0..600 by
+    default, vs the 120 s allowed lateness, so a real fraction of
+    arrivals is late). Every operand stays int64 end-to-end; there is
+    no float anywhere, so engine and oracle agree bit-for-bit.
+
+    Scale shape: the prefix-max over arrival order decomposes by
+    arrival HOUR -- per-hour max event time is a combiner-reduced
+    aggregate (bound-static: calendar grain), the driver prefix-scans
+    the hour summaries once, and the per-event compare runs inside
+    hour-keyed groups with a vectorized shifted running max. One keyed
+    shuffle; state on the driver is one row per hour.
+
+    Output: (event_id, ts_s, arrival_s, is_late, lateness_obs_s)
+    sorted by event_id.
+    """
+    import ray
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    late_us = lateness_s * 1_000_000
+    hour_us = 3_600_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        arr_us = ts_us + ((eid % 86400) * 48271 % jitter_mod) * 1_000_000
+        return pd.DataFrame({"event_id": eid, "ts_us": ts_us,
+                             "arr_us": arr_us,
+                             "hour": arr_us // hour_us})
+
+    prepped = ev.map_batches(prep, batch_format="pandas",
+                             batch_size=131072).materialize()
+
+    from ..stages.agg import grouped_agg
+
+    # bound-static: calendar grain (one row per arrival hour)
+    hmax = grouped_agg(prepped, ["hour"], {"mx": ("ts_us", "max")},
+                       n_buckets=16).to_pandas().sort_values("hour")
+    # prefix over STRICTLY earlier hours; first hour has no predecessor
+    prefix = hmax["mx"].cummax().shift(1)
+    pmap = {int(h): (None if pd.isna(p) else int(p))
+            for h, p in zip(hmax["hour"], prefix)}
+    pref = ray.put(pmap)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pref)
+        df = df.sort_values(["arr_us", "event_id"])
+        ts = df["ts_us"].to_numpy(np.int64)
+        run = np.maximum.accumulate(ts)
+        # strict predecessor within the hour
+        hwm = np.empty(len(ts), dtype=np.float64)
+        hwm[0] = np.nan
+        hwm[1:] = run[:-1]
+        p = pm.get(int(df["hour"].iloc[0]))
+        if p is not None:
+            hwm = np.where(np.isnan(hwm), p, np.maximum(hwm, p))
+        with np.errstate(invalid="ignore"):
+            late = ts < hwm - late_us
+        late = np.where(np.isnan(hwm), False, late)
+        obs = np.where(late, (hwm - late_us - ts) // 1_000_000, 0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "ts_s": ts // 1_000_000,
+            "arrival_s": df["arr_us"].to_numpy(np.int64) // 1_000_000,
+            "is_late": late.astype(bool),
+            "lateness_obs_s": obs.astype(np.int64),
+        })
+
+    return (prepped.groupby("hour")
+            .map_groups(tag, batch_format="pandas").sort("event_id"))

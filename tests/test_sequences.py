@@ -220,3 +220,35 @@ def test_streaming_tumbling_out_of_order_arrivals(ray_session):
     pd.testing.assert_frame_equal(
         merged.sort_values(["window_start_s", "event_type"]).reset_index(drop=True),
         ref)
+
+
+@needs_data
+def test_events_late_data_matches_sequential_watermark(ray_session):
+    """Differential: the hour-decomposed distributed scan must equal a
+    single sequential pass over arrival order."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_late_data,
+    )
+
+    got = events_late_data(SF).to_pandas().reset_index(drop=True)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    ts_us = np.asarray(ev["ts"], dtype="datetime64[us]").astype(np.int64)
+    eid = ev["event_id"].to_numpy(np.int64)
+    arr = ts_us + ((eid % 86400) * 48271 % 601) * 1_000_000
+    order = np.lexsort((eid, arr))
+    run = np.maximum.accumulate(ts_us[order])
+    hwm = np.empty(len(run)); hwm[0] = -np.inf; hwm[1:] = run[:-1]
+    late = ts_us[order] < hwm - 120_000_000
+    exp = pd.DataFrame({
+        "event_id": eid[order], "is_late": late,
+        "lateness_obs_s": np.where(
+            late, (hwm - 120_000_000 - ts_us[order]) // 1_000_000, 0
+        ).astype(np.int64),
+    }).sort_values("event_id").reset_index(drop=True)
+
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["is_late"].tolist() == exp["is_late"].tolist()
+    assert got["lateness_obs_s"].tolist() == exp["lateness_obs_s"].tolist()
+    # the jitter/lateness pair is discriminative: some but not all late
+    assert 0 < int(got["is_late"].sum()) < len(got)
