@@ -475,6 +475,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_topk(sf_dir: str):
         return brute_force_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_range_search(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            range_search,
+        )
+
+        return range_search(_emb_ds(sf_dir), _QUERY_IDS, threshold=0.3)
+
     def ann_topk_filtered(sf_dir: str):
         # metadata pre-filter: only corpus rows with the query's label
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
@@ -641,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": tfidf_cosine_pairs,
         # similarity search
         "ann_topk": ann_topk,
+        "ann_range_search": ann_range_search,
         "ann_topk_filtered": ann_topk_filtered,
         "ann_mmr": ann_mmr,
         "emb_project": emb_project,
@@ -1739,6 +1747,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(pow(n_docs, 0.5) / psum, 6) AS weight,
                    ROUND((pow(n_docs, 0.5) / psum) / (n_docs / total), 6) AS boost
             FROM c, t ORDER BY lang
+        """,
+        "ann_range_search": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id IN ({",".join(str(i) for i in _QUERY_IDS)}))
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+              AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) >= 0.3
+            ORDER BY query_id, vec_id
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -1093,3 +1093,50 @@ def hard_negative_topk(emb_ds, query_ids: Sequence[int], k: int = 3,
 
     return cand.groupby("query_id").map_groups(_final,
                                                batch_format="pyarrow")
+
+
+def range_search(emb_ds, query_ids, threshold: float = 0.3,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 queries=None):
+    """Cosine RANGE query: every corpus vector within similarity >=
+    ``threshold`` of each query (the radius-limited dual of
+    brute_force_topk -- the retrieval primitive for "all sufficiently
+    similar", e.g. near-dup candidate pull or recall-complete eval).
+
+    The threshold compares against the r6-ROUNDED similarity on both
+    engines (same boundary discipline as emb_neardup_exact), so the
+    membership set is deterministic. Broadcast query matrix, one
+    zero-copy batch matmul, vectorized mask -- fully streaming, no
+    reduce stage at all (unlike top-k there is no cross-batch ranking).
+
+    Output: (query_id, vec_id, cosine r6) sorted by query_id, vec_id.
+    """
+    import pandas as pd
+    import ray
+
+    ids, qref = (queries if queries is not None
+                 else query_matrix(emb_ds, query_ids, id_col, emb_col))
+    qid_arr = np.asarray(ids, dtype=np.int64)
+
+    class _RangeStage:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            vids = np.asarray(batch.column(id_col).to_pylist(),
+                              dtype=np.int64)
+            m = _normalize(_batch_matrix(batch, emb_col))
+            sims = m @ self.q.T  # (batch, n_queries)
+            r6 = np.where(sims >= 0,
+                          np.floor(sims * 1e6 + 0.5) / 1e6,
+                          -np.floor(-sims * 1e6 + 0.5) / 1e6)
+            row, col = np.nonzero(
+                (r6 >= threshold) & (vids[:, None] != qid_arr[None, :]))
+            return pd.DataFrame({
+                "query_id": qid_arr[col],
+                "vec_id": vids[row],
+                "cosine": r6[row, col],
+            })
+
+    return emb_ds.map_batches(_RangeStage(), batch_format="pyarrow").sort(
+        ["query_id", "vec_id"])

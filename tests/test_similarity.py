@@ -270,3 +270,34 @@ def test_neardup_exact_paths_agree(emb_ds):
     rhs = ivf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(lhs, rhs)
     assert len(lhs) > 0  # the planted near-dup pair must be found
+
+
+def test_range_search_matches_numpy_threshold_set(emb_ds):
+    """The returned pair set is EXACTLY the r6-cosine >= tau slice of
+    the full similarity matrix (recall-complete and precision-exact),
+    self excluded."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        range_search,
+    )
+
+    ds, m = emb_ds
+    qids = [0, 5, 17]
+    tau = 0.3
+    got = range_search(ds, qids, threshold=tau).to_pandas()
+    assert (got["cosine"] >= tau).all()
+    assert (got["vec_id"] != got["query_id"]).all()
+    got_pairs = set(zip(got["query_id"], got["vec_id"]))
+
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    expect = set()
+    for q in qids:
+        sims = mm @ mm[q]
+        r6 = np.where(sims >= 0, np.floor(sims * 1e6 + 0.5) / 1e6,
+                      -np.floor(-sims * 1e6 + 0.5) / 1e6)
+        for v in np.nonzero(r6 >= tau)[0]:
+            if v != q:
+                expect.add((q, int(v)))
+    assert got_pairs == expect
+    # the planted near-dup clears any sane threshold for query 0
+    assert (0, 250) in got_pairs
