@@ -812,3 +812,80 @@ FROM ginter i
 JOIN gcnt na ON na.doc_id = i.id_a
 JOIN gcnt nb ON nb.doc_id = i.id_b
 WHERE ROUND(i.ni::DOUBLE / (na.n + nb.n - i.ni), 6) >= {threshold}"""
+
+
+def lloyd_assign_ctes_slice(n_clusters: int, lo: int, hi: int,
+                            prefix: str) -> str:
+    """``lloyd_assign_ctes`` restricted to embedding dims [lo, hi]
+    (1-based, inclusive) with CTE names prefixed -- the per-subspace
+    building block of the product-quantization oracle. Seeds are the
+    SLICES of vec_id < n_clusters, matching the engine's per-subspace
+    lloyd_codebook fit."""
+    p = prefix
+    rng = f"range({lo}, {hi + 1})"
+    return f"""{p}c0 AS MATERIALIZED (
+  SELECT vec_id AS cl, i, CAST(embedding[i] AS DOUBLE) AS cv
+  FROM embeddings, unnest({rng}) AS t(i)
+  WHERE vec_id < {n_clusters}),
+{p}d1 AS (
+  SELECT e.vec_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, {p}c0 c GROUP BY 1, 2),
+{p}a1 AS (
+  SELECT vec_id, cl FROM {p}d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+{p}n1 AS (
+  SELECT a.cl, t.i, AVG(e.embedding[t.i]) AS cv
+  FROM {p}a1 a JOIN embeddings e USING (vec_id),
+       unnest({rng}) AS t(i)
+  GROUP BY 1, 2),
+{p}c1 AS MATERIALIZED (
+  SELECT {p}c0.cl, {p}c0.i, COALESCE({p}n1.cv, {p}c0.cv) AS cv
+  FROM {p}c0 LEFT JOIN {p}n1 ON {p}n1.cl = {p}c0.cl AND {p}n1.i = {p}c0.i),
+{p}d2 AS (
+  SELECT e.vec_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, {p}c1 c GROUP BY 1, 2),
+{p}a2 AS (
+  SELECT vec_id, cl FROM {p}d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+{p}n2 AS (
+  SELECT a.cl, t.i, AVG(e.embedding[t.i]) AS cv
+  FROM {p}a2 a JOIN embeddings e USING (vec_id),
+       unnest({rng}) AS t(i)
+  GROUP BY 1, 2),
+{p}c2 AS MATERIALIZED (
+  SELECT {p}c1.cl, {p}c1.i, COALESCE({p}n2.cv, {p}c1.cv) AS cv
+  FROM {p}c1 LEFT JOIN {p}n2 ON {p}n2.cl = {p}c1.cl AND {p}n2.i = {p}c1.i),
+{p}d3 AS MATERIALIZED (
+  SELECT e.vec_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS dist
+  FROM embeddings e, {p}c2 c GROUP BY 1, 2),
+{p}assign AS (
+  SELECT vec_id, cl, dist FROM {p}d3
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1)"""
+
+
+def pq_encode_sql(dim: int, m: int = 2, n_clusters: int = 4) -> str:
+    """Product-quantization codes (stages/similarity.pq_encode): the
+    embedding splits into ``m`` contiguous subspaces, each with its own
+    2-iter Lloyd codebook fit on the subspace slices; a vector's code
+    is its per-subspace nearest-centroid tuple and qerr the summed
+    squared residual. Deterministic given the shared seed convention
+    (vec_id < k slices)."""
+    assert dim % m == 0
+    w = dim // m
+    ctes, cols, joins, err = [], [], [], []
+    for j in range(m):
+        p = f"s{j}_"
+        ctes.append(lloyd_assign_ctes_slice(n_clusters, j * w + 1,
+                                            (j + 1) * w, p))
+        cols.append(f"{p}assign.cl AS code{j}")
+        err.append(f"{p}assign.dist")
+        joins.append(f"{p}assign")
+    base = joins[0]
+    join_sql = f"FROM {base}\n" + "\n".join(
+        f"JOIN {t} USING (vec_id)" for t in joins[1:])
+    return f"""
+WITH {",".join(ctes)}
+SELECT vec_id, {", ".join(cols)},
+       ROUND({" + ".join(err)}, 6) AS qerr
+{join_sql}
+ORDER BY vec_id"""

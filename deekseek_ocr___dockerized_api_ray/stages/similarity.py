@@ -1140,3 +1140,69 @@ def range_search(emb_ds, query_ids, threshold: float = 0.3,
 
     return emb_ds.map_batches(_RangeStage(), batch_format="pyarrow").sort(
         ["query_id", "vec_id"])
+
+
+def pq_encode(emb_ds, m: int = 2, n_clusters: int = 4, iters: int = 2,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Product quantization (Jegou et al. 2011): the embedding splits
+    into ``m`` contiguous subspaces; each subspace gets its own Lloyd
+    codebook (the shared 2-iter ``lloyd_codebook`` fit, seeds = the
+    SLICES of vec_id < k); a vector's code is the per-subspace
+    nearest-centroid tuple, qerr the summed squared residual. PQ is the
+    memory-scale path for 100 TB ANN: m codes of log2(k) bits replace
+    dim floats (here 2 bytes vs 256 -- the asymmetric-distance index
+    stores ONLY these codes plus the m small codebooks).
+
+    Scale shape: training is m bounded Lloyd fits (k x dim/m partials,
+    never the corpus); encoding is one stateless streaming pass against
+    the broadcast codebook stack. No shuffle anywhere.
+
+    Output: (vec_id, code0..code{m-1} int64, qerr r6) sorted by vec_id.
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.rounding import round_series
+
+    # dim from one row (bounded point read)
+    first = emb_ds.limit(1).take_all()[0]
+    dim = len(first[emb_col])
+    assert dim % m == 0, (dim, m)
+    w = dim // m
+
+    def _slice_ds(j: int):
+        lo, hi = j * w, (j + 1) * w
+
+        def cut(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            mat = _batch_matrix(batch, emb_col)[:, lo:hi]
+            return pa.Table.from_arrays(
+                [ids, pa.array(mat.tolist(),
+                               type=pa.list_(pa.float64()))],
+                names=[id_col, emb_col])
+
+        return emb_ds.map_batches(cut, batch_format="pyarrow")
+
+    books = np.stack([lloyd_codebook(_slice_ds(j), n_clusters, iters,
+                                     id_col, emb_col)
+                      for j in range(m)])  # (m, k, w)
+    bref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        b = ray.get(bref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _batch_matrix(batch, emb_col)
+        out = {"vec_id": ids}
+        qerr = np.zeros(len(ids), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * w:(j + 1) * w]
+            diff = sub[:, None, :] - b[j][None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            code = np.argmin(dist, axis=1)  # ties -> lowest cluster
+            out[f"code{j}"] = code.astype(np.int64)
+            qerr += dist[np.arange(len(ids)), code]
+        out["qerr"] = round_series(pd.Series(qerr), 6).to_numpy()
+        return pd.DataFrame(out)
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow",
+                              batch_size=8192).sort(id_col)

@@ -301,3 +301,40 @@ def test_range_search_matches_numpy_threshold_set(emb_ds):
     assert got_pairs == expect
     # the planted near-dup clears any sane threshold for query 0
     assert (0, 250) in got_pairs
+
+
+def test_pq_encode_matches_local_reference(emb_ds):
+    """Codes and qerr equal a single-process PQ with the identical
+    seed/tie conventions (seeds = slice of vec_id < k, 2-iter Lloyd,
+    argmin ties to the lowest cluster)."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import pq_encode
+
+    ds, m0 = emb_ds
+    m_sub, k = 2, 3
+    got = pq_encode(ds, m=m_sub, n_clusters=k).to_pandas()
+    assert got["vec_id"].tolist() == list(range(N))
+
+    mat = m0.astype(np.float64)
+    w = DIM // m_sub
+    qerr = np.zeros(N)
+    for j in range(m_sub):
+        sub = mat[:, j * w:(j + 1) * w]
+        cents = sub[:k].copy()
+        for _ in range(2):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(k):
+                if (a == c).any():
+                    cents[c] = sub[a == c].mean(axis=0)
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        code = np.argmin(d, axis=1)
+        assert got[f"code{j}"].tolist() == code.tolist()
+        qerr += d[np.arange(N), code]
+    assert np.allclose(got["qerr"].to_numpy(), qerr, atol=2e-6)
+    # compression is real: codes take k^m <= 9 distinct values over 300
+    assert got.groupby([f"code{j}" for j in range(m_sub)]).ngroups <= k ** m_sub
+    # the planted near-dup (vec 250 ~ vec 0) lands in vec 0's cell
+    assert (got.loc[got["vec_id"] == 250, [f"code{j}" for j in range(m_sub)]]
+            .to_numpy() == got.loc[got["vec_id"] == 0,
+                                   [f"code{j}" for j in range(m_sub)]]
+            .to_numpy()).all()
