@@ -487,6 +487,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pq_encode(_emb_ds(sf_dir), m=2, n_clusters=4)
 
+    def ann_pq_adc(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import pq_adc_topk
+
+        return pq_adc_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10, m=2,
+                           n_clusters=4)
+
     def ann_topk_filtered(sf_dir: str):
         # metadata pre-filter: only corpus rows with the query's label
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
@@ -660,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": knn_graph_q,
         "emb_quantize": scale_ops.emb_quantize,
         "emb_pq_encode": emb_pq_encode,
+        "ann_pq_adc": ann_pq_adc,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -1726,6 +1733,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN mm USING (dim)
         """,
         "emb_pq_encode": _oracles.pq_encode_sql(dim=64, m=2, n_clusters=4),
+        "ann_pq_adc": _oracles.pq_adc_topk_sql(_QUERY_IDS, k=10, dim=64,
+                                               m=2, n_clusters=4),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
         "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),

@@ -889,3 +889,45 @@ SELECT vec_id, {", ".join(cols)},
        ROUND({" + ".join(err)}, 6) AS qerr
 {join_sql}
 ORDER BY vec_id"""
+
+
+def pq_adc_topk_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, dim: int = 64,
+                    m: int = 2, n_clusters: int = 4) -> str:
+    """PQ asymmetric-distance top-k (stages/similarity.pq_adc_topk):
+    per-subspace query-to-centroid lookup distances from the unrolled
+    sliced-Lloyd centroids, summed over each vector's assigned code
+    tuple; rank by (adc, vec_id), self excluded. Vectors sharing a code
+    tuple tie exactly on adc in BOTH engines (the distance is a
+    function of the code alone), so the vec_id tie-break is load-
+    bearing and deterministic."""
+    assert dim % m == 0
+    w = dim // m
+    qs = ",".join(str(int(q)) for q in query_ids)
+    ctes, luts = [], []
+    for j in range(m):
+        p = f"s{j}_"
+        ctes.append(lloyd_assign_ctes_slice(n_clusters, j * w + 1,
+                                            (j + 1) * w, p))
+        luts.append(f"""lut{j} AS (
+  SELECT e.vec_id AS query_id, c.cl, SUM((e.embedding[c.i] - c.cv) ^ 2) AS d
+  FROM embeddings e, {p}c2 c
+  WHERE e.vec_id IN ({qs}) GROUP BY 1, 2)""")
+    adc_join = "\n".join(
+        [f"FROM s0_assign a0"]
+        + [f"JOIN s{j}_assign a{j} USING (vec_id)" for j in range(1, m)]
+        + ["JOIN lut0 l0 ON l0.cl = a0.cl"]
+        + [f"JOIN lut{j} l{j} ON l{j}.cl = a{j}.cl"
+           f" AND l{j}.query_id = l0.query_id" for j in range(1, m)])
+    adc_sum = " + ".join(f"l{j}.d" for j in range(m))
+    return f"""
+WITH {",".join(ctes)},
+{",".join(luts)},
+adc AS (
+  SELECT l0.query_id, a0.vec_id, {adc_sum} AS adc
+  {adc_join})
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+  FROM adc WHERE vec_id <> query_id)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -1206,3 +1206,103 @@ def pq_encode(emb_ds, m: int = 2, n_clusters: int = 4, iters: int = 2,
 
     return emb_ds.map_batches(encode, batch_format="pyarrow",
                               batch_size=8192).sort(id_col)
+
+
+def pq_adc_topk(emb_ds, query_ids, k: int = 10, m: int = 2,
+                n_clusters: int = 4, iters: int = 2,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """PQ asymmetric-distance top-k (the ADC search of Jegou et al.
+    2011): corpus vectors are reduced to their ``pq_encode`` codes; a
+    query scans CODES ONLY, with per-subspace lookup tables
+    LUT[j][c] = ||q_j - centroid_jc||^2 precomputed once per query, so
+    the per-vector cost is m table lookups + adds instead of a dim-wide
+    float op. This is what makes 100 TB ANN memory-feasible: the scan
+    touches 2 bytes/vector, not 256.
+
+    Codes come from the same deterministic codebook fit as pq_encode,
+    so the result is exactly reproducible in SQL (the oracle recomputes
+    ADC from the unrolled-Lloyd centroids). Ranking ties break on
+    vec_id ascending. Self-match excluded.
+
+    Output: (query_id, vec_id, rank 1..k) sorted by query_id, rank.
+    """
+    import pandas as pd
+    import ray
+
+    # --- index build (shared with pq_encode: m bounded Lloyd fits) ---
+    first = emb_ds.limit(1).take_all()[0]
+    dim = len(first[emb_col])
+    assert dim % m == 0, (dim, m)
+    w = dim // m
+
+    def _slice_ds(j: int):
+        lo, hi = j * w, (j + 1) * w
+
+        def cut(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            mat = _batch_matrix(batch, emb_col)[:, lo:hi]
+            return pa.Table.from_arrays(
+                [ids, pa.array(mat.tolist(), type=pa.list_(pa.float64()))],
+                names=[id_col, emb_col])
+
+        return emb_ds.map_batches(cut, batch_format="pyarrow")
+
+    books = np.stack([lloyd_codebook(_slice_ds(j), n_clusters, iters,
+                                     id_col, emb_col)
+                      for j in range(m)])  # (m, k, w)
+    bref = ray.put(books)
+
+    # query rows (bounded point filter) -> per-query LUTs, broadcast once
+    qset = set(int(q) for q in query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    # bound: |query_ids| rows (point filter)
+    qrows = emb_ds.map_batches(_pick, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: int(r[id_col]))
+    qids = np.asarray([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r[emb_col], dtype=np.float64)
+                       for r in qrows])
+    # LUT[q, j, c] = squared distance of query q's subspace j to centroid c
+    lut = np.stack([
+        ((qmat[:, j * w:(j + 1) * w][:, None, :]
+          - books[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(m)], axis=1)
+    lref = ray.put(lut)
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        b = ray.get(bref)
+        lt = ray.get(lref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _batch_matrix(batch, emb_col)
+        # encode this batch (in the real index the codes ARE the stored
+        # column; here they derive on the fly from the same codebooks)
+        adc = np.zeros((len(ids), len(qids)), dtype=np.float64)
+        for j in range(m):
+            sub = mat[:, j * w:(j + 1) * w]
+            diff = sub[:, None, :] - b[j][None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            code = np.argmin(dist, axis=1)
+            adc += lt[:, j, :][:, code].T  # (batch, nq)
+        kk = min(k + 1, len(ids))
+        out = []
+        for qi, qid in enumerate(qids):
+            col = adc[:, qi]
+            order = np.lexsort((ids, col))[:kk]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": ids[order],
+                                     "adc": col[order]}))
+        return pd.concat(out, ignore_index=True)
+
+    cand = emb_ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group[group["vec_id"] != qid]
+        g = g.sort_values(["adc", "vec_id"]).head(k)
+        return pd.DataFrame({"query_id": qid, "vec_id": g["vec_id"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return (cand.groupby("query_id").map_groups(_final, batch_format="pandas")
+            .sort(["query_id", "rank"]))

@@ -338,3 +338,43 @@ def test_pq_encode_matches_local_reference(emb_ds):
             .to_numpy() == got.loc[got["vec_id"] == 0,
                                    [f"code{j}" for j in range(m_sub)]]
             .to_numpy()).all()
+
+
+def test_pq_adc_topk_matches_local_reference_and_recalls(emb_ds):
+    """ADC ranking equals a single-process recompute over the same
+    codebooks; coarse recall vs exact top-k is nontrivial."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import pq_adc_topk
+
+    ds, m0 = emb_ds
+    m_sub, k_c, k = 2, 3, 8
+    qids = [0, 5, 17]
+    got = pq_adc_topk(ds, qids, k=k, m=m_sub, n_clusters=k_c).to_pandas()
+
+    mat = m0.astype(np.float64)
+    w = DIM // m_sub
+    adc = np.zeros((N, len(qids)))
+    for j in range(m_sub):
+        sub = mat[:, j * w:(j + 1) * w]
+        cents = sub[:k_c].copy()
+        for _ in range(2):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(k_c):
+                if (a == c).any():
+                    cents[c] = sub[a == c].mean(axis=0)
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        code = np.argmin(d, axis=1)
+        qd = ((mat[qids][:, j * w:(j + 1) * w][:, None, :]
+               - cents[None, :, :]) ** 2).sum(axis=2)  # (nq, k_c)
+        adc += qd[:, code].T  # (N, nq)
+    for qi, q in enumerate(qids):
+        col = adc[:, qi].copy()
+        ids = np.arange(N)
+        mask = ids != q
+        order = ids[mask][np.lexsort((ids[mask], col[mask]))][:k]
+        mine = got[got["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert mine == order.tolist(), f"query {q}"
+    # NOTE no near-dup recall assert here: with a 3x3 codebook every
+    # cell-mate ties exactly on adc and the vec_id tie-break decides --
+    # cell co-membership of the planted pair is pinned in
+    # test_pq_encode_matches_local_reference instead.
