@@ -911,17 +911,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_interleaved", "grounding_boxes",
         "doc_clean_text", "doc_token_stats", "doc_quality",
         "doc_char_entropy", "langid_predict", "doc_scrub_pii",
-        "exact_dedup_docs", "minhash_candidates", "minhash_survivors",
-        "neardup_clusters", "ngram_jaccard_pairs", "tfidf_cosine_pairs",
-        "leakage_safe_split", "semdedup",
-        "ann_topk", "ann_lsh", "ann_ivf_trained", "emb_neardup",
+        "exact_dedup_docs", "minhash_candidates", "duplicated_substring_spans",
+        "neardup_clusters", "prefix_ngram_pairs_exact", "tfidf_cosine_pairs",
+        "leakage_safe_split", "dsir_importance_weights",
+        "ann_topk", "ann_pq_adc", "ann_ivf_trained", "emb_neardup",
         "knn_graph", "ann_hard_negatives",
         "doc_bpe_encode", "pack_plan", "jsonl_shards",
         "stratified_sample", "lang_sample_exact_k",
         "temperature_mixture_sample", "train_test_split",
         "q1_pricing_summary", "q3_shipping_priority",
         "min_cost_supplier_q2", "priority_shipping_q12",
-        "events_sessionize", "streaming_sessionize", "events_sliding_hour",
+        "events_sessionize", "streaming_sessionize", "events_late_data",
         "events_windowed_funnel", "streaming_tumbling_hour",
         "events_last_order_asof", "events_nearest_order_join",
         "events_ks_test", "source_drift_fdr", "doclen_twoway_anova",
