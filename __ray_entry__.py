@@ -847,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup": curation.soft_dedup,
         "length_percentile_gate": curation.length_percentile_gate,
         "lang_mixing_weights": curation.lang_mixing_weights,
+        "phrase_search": text.phrase_search,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -2660,6 +2661,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "phrase_search": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            hits AS (
+              SELECT doc_id, i FROM t, unnest(range(1, len(w))) AS r(i)
+              WHERE w[i] = 'table' AND w[i+1] = 'hash')
+            SELECT doc_id, COUNT(*) AS n_matches,
+                   CAST(MIN(i) AS BIGINT) AS first_pos
+            FROM hits GROUP BY doc_id ORDER BY doc_id
         """,
         "events_late_data": """
             WITH a AS (

@@ -2044,3 +2044,56 @@ def doclen_twoway_anova(sf_dir: str, n_buckets: int = 8):
     # |langs| x |sources| cells: the finish legitimately runs in one batch
     return (agg.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def phrase_search(sf_dir: str, phrase: str = "table hash"):
+    """Positional phrase query: all docs containing the exact
+    consecutive word sequence ``phrase``, with match count and first
+    position (1-based over the raw single-space token array --
+    ``inverted_index``'s tokenization).
+
+    Scale shape: a document is a whole row, so every term position of a
+    doc is already local to its batch -- the phrase match is ONE
+    stateless streaming pass with a vectorized per-doc sorted-position
+    intersection at offset j, ZERO shuffle. (An index-side phrase
+    query over a PREBUILT positional posting store would instead join
+    k posting lists on (doc_id, pos+j); with the corpus as input that
+    join is strictly worse than this scan -- the postings extraction
+    here reads exactly the phrase's terms, the moral equivalent of the
+    posting read.)
+
+    Output: (doc_id, n_matches, first_pos) sorted by doc_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    words = [w for w in phrase.split(" ") if w != ""]
+    assert len(words) >= 2, "phrase_search wants a multi-word phrase"
+    wset = set(words)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex["pos"] = ex.groupby("doc_id").cumcount() + 1  # 1-based
+        ex = ex[ex["term"].isin(wset)]
+        ids, counts, firsts = [], [], []
+        for doc, g in ex.groupby("doc_id"):
+            pos_of = {w: np.sort(g.loc[g["term"] == w, "pos"]
+                                 .to_numpy(np.int64)) for w in words}
+            a = pos_of[words[0]]
+            for j, w in enumerate(words[1:], start=1):
+                if len(a) == 0:
+                    break
+                a = np.intersect1d(a, pos_of[w] - j, assume_unique=True)
+            if len(a):
+                ids.append(int(doc))
+                counts.append(int(len(a)))
+                firsts.append(int(a.min()))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "n_matches": pd.Series(counts, dtype="int64"),
+                             "first_pos": pd.Series(firsts, dtype="int64")})
+
+    return ds.map_batches(match, batch_format="pandas",
+                          batch_size=8192).sort("doc_id")

@@ -244,3 +244,33 @@ def test_bigram_lm_score_caps_and_shape(ray_session):
     # floored contexts only ever over-penalize
     m = capped.merge(uncapped, on="doc_id", suffixes=("_c", "_u"))
     assert (m["lm_score_c"] <= m["lm_score_u"] + 1e-9).all()
+
+
+def test_phrase_search_matches_regex_scan(ray_session):
+    """The positional intersection equals a word-split sliding scan,
+    incl. multi-occurrence counts and 3-word phrases."""
+    import numpy as np
+    import pandas as pd
+
+    import os
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import phrase_search
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    for phrase in ["table hash", "the fast key"]:
+        got = phrase_search(sf, phrase=phrase).to_pandas()
+        docs = pd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        words = phrase.split(" ")
+        exp = {}
+        for _, r in docs.iterrows():
+            toks = r["text"].split(" ")
+            hits = [i + 1 for i in range(len(toks) - len(words) + 1)
+                    if toks[i:i + len(words)] == words]
+            if hits:
+                exp[int(r["doc_id"])] = (len(hits), hits[0])
+        assert dict(zip(got["doc_id"],
+                        zip(got["n_matches"], got["first_pos"]))) == exp, phrase
+        assert got["doc_id"].is_monotonic_increasing
