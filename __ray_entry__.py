@@ -838,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
         "dsir_importance_weights": curation.dsir_importance_weights,
+        "ppl_buckets": curation.ppl_buckets,
         "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
         "semdedup": curation.semdedup,
         "doc_bm25": curation.doc_bm25,
@@ -3008,6 +3009,29 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate, o_orderkey)) AS BIGINT), -1)
                      AS next_orderdate_s
             FROM orders
+        """,
+        "ppl_buckets": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != '' GROUP BY doc_id, term),
+            vocab AS (SELECT term, SUM(tf) AS cnt FROM toks GROUP BY term),
+            tot AS (SELECT SUM(cnt) AS total FROM vocab),
+            lp AS (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     ROUND(SUM(tf * ln(cnt)) / SUM(tf)
+                           - ln((SELECT total FROM tot)), 6) AS logprob
+              FROM toks JOIN vocab USING (term) GROUP BY doc_id),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY logprob, doc_id) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM lp)
+            SELECT doc_id, n_tokens, logprob,
+                   CASE WHEN rk <= (n + 2) // 3 THEN 'tail'
+                        WHEN rk <= (n + 2) // 3 + (n + 1) // 3 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM r ORDER BY doc_id
         """,
         "doc_unigram_logprob": """
             WITH toks AS MATERIALIZED (

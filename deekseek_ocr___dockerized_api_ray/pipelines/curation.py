@@ -1542,3 +1542,55 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=8192).sort("doc_id")
+
+
+def ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: rank every doc by its unigram
+    LM score (``doc_unigram_logprob``'s exact algebra) and split the
+    corpus into NTILE(3) terciles -- head (best-scoring third), middle,
+    tail -- the standard language-model quality partition a web corpus
+    is filtered or mixture-weighted by (Wenzek et al. 2020).
+
+    Determinism: the total order is (logprob r6, doc_id), so the two
+    tercile boundary ROWS are exact; bucket membership is a pure
+    integer/rounded-float compare identical in both engines. Tercile
+    sizes follow NTILE's first-groups-larger rule.
+
+    Scale shape: the scored table materializes once (doc grain -- the
+    op's own output size, object store only); each boundary row comes
+    from a distributed sort+limit chain (ONE row reaches the driver);
+    tagging is a stateless broadcast-threshold map.
+
+    Output: (doc_id, n_tokens, logprob r6, bucket) sorted by doc_id.
+    """
+    from .analytics import doc_unigram_logprob
+
+    lp = doc_unigram_logprob(sf_dir).materialize()
+    n = lp.count()
+    b1 = (n + 2) // 3          # NTILE(3): first group gets the remainder
+    b2 = b1 + (n + 1) // 3
+
+    def boundary(k: int):
+        # kth row of the (logprob, doc_id) order: distributed sort+limit,
+        # then the max of those k -- one row to the driver
+        # bound: 1 row (sort+limit boundary probe)
+        row = (lp.sort(["logprob", "doc_id"]).limit(k)
+               .sort(["logprob", "doc_id"], descending=True)
+               .limit(1).take_all())[0]
+        return float(row["logprob"]), int(row["doc_id"])
+
+    (t1_lp, t1_doc), (t2_lp, t2_doc) = boundary(b1), boundary(b2)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        lpv = df["logprob"].to_numpy(np.float64)
+        doc = df["doc_id"].to_numpy(np.int64)
+        le1 = (lpv < t1_lp) | ((lpv == t1_lp) & (doc <= t1_doc))
+        le2 = (lpv < t2_lp) | ((lpv == t2_lp) & (doc <= t2_doc))
+        df = df.copy()
+        # ascending logprob = descending perplexity: the lowest-scoring
+        # third is the tail
+        df["bucket"] = np.where(le1, "tail",
+                                np.where(le2, "middle", "head"))
+        return df
+
+    return lp.map_batches(tag, batch_format="pandas").sort("doc_id")

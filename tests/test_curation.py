@@ -324,3 +324,24 @@ def test_dsir_weights_match_brute_force(ray_session, tmp_path):
     # directional: the all-target-heavy doc outranks the raw-heavy one
     w = dict(zip(got["doc_id"], got["logweight"]))
     assert w[0] > w[2]
+
+
+@needs_data
+def test_ppl_buckets_are_ntile_terciles_of_logprob(ray_session):
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import ppl_buckets
+
+    got = ppl_buckets(SF).to_pandas()
+    n = len(got)
+    b1 = (n + 2) // 3
+    b2 = b1 + (n + 1) // 3
+    sizes = got["bucket"].value_counts()
+    assert sizes["tail"] == b1
+    assert sizes["middle"] == b2 - b1
+    assert sizes["head"] == n - b2
+    # bucket order respects the (logprob, doc_id) total order
+    s = got.sort_values(["logprob", "doc_id"]).reset_index(drop=True)
+    ranks = {"tail": 0, "middle": 1, "head": 2}
+    assert s["bucket"].map(ranks).is_monotonic_increasing
+    # the head's worst score is >= the tail's best
+    assert (got.loc[got["bucket"] == "head", "logprob"].min()
+            >= got.loc[got["bucket"] == "tail", "logprob"].max())
