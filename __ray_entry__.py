@@ -901,6 +901,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned by tests/test_sketches.py
         "events_value_quantiles": scale_ops.events_value_quantiles,
         "embedding_dim_stats": scale_ops.embedding_dim_stats,
+        "emb_covariance": scale_ops.emb_covariance,
+        # PCA whitening: no SQL eigensolver -> rows-only; identity-
+        # covariance/rotation invariants pinned in tests/test_sketches.py
+        "emb_whiten": scale_ops.emb_whiten,
         "kmeans_fit": scale_ops.kmeans_fit,
         "events_exact_median": scale_ops.events_exact_median,
     }
@@ -3672,6 +3676,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(3.0 * (SELECT t FROM tri)
                          / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
                      AS clustering
+        """,
+        "emb_covariance": """
+            WITH x AS MATERIALIZED (
+              SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS t(i)),
+            p AS (
+              SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+                     SUM(a.v) AS sx, SUM(b.v) AS sy, SUM(a.v * b.v) AS sxy
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2)
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   ROUND(sxy / n - (sx / n) * (sy / n), 6) AS cov
+            FROM p ORDER BY i, j
         """,
         "embedding_dim_stats": """
             -- per-dimension power sums over the unnested vector column;

@@ -843,3 +843,132 @@ def embedding_dim_stats(sf_dir: str, n_buckets: int = 4):
         })
 
     return agg.map_batches(finish, batch_format="pandas").sort("dim")
+
+
+def emb_covariance(sf_dir: str, n_buckets: int = 8):
+    """Full covariance matrix of the embedding table (population
+    normalization) -- the moment pass PCA / whitening / Mahalanobis
+    indexing starts from. One streaming map emits the dim x dim
+    cross-moment partial PER BATCH (a single einsum; d^2 floats, never
+    the corpus), a keyed reduce folds them, and the driver finishes the
+    d x d algebra: cov[i,j] = sxy/n - mean_i * mean_j.
+
+    Upper triangle only (i <= j, 1-based dims to match DuckDB's
+    generate_subscripts); r6 absorbs the engines' summation-order
+    difference.
+
+    Output: (i, j, cov r6) sorted by (i, j).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+    from ..stages.similarity import _batch_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(batch, "embedding")
+        if not len(x):
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sx": pd.Series([], dtype="float64"),
+                                 "sy": pd.Series([], dtype="float64"),
+                                 "sxy": pd.Series([], dtype="float64")})
+        d = x.shape[1]
+        xtx = x.T @ x  # (d, d) cross moments, one einsum per batch
+        s1 = x.sum(axis=0, dtype=np.float64)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({
+            "i": (iu + 1).astype(np.int64), "j": (ju + 1).astype(np.int64),
+            "n": np.full(len(iu), len(x), dtype=np.int64),
+            "sx": s1[iu], "sy": s1[ju], "sxy": xtx[iu, ju],
+        })
+
+    # bound: d(d+1)/2 rows (dimension grain)
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=8192),
+                      ["i", "j"],
+                      {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                       "sy": ("sy", "sum"), "sxy": ("sxy", "sum")},
+                      n_buckets=n_buckets).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    cov = (agg["sxy"].to_numpy(np.float64) / n
+           - (agg["sx"].to_numpy(np.float64) / n)
+           * (agg["sy"].to_numpy(np.float64) / n))
+    out = pd.DataFrame({"i": agg["i"].astype("int64"),
+                        "j": agg["j"].astype("int64"),
+                        "cov": round_series(pd.Series(cov), 6)})
+    return rd.from_pandas(out.sort_values(["i", "j"]).reset_index(drop=True))
+
+
+def emb_whiten(sf_dir: str, eps: float = 1e-6):
+    """PCA whitening of the embedding table: project every vector onto
+    the covariance eigenbasis and rescale by 1/sqrt(eigenvalue + eps)
+    -- the decorrelation step that makes downstream cosine/Euclidean
+    geometry isotropic (ZCA/PCA whitening; Bell & Sejnowski 1997).
+
+    The d x d covariance comes from emb_covariance's combiner pass; the
+    eigendecomposition is a driver-side O(d^3) on the TINY matrix (64 x
+    64 -- bound-static: dimension grain, never corpus-dependent); the
+    projection streams with the broadcast rotation. Eigenvector SIGN is
+    basis-ambiguous across LAPACK builds, so this op is rows-only (no
+    SQL eigensolver anyway); its invariants -- identity covariance of
+    the output, norm preservation under pure rotation -- are pinned by
+    tests instead.
+
+    Output: (vec_id, dim [1-based], value r6) long-form whitened
+    coordinates sorted by (vec_id, dim).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.similarity import _batch_matrix
+
+    cov_long = emb_covariance(sf_dir).to_pandas()
+    d = int(cov_long["j"].max())
+    cov = np.zeros((d, d))
+    cov[cov_long["i"] - 1, cov_long["j"] - 1] = cov_long["cov"]
+    cov = cov + np.triu(cov, 1).T  # mirror the upper triangle
+
+    # mean vector for centering (same combiner as embedding_dim_stats)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def mean_part(batch: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(batch, "embedding")
+        return pd.DataFrame({"n": [len(x)],
+                             "s": [x.sum(axis=0, dtype=np.float64).tolist()]})
+
+    # bound: one d-vector row per batch
+    mp = ds.map_batches(mean_part, batch_format="pyarrow",
+                        batch_size=8192).to_pandas()
+    mean = (np.sum(np.stack(mp["s"].to_numpy()), axis=0)
+            / float(mp["n"].sum()))
+
+    evals, evecs = np.linalg.eigh(cov)  # driver-side: 64x64
+    # deterministic sign: make each eigenvector's largest-|.| entry
+    # positive (kills the LAPACK sign ambiguity within one build)
+    flip = np.sign(evecs[np.argmax(np.abs(evecs), axis=0),
+                         np.arange(d)])
+    evecs = evecs * flip
+    w = evecs / np.sqrt(np.maximum(evals, 0.0) + eps)  # (d, d) rotation+scale
+    wref = ray.put((mean, w))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        m, ww = ray.get(wref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        x = _batch_matrix(batch, "embedding") - m
+        z = x @ ww
+        nloc, dd = z.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, dd),
+            "dim": np.tile(np.arange(1, dd + 1, dtype=np.int64), nloc),
+            "value": round_series(pd.Series(z.reshape(-1)), 6),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=8192).sort(["vec_id", "dim"])

@@ -191,3 +191,38 @@ def test_veclookup_empty_keys_all_miss():
     vals, found = lut.lookup(np.array([1, 2, 3]))
     assert found.tolist() == [False, False, False]
     assert len(vals) == 3
+
+
+@needs_data
+def test_emb_whiten_decorrelates(ray_session):
+    """Whitened output has ~identity covariance (eps-regularized), and
+    emb_covariance equals the numpy population covariance."""
+    import numpy as np
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        emb_covariance,
+        emb_whiten,
+    )
+
+    raw = pd.read_parquet(f"{SF}/embeddings.parquet")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in raw["embedding"]])
+    n, d = x.shape
+
+    cov_long = emb_covariance(SF).to_pandas()
+    assert len(cov_long) == d * (d + 1) // 2
+    ref = np.cov(x, rowvar=False, bias=True)
+    got = np.zeros((d, d))
+    got[cov_long["i"] - 1, cov_long["j"] - 1] = cov_long["cov"]
+    iu = np.triu_indices(d)
+    assert np.allclose(got[iu], ref[iu], atol=2e-6)
+
+    z_long = emb_whiten(SF).to_pandas()
+    z = np.zeros((n, d))
+    ids = {v: k for k, v in enumerate(sorted(raw["vec_id"]))}
+    z[[ids[v] for v in z_long["vec_id"]], z_long["dim"] - 1] = z_long["value"]
+    zc = np.cov(z, rowvar=False, bias=True)
+    # eigen-directions decorrelate: off-diagonals ~ 0, diagonals ~ 1
+    off = zc - np.diag(np.diag(zc))
+    assert np.abs(off).max() < 1e-3
+    assert np.allclose(np.diag(zc), 1.0, atol=1e-2)
