@@ -849,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_gate": curation.length_percentile_gate,
         "lang_mixing_weights": curation.lang_mixing_weights,
         "phrase_search": text.phrase_search,
+        "gopher_gate": text.gopher_gate,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -2666,6 +2667,68 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "gopher_gate": rf"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
+              FROM documents),
+            qm AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_chars AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS atl,
+                     CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE)/n_chars, 6) ELSE 0.0 END AS pr,
+                     CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS sr
+              FROM q),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+            lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+            lstats AS (
+              SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                     sum(cnt * length(line)) AS total_chars,
+                     sum((cnt - 1) * length(line)) AS dup_chars
+              FROM lc GROUP BY 1),
+            w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
+                         length(text) AS n_chars FROM documents),
+            g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram, n_chars
+                  FROM w, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt,
+                          any_value(n_chars) AS n_chars FROM g GROUP BY 1, 2),
+            topg AS (
+              SELECT doc_id, (cnt * length(gram))::DOUBLE / n_chars AS frac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rk
+              FROM gc),
+            rm AS (
+              SELECT d.doc_id,
+                     ROUND(CASE WHEN s.n_lines > 0
+                           THEN (s.n_lines - s.n_distinct)::DOUBLE / s.n_lines
+                           ELSE 0 END, 6) AS dl,
+                     ROUND(CASE WHEN s.total_chars > 0
+                           THEN s.dup_chars::DOUBLE / s.total_chars
+                           ELSE 0 END, 6) AS dc,
+                     ROUND(COALESCE(t.frac, 0), 6) AS t2
+              FROM documents d
+              LEFT JOIN lstats s ON s.doc_id = d.doc_id
+              LEFT JOIN (SELECT doc_id, frac FROM topg WHERE rk = 1) t
+                ON t.doc_id = d.doc_id)
+            SELECT qm.doc_id, CAST(qm.n_tokens AS BIGINT) AS n_tokens,
+                   qm.n_tokens >= 30 AND qm.n_tokens <= 100000 AS r_tokens,
+                   qm.atl >= 3.0 AND qm.atl <= 10.0 AS r_wordlen,
+                   qm.pr <= 0.1 AS r_punct,
+                   qm.sr >= 0.02 AS r_stop,
+                   rm.dl <= 0.3 AS r_dupline,
+                   rm.dc <= 0.2 AS r_dupchar,
+                   rm.t2 <= 0.18 AS r_top2,
+                   (qm.n_tokens >= 30 AND qm.n_tokens <= 100000
+                    AND qm.atl >= 3.0 AND qm.atl <= 10.0
+                    AND qm.pr <= 0.1 AND qm.sr >= 0.02
+                    AND rm.dl <= 0.3 AND rm.dc <= 0.2
+                    AND rm.t2 <= 0.18) AS keep
+            FROM qm JOIN rm USING (doc_id)
+            ORDER BY doc_id
         """,
         "phrase_search": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -2097,3 +2097,59 @@ def phrase_search(sf_dir: str, phrase: str = "table hash"):
 
     return ds.map_batches(match, batch_format="pandas",
                           batch_size=8192).sort("doc_id")
+
+
+def gopher_gate(sf_dir: str, min_tokens: int = 30, max_tokens: int = 100000):
+    """Gopher-rule composite quality GATE (Rae et al. 2021, A1.1): the
+    keep/drop decision a web pipeline actually executes, applying the
+    published rule bundle over this engine's quality + repetition
+    metrics -- doc length in [min_tokens, max_tokens], mean word length
+    in [3, 10], punctuation ratio <= 0.1, stopword ratio >= 0.02,
+    duplicate-line fraction <= 0.3, duplicate-line char fraction
+    <= 0.2, top-2-gram char fraction <= 0.18. Every rule compares the
+    r6-ROUNDED metric (the exact values doc_quality / doc_repetition
+    emit), so the flag vector is bit-deterministic in both engines.
+
+    One stateless streaming pass, zero shuffle (all metrics are
+    doc-local).
+
+    Output: (doc_id, n_tokens, one boolean per rule, keep) sorted by
+    doc_id.
+    """
+    import numpy as np
+
+    from ..functions.text_stats import quality_metrics, repetition_metrics
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        qs = [quality_metrics(t) for t in texts]
+        rs = [repetition_metrics(t) for t in texts]
+        nt = np.asarray([q["n_tokens"] for q in qs], dtype=np.int64)
+        atl = np.asarray([q["avg_token_len"] for q in qs])
+        pr = np.asarray([q["punct_ratio"] for q in qs])
+        sr = np.asarray([q["stopword_ratio"] for q in qs])
+        dl = np.asarray([r["dup_line_frac"] for r in rs])
+        dc = np.asarray([r["dup_line_char_frac"] for r in rs])
+        t2 = np.asarray([r["top_2gram_char_frac"] for r in rs])
+        r_tokens = (nt >= min_tokens) & (nt <= max_tokens)
+        r_wordlen = (atl >= 3.0) & (atl <= 10.0)
+        r_punct = pr <= 0.1
+        r_stop = sr >= 0.02
+        r_dupline = dl <= 0.3
+        r_dupchar = dc <= 0.2
+        r_top2 = t2 <= 0.18
+        keep = (r_tokens & r_wordlen & r_punct & r_stop
+                & r_dupline & r_dupchar & r_top2)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").combine_chunks(),
+             pa.array(nt), pa.array(r_tokens), pa.array(r_wordlen),
+             pa.array(r_punct), pa.array(r_stop), pa.array(r_dupline),
+             pa.array(r_dupchar), pa.array(r_top2), pa.array(keep)],
+            names=["doc_id", "n_tokens", "r_tokens", "r_wordlen",
+                   "r_punct", "r_stop", "r_dupline", "r_dupchar",
+                   "r_top2", "keep"])
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          batch_size=8192).sort("doc_id")

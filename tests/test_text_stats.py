@@ -274,3 +274,33 @@ def test_phrase_search_matches_regex_scan(ray_session):
         assert dict(zip(got["doc_id"],
                         zip(got["n_matches"], got["first_pos"]))) == exp, phrase
         assert got["doc_id"].is_monotonic_increasing
+
+
+def test_gopher_gate_flags_are_the_rule_conjunction(ray_session):
+    import os
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.functions.text_stats import (
+        quality_metrics,
+        repetition_metrics,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import gopher_gate
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    got = gopher_gate(sf).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_keep = int(got["keep"].sum())
+    assert 0 < n_keep < len(got), "gate must be discriminative"
+    rules = ["r_tokens", "r_wordlen", "r_punct", "r_stop",
+             "r_dupline", "r_dupchar", "r_top2"]
+    assert (got["keep"] == got[rules].all(axis=1)).all()
+    for _, r in docs.head(80).iterrows():
+        q, rep = quality_metrics(r["text"]), repetition_metrics(r["text"])
+        row = got.loc[r["doc_id"]]
+        assert bool(row["r_tokens"]) == (30 <= q["n_tokens"] <= 100000)
+        assert bool(row["r_stop"]) == (q["stopword_ratio"] >= 0.02)
+        assert bool(row["r_top2"]) == (rep["top_2gram_char_frac"] <= 0.18)
