@@ -754,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_topk": curation.bm25_search_topk,
         "term_graph_triangles": curation.term_graph_triangles,
         "term_graph_assortativity": curation.term_graph_assortativity,
+        "term_label_propagation": curation.term_label_propagation,
         "events_hour_anova": sequences.events_hour_anova,
         "source_drift_fdr": text.source_drift_fdr,
         "doclen_twoway_anova": text.doclen_twoway_anova,
@@ -1305,6 +1306,36 @@ def oracle_sql() -> dict[str, str]:
                          / (((s2t - st * st / n) - (sb - st * st / n))
                             / (n - k)), 6) AS f_stat
             FROM t
+        """,
+        "term_label_propagation": """
+            -- 2 unrolled min-label-propagation rounds over the closed
+            -- neighborhood (labels start as the node itself)
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a.term AS src, b.term AS dst
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term),
+            b AS MATERIALIZED (
+              SELECT src AS node, dst AS nbr FROM e
+              UNION ALL SELECT dst, src FROM e),
+            l0 AS (SELECT DISTINCT node, node AS label FROM b),
+            l1 AS (
+              SELECT node, MIN(label) AS label FROM (
+                SELECT node, label FROM l0
+                UNION ALL
+                SELECT b.node, l.label FROM b JOIN l0 l ON l.node = b.nbr)
+              GROUP BY node),
+            l2 AS (
+              SELECT node, MIN(label) AS label FROM (
+                SELECT node, label FROM l1
+                UNION ALL
+                SELECT b.node, l.label FROM b JOIN l1 l ON l.node = b.nbr)
+              GROUP BY node)
+            SELECT node AS term, label FROM l2 ORDER BY term
         """,
         "term_graph_triangles": """
             -- triangle census: ordered-edge 2-join closure; wedges

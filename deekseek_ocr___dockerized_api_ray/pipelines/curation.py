@@ -1594,3 +1594,70 @@ def ppl_buckets(sf_dir: str):
         return df
 
     return lp.map_batches(tag, batch_format="pandas").sort("doc_id")
+
+
+def term_label_propagation(sf_dir: str, rounds: int = 2,
+                           n_buckets: int = 16):
+    """Min-label propagation over the term co-occurrence graph,
+    UNROLLED to a fixed ``rounds`` (community seeding / the first steps
+    of connected components): every node starts labeled with itself;
+    each round a node's label becomes the lexicographic MIN over its
+    closed neighborhood. Deterministic at any round count (no
+    convergence test), so the oracle can unroll the same two rounds in
+    SQL -- the iterative-algorithm pattern with a bounded trip count.
+
+    Scale shape: the shared ``_term_edges`` exchange builds distinct
+    edges once; per round, ONE hash join (``checkpointed_join`` -- this
+    is a join feeding a groupby feeding the next round's join, the
+    exact chain Ray 2.49 can't plan unaided) attaches neighbor labels
+    and one combiner-reduced grouped MIN folds the closed neighborhood.
+    Labels live only at vocab grain; nothing touches the driver.
+
+    Output: (term, label) sorted by term.
+    """
+    import ray
+    from ..stages.joins import checkpointed_join, default_num_partitions
+
+    edges = _term_edges(sf_dir, n_buckets)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df["src"], df["dst"]], ignore_index=True),
+            "nbr": pd.concat([df["dst"], df["src"]], ignore_index=True),
+        })
+
+    both = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    n_nodes_hint = both.count()  # directed edge count upper-bounds nodes
+
+    labels = grouped_agg(
+        both.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "label": df["node"]}),
+            batch_format="pandas"),
+        ["node"], {"label": ("label", "min")}, n_buckets=n_buckets)
+
+    nparts = default_num_partitions(n_nodes_hint)
+    for _ in range(rounds):
+        nb = checkpointed_join(
+            both,
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "nbr"}),
+                batch_format="pandas"),
+            on=("nbr",), num_partitions=nparts,
+            left_cols=["node", "nbr"], right_cols=["nbr", "label"])
+        # pandas-block projection: union requires uniform block types
+        # (labels' combiner emits pandas; the join emits arrow)
+        rows = labels.union(
+            nb.map_batches(lambda df: df[["node", "label"]],
+                           batch_format="pandas"))
+        # materialize each round's vocab-grain label table (object
+        # store, bounded by |vocab|): keeps exactly ONE hash join in
+        # flight -- two chained joins in a single lazy DAG starve each
+        # other's aggregator actors on a small CPU budget (Ray 2.49)
+        labels = grouped_agg(rows, ["node"],
+                             {"label": ("label", "min")},
+                             n_buckets=n_buckets).materialize()
+
+    return (labels.map_batches(
+        lambda df: df.rename(columns={"node": "term"}),
+        batch_format="pandas").sort("term"))

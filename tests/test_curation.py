@@ -345,3 +345,37 @@ def test_ppl_buckets_are_ntile_terciles_of_logprob(ray_session):
     # the head's worst score is >= the tail's best
     assert (got.loc[got["bucket"] == "head", "logprob"].min()
             >= got.loc[got["bucket"] == "tail", "logprob"].max())
+
+
+def test_label_propagation_matches_networkless_reference(ray_session, tmp_path):
+    """2-round min-label propagation on a hand-built graph: a path
+    component and an isolated edge; round counts matter (the path is
+    too long for every node to reach the min in 2 hops)."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        term_label_propagation,
+    )
+
+    # doc-level co-occurrence builds the edges: docs define cliques
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b", "b c", "c d e", "x y"],
+        # graph: a-b-c-(d,e clique), x-y
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = term_label_propagation(str(tmp_path), rounds=2).to_pandas()
+    lab = dict(zip(got["term"], got["label"]))
+    # round 1: b->a, c->b, d->c, e->c, a->a, x->x, y->x
+    # round 2: min over closed nbhd of round-1 labels
+    #   a: min(a, l1(b)=a) = a;  b: min(a, a, b(c's l1=b)) = a
+    #   c: min(b, l1(b)=a, l1(d)=c, l1(e)=c) = a
+    #   d: min(c, l1(c)=b, l1(e)=c) = b;  e likewise b
+    #   x, y: x
+    assert lab == {"a": "a", "b": "a", "c": "a", "d": "b", "e": "b",
+                   "x": "x", "y": "x"}
+    # more rounds converge d/e to the component min
+    got4 = term_label_propagation(str(tmp_path), rounds=4).to_pandas()
+    lab4 = dict(zip(got4["term"], got4["label"]))
+    assert lab4 == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                    "x": "x", "y": "x"}
