@@ -887,12 +887,12 @@ def emb_covariance(sf_dir: str, n_buckets: int = 8):
             "sx": s1[iu], "sy": s1[ju], "sxy": xtx[iu, ju],
         })
 
-    # bound: d(d+1)/2 rows (dimension grain)
     agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow",
                                      batch_size=8192),
                       ["i", "j"],
                       {"n": ("n", "sum"), "sx": ("sx", "sum"),
                        "sy": ("sy", "sum"), "sxy": ("sxy", "sum")},
+                      # bound-static: d(d+1)/2 rows (dimension grain)
                       n_buckets=n_buckets).to_pandas()
     n = agg["n"].to_numpy(np.float64)
     cov = (agg["sxy"].to_numpy(np.float64) / n
@@ -928,6 +928,7 @@ def emb_whiten(sf_dir: str, eps: float = 1e-6):
     from ..functions.rounding import round_series
     from ..stages.similarity import _batch_matrix
 
+    # bound-static: d(d+1)/2 rows (dimension grain)
     cov_long = emb_covariance(sf_dir).to_pandas()
     d = int(cov_long["j"].max())
     cov = np.zeros((d, d))

@@ -1164,7 +1164,7 @@ def pq_encode(emb_ds, m: int = 2, n_clusters: int = 4, iters: int = 2,
 
     from ..functions.rounding import round_series
 
-    # dim from one row (bounded point read)
+    # bound-static: 1 row (dim probe)
     first = emb_ds.limit(1).take_all()[0]
     dim = len(first[emb_col])
     assert dim % m == 0, (dim, m)
@@ -1230,6 +1230,7 @@ def pq_adc_topk(emb_ds, query_ids, k: int = 10, m: int = 2,
     import ray
 
     # --- index build (shared with pq_encode: m bounded Lloyd fits) ---
+    # bound-static: 1 row (dim probe)
     first = emb_ds.limit(1).take_all()[0]
     dim = len(first[emb_col])
     assert dim % m == 0, (dim, m)
