@@ -419,6 +419,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return prefix_filter_ngram_pairs(_docs_ds(sf_dir), threshold=0.3, n=3)
 
+    def similar_docs_topk_q(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            similar_docs_topk,
+        )
+
+        return similar_docs_topk(_docs_ds(sf_dir), k=5, threshold=0.3, n=3)
+
     def _substr_spans(sf_dir: str):
         # ExactSubstr (Lee et al. 2021) mask at word-8-gram grain
         from deekseek_ocr___dockerized_api_ray.pipelines.substring import (
@@ -655,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_substring_spans": _substr_spans,
         "substring_dedup_clean": _substr_clean,
         "prefix_ngram_pairs_exact": prefix_ngram_pairs_exact,
+        "similar_docs_topk": similar_docs_topk_q,
         "ngram_containment_pairs": ngram_containment_pairs,
         "tfidf_cosine_pairs": tfidf_cosine_pairs,
         # similarity search
@@ -1723,6 +1731,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracles.simhash_pairs_sql(max_hamming=3),
         "simhash_survivors": _oracles.simhash_survivors_sql(max_hamming=3),
         "ngram_jaccard_pairs": _oracles.ngram_jaccard_pairs_sql(threshold=0.3, n=3),
+        "similar_docs_topk": _oracles.similar_docs_topk_sql(k=5,
+                                                            threshold=0.3,
+                                                            n=3),
         "prefix_ngram_pairs_exact": _oracles.exact_ngram_pairs_sql(
             threshold=0.3, n=3),
         # verified near-dup pairs (identical machinery/config as

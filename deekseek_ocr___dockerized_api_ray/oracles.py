@@ -931,3 +931,24 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
   FROM adc WHERE vec_id <> query_id)
 WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def similar_docs_topk_sql(k: int = 5, threshold: float = 0.3,
+                          n: int = 3) -> str:
+    """Per-doc top-k related documents: the exact all-pairs join
+    (exact_ngram_pairs_sql) symmetrized and ranked per doc by
+    (jaccard desc, other_id)."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT * FROM ({exact_ngram_pairs_sql(threshold, n)})),
+sym AS (
+  SELECT id_a AS doc_id, id_b AS other_id, ngram_jaccard FROM base
+  UNION ALL
+  SELECT id_b, id_a, ngram_jaccard FROM base)
+SELECT doc_id, other_id, ngram_jaccard, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY ngram_jaccard DESC, other_id) AS rk
+  FROM sym)
+WHERE rk <= {k}
+ORDER BY doc_id, rk"""

@@ -1160,3 +1160,57 @@ def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
                        n_buckets=n_buckets).select_columns(["id_a", "id_b"])
     return verify_pairs_ngram_jaccard(uniq, docs_ds, threshold=threshold, n=n,
                                       text_col=text_col, id_col=id_col)
+
+
+def similar_docs_topk(docs_ds, k: int = 5, threshold: float = 0.3,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 64):
+    """Per-doc top-k most-similar documents ("related documents"): the
+    EXACT prefix-filter similarity join supplies every pair with
+    word-n-gram Jaccard >= threshold; each doc then keeps its k best
+    neighbors by (jaccard desc, other_id asc). Because the join is
+    exact (not LSH-blocked), the ranking is the true similarity
+    ranking above the radius -- the deterministic twin of an
+    approximate similar-items index.
+
+    Shape: the pair table symmetrizes batch-locally (each undirected
+    pair emits both directions) and ONE doc-keyed bucket groupby ranks
+    per doc; pair volume above the threshold is the true output grain.
+
+    Output: (doc_id, other_id, ngram_jaccard r6, rk 1..k) sorted by
+    (doc_id, rk).
+    """
+    import pandas as pd
+
+    pairs = prefix_filter_ngram_pairs(docs_ds, threshold=threshold, n=n,
+                                      text_col=text_col, id_col=id_col,
+                                      n_buckets=n_buckets)
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": pd.concat([df["id_a"], df["id_b"]],
+                                ignore_index=True),
+            "other_id": pd.concat([df["id_b"], df["id_a"]],
+                                  ignore_index=True),
+            "ngram_jaccard": pd.concat([df["ngram_jaccard"]] * 2,
+                                       ignore_index=True),
+        })
+        h = out["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        out["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return out
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ngram_jaccard", "other_id"],
+                            ascending=[True, False, True])
+        df["rk"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df["rk"] <= k]
+        return df[["doc_id", "other_id", "ngram_jaccard", "rk"]].assign(
+            rk=df["rk"].astype("int64"))
+
+    return (pairs.map_batches(symmetrize, batch_format="pandas")
+            .groupby("bucket").map_groups(rank_bucket,
+                                          batch_format="pandas")
+            .sort(["doc_id", "rk"]))

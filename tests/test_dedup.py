@@ -342,3 +342,39 @@ def test_prefix_filter_exact_paths_agree(ray_session):
         lsh_candidate_pairs(docs), docs, threshold=0.3, n=3).to_pandas()
     exact_set = set(zip(a["id_a"], a["id_b"]))
     assert set(zip(lsh["id_a"], lsh["id_b"])) <= exact_set
+
+
+def test_similar_docs_topk_is_ranked_slice_of_exact_pairs(ray_session):
+    import os
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    SF = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata absent")
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        prefix_filter_ngram_pairs,
+        similar_docs_topk,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = similar_docs_topk(docs, k=3, threshold=0.3, n=3).to_pandas()
+    docs2 = rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+    pairs = prefix_filter_ngram_pairs(docs2, threshold=0.3, n=3).to_pandas()
+    sym = pd.concat([
+        pairs.rename(columns={"id_a": "doc_id", "id_b": "other_id"}),
+        pairs.rename(columns={"id_b": "doc_id", "id_a": "other_id"}),
+    ], ignore_index=True)
+    sym = sym.sort_values(["doc_id", "ngram_jaccard", "other_id"],
+                          ascending=[True, False, True])
+    sym["rk"] = sym.groupby("doc_id").cumcount() + 1
+    exp = sym[sym["rk"] <= 3][["doc_id", "other_id", "ngram_jaccard", "rk"]]
+    exp = exp.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False)
+    assert (got.groupby("doc_id")["rk"].max() <= 3).all()
