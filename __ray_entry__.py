@@ -752,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_seasonal_decompose": analytics.revenue_seasonal_decompose,
         "corpus_health_report": audit.corpus_health_report,
         "events_nearest_order_join": relational.events_nearest_order_join,
+        "events_next_purchase_asof": relational.events_next_purchase_asof,
         "ann_hard_negatives": ann_hard_negatives,
         "temperature_mixture_sample": text.temperature_mixture_sample,
         "leakage_safe_split": curation.leakage_safe_split,
@@ -1203,6 +1204,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events a JOIN events b
               ON a.user_id = b.user_id
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+        """,
+        "events_next_purchase_asof": """
+            WITH p AS (
+              SELECT user_id, ts, min(event_id) AS purchase_event_id
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   p.purchase_event_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+                   CAST(floor(epoch(p.ts)) - floor(epoch(e.ts)) AS BIGINT) AS wait_s
+            FROM events e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.ts < p.ts
+            ORDER BY e.event_id
         """,
         "events_last_order_asof": """
             WITH od AS (

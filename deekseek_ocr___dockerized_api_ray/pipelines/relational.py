@@ -997,3 +997,77 @@ def events_nearest_order_join(sf_dir: str, n_buckets: int = 64):
     return (both.groupby("bucket")
             .map_groups(lambda g: nearest_bucket(g.drop(columns=["bucket"])),
                         batch_format="pandas"))
+
+
+def events_next_purchase_asof(sf_dir: str, n_buckets: int = 64):
+    """FORWARD as-of join inside the event stream: for each event, the
+    same user's NEXT purchase STRICTLY after it (least purchase ts >
+    event ts; ts ties among purchases broken by MIN event_id via a
+    pre-dedup) -- the time-to-conversion attribution primitive,
+    mirror-image of ``events_last_order_asof``.
+
+    Same cogroup shape: ONE keyed shuffle on hash(user) co-locates a
+    user's events and purchases, then a single vectorized
+    ``pandas.merge_asof(direction='forward', allow_exact_matches=
+    False)`` per bucket. Events with no later purchase drop (inner
+    as-of).
+
+    Output: (event_id, user_id, ts_s, purchase_event_id,
+    purchase_ts_s, wait_s) sorted by event_id.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "t": np.asarray(df["ts"], dtype="datetime64[us]"),
+            "is_purchase": (df["event_type"] == "purchase"),
+        })
+        out["bucket"] = (out["user_id"] % n_buckets).astype("int32")
+        return out
+
+    cols = ["event_id", "user_id", "ts_s", "purchase_event_id",
+            "purchase_ts_s", "wait_s"]
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group
+        right = group[group["is_purchase"]]
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        # ts ties among purchases: keep MIN event_id (deterministic)
+        right = (right.sort_values(["user_id", "t", "event_id"])
+                 .drop_duplicates(["user_id", "t"], keep="first"))
+        merged = pd.merge_asof(
+            left.sort_values(["t", "event_id"]),
+            right[["user_id", "t", "event_id"]].sort_values("t")
+                .rename(columns={"event_id": "purchase_event_id",
+                                 "t": "pt"}),
+            left_on="t", right_on="pt", by="user_id",
+            direction="forward", allow_exact_matches=False,
+        )
+        merged = merged[merged["purchase_event_id"].notna()]
+        if merged.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        ts_s = np.asarray(merged["t"], dtype="datetime64[s]").astype("int64")
+        pt_s = np.asarray(merged["pt"], dtype="datetime64[s]").astype("int64")
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "ts_s": ts_s,
+            "purchase_event_id": merged["purchase_event_id"].astype("int64"),
+            "purchase_ts_s": pt_s,
+            "wait_s": pt_s - ts_s,
+        })
+
+    both = ev.map_batches(tag, batch_format="pandas", batch_size=131072)
+    return (both.groupby("bucket").map_groups(asof_bucket,
+                                              batch_format="pandas")
+            .sort("event_id"))

@@ -66,3 +66,39 @@ def test_checkpointed_join_suffix_collision(ray_session):
     out = out.sort_values("id").reset_index(drop=True)
     assert list(out["val"]) == [10, 20]
     assert list(out["val_r"]) == [7, 8]
+
+
+def test_next_purchase_asof_matches_brute_force(ray_session):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_next_purchase_asof,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata absent")
+    got = events_next_purchase_asof(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    pur = ev[ev["event_type"] == "purchase"]
+    exp = {}
+    for _, r in ev.iterrows():
+        mine = pur[(pur["user_id"] == r["user_id"]) & (pur["ts"] > r["ts"])]
+        if mine.empty:
+            continue
+        nxt = mine.sort_values(["ts", "event_id"]).iloc[0]
+        exp[int(r["event_id"])] = (int(nxt["event_id"]),
+                                   int(pd.Timestamp(nxt["ts"]).timestamp())
+                                   - int(pd.Timestamp(r["ts"]).timestamp()))
+    assert dict(zip(got["event_id"],
+                    zip(got["purchase_event_id"], got["wait_s"]))) == exp
+    assert (got["wait_s"] >= 0).all()
+    # strictness: a purchase event never matches itself
+    merged = got.merge(ev[["event_id", "event_type"]], on="event_id")
+    pp = merged[merged["event_type"] == "purchase"]
+    assert (pp["purchase_event_id"] != pp["event_id"]).all()
