@@ -216,6 +216,39 @@ def run_bench() -> dict:
     cms_top_ngrams(SF_DIR).count()
     queries["cms_top_ngrams"] = round(time.perf_counter() - t0, 3)
 
+    # round-4 operator families, one representative leg each
+    from deekseek_ocr___dockerized_api_ray.pipelines.substring import (
+        duplicated_substring_spans,
+    )
+
+    t0 = time.perf_counter()
+    duplicated_substring_spans(SF_DIR, k=8).count()
+    queries["substring_spans"] = round(time.perf_counter() - t0, 3)
+
+    # NOTE prefix_filter_ngram_pairs (the EXACT all-pairs join) is not a
+    # routine leg: the synthetic corpus's ~30-word vocabulary makes every
+    # gram common, defeating prefix filtering's rare-token skew defense
+    # (measured 114 s at sf0.1/32cpus for 256 pairs) -- the LSH chain
+    # above is the scale path; the exact join is its ground-truth twin.
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import pq_adc_topk
+
+    t0 = time.perf_counter()
+    pq_adc_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+    queries["ann_pq_adc"] = round(time.perf_counter() - t0, 3)
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import gopher_gate
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_late_data,
+    )
+
+    t0 = time.perf_counter()
+    gopher_gate(SF_DIR).count()
+    queries["gopher_gate"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    events_late_data(SF_DIR).count()
+    queries["events_late_data"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "flagship extraction wall time (mock-OCR, span-equal pipeline)",
         "value": round(extract_sec, 3),
