@@ -860,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mixing_weights": curation.lang_mixing_weights,
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
+        "tokenizer_fertility": text.tokenizer_fertility,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -2724,6 +2725,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "tokenizer_fertility": r"""
+            WITH c AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '\S+')) AS n_w,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_s,
+                     len(array_to_string(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'), '')) AS n_c
+              FROM documents)
+            SELECT lang,
+                   CAST(SUM(n_w) AS BIGINT) AS n_words,
+                   CAST(SUM(n_s) AS BIGINT) AS n_subtokens,
+                   ROUND(CAST(SUM(n_s) AS DOUBLE) / SUM(n_w), 6) AS fertility,
+                   ROUND(CAST(SUM(n_c) AS DOUBLE) / SUM(n_s), 6)
+                     AS chars_per_subtoken
+            FROM c GROUP BY lang ORDER BY lang
         """,
         "gopher_gate": rf"""
             WITH q AS (

@@ -2153,3 +2153,67 @@ def gopher_gate(sf_dir: str, min_tokens: int = 30, max_tokens: int = 100000):
 
     return ds.map_batches(gate, batch_format="pyarrow",
                           batch_size=8192).sort("doc_id")
+
+
+def tokenizer_fertility(sf_dir: str, n_buckets: int = 4):
+    """Per-language tokenizer fertility: pre-tokenizer subword tokens
+    (letter runs / digit runs / single non-alnum marks -- the GPT-2-
+    style pre-tok split) per whitespace word -- the statistic tokenizer
+    budgeting runs per language before training (fertility >> 1 means
+    the language pays more sequence length per word).
+
+    Counts are exact integers from one combiner pass at language grain;
+    the two ratios round r6 identically in both engines.
+
+    Output: (lang, n_words, n_subtokens, fertility r6,
+    chars_per_subtoken r6) sorted by lang.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    sub_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ws_re = re.compile(r"\S+")
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = batch.to_pandas()
+        rows = []
+        for lang, g in df.groupby("lang"):
+            n_w = n_s = n_c = 0
+            for t in g["text"]:
+                n_w += len(ws_re.findall(t))
+                subs = sub_re.findall(t)
+                n_s += len(subs)
+                n_c += sum(len(x) for x in subs)
+            rows.append({"lang": lang, "n_words": n_w,
+                         "n_subtokens": n_s, "n_subchars": n_c})
+        return pd.DataFrame(rows)
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=8192),
+                      ["lang"],
+                      {"n_words": ("n_words", "sum"),
+                       "n_subtokens": ("n_subtokens", "sum"),
+                       "n_subchars": ("n_subchars", "sum")},
+                      # bound-static: language grain
+                      n_buckets=n_buckets).to_pandas().sort_values("lang")
+    out = pd.DataFrame({
+        "lang": agg["lang"],
+        "n_words": agg["n_words"].astype("int64"),
+        "n_subtokens": agg["n_subtokens"].astype("int64"),
+        "fertility": round_series(
+            agg["n_subtokens"].astype(np.float64)
+            / agg["n_words"].astype(np.float64), 6),
+        "chars_per_subtoken": round_series(
+            agg["n_subchars"].astype(np.float64)
+            / agg["n_subtokens"].astype(np.float64), 6),
+    }).reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

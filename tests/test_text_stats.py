@@ -304,3 +304,31 @@ def test_gopher_gate_flags_are_the_rule_conjunction(ray_session):
         assert bool(row["r_tokens"]) == (30 <= q["n_tokens"] <= 100000)
         assert bool(row["r_stop"]) == (q["stopword_ratio"] >= 0.02)
         assert bool(row["r_top2"]) == (rep["top_2gram_char_frac"] <= 0.18)
+
+
+def test_tokenizer_fertility_matches_regex_recount(ray_session):
+    import os
+    import re
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        tokenizer_fertility,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    got = tokenizer_fertility(sf).to_pandas().set_index("lang")
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["lang", "text"])
+    sub = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ws = re.compile(r"\S+")
+    for lang, g in docs.groupby("lang"):
+        n_w = sum(len(ws.findall(t)) for t in g["text"])
+        n_s = sum(len(sub.findall(t)) for t in g["text"])
+        row = got.loc[lang]
+        assert row["n_words"] == n_w and row["n_subtokens"] == n_s
+        assert abs(row["fertility"] - n_s / n_w) < 1e-6
+    # fertility >= 1: the pre-tok split never merges whitespace words
+    assert (got["fertility"] >= 1.0).all()
