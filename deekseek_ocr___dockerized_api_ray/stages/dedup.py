@@ -1037,7 +1037,8 @@ def minhash_estimator_audit(docs_ds, n_hashes: int = 64, bands: int = 16,
 def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
                               text_col: str = "text", id_col: str = "doc_id",
                               broadcast_df: int = 5_000_000,
-                              n_buckets: int = 64):
+                              n_buckets: int = 64,
+                              verify_broadcast_occ: int = 32_000_000):
     """EXACT set-similarity join: every pair with word-n-gram Jaccard
     >= threshold, found by prefix filtering (Chaudhuri et al. 2006 /
     Bayardo et al. 2007 "All Pairs") instead of approximate LSH
@@ -1051,6 +1052,13 @@ def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
     verification then removes false candidates. Prefix tokens are the
     RAREST by construction, which keeps per-token groups small (the
     published skew defense of this algorithm).
+
+    Low-selectivity corpora (a tiny vocabulary makes every gram
+    common) defeat the rare-prefix defense, so each prefix token also
+    carries its POSITION in the doc's df-ordered gram list and the
+    candidate stage applies PPJoin's positional + length filters
+    (Xiao et al. 2008) vectorized over one hash merge per gram-chunk
+    -- see ``pairs_in_group`` -- instead of one pandas merge per gram.
 
     The gram -> df table broadcasts once below ``broadcast_df`` distinct
     grams; above the gate, gram-occurrence rows hash-join the df table
@@ -1082,7 +1090,8 @@ def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
 
     def prefix_of(group: pd.DataFrame) -> pd.DataFrame:
         """group = all (gram, df) rows of >=1 docs; emit each doc's
-        prefix tokens + set size (vectorized per doc via cumcount)."""
+        prefix tokens + (position, set size) -- the PPJoin filter
+        payload -- vectorized per doc via cumcount."""
         g = group.sort_values([id_col, "df", "g"], kind="mergesort")
         sz = g.groupby(id_col, sort=False)[id_col].transform("size")
         rank = g.groupby(id_col, sort=False).cumcount()
@@ -1091,13 +1100,15 @@ def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
         return pd.DataFrame({
             "g": g["g"].to_numpy()[keep],
             id_col: g[id_col].to_numpy()[keep],
-            "sz": sz.to_numpy()[keep]})
+            "sz": sz.to_numpy()[keep],
+            "pos": rank.to_numpy()[keep].astype(np.int64)})
 
     if n_grams <= broadcast_df:
         # bound: gated at broadcast_df distinct grams (hash join +
-        # doc-keyed bucket groupby above the gate)
-        dmap = {r["g"]: r["df"] for r in dfreq.iter_rows()}
-        dref = ray.put(dmap)
+        # doc-keyed bucket groupby above the gate).  to_pandas, not
+        # iter_rows: the per-row proxy path costs ~0.6 ms/row.
+        dpdf = dfreq.to_pandas()
+        dref = ray.put(dict(zip(dpdf["g"], dpdf["df"].astype(np.int64))))
 
         def prefix_local(df: pd.DataFrame) -> pd.DataFrame:
             dm = ray.get(dref)
@@ -1125,27 +1136,74 @@ def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
                     .map_groups(lambda g: prefix_of(g.drop(columns=["bucket"])),
                                 batch_format="pandas"))
 
+    # per-merge pair-volume cap: bounds the materialized candidate frame
+    # regardless of gram-group skew (low-selectivity corpora)
+    pair_chunk = 4_000_000
+    empty_pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64"),
+                                "one": pd.Series([], dtype="int64")})
+
     def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
-        """Pairs sharing a prefix gram, with the length filter
-        t * max(sz) <= min(sz) (a necessary condition for J >= t)."""
+        """Candidate pairs sharing a prefix gram: ONE hash merge per
+        gram-chunk (not one pandas merge per gram -- merge setup alone
+        dominates on many-small-group corpora), then PPJoin's filters
+        (Xiao et al. 2008) vectorized over the merged frame:
+
+        - length filter: t * max(sz) <= min(sz);
+        - positional filter: a pair witnessed by a shared prefix token
+          at positions (pa, pb) of the df-ordered gram lists has
+          overlap <= min(pa, pb) + min(sz_a - pa, sz_b - pb): shared
+          tokens strictly before the witness are bounded by the
+          shorter preceding span, the witness plus its suffix by the
+          shorter remaining span.  The bound holds at EVERY shared
+          token, so a true pair (overlap >= alpha) survives from all
+          of its witnesses and per-witness pruning loses nothing.
+
+        alpha = ceil(t/(1+t) * (sz_a + sz_b)) is the overlap J >= t
+        requires; the 1e-9 slack keeps float ceil from over-pruning
+        exact-integer boundaries (verification is exact regardless).
+        """
+        g = group.sort_values("g", kind="mergesort", ignore_index=True)
+        code = pd.factorize(g["g"], sort=False)[0]
+        cnt = np.bincount(code).astype(np.int64)
+        multi = cnt[code] >= 2
+        if not multi.any():
+            return empty_pairs
+        g = g.loc[multi].reset_index(drop=True)
+        code = pd.factorize(g["g"], sort=False)[0]
+        cnt = np.bincount(code).astype(np.int64)
+        # chunk grams so each merge materializes <= ~pair_chunk rows
+        # (a single gram bigger than the cap still merges alone)
+        w = cnt * cnt
+        gram_chunk = (np.cumsum(w) - w) // pair_chunk
+        row_chunk = gram_chunk[code]
         outs = []
-        for _, g in group.groupby("g", sort=False):
-            if len(g) < 2:
-                continue
-            m = g.merge(g, on="g", suffixes=("_a", "_b"))
-            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-            lo = np.minimum(m["sz_a"], m["sz_b"])
-            hi = np.maximum(m["sz_a"], m["sz_b"])
-            m = m[threshold * hi <= lo]
-            outs.append(pd.DataFrame({
-                "id_a": m[f"{id_col}_a"].to_numpy(dtype=np.int64),
-                "id_b": m[f"{id_col}_b"].to_numpy(dtype=np.int64),
-                "one": np.ones(len(m), dtype=np.int64)}))
+        for c in np.unique(row_chunk):
+            sub = g.loc[row_chunk == c]
+            m = sub.merge(sub, on="g", suffixes=("_a", "_b"))
+            ia = m[f"{id_col}_a"].to_numpy(np.int64)
+            ib = m[f"{id_col}_b"].to_numpy(np.int64)
+            sa = m["sz_a"].to_numpy(np.int64)
+            sb = m["sz_b"].to_numpy(np.int64)
+            pos_a = m["pos_a"].to_numpy(np.int64)
+            pos_b = m["pos_b"].to_numpy(np.int64)
+            keep = ia < ib
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            keep &= threshold * hi <= lo
+            alpha = np.ceil(
+                threshold * (sa + sb) / (1.0 + threshold) - 1e-9)
+            ubound = (np.minimum(pos_a, pos_b)
+                      + np.minimum(sa - pos_a, sb - pos_b))
+            keep &= ubound >= alpha
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "id_a": ia[keep], "id_b": ib[keep],
+                    "one": np.ones(int(keep.sum()), dtype=np.int64)}))
         if not outs:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "one": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+            return empty_pairs
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            ["id_a", "id_b"], ignore_index=True)
 
     def bucket_gram(df: pd.DataFrame) -> pd.DataFrame:
         b = df["g"].map(lambda s: sha1_64(s) % n_buckets)
@@ -1158,6 +1216,58 @@ def prefix_filter_ngram_pairs(docs_ds, threshold: float = 0.3, n: int = 3,
                         batch_format="pandas"))
     uniq = grouped_agg(cand, ["id_a", "id_b"], {"one": ("one", "max")},
                        n_buckets=n_buckets).select_columns(["id_a", "id_b"])
+
+    occ_total = int(dpdf["df"].sum()) if n_grams <= broadcast_df else None
+    if occ_total is not None and occ_total <= verify_broadcast_occ:
+        # bound: gated at broadcast_df distinct grams AND 32M total gram
+        # occurrences (~256 MB of int64 ids): verify against broadcast
+        # per-doc sorted gram-ID arrays with numpy intersections instead
+        # of re-tokenizing both texts per pair in Python -- exact ids
+        # from the global gram table, so values match the text path
+        # bit-for-bit (intersection over ids == intersection over grams).
+        gid = {g: i for i, g in enumerate(dpdf["g"])}
+        gid_ref = ray.put(gid)
+
+        def to_id_lists(df: pd.DataFrame) -> pd.DataFrame:
+            gm = ray.get(gid_ref)
+            arrs = [np.sort(np.fromiter((gm[g] for g in word_ngrams(t, n)),
+                                        dtype=np.int64)).tolist()
+                    for t in df[text_col].to_numpy()]
+            return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                                 "gids": arrs})
+
+        doc_arrs = {}
+        for b in (docs_ds.map_batches(to_id_lists, batch_format="pandas",
+                                      batch_size=4096)
+                  .iter_batches(batch_size=8192, batch_format="pyarrow")):
+            for i, lst in zip(b.column(id_col).to_pylist(),
+                              b.column("gids").to_pylist()):
+                doc_arrs[i] = np.asarray(lst, dtype=np.int64)
+        arr_ref = ray.put(doc_arrs)
+
+        def verify_ids(batch: pa.Table) -> pa.Table:
+            arrs = ray.get(arr_ref)
+            ia = batch.column("id_a").to_pylist()
+            ib = batch.column("id_b").to_pylist()
+            out_a, out_b, out_j = [], [], []
+            for x, y in zip(ia, ib):
+                A, B = arrs[x], arrs[y]
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                union = A.size + B.size - inter
+                j = 1.0 if union == 0 else inter / union
+                j = round_half_away(j, 6)
+                if j >= threshold:
+                    out_a.append(x)
+                    out_b.append(y)
+                    out_j.append(j)
+            return pa.Table.from_arrays(
+                [pa.array(out_a, type=pa.int64()),
+                 pa.array(out_b, type=pa.int64()),
+                 pa.array(out_j, type=pa.float64())],
+                names=["id_a", "id_b", "ngram_jaccard"])
+
+        return uniq.map_batches(verify_ids, batch_format="pyarrow")
+
     return verify_pairs_ngram_jaccard(uniq, docs_ds, threshold=threshold, n=n,
                                       text_col=text_col, id_col=id_col)
 

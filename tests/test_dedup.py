@@ -378,3 +378,52 @@ def test_similar_docs_topk_is_ranked_slice_of_exact_pairs(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_dtype=False)
     assert (got.groupby("doc_id")["rk"].max() <= 3).all()
+
+
+def test_prefix_filter_ppjoin_filters_lossless(ray_session):
+    """The PPJoin positional + length candidate filters (Xiao et al.
+    2008) and the gated gram-id fast verify are LOSSLESS: the engine's
+    pair set equals brute-force all-pairs word-n-gram Jaccard >= t
+    (values r6-identical), and the fast-verify path equals the
+    text-reverify fallback path bit-for-bit."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import (
+        jaccard,
+        word_ngrams,
+    )
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        prefix_filter_ngram_pairs,
+    )
+
+    pdf = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    grams = {i: word_ngrams(t, 3) for i, t in zip(pdf["doc_id"], pdf["text"])}
+    rows = []
+    for a, b in itertools.combinations(sorted(grams), 2):
+        j = round_half_away(jaccard(grams[a], grams[b]), 6)
+        if j >= 0.3:
+            rows.append((a, b, j))
+    exp = pd.DataFrame(rows, columns=["id_a", "id_b", "ngram_jaccard"])
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    key = ["id_a", "id_b"]
+    fast = prefix_filter_ngram_pairs(docs, threshold=0.3, n=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+    slow = prefix_filter_ngram_pairs(
+        docs, threshold=0.3, n=3, verify_broadcast_occ=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.sort_values(key).reset_index(drop=True),
+        slow.sort_values(key).reset_index(drop=True), check_dtype=False)
+    assert len(fast) > 0
