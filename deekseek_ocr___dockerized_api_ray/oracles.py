@@ -952,3 +952,74 @@ SELECT doc_id, other_id, ngram_jaccard, CAST(rk AS BIGINT) AS rk FROM (
   FROM sym)
 WHERE rk <= {k}
 ORDER BY doc_id, rk"""
+
+
+# ---------------------------------------------------------------------------
+# Shared per-doc metric CTE builders (quality + repetition)
+#
+# doc_quality, doc_repetition AND gopher_gate compose their oracles
+# from THESE builders so the three can never silently desync (ADVICE
+# r4): the gate's rule thresholds compare the exact r6-rounded values
+# the metric queries publish (functions/text_stats.py).
+# ---------------------------------------------------------------------------
+
+STOP_SQL = r"\b(?:the|and|of|to|a|in|is|it|for|on)\b"
+
+
+def quality_metrics_ctes(table: str = "documents") -> str:
+    """CTE chain ``q, qm``: per-doc counts (n_chars, n_tokens) and the
+    r6-rounded ratios atl (avg token len), pr (punct ratio), sr
+    (stopword ratio) -- functions/text_stats.py quality_metrics."""
+    return rf"""q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '{STOP_SQL}')) AS n_stop
+              FROM {table}),
+            qm AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_chars AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS atl,
+                     CASE WHEN n_chars > 0 THEN ROUND(CAST(n_punct AS DOUBLE)/n_chars, 6) ELSE 0.0 END AS pr,
+                     CASE WHEN n_tokens > 0 THEN ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 6) ELSE 0.0 END AS sr
+              FROM q)"""
+
+
+def repetition_metrics_ctes(table: str = "documents") -> str:
+    """CTE chain ``lines..rm``: per-doc r6-rounded repetition metrics
+    dl (dup-line frac), dc (dup-line char frac), t2 (top-2-gram char
+    frac) -- functions/text_stats.py repetition_metrics. ``rm`` left-
+    joins back to ``table`` so every doc_id appears (zero metrics for
+    degenerate docs)."""
+    return rf"""lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM {table}),
+            lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+            lstats AS (
+              SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                     sum(cnt * length(line)) AS total_chars,
+                     sum((cnt - 1) * length(line)) AS dup_chars
+              FROM lc GROUP BY 1),
+            w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws,
+                         length(text) AS n_chars FROM {table}),
+            g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram, n_chars
+                  FROM w, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt,
+                          any_value(n_chars) AS n_chars FROM g GROUP BY 1, 2),
+            topg AS (
+              SELECT doc_id, (cnt * length(gram))::DOUBLE / n_chars AS frac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rk
+              FROM gc),
+            rm AS (
+              SELECT d.doc_id,
+                     ROUND(CASE WHEN s.n_lines > 0
+                           THEN (s.n_lines - s.n_distinct)::DOUBLE / s.n_lines
+                           ELSE 0 END, 6) AS dl,
+                     ROUND(CASE WHEN s.total_chars > 0
+                           THEN s.dup_chars::DOUBLE / s.total_chars
+                           ELSE 0 END, 6) AS dc,
+                     ROUND(COALESCE(t.frac, 0), 6) AS t2
+              FROM {table} d
+              LEFT JOIN lstats s ON s.doc_id = d.doc_id
+              LEFT JOIN (SELECT doc_id, frac FROM topg WHERE rk = 1) t
+                ON t.doc_id = d.doc_id)"""

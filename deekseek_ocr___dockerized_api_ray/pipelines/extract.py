@@ -353,7 +353,8 @@ def _bucketed_reassemble(flat_ds, mode: str, n_buckets: int = 64,
 
 
 def _spill_reassemble(flat_ds, mode: str, n_buckets: int, spill_dir: str,
-                      extract_images: bool = False):
+                      extract_images: bool = False,
+                      exchange_timings: Optional[dict] = None):
     """Exploded-path reassembly via the disk-based partitioned exchange
     (stages/exchange.py): map-side bucket spill, one reduce task per
     bucket -- no global sort. ~3-4x faster than the sort shuffle at
@@ -364,7 +365,8 @@ def _spill_reassemble(flat_ds, mode: str, n_buckets: int, spill_dir: str,
     bucketed = _add_doc_bucket(flat_ds, n_buckets)
     builder = _make_bucket_builder(mode, extract_images)
     return partitioned_exchange(bucketed, "bucket", n_buckets, spill_dir,
-                                builder, EXTRACTED_SCHEMA)
+                                builder, EXTRACTED_SCHEMA,
+                                timings=exchange_timings)
 
 
 def run_extract(
@@ -381,6 +383,7 @@ def run_extract(
     max_pages: int = 0,
     extract_images: bool = False,
     spill_dir: Optional[str] = None,
+    exchange_timings: Optional[dict] = None,
 ):
     """Build the (lazy) extraction Dataset for a corpus path or Dataset.
 
@@ -428,7 +431,8 @@ def run_extract(
     )
     if spill_dir is not None:
         return _spill_reassemble(ocrd, mode, reassemble_buckets, spill_dir,
-                                 extract_images=extract_images)
+                                 extract_images=extract_images,
+                                 exchange_timings=exchange_timings)
     return _bucketed_reassemble(ocrd, mode, reassemble_buckets,
                                 extract_images=extract_images)
 

@@ -2054,8 +2054,10 @@ def phrase_search(sf_dir: str, phrase: str = "table hash"):
 
     Scale shape: a document is a whole row, so every term position of a
     doc is already local to its batch -- the phrase match is ONE
-    stateless streaming pass with a vectorized per-doc sorted-position
-    intersection at offset j, ZERO shuffle. (An index-side phrase
+    stateless streaming pass, vectorized ACROSS docs: word j's
+    positions shift to candidate starts (pos - j) and L-1 batch-local
+    hash joins on (doc_id, start) keep only complete phrases. ZERO
+    shuffle. (An index-side phrase
     query over a PREBUILT positional posting store would instead join
     k posting lists on (doc_id, pos+j); with the corpus as input that
     join is strictly worse than this scan -- the postings extraction
@@ -2078,22 +2080,29 @@ def phrase_search(sf_dir: str, phrase: str = "table hash"):
               .loc[:, ["doc_id", "term"]].explode("term"))
         ex["pos"] = ex.groupby("doc_id").cumcount() + 1  # 1-based
         ex = ex[ex["term"].isin(wset)]
-        ids, counts, firsts = [], [], []
-        for doc, g in ex.groupby("doc_id"):
-            pos_of = {w: np.sort(g.loc[g["term"] == w, "pos"]
-                                 .to_numpy(np.int64)) for w in words}
-            a = pos_of[words[0]]
-            for j, w in enumerate(words[1:], start=1):
-                if len(a) == 0:
-                    break
-                a = np.intersect1d(a, pos_of[w] - j, assume_unique=True)
-            if len(a):
-                ids.append(int(doc))
-                counts.append(int(len(a)))
-                firsts.append(int(a.min()))
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                             "n_matches": pd.Series(counts, dtype="int64"),
-                             "first_pos": pd.Series(firsts, dtype="int64")})
+        # vectorized ACROSS docs (no per-doc Python loop): word j's
+        # occurrences shifted to candidate phrase starts (pos - j),
+        # then L-1 hash joins on (doc_id, start) -- a phrase match at
+        # start p exists iff every word survives the join chain. Each
+        # (doc_id, pos) is unique per word slice, so the joins never
+        # fan out.
+        base = None
+        for j, w in enumerate(words):
+            sj = ex.loc[ex["term"] == w, ["doc_id", "pos"]]
+            sj = pd.DataFrame({"doc_id": sj["doc_id"].to_numpy(np.int64),
+                               "start": sj["pos"].to_numpy(np.int64) - j})
+            base = sj if j == 0 else base.merge(sj, on=["doc_id", "start"])
+            if base.empty:
+                break
+        if base is None or base.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_matches": pd.Series([], dtype="int64"),
+                                 "first_pos": pd.Series([], dtype="int64")})
+        out = (base.groupby("doc_id")["start"]
+               .agg(n_matches="count", first_pos="min").reset_index())
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "n_matches": out["n_matches"].astype("int64"),
+                             "first_pos": out["first_pos"].astype("int64")})
 
     return ds.map_batches(match, batch_format="pandas",
                           batch_size=8192).sort("doc_id")
@@ -2203,16 +2212,22 @@ def tokenizer_fertility(sf_dir: str, n_buckets: int = 4):
                        "n_subchars": ("n_subchars", "sum")},
                       # bound-static: language grain
                       n_buckets=n_buckets).to_pandas().sort_values("lang")
+    # zero guards: a language whose docs have no \S+ words (or no
+    # subtokens) yields 0.0, not NaN/inf -- mirrored by CASE WHEN in
+    # the oracle SQL so both engines agree on degenerate languages.
+    n_w = agg["n_words"].astype(np.float64)
+    n_s = agg["n_subtokens"].astype(np.float64)
+    n_c = agg["n_subchars"].astype(np.float64)
     out = pd.DataFrame({
         "lang": agg["lang"],
         "n_words": agg["n_words"].astype("int64"),
         "n_subtokens": agg["n_subtokens"].astype("int64"),
-        "fertility": round_series(
-            agg["n_subtokens"].astype(np.float64)
-            / agg["n_words"].astype(np.float64), 6),
-        "chars_per_subtoken": round_series(
-            agg["n_subchars"].astype(np.float64)
-            / agg["n_subtokens"].astype(np.float64), 6),
+        "fertility": round_series(pd.Series(
+            np.where(n_w > 0, n_s / np.where(n_w > 0, n_w, 1.0), 0.0),
+            index=agg.index), 6),
+        "chars_per_subtoken": round_series(pd.Series(
+            np.where(n_s > 0, n_c / np.where(n_s > 0, n_s, 1.0), 0.0),
+            index=agg.index), 6),
     }).reset_index(drop=True)
     import ray.data as rd
 

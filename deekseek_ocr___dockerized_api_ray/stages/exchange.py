@@ -133,7 +133,8 @@ def reduce_buckets(spill_dir: str, n_buckets: int,
 def partitioned_exchange(ds, bucket_col: str, n_buckets: int, spill_dir: str,
                          reduce_fn: Callable[[pa.Table], pa.Table],
                          empty_schema: Optional[pa.Schema] = None,
-                         fresh: bool = True):
+                         fresh: bool = True,
+                         timings: Optional[dict] = None):
     """spill_write + reduce_buckets.
 
     fresh=True (default) deletes any existing spill_dir first -- a stale
@@ -141,17 +142,26 @@ def partitioned_exchange(ds, bucket_col: str, n_buckets: int, spill_dir: str,
     fresh=False to reuse an INTACT map phase (e.g. re-running only the
     reduce after a failure): spill_write is then skipped entirely if the
     directory already has bucket files.
+
+    ``timings`` (optional dict) receives ``map_sec``: the wall time of
+    the consuming map phase (read -> upstream stages -> bucket spill up
+    to the barrier), so a caller timing the whole job can attribute
+    map vs reduce cost from the artifact alone.
     """
     import shutil
+    import time
 
     has_existing = os.path.isdir(spill_dir) and any(
         d.startswith("bucket=") and os.listdir(os.path.join(spill_dir, d))
         for d in os.listdir(spill_dir)
     )
+    t0 = time.perf_counter()
     if fresh:
         if os.path.isdir(spill_dir):
             shutil.rmtree(spill_dir)
         spill_write(ds, bucket_col, n_buckets, spill_dir)
     elif not has_existing:
         spill_write(ds, bucket_col, n_buckets, spill_dir)
+    if timings is not None:
+        timings["map_sec"] = time.perf_counter() - t0
     return reduce_buckets(spill_dir, n_buckets, reduce_fn, empty_schema)

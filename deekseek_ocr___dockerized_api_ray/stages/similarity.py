@@ -1109,6 +1109,12 @@ def range_search(emb_ds, query_ids, threshold: float = 0.3,
     zero-copy batch matmul, vectorized mask -- fully streaming, no
     reduce stage at all (unlike top-k there is no cross-batch ranking).
 
+    Zero-norm corpus vectors are EXCLUDED (cosine is undefined for
+    them): the SQL oracle's list_cosine_similarity yields NULL for a
+    zero vector and NULL fails any >= comparison, so dropping them in
+    the engine keeps the sets identical at every threshold, including
+    threshold <= 0 (ADVICE r4).
+
     Output: (query_id, vec_id, cosine r6) sorted by query_id, vec_id.
     """
     import pandas as pd
@@ -1125,7 +1131,10 @@ def range_search(emb_ds, query_ids, threshold: float = 0.3,
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             vids = np.asarray(batch.column(id_col).to_pylist(),
                               dtype=np.int64)
-            m = _normalize(_batch_matrix(batch, emb_col))
+            raw = _batch_matrix(batch, emb_col)
+            nonzero = np.linalg.norm(raw, axis=1) > 0
+            vids, raw = vids[nonzero], raw[nonzero]
+            m = _normalize(raw)
             sims = m @ self.q.T  # (batch, n_queries)
             r6 = np.where(sims >= 0,
                           np.floor(sims * 1e6 + 0.5) / 1e6,

@@ -303,6 +303,27 @@ def test_range_search_matches_numpy_threshold_set(emb_ds):
     assert (0, 250) in got_pairs
 
 
+def test_range_search_drops_zero_norm_vectors(ray_session):
+    """Zero-norm corpus vectors are excluded even at threshold <= 0:
+    the SQL oracle's cosine is NULL for a zero vector and NULL fails
+    any >= comparison (ADVICE r4 engine/oracle alignment)."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        range_search,
+    )
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.0, 0.0]},   # zero norm
+        {"vec_id": 2, "embedding": [-1.0, 0.0]},  # cosine -1 to q0
+        {"vec_id": 3, "embedding": [0.5, 0.0]},   # cosine +1 to q0
+    ]
+    got = range_search(rd.from_items(rows), [0],
+                       threshold=-1.0).to_pandas()
+    assert set(got["vec_id"]) == {2, 3}  # 1 dropped, not cosine-0
+
+
 def test_pq_encode_matches_local_reference(emb_ds):
     """Codes and qerr equal a single-process PQ with the identical
     seed/tie conventions (seeds = slice of vec_id < k, 2-iter Lloyd,

@@ -332,3 +332,25 @@ def test_tokenizer_fertility_matches_regex_recount(ray_session):
         assert abs(row["fertility"] - n_s / n_w) < 1e-6
     # fertility >= 1: the pre-tok split never merges whitespace words
     assert (got["fertility"] >= 1.0).all()
+
+
+def test_tokenizer_fertility_zero_word_language(ray_session, tmp_path):
+    """A language whose docs contain no \\S+ tokens must yield 0.0
+    ratios, not NaN/inf (ADVICE r4: division-by-zero guard, mirrored
+    by CASE WHEN in the oracle)."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        tokenizer_fertility,
+    )
+
+    pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "lang": ["zz", "zz", "en"],
+        "text": ["", "  \n\t ", "hello world"],
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = tokenizer_fertility(str(tmp_path)).to_pandas().set_index("lang")
+    assert got.loc["zz", "n_words"] == 0
+    assert got.loc["zz", "fertility"] == 0.0
+    assert got.loc["zz", "chars_per_subtoken"] == 0.0
+    assert got.loc["en", "fertility"] == 1.0
