@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         audit,
         curation,
+        media,
         relational,
         scale_ops,
         sequences,
@@ -861,6 +862,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
+        "media_dedup": media.media_dedup,
+        "repeated_media_census": media.repeated_media_census,
+        "doc_media_stats": media.doc_media_stats,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -2732,6 +2736,9 @@ def oracle_sql() -> dict[str, str]:
             FROM qm JOIN rm USING (doc_id)
             ORDER BY doc_id
         """,
+        "media_dedup": _oracles.media_dedup_sql(),
+        "repeated_media_census": _oracles.repeated_media_census_sql(),
+        "doc_media_stats": _oracles.doc_media_stats_sql(),
         "phrase_search": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),

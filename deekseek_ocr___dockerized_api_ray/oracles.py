@@ -1023,3 +1023,83 @@ def repetition_metrics_ctes(table: str = "documents") -> str:
               LEFT JOIN lstats s ON s.doc_id = d.doc_id
               LEFT JOIN (SELECT doc_id, frac FROM topg WHERE rk = 1) t
                 ON t.doc_id = d.doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Media-payload dedup family (pipelines/media.py)
+#
+# The fixture media table is rebuilt INLINE: every pick uses
+# md5_number_lower (the engine's functions/hashing._hash64 twin) and
+# the payload's canonical lowercase-hex serialization is re-hashed
+# with sha256 -- DuckDB's sha256 only takes VARCHAR, so the content
+# key is sha256(hex(payload)) on both sides.
+# ---------------------------------------------------------------------------
+
+def _le32_hex(expr: str) -> str:
+    """Lowercase hex of a value < 256 packed as little-endian uint32
+    (the struct.pack('<I', v) bytes of the fixture dims)."""
+    return f"lower(lpad(to_hex({expr}), 2, '0')) || '000000'"
+
+
+def media_fixture_ctes(table: str = "documents", n_assets: int = 64,
+                       max_media: int = 4) -> str:
+    """CTE chain ``md, mr, mp``: the deterministic doc->media explode
+    (0..max_media-1 refs per doc, asset pool of n_assets) ending in
+    (doc_id, media_ref, asset_id, content_key)."""
+    magic_hex = "46414b45504e4730"  # b"FAKEPNG0".hex()
+    w = f"64 + (asset_id % 8) * 16"
+    h = f"48 + (asset_id % 5) * 32"
+    return f"""md AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(doc_id::VARCHAR || ':nm')
+                          % {max_media} AS BIGINT) AS n_m
+              FROM {table}),
+            mr AS (
+              SELECT doc_id, CAST(j AS BIGINT) AS j,
+                     CAST(md5_number_lower(doc_id::VARCHAR || ':m'
+                          || j::VARCHAR) % {n_assets} AS BIGINT) AS asset_id
+              FROM md, unnest(range(0, n_m)) AS u(j)),
+            mp AS (
+              SELECT doc_id,
+                     'media://' || doc_id::VARCHAR || '/' || j::VARCHAR
+                       AS media_ref,
+                     asset_id,
+                     sha256('{magic_hex}'
+                            || {_le32_hex(w)}
+                            || {_le32_hex(h)}
+                            || sha256('asset:' || asset_id::VARCHAR))
+                       AS content_key
+              FROM mr)"""
+
+
+def media_dedup_sql() -> str:
+    return f"""
+WITH {media_fixture_ctes()}
+SELECT content_key, MIN(media_ref) AS keeper_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM mp GROUP BY content_key ORDER BY content_key"""
+
+
+def repeated_media_census_sql(min_refs: int = 2) -> str:
+    return f"""
+WITH {media_fixture_ctes()}
+SELECT content_key, CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM mp GROUP BY content_key
+HAVING COUNT(*) >= {min_refs}
+ORDER BY content_key"""
+
+
+def doc_media_stats_sql() -> str:
+    return f"""
+WITH {media_fixture_ctes()},
+s AS (SELECT doc_id, COUNT(*) AS n_media,
+             COUNT(DISTINCT asset_id) AS n_distinct
+      FROM mp GROUP BY doc_id)
+SELECT md.doc_id,
+       CAST(COALESCE(s.n_media, 0) AS BIGINT) AS n_media,
+       CAST(COALESCE(s.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(s.n_media, 0) - COALESCE(s.n_distinct, 0) AS BIGINT)
+         AS n_dup_refs
+FROM md LEFT JOIN s USING (doc_id)
+ORDER BY md.doc_id"""
