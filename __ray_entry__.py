@@ -865,6 +865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": media.media_dedup,
         "repeated_media_census": media.repeated_media_census,
         "doc_media_stats": media.doc_media_stats,
+        "quality_classifier_gate": curation.quality_classifier_gate,
+        "quality_keep_rate": curation.quality_keep_rate,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
         # deterministic merge loop; differential-tested (no_oracle: the
@@ -2739,6 +2741,8 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": _oracles.media_dedup_sql(),
         "repeated_media_census": _oracles.repeated_media_census_sql(),
         "doc_media_stats": _oracles.doc_media_stats_sql(),
+        "quality_classifier_gate": _oracles.quality_classifier_gate_sql(),
+        "quality_keep_rate": _oracles.quality_keep_rate_sql(),
         "phrase_search": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),
@@ -4336,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         ("ks_click_view", "events_ks_test", "ks_d"),
         ("mannwhitney_z", "events_mannwhitney_u", "z"),
         ("mutual_info_nmi", "event_weekday_mutual_info", "nmi"),
+        ("quality_keep_rate", "quality_keep_rate", "keep_rate"),
         ("weekend_jsd_norm", "weekend_type_jsd", "jsd_norm"),
         ("zipf_slope", "corpus_zipf_fit", "slope"),
     ]

@@ -1103,3 +1103,56 @@ SELECT md.doc_id,
          AS n_dup_refs
 FROM md LEFT JOIN s USING (doc_id)
 ORDER BY md.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate (pipelines/curation.quality_classifier_gate)
+# ---------------------------------------------------------------------------
+
+def quality_classifier_gate_sql(pos_col: str = "lang",
+                                pos_values=("en",),
+                                n_features: int = 256) -> str:
+    """Naive-Bayes log-odds over hashed unigram features, recomputed
+    inline: md5_number_lower is the engine's _hash64 twin and every ln
+    operand is an exact integer, so the weight table agrees bit-for-bit
+    and the per-doc score agrees at r6 (sum-order drift only)."""
+    pos = ", ".join(f"'{v}'" for v in pos_values)
+    d = n_features
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {pos_col}, term,
+         CAST(md5_number_lower(term) % {d} AS BIGINT) AS b
+  FROM (SELECT doc_id, {pos_col}, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term <> ''),
+cls AS (
+  SELECT b,
+         SUM(CASE WHEN {pos_col} IN ({pos}) THEN 1 ELSE 0 END) AS c_p,
+         COUNT(*) AS c_a
+  FROM tk GROUP BY b),
+tot AS (SELECT SUM(c_p) AS n_p, SUM(c_a - c_p) AS n_n FROM cls),
+dc AS (SELECT COUNT(*) FILTER (WHERE {pos_col} IN ({pos})) AS d_p,
+              COUNT(*) AS d_a FROM documents),
+w AS (SELECT b,
+             ln(CAST((c_p + 1) * (n_n + {d}) AS DOUBLE))
+             - ln(CAST((c_a - c_p + 1) * (n_p + {d}) AS DOUBLE)) AS wgt
+      FROM cls, tot),
+feat AS (SELECT doc_id, b, COUNT(*) AS n FROM tk GROUP BY doc_id, b),
+ss AS (SELECT doc_id, SUM(n * wgt) AS s, SUM(n) AS n_tok
+       FROM feat JOIN w USING (b) GROUP BY doc_id)
+SELECT doc_id, n_feat_tokens, score, score >= 0 AS keep FROM (
+  SELECT d.doc_id,
+         CAST(COALESCE(ss.n_tok, 0) AS BIGINT) AS n_feat_tokens,
+         ROUND(ln(CAST(dc.d_p + 1 AS DOUBLE))
+               - ln(CAST(dc.d_a - dc.d_p + 1 AS DOUBLE))
+               + COALESCE(ss.s, 0.0), 6) AS score
+  FROM documents d CROSS JOIN dc
+  LEFT JOIN ss ON ss.doc_id = d.doc_id)
+ORDER BY doc_id"""
+
+
+def quality_keep_rate_sql() -> str:
+    return f"""
+SELECT ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+FROM ({quality_classifier_gate_sql()})"""

@@ -148,12 +148,14 @@ def corpus_health_report(sf_dir: str):
     of the members' own SQL.
 
     Metrics: zipf_slope, heaps_beta, ks_click_view, mutual_info_nmi,
-    entropy_rate_ratio, weekend_jsd_norm, mannwhitney_z.
+    entropy_rate_ratio, weekend_jsd_norm, mannwhitney_z,
+    quality_keep_rate (the learned classifier gate's keep fraction).
 
     Output: (metric, value r6) sorted by metric.
     """
     import pandas as pd
 
+    from .curation import quality_keep_rate
     from .sequences import (
         event_weekday_mutual_info,
         events_ks_test,
@@ -175,6 +177,8 @@ def corpus_health_report(sf_dir: str):
         ("mannwhitney_z", scalar(events_mannwhitney_u(sf_dir), "z")),
         ("mutual_info_nmi", scalar(event_weekday_mutual_info(sf_dir),
                                    "nmi")),
+        ("quality_keep_rate", scalar(quality_keep_rate(sf_dir),
+                                     "keep_rate")),
         ("weekend_jsd_norm", scalar(weekend_type_jsd(sf_dir), "jsd_norm")),
         ("zipf_slope", scalar(corpus_zipf_fit(sf_dir), "slope")),
     ]

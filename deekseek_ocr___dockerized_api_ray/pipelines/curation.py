@@ -1661,3 +1661,140 @@ def term_label_propagation(sf_dir: str, rounds: int = 2,
     return (labels.map_batches(
         lambda df: df.rename(columns={"node": "term"}),
         batch_format="pandas").sort("term"))
+
+
+def quality_classifier_gate(sf_dir: str, pos_col: str = "lang",
+                            pos_values=("en",),
+                            n_features: int = 256, n_buckets: int = 16):
+    """Learned quality GATE: a linear classifier over hashed unigram
+    features (the fastText-style scorer of Joulin et al. 2016 that
+    GPT-3/CCNet-descended pipelines run after the rule gates), trained
+    closed-form as naive-Bayes log-odds so the weights are a pure
+    function of integer counts -- no SGD, hence fully oracle-
+    recomputable. Positive class = the ``pos_col in pos_values`` slice
+    (default: English docs -- the one slice of this synthetic corpus
+    with real lexical structure, standing in for the "curated
+    reference" side of a GPT-3-style quality classifier); negative =
+    the rest of the corpus.
+
+    Features: token -> md5_number_lower(token) % n_features (the
+    hashing trick; functions/hashing._hash64 is the SQL twin).
+    Weights: w_b = ln((c_pos_b+1)(n_neg+D)) - ln((c_neg_b+1)(n_pos+D)),
+    prior w0 = ln(d_pos+1) - ln(d_neg+1) -- every ln operand an exact
+    integer (the DSIR discipline), products < 2^53 at oracle scales
+    (document-bound above). score(doc) = w0 + sum_b n_b w_b, rounded
+    r6; keep = r6 score >= 0. Cross-engine float-sum order drift is
+    absorbed at r6 (same as dsir_importance_weights).
+
+    Scale shape: ONE combiner pass for class-conditional bucket counts
+    (D+1 rows per batch, D-grain reduce; the driver sees D+1 rows --
+    bound-static: feature grain, gated at n_features), weights
+    broadcast via ray.put, then ONE stateless scoring pass -- zero
+    doc-grain shuffle. Every doc gets a verdict, token-less docs score
+    the bare prior.
+
+    Output: (doc_id, n_feat_tokens, score r6, keep) sorted by doc_id.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+
+    pos = set(pos_values)
+    D = n_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", pos_col, "text"])
+
+    def _bucketize(terms: pd.Series) -> np.ndarray:
+        uniq = terms.unique()
+        lut = {t: _hash64(t) % D for t in uniq}
+        return terms.map(lut).to_numpy(np.int64)
+
+    def feat_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["is_pos"] = df[pos_col].isin(pos).astype(np.int64)
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["is_pos", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        if ex.empty:
+            g = pd.DataFrame({"b": pd.Series(dtype="int64"),
+                              "c_p": pd.Series(dtype="int64"),
+                              "c_a": pd.Series(dtype="int64")})
+        else:
+            ex["b"] = _bucketize(ex["term"])
+            g = ex.groupby("b", as_index=False, sort=False).agg(
+                c_p=("is_pos", "sum"), c_a=("b", "size"))
+        # pseudo-bucket -1 carries the per-batch DOC counts
+        g = pd.concat([g, pd.DataFrame(
+            {"b": [-1], "c_p": [int(df["is_pos"].sum())],
+             "c_a": [len(df)]})], ignore_index=True)
+        return g
+
+    counts = grouped_agg(
+        ds.map_batches(feat_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["b"], {"c_p": ("c_p", "sum"), "c_a": ("c_a", "sum")},
+        # bound-static: feature grain -- combiner-reduced to at most
+        # n_features+1 rows regardless of corpus size
+        n_buckets=n_buckets).to_pandas()
+    docs_row = counts[counts["b"] == -1]
+    d_p = int(docs_row["c_p"].iloc[0])
+    d_n = int(docs_row["c_a"].iloc[0]) - d_p
+    tc = counts[counts["b"] >= 0]
+    n_p = int(tc["c_p"].sum())
+    n_n = int(tc["c_a"].sum()) - n_p
+    w = np.zeros(D, dtype=np.float64)
+    b_idx = tc["b"].to_numpy(np.int64)
+    c_pv = tc["c_p"].to_numpy(np.int64)
+    c_nv = tc["c_a"].to_numpy(np.int64) - c_pv
+    w[b_idx] = (np.log((c_pv + 1.0) * (n_n + D))
+                - np.log((c_nv + 1.0) * (n_p + D)))
+    w0 = float(np.log(d_p + 1.0) - np.log(d_n + 1.0))
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        wv = ray.get(w_ref)
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        if ex.empty:
+            agg = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                "n_feat_tokens": pd.Series(dtype="int64"),
+                                "s": pd.Series(dtype="float64")})
+        else:
+            ex["b"] = _bucketize(ex["term"])
+            g = ex.groupby(["doc_id", "b"], as_index=False, sort=True).agg(
+                n=("b", "size"))
+            g["w"] = g["n"].to_numpy(np.float64) * wv[g["b"].to_numpy(np.int64)]
+            agg = g.groupby("doc_id", as_index=False, sort=False).agg(
+                n_feat_tokens=("n", "sum"), s=("w", "sum"))
+        out = df[["doc_id"]].merge(agg, on="doc_id", how="left")
+        out["n_feat_tokens"] = out["n_feat_tokens"].fillna(0).astype("int64")
+        out["score"] = round_series(w0 + out["s"].fillna(0.0), 6)
+        out["keep"] = out["score"] >= 0.0
+        return out[["doc_id", "n_feat_tokens", "score", "keep"]]
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=8192).sort("doc_id")
+
+
+def quality_keep_rate(sf_dir: str):
+    """Scalar keep rate of quality_classifier_gate (the corpus-health
+    dashboard number): kept_docs / total_docs, r6. Composition, not
+    duplication -- runs the full gate and folds its flag."""
+    from ..stages.agg import grouped_agg as _ga  # noqa: F401  (doc parity)
+
+    gate = quality_classifier_gate(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [int(df["keep"].sum())],
+                             "n": [len(df)]})
+
+    # bound: one row per block, folded driver-side (scalar grain)
+    parts = gate.map_batches(partial, batch_format="pandas",
+                             batch_size=1 << 20).to_pandas()
+    k, n = int(parts["k"].sum()), int(parts["n"].sum())
+    rate = float(round_series(pd.Series([k / n if n else 0.0]), 6).iloc[0])
+    return pd.DataFrame({"keep_rate": [rate]})
