@@ -945,15 +945,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture_sample", "train_test_split",
         "q1_pricing_summary", "q3_shipping_priority",
         "min_cost_supplier_q2", "priority_shipping_q12",
-        "events_sessionize", "streaming_sessionize", "events_late_data",
+        "events_sessionize", "events_late_data",
         "events_windowed_funnel", "streaming_tumbling_hour",
         "events_last_order_asof", "events_nearest_order_join",
-        "events_ks_test", "source_drift_fdr", "doclen_twoway_anova",
-        "benford_order_totals",
-        "term_graph_triangles", "term_graph_assortativity",
-        "bm25_search_topk", "inverted_index",
-        "revenue_pareto", "streaming_user_reach_hll",
+        "events_ks_test",
     ]
+    # Slots 40-44: the queries NEW this round, so the external oracle
+    # always sees fresh operators first. Slots 45-49: seeded rotation
+    # over every other oracled query (seed = round number, inferred
+    # from the CORRECTNESS_r*.json artifacts already on disk), so
+    # successive rounds cumulatively expose more of the suite to the
+    # driver's independent check (r4 VERDICT #8).
+    head += [
+        "media_dedup", "repeated_media_census", "doc_media_stats",
+        "quality_classifier_gate", "quality_keep_rate",
+    ]
+    import glob
+    import random
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1)) for f in glob.glob(
+        os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))]
+    rnd = (max(rounds) + 1) if rounds else 1
+    pool = sorted(set(oracle_sql()) & set(q) - set(head))
+    head += random.Random(f"window:{rnd}").sample(pool, 5)
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 

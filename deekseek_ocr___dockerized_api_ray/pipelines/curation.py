@@ -1557,9 +1557,12 @@ def ppl_buckets(sf_dir: str):
     sizes follow NTILE's first-groups-larger rule.
 
     Scale shape: the scored table materializes once (doc grain -- the
-    op's own output size, object store only); each boundary row comes
-    from a distributed sort+limit chain (ONE row reaches the driver);
-    tagging is a stateless broadcast-threshold map.
+    op's own output size, object store only); BOTH tercile boundary
+    rows come from ONE distributed sort of that table --
+    ``split_at_indices`` on the materialized sorted result is block
+    slicing by global row index, not another exchange (r4 VERDICT #6:
+    the previous sort+limit probe chain cost 4 global sorts); tagging
+    is a stateless broadcast-threshold map.
 
     Output: (doc_id, n_tokens, logprob r6, bucket) sorted by doc_id.
     """
@@ -1570,16 +1573,16 @@ def ppl_buckets(sf_dir: str):
     b1 = (n + 2) // 3          # NTILE(3): first group gets the remainder
     b2 = b1 + (n + 1) // 3
 
-    def boundary(k: int):
-        # kth row of the (logprob, doc_id) order: distributed sort+limit,
-        # then the max of those k -- one row to the driver
-        # bound: 1 row (sort+limit boundary probe)
-        row = (lp.sort(["logprob", "doc_id"]).limit(k)
-               .sort(["logprob", "doc_id"], descending=True)
-               .limit(1).take_all())[0]
+    # the ONE sort; boundary rows b1 and b2 (1-based) sliced by index
+    slp = lp.sort(["logprob", "doc_id"]).materialize()
+    parts = slp.split_at_indices([b1 - 1, b1, b2 - 1, b2])
+
+    def boundary(part):
+        # bound: 1 row (single-index slice of the sorted table)
+        row = part.take_all()[0]
         return float(row["logprob"]), int(row["doc_id"])
 
-    (t1_lp, t1_doc), (t2_lp, t2_doc) = boundary(b1), boundary(b2)
+    (t1_lp, t1_doc), (t2_lp, t2_doc) = boundary(parts[1]), boundary(parts[3])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         lpv = df["logprob"].to_numpy(np.float64)

@@ -651,7 +651,7 @@ def streaming_tumbling_hour(sf_dir: str, n_chunks: int = 4,
 
 
 def events_late_data(sf_dir: str, lateness_s: int = 120,
-                     jitter_mod: int = 601):
+                     jitter_mod: int = 601, grain_s: int = 3600):
     """Watermark late-data tagging (the beam/flink side-output): each
     event ARRIVES at event-time + a deterministic jitter (out-of-order
     delivery); the watermark trails the max event time seen so far by
@@ -667,11 +667,16 @@ def events_late_data(sf_dir: str, lateness_s: int = 120,
     no float anywhere, so engine and oracle agree bit-for-bit.
 
     Scale shape: the prefix-max over arrival order decomposes by
-    arrival HOUR -- per-hour max event time is a combiner-reduced
-    aggregate (bound-static: calendar grain), the driver prefix-scans
-    the hour summaries once, and the per-event compare runs inside
-    hour-keyed groups with a vectorized shifted running max. One keyed
-    shuffle; state on the driver is one row per hour.
+    arrival-time bucket of width ``grain_s`` (default one hour) --
+    per-bucket max event time is a combiner-reduced aggregate
+    (bound-static: calendar grain), the driver prefix-scans the bucket
+    summaries once, and the per-event compare runs inside bucket-keyed
+    groups with a vectorized shifted running max. One keyed shuffle;
+    state on the driver is one row per bucket. The prefix algebra is
+    grain-invariant, so when an hour runs hot (per-group size is
+    events-per-bucket, unbounded in event rate at fixed grain), pass
+    ``grain_s=60`` to sub-bucket by minute with IDENTICAL output --
+    pinned by the path-equivalence test (r4 VERDICT #7).
 
     Output: (event_id, ts_s, arrival_s, is_late, lateness_obs_s)
     sorted by event_id.
@@ -682,7 +687,7 @@ def events_late_data(sf_dir: str, lateness_s: int = 120,
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts"])
     late_us = lateness_s * 1_000_000
-    hour_us = 3_600_000_000
+    grain_us = grain_s * 1_000_000
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         ts_us = np.asarray(df["ts"], dtype="datetime64[us]").astype(np.int64)
@@ -690,17 +695,17 @@ def events_late_data(sf_dir: str, lateness_s: int = 120,
         arr_us = ts_us + ((eid % 86400) * 48271 % jitter_mod) * 1_000_000
         return pd.DataFrame({"event_id": eid, "ts_us": ts_us,
                              "arr_us": arr_us,
-                             "hour": arr_us // hour_us})
+                             "hour": arr_us // grain_us})
 
     prepped = ev.map_batches(prep, batch_format="pandas",
                              batch_size=131072).materialize()
 
     from ..stages.agg import grouped_agg
 
-    # bound-static: calendar grain (one row per arrival hour)
+    # bound-static: calendar grain (one row per arrival bucket)
     hmax = grouped_agg(prepped, ["hour"], {"mx": ("ts_us", "max")},
                        n_buckets=16).to_pandas().sort_values("hour")
-    # prefix over STRICTLY earlier hours; first hour has no predecessor
+    # prefix over STRICTLY earlier buckets; first has no predecessor
     prefix = hmax["mx"].cummax().shift(1)
     pmap = {int(h): (None if pd.isna(p) else int(p))
             for h, p in zip(hmax["hour"], prefix)}

@@ -252,3 +252,18 @@ def test_events_late_data_matches_sequential_watermark(ray_session):
     assert got["lateness_obs_s"].tolist() == exp["lateness_obs_s"].tolist()
     # the jitter/lateness pair is discriminative: some but not all late
     assert 0 < int(got["is_late"].sum()) < len(got)
+
+
+@needs_data
+def test_events_late_data_grain_invariant(ray_session):
+    """Path equivalence: sub-bucketing hot hours by minute (grain_s=60)
+    -- the skew defense for event-rate-unbounded hour groups -- yields
+    byte-identical output to the default hour grain."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_late_data,
+    )
+
+    hour = events_late_data(SF).to_pandas().reset_index(drop=True)
+    minute = (events_late_data(SF, grain_s=60)
+              .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(hour, minute)
