@@ -560,6 +560,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ivf_trained_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_recall_at_k(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            ann_recall_at_k as _recall,
+        )
+
+        return _recall(_emb_ds(sf_dir), _QUERY_IDS, k=10)
+
     def doc_bpe_encode(sf_dir: str):
         # A3: tokenizer built once per actor in __init__ (merge table
         # broadcast via ray.put); train-then-encode in one pipeline.
@@ -679,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
+        "ann_recall_at_k": ann_recall_at_k,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_bpe_encode": doc_bpe_encode,
         "emb_neardup": emb_neardup,
@@ -859,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup": curation.soft_dedup,
         "length_percentile_gate": curation.length_percentile_gate,
         "lang_mixing_weights": curation.lang_mixing_weights,
+        "source_unigram_kl": curation.source_unigram_kl,
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
@@ -1792,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),
         "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
         "ann_ivf_trained": _oracles.ann_ivf_trained_sql(_QUERY_IDS, k=10),
+        "ann_recall_at_k": _oracles.ann_recall_sql(_QUERY_IDS, k=10),
         "ann_topk_filtered": f"""
             WITH q AS (
               SELECT vec_id AS query_id, label AS qlabel,
@@ -1807,6 +1817,30 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
               FROM s)
             WHERE rank <= 10
+        """,
+        "source_unigram_kl": """
+            -- KL(P_source || P_corpus) over whitespace unigrams; each
+            -- elementary double op mirrors the engine's finish
+            -- (tf/n_s, ctf/n, divide, ln, multiply), r6 absorbs SUM
+            -- associativity
+            WITH t AS (
+              SELECT source, term, COUNT(*) AS tf
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != '' GROUP BY 1, 2),
+            ct AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS ctf
+                   FROM t GROUP BY 1),
+            ns AS (SELECT source, CAST(SUM(tf) AS DOUBLE) AS n_s
+                   FROM t GROUP BY 1),
+            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM t)
+            SELECT t.source AS source,
+                   CAST(ns.n_s AS BIGINT) AS n_tokens,
+                   ROUND(SUM((CAST(t.tf AS DOUBLE) / ns.n_s)
+                             * ln((CAST(t.tf AS DOUBLE) / ns.n_s)
+                                  / (ct.ctf / tot.n))), 6) AS kl_unigram
+            FROM t JOIN ct USING (term) JOIN ns USING (source), tot
+            GROUP BY t.source, ns.n_s
+            ORDER BY source
         """,
         "lang_mixing_weights": """
             WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
@@ -1827,20 +1861,7 @@ def oracle_sql() -> dict[str, str]:
               AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) >= 0.3
             ORDER BY query_id, vec_id
         """,
-        "ann_topk": f"""
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-              FROM embeddings WHERE vec_id IN ({",".join(str(i) for i in _QUERY_IDS)})),
-            s AS (
-              SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
-              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
-              SELECT query_id, vec_id,
-                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-              FROM s)
-            WHERE rank <= 10
-        """,
+        "ann_topk": _oracles.ann_exact_topk_sql(_QUERY_IDS, k=10),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -546,6 +546,44 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
 WHERE rank <= {k}"""
 
 
+def ann_exact_topk_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10) -> str:
+    """Exact brute-force cosine top-k (stages/similarity.brute_force_topk):
+    the ground-truth ranking every ANN variant is measured against.
+    Shared builder so ann_topk and ann_recall_at_k cannot desync."""
+    qs = ",".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN ({qs})),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def ann_recall_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, n_lists: int = 16,
+                   n_probe: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Recall@k of the IVF probe path vs the exact baseline
+    (stages/similarity.ann_recall_at_k): |approx top-k ∩ exact top-k| / k
+    per query. Composes ann_exact_topk_sql and ann_ivf_sql verbatim so
+    the evaluation oracle can never drift from the rankings it grades.
+    The division is one double op on an integer count, so no rounding is
+    needed for exact-float agreement with the engine."""
+    exact = ann_exact_topk_sql(query_ids, k)
+    approx = ann_ivf_sql(query_ids, k, n_lists, n_probe, dim, seed)
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx})
+SELECT e.query_id,
+       CAST(COUNT(a.vec_id) AS DOUBLE) / {k} AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id ORDER BY e.query_id"""
+
+
 def emb_neardup_sql(threshold: float = 0.4, bands: int = 6,
                     rows_per_band: int = 3, dim: int = 64,
                     seed: int = 42) -> str:

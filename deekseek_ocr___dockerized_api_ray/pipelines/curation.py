@@ -417,6 +417,74 @@ def lang_mixing_weights(sf_dir: str, alpha_num: int = 1, alpha_den: int = 2):
     return rd.from_pandas(out)
 
 
+def source_unigram_kl(sf_dir: str, n_buckets: int = 16):
+    """Per-source unigram KL divergence from the corpus-wide unigram
+    distribution -- KL(P_source || P_corpus) over whitespace-split
+    terms, the data-mixture drift diagnostic (which sources' language
+    deviates most from the blend they feed). Zero-count terms
+    contribute 0 to a source's KL, so each source only needs its OWN
+    cells -- no dense |sources| x vocab pivot exists anywhere.
+
+    Shape: combiner counts at (source, term) grain, one vocab-grain
+    groupby to attach corpus term totals to each cell, a source-grain
+    totals collect (bound: |sources| rows), then a source-keyed finish
+    over that source's cells. At 100 TB the (source, term) aggregate
+    wants the dsir-style capped-vocab guard (sort+limit to top-V terms,
+    tail pooled into an OOV bucket); at fixture vocab it is exact.
+
+    Output: (source, n_tokens, kl_unigram r6) sorted by source.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["source", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return (ex.groupby(["source", "term"], as_index=False, sort=False)
+                .agg(tf=("term", "size")))
+
+    cells = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=8192),
+        ["source", "term"], {"tf": ("tf", "sum")}, n_buckets=n_buckets,
+        # bound: |sources| x vocab cells (post-reduce aggregate; reused
+        # twice below -- materialized so the corpus scan runs once)
+    ).materialize()
+
+    totals = grouped_agg(cells, ["source"], {"n_s": ("tf", "sum")},
+                         # bound: source grain
+                         n_buckets=4).to_pandas()
+    n_s = {s: float(v) for s, v in zip(totals["source"], totals["n_s"])}
+    n_total = float(totals["n_s"].sum())
+
+    def attach_ct(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["ctf"] = float(g["tf"].sum())
+        return g
+
+    with_ct = cells.groupby("term").map_groups(attach_ct,
+                                               batch_format="pandas")
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        src = group["source"].iloc[0]
+        ns = n_s[src]
+        ps = group["tf"].to_numpy(dtype=np.float64) / ns
+        pc = group["ctf"].to_numpy(dtype=np.float64) / n_total
+        kl = float((ps * np.log(ps / pc)).sum())
+        return pd.DataFrame({
+            "source": [src],
+            "n_tokens": np.asarray([ns], dtype=np.int64),
+            "kl_unigram": round_series(pd.Series([kl]), 6),
+        })
+
+    return (with_ct.groupby("source").map_groups(finish,
+                                                 batch_format="pandas")
+            .sort("source"))
+
+
 def soft_dedup(sf_dir: str, n_buckets: int = 64):
     """CCNet-style inverse-frequency downsampling ("soft dedup"): every
     doc whose text occurs c times corpus-wide survives iff

@@ -589,6 +589,53 @@ def ivf_topk(emb_ds, query_ids: Sequence[int], k: int = 10, n_lists: int = 16,
                             queries=(ids, qref))
 
 
+def ann_recall_at_k(emb_ds, query_ids: Sequence[int], k: int = 10,
+                    n_lists: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    seed: int = 42):
+    """Recall@k evaluation of the IVF probe path against the exact
+    brute-force baseline -- the standard ANN quality metric (recall =
+    |approx top-k ∩ exact top-k| / k per query). Both rankings run as
+    their normal distributed pipelines over the SAME corpus scan graph;
+    the comparison is a union of the two (|queries| x k)-row results
+    tagged by side plus one keyed groupby at query grain -- nothing
+    corpus-sized moves after the rankings themselves.
+
+    At 100 TB this is how probe budgets get tuned: run on a sampled
+    query set, sweep n_probe, read the recall/latency curve.
+
+    Output: (query_id, recall_at_k) -- recall is an integer count
+    divided by k (one double op, exact-float comparable).
+    """
+    exact = brute_force_topk(emb_ds, query_ids, k, id_col, emb_col)
+    approx = ivf_topk(emb_ds, query_ids, k, n_lists, n_probe,
+                      id_col, emb_col, seed)
+
+    def _tag(src: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select(["query_id", "vec_id"]).append_column(
+                "src", pa.array([src] * t.num_rows, type=pa.int32()))
+        return f
+
+    both = exact.map_batches(_tag(0), batch_format="pyarrow").union(
+        approx.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _recall(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        src = np.asarray(group.column("src").to_pylist(), dtype=np.int64)
+        vids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        hits = len(set(vids[src == 0].tolist())
+                   & set(vids[src == 1].tolist()))
+        return pa.Table.from_arrays(
+            [pa.array([qid], type=pa.int64()),
+             pa.array([hits / float(k)], type=pa.float64())],
+            names=["query_id", "recall_at_k"],
+        )
+
+    return both.groupby("query_id").map_groups(_recall,
+                                               batch_format="pyarrow")
+
+
 def knn_graph(emb_ds, k: int = 5, id_col: str = "vec_id",
               emb_col: str = "embedding", broadcast_rows: int = 200_000,
               n_clusters: int = 16, n_probe: int = 4, iters: int = 2):

@@ -462,3 +462,48 @@ def test_quality_gate_discriminative_on_testdata(ray_session):
     base = (j["lang"] == "en").mean()
     purity = (j.loc[j["keep"], "lang"] == "en").mean()
     assert purity > base
+
+
+def test_source_unigram_kl_matches_local_reference(ray_session, tmp_path):
+    """KL(P_source || P_corpus) equals a single-process pandas/numpy
+    recompute with the same per-cell double-op order; sources identical
+    to the blend score ~0, skewed sources score higher."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        source_unigram_kl,
+    )
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(240):
+        src = ["web", "books", "code"][i % 3]
+        # "code" draws from a skewed distribution, others near-uniform
+        p = (np.ones(12) / 12 if src != "code"
+             else np.array([4.0] * 3 + [0.25] * 9) / (12.0 + 2.25 - 2.25))
+        p = p / p.sum()
+        words = rng.choice(vocab, size=30, p=p)
+        rows.append({"doc_id": i, "text": " ".join(words), "source": src})
+    docs = pd.DataFrame(rows)
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    got = source_unigram_kl(str(tmp_path)).to_pandas()
+
+    ex = (docs.assign(term=docs["text"].str.split(" "))
+          .loc[:, ["source", "term"]].explode("term"))
+    ex = ex[ex["term"] != ""]
+    cells = ex.groupby(["source", "term"], as_index=False).agg(
+        tf=("term", "size"))
+    ct = cells.groupby("term")["tf"].sum()
+    n_s = cells.groupby("source")["tf"].sum()
+    n = float(n_s.sum())
+    for _, row in got.iterrows():
+        src = row["source"]
+        g = cells[cells["source"] == src]
+        ps = g["tf"].to_numpy(dtype=np.float64) / float(n_s[src])
+        pc = ct[g["term"]].to_numpy(dtype=np.float64) / n
+        kl = float((ps * np.log(ps / pc)).sum())
+        assert abs(row["kl_unigram"] - round(kl, 6)) < 2e-6, src
+        assert row["n_tokens"] == int(n_s[src])
+    kl_by = dict(zip(got["source"], got["kl_unigram"]))
+    assert kl_by["code"] > kl_by["web"]
+    assert kl_by["code"] > kl_by["books"]

@@ -399,3 +399,31 @@ def test_pq_adc_topk_matches_local_reference_and_recalls(emb_ds):
     # cell-mate ties exactly on adc and the vec_id tie-break decides --
     # cell co-membership of the planted pair is pinned in
     # test_pq_encode_matches_local_reference instead.
+
+
+def test_ann_recall_at_k_consistent_and_full_probe_is_exact(emb_ds):
+    """recall@k equals the set intersection of the engine's own exact
+    and IVF rankings; with n_probe == n_lists the probe union covers
+    every list, so recall is exactly 1.0 for every query."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        ann_recall_at_k,
+        ivf_topk,
+    )
+
+    ds, _ = emb_ds
+    qids = [0, 5, 17]
+    k = 8
+    got = (ann_recall_at_k(ds, qids, k=k, n_lists=8, n_probe=2)
+           .to_pandas().set_index("query_id")["recall_at_k"])
+
+    exact = brute_force_topk(ds, qids, k=k).to_pandas()
+    approx = ivf_topk(ds, qids, k=k, n_lists=8, n_probe=2).to_pandas()
+    for q in qids:
+        ex = set(exact[exact["query_id"] == q]["vec_id"])
+        ap = set(approx[approx["query_id"] == q]["vec_id"])
+        assert got[q] == len(ex & ap) / float(k), f"query {q}"
+        assert 0.0 <= got[q] <= 1.0
+
+    full = (ann_recall_at_k(ds, qids, k=k, n_lists=8, n_probe=8)
+            .to_pandas())
+    assert (full["recall_at_k"] == 1.0).all()
