@@ -959,8 +959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof", "events_nearest_order_join",
         "events_ks_test",
     ]
-    # Slots 40-44: the queries NEW this round, so the external oracle
-    # always sees fresh operators first. Slots 45-49: seeded rotation
+    # Slots 40-46: the queries NEW this round, so the external oracle
+    # always sees fresh operators first. Slots 47-49: seeded rotation
     # over every other oracled query (seed = round number, inferred
     # from the CORRECTNESS_r*.json artifacts already on disk), so
     # successive rounds cumulatively expose more of the suite to the
@@ -968,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     head += [
         "media_dedup", "repeated_media_census", "doc_media_stats",
         "quality_classifier_gate", "quality_keep_rate",
+        "ann_recall_at_k", "source_unigram_kl",
     ]
     import glob
     import random
@@ -979,7 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))]
     rnd = (max(rounds) + 1) if rounds else 1
     pool = sorted(set(oracle_sql()) & set(q) - set(head))
-    head += random.Random(f"window:{rnd}").sample(pool, 5)
+    head += random.Random(f"window:{rnd}").sample(pool, 3)
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 

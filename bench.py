@@ -285,11 +285,19 @@ def run_bench() -> dict:
     duplicated_substring_spans(SF_DIR, k=8).count()
     queries["substring_spans"] = round(time.perf_counter() - t0, 3)
 
-    # NOTE prefix_filter_ngram_pairs (the EXACT all-pairs join) is not a
-    # routine leg: the synthetic corpus's ~30-word vocabulary makes every
-    # gram common, defeating prefix filtering's rare-token skew defense
-    # (measured 114 s at sf0.1/32cpus for 256 pairs) -- the LSH chain
-    # above is the scale path; the exact join is its ground-truth twin.
+    # exact prefix-filter similarity join (All-Pairs + PPJoin positional
+    # and length filters): a routine leg since round 5 -- the r4 builds
+    # read 114 s at sf0.1/32cpus (the ~30-word synthetic vocabulary
+    # defeats rare-prefix skew pruning); PPJoin's overlap upper bounds
+    # prune those low-selectivity prefixes directly.
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        prefix_filter_ngram_pairs,
+    )
+
+    t0 = time.perf_counter()
+    prefix_filter_ngram_pairs(docs).count()
+    queries["prefix_pairs_exact"] = round(time.perf_counter() - t0, 3)
+
     from deekseek_ocr___dockerized_api_ray.stages.similarity import pq_adc_topk
 
     t0 = time.perf_counter()
