@@ -420,6 +420,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return prefix_filter_ngram_pairs(_docs_ds(sf_dir), threshold=0.3, n=3)
 
+    def minhash_recall_eval(sf_dir: str):
+        # evaluation op: banding recall vs the exact join ground truth
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            lsh_recall_eval,
+        )
+
+        return lsh_recall_eval(_docs_ds(sf_dir), threshold=0.3, n=3)
+
     def similar_docs_topk_q(sf_dir: str):
         from deekseek_ocr___dockerized_api_ray.stages.dedup import (
             similar_docs_topk,
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_substring_spans": _substr_spans,
         "substring_dedup_clean": _substr_clean,
         "prefix_ngram_pairs_exact": prefix_ngram_pairs_exact,
+        "minhash_recall_eval": minhash_recall_eval,
         "similar_docs_topk": similar_docs_topk_q,
         "ngram_containment_pairs": ngram_containment_pairs,
         "tfidf_cosine_pairs": tfidf_cosine_pairs,
@@ -959,8 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof", "events_nearest_order_join",
         "events_ks_test",
     ]
-    # Slots 40-46: the queries NEW this round, so the external oracle
-    # always sees fresh operators first. Slots 47-49: seeded rotation
+    # Slots 40-47: the queries NEW this round, so the external oracle
+    # always sees fresh operators first. Slots 48-49: seeded rotation
     # over every other oracled query (seed = round number, inferred
     # from the CORRECTNESS_r*.json artifacts already on disk), so
     # successive rounds cumulatively expose more of the suite to the
@@ -968,7 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     head += [
         "media_dedup", "repeated_media_census", "doc_media_stats",
         "quality_classifier_gate", "quality_keep_rate",
-        "ann_recall_at_k", "source_unigram_kl",
+        "ann_recall_at_k", "source_unigram_kl", "minhash_recall_eval",
     ]
     import glob
     import random
@@ -980,7 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))]
     rnd = (max(rounds) + 1) if rounds else 1
     pool = sorted(set(oracle_sql()) & set(q) - set(head))
-    head += random.Random(f"window:{rnd}").sample(pool, 3)
+    head += random.Random(f"window:{rnd}").sample(pool, 2)
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 
@@ -1748,6 +1757,8 @@ def oracle_sql() -> dict[str, str]:
                                                             threshold=0.3,
                                                             n=3),
         "prefix_ngram_pairs_exact": _oracles.exact_ngram_pairs_sql(
+            threshold=0.3, n=3),
+        "minhash_recall_eval": _oracles.minhash_recall_sql(
             threshold=0.3, n=3),
         # verified near-dup pairs (identical machinery/config as
         # ngram_jaccard_pairs) rolled up to unordered source pairs

@@ -852,6 +852,31 @@ JOIN gcnt nb ON nb.doc_id = i.id_b
 WHERE ROUND(i.ni::DOUBLE / (na.n + nb.n - i.ni), 6) >= {threshold}"""
 
 
+def minhash_recall_sql(threshold: float = 0.3, n: int = 3) -> str:
+    """LSH-chain recall/precision vs the exact similarity join
+    (stages/dedup.lsh_recall_eval): composes exact_ngram_pairs_sql and
+    ngram_jaccard_pairs_sql verbatim so the evaluation can never drift
+    from the joins it grades; the ratios are single double ops on
+    integer counts."""
+    return f"""
+WITH exact AS ({exact_ngram_pairs_sql(threshold, n)}),
+lsh AS ({ngram_jaccard_pairs_sql(threshold, n)}),
+ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+nl AS (SELECT COUNT(*) AS n_lsh FROM lsh),
+h AS (SELECT COUNT(*) AS n_hit
+      FROM exact e JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b)
+SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(nl.n_lsh AS BIGINT) AS n_lsh,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       CASE WHEN ne.n_exact > 0
+            THEN CAST(h.n_hit AS DOUBLE) / ne.n_exact ELSE 0.0 END
+         AS lsh_recall,
+       CASE WHEN nl.n_lsh > 0
+            THEN CAST(h.n_hit AS DOUBLE) / nl.n_lsh ELSE 0.0 END
+         AS lsh_precision
+FROM ne, nl, h"""
+
+
 def lloyd_assign_ctes_slice(n_clusters: int, lo: int, hi: int,
                             prefix: str) -> str:
     """``lloyd_assign_ctes`` restricted to embedding dims [lo, hi]

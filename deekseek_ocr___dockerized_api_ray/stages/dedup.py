@@ -1324,3 +1324,71 @@ def similar_docs_topk(docs_ds, k: int = 5, threshold: float = 0.3,
             .groupby("bucket").map_groups(rank_bucket,
                                           batch_format="pandas")
             .sort(["doc_id", "rk"]))
+
+
+def lsh_recall_eval(docs_ds, threshold: float = 0.3, n: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 16):
+    """Recall/precision evaluation of the MinHash-LSH near-dup chain
+    against the exact prefix-filter similarity join -- the dedup
+    counterpart of ann_recall_at_k (how many true >=threshold pairs the
+    banding actually surfaces; the knob it tunes is bands x rows).
+    Precision is 1.0 by construction (candidates are verified with the
+    same exact Jaccard), but it is COMPUTED, not assumed, so a
+    verification bug would show up here.
+
+    Shape: both pair pipelines run their normal distributed plans; the
+    comparison tags each side, takes one pair-keyed combiner groupby,
+    and reduces to three scalar counts with a distributed sum -- the
+    pair tables never collect.
+
+    Output: one row (n_exact, n_lsh, n_hit, lsh_recall, lsh_precision)
+    -- the ratios are single double ops on integer counts
+    (exact-float comparable).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    exact = prefix_filter_ngram_pairs(docs_ds, threshold, n,
+                                      text_col=text_col, id_col=id_col)
+    approx = verify_pairs_ngram_jaccard(
+        lsh_candidate_pairs(docs_ds, id_col=id_col, text_col=text_col),
+        docs_ds, threshold=threshold, n=n,
+        text_col=text_col, id_col=id_col)
+
+    def _tag(side: str):
+        def f(t: pa.Table) -> pd.DataFrame:
+            df = t.select(["id_a", "id_b"]).to_pandas()
+            df["ex"] = np.int64(1 if side == "exact" else 0)
+            df["ls"] = np.int64(0 if side == "exact" else 1)
+            return df
+        return f
+
+    both = exact.map_batches(_tag("exact"), batch_format="pyarrow").union(
+        approx.map_batches(_tag("lsh"), batch_format="pyarrow"))
+    pair_grain = grouped_agg(both, ["id_a", "id_b"],
+                             {"ex": ("ex", "sum"), "ls": ("ls", "sum")},
+                             n_buckets=n_buckets)
+
+    def _ind(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ex": (df["ex"] > 0).astype(np.int64),
+            "ls": (df["ls"] > 0).astype(np.int64),
+            "hit": ((df["ex"] > 0) & (df["ls"] > 0)).astype(np.int64),
+        })
+
+    sums = pair_grain.map_batches(_ind, batch_format="pandas").sum(
+        ["ex", "ls", "hit"])  # bound: three scalars (distributed sum)
+    n_exact = int(sums["sum(ex)"] or 0)
+    n_lsh = int(sums["sum(ls)"] or 0)
+    n_hit = int(sums["sum(hit)"] or 0)
+    out = pd.DataFrame({
+        "n_exact": np.asarray([n_exact], dtype=np.int64),
+        "n_lsh": np.asarray([n_lsh], dtype=np.int64),
+        "n_hit": np.asarray([n_hit], dtype=np.int64),
+        "lsh_recall": [n_hit / float(n_exact) if n_exact else 0.0],
+        "lsh_precision": [n_hit / float(n_lsh) if n_lsh else 0.0],
+    })
+    return rd.from_pandas(out)

@@ -427,3 +427,32 @@ def test_prefix_filter_ppjoin_filters_lossless(ray_session):
         fast.sort_values(key).reset_index(drop=True),
         slow.sort_values(key).reset_index(drop=True), check_dtype=False)
     assert len(fast) > 0
+
+
+def test_lsh_recall_eval_counts_consistent(ray_session):
+    """The evaluation op's counts equal the row counts of the two pair
+    pipelines it grades; the LSH-verified set is a subset of the exact
+    set (same threshold, same measure), so precision is exactly 1.0 and
+    n_hit == n_lsh."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        lsh_recall_eval,
+        prefix_filter_ngram_pairs,
+        verify_pairs_ngram_jaccard,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = lsh_recall_eval(docs, threshold=0.3, n=3).to_pandas().iloc[0]
+
+    n_exact = prefix_filter_ngram_pairs(docs, threshold=0.3, n=3).count()
+    n_lsh = verify_pairs_ngram_jaccard(
+        lsh_candidate_pairs(docs), docs, threshold=0.3, n=3).count()
+    assert got["n_exact"] == n_exact > 0
+    assert got["n_lsh"] == n_lsh
+    assert got["n_hit"] == n_lsh  # verified subset of exact
+    assert got["lsh_precision"] == 1.0
+    assert got["lsh_recall"] == n_lsh / float(n_exact)
+    assert 0.0 < got["lsh_recall"] <= 1.0
