@@ -1360,6 +1360,8 @@ def lsh_recall_eval(docs_ds, threshold: float = 0.3, n: int = 3,
 
     def _tag(side: str):
         def f(t: pa.Table) -> pd.DataFrame:
+            # bound: per-batch conversion inside map_batches (pair ids
+            # only, two int64 columns)
             df = t.select(["id_a", "id_b"]).to_pandas()
             df["ex"] = np.int64(1 if side == "exact" else 0)
             df["ls"] = np.int64(0 if side == "exact" else 1)
