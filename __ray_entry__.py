@@ -877,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_gate": curation.length_percentile_gate,
         "lang_mixing_weights": curation.lang_mixing_weights,
         "source_unigram_kl": curation.source_unigram_kl,
+        "source_epoch_plan": curation.source_epoch_plan,
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
@@ -1829,6 +1830,24 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
               FROM s)
             WHERE rank <= 10
+        """,
+        "source_epoch_plan": """
+            -- token-budget mixing plan: temperature weights over
+            -- per-source token counts -> budget share + epochs; same
+            -- pow/div op order as the engine, r6/r2 rounding
+            WITH tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            c AS (SELECT source, COUNT(*) AS n_tokens
+                  FROM tok WHERE term != '' GROUP BY 1),
+            t AS (SELECT SUM(pow(n_tokens, 0.5)) AS psum FROM c)
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(pow(n_tokens, 0.5) / psum, 6) AS weight,
+                   ROUND((pow(n_tokens, 0.5) / psum) * 10000000.0, 2)
+                     AS target_tokens,
+                   ROUND(((pow(n_tokens, 0.5) / psum) * 10000000.0)
+                         / n_tokens, 6) AS epochs
+            FROM c, t ORDER BY source
         """,
         "source_unigram_kl": """
             -- KL(P_source || P_corpus) over whitespace unigrams; each

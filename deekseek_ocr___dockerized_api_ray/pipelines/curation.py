@@ -485,6 +485,55 @@ def source_unigram_kl(sf_dir: str, n_buckets: int = 16):
             .sort("source"))
 
 
+def source_epoch_plan(sf_dir: str, budget_tokens: int = 10_000_000,
+                      alpha_num: int = 1, alpha_den: int = 2):
+    """Token-budget mixing plan at source grain: temperature-smoothed
+    weights (p_s proportional to tokens_s^alpha, default alpha = 0.5)
+    over per-source TOKEN counts (not doc counts -- budgets are token
+    budgets), then how many tokens each source contributes to a fixed
+    training budget and how many epochs over the source that implies
+    (epochs > 1 means the sampler repeats the source; the quantity a
+    mixing plan actually caps). The token-grain sibling of
+    ``lang_mixing_weights``.
+
+    Shape: one combiner-reduced token count per source crosses the
+    wire; the planning math runs on the handful of source rows.
+
+    Output: (source, n_tokens, weight r6, target_tokens r2, epochs r6)
+    sorted by source.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["source", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return ex.groupby("source", as_index=False).agg(
+            n_tokens=("term", "size"))
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         ["source"], {"n_tokens": ("n_tokens", "sum")},
+                         # bound: source grain
+                         n_buckets=4).to_pandas()
+    counts = counts.sort_values("source").reset_index(drop=True)
+    n = counts["n_tokens"].to_numpy(dtype=np.float64)
+    alpha = alpha_num / alpha_den
+    p = n ** alpha
+    w = p / p.sum()
+    target = w * float(budget_tokens)
+    out = pd.DataFrame({
+        "source": counts["source"],
+        "n_tokens": counts["n_tokens"].astype("int64"),
+        "weight": round_series(pd.Series(w), 6),
+        "target_tokens": round_series(pd.Series(target), 2),
+        "epochs": round_series(pd.Series(target / n), 6),
+    })
+    return rd.from_pandas(out)
+
+
 def soft_dedup(sf_dir: str, n_buckets: int = 64):
     """CCNet-style inverse-frequency downsampling ("soft dedup"): every
     doc whose text occurs c times corpus-wide survives iff

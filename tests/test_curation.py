@@ -507,3 +507,31 @@ def test_source_unigram_kl_matches_local_reference(ray_session, tmp_path):
     kl_by = dict(zip(got["source"], got["kl_unigram"]))
     assert kl_by["code"] > kl_by["web"]
     assert kl_by["code"] > kl_by["books"]
+
+
+def test_source_epoch_plan_conserves_budget(ray_session, tmp_path):
+    """Weights sum to 1, target tokens sum to the budget, and epochs
+    are target/n_tokens -- a source with more tokens gets a LOWER
+    epoch count at alpha < 1 (the up/down-sampling direction)."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        source_epoch_plan,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": ["alpha beta"] * 50 + ["gamma delta eps zeta eta"] * 10,
+        "source": ["big"] * 50 + ["small"] * 10,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (source_epoch_plan(str(tmp_path), budget_tokens=1000)
+           .to_pandas().set_index("source"))
+    assert abs(got["weight"].sum() - 1.0) < 1e-5
+    assert abs(got["target_tokens"].sum() - 1000.0) < 0.05
+    for s in ("big", "small"):
+        # target is rounded r2, epochs r6 -- consistency, not identity
+        assert abs(got.loc[s, "epochs"]
+                   - got.loc[s, "target_tokens"] / got.loc[s, "n_tokens"]) < 1e-3
+    # big: 100 tokens, small: 50 -> sqrt weights 2:sqrt(2)... big still
+    # gets more tokens but FEWER epochs per token mass
+    assert got.loc["big", "target_tokens"] > got.loc["small", "target_tokens"]
+    assert got.loc["big", "epochs"] < got.loc["small", "epochs"]
