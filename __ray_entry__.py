@@ -473,6 +473,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lsh_candidate_pairs(docs), docs, threshold=0.5, n=3
         )
 
+    def neardup_kcore(sf_dir: str):
+        # dense duplicate core: bounded-round k-core peel over the
+        # verified near-dup graph (template/boilerplate families
+        # survive, pairwise dups peel away)
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            neardup_kcore as _kcore,
+        )
+
+        return _kcore(_docs_ds(sf_dir), k=2, rounds=2, threshold=0.8)
+
     def neardup_clusters(sf_dir: str):
         # connected-component cluster ids (component min) over the
         # verified minhash pairs -- the cluster-assignment view of
@@ -671,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": minhash_candidates,
         "minhash_survivors": minhash_survivors,
         "neardup_clusters": neardup_clusters,
+        "neardup_kcore": neardup_kcore,
         "simhash_pairs": simhash_pairs,
         "snm_candidate_pairs": snm_pairs,
         "simhash_survivors": simhash_survivors,
@@ -1244,6 +1255,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _oracles.minhash_candidates_sql(),
         "minhash_survivors": _oracles.minhash_survivors_sql(threshold=0.8),
         "neardup_clusters": _oracles.neardup_clusters_sql(threshold=0.8),
+        "neardup_kcore": _oracles.neardup_kcore_sql(k=2, rounds=2,
+                                                    threshold=0.8),
         "quality_survivors": _oracles.quality_survivors_sql(threshold=0.8),
         "neardup_degree_hist": _oracles.neardup_degree_hist_sql(threshold=0.8),
         "dedup_rate_by_source": _oracles.dedup_rate_by_source_sql(threshold=0.8),

@@ -196,6 +196,34 @@ GROUP BY n.src ORDER BY doc_id"""
     )
 
 
+def neardup_kcore_sql(k: int = 2, rounds: int = 2,
+                      threshold: float = 0.8) -> str:
+    """Bounded-round k-core peel over the verified near-dup graph
+    (stages/dedup.neardup_kcore): the peel rounds unroll to chained
+    CTEs over the same verified-pairs machinery as minhash_survivors,
+    so the graph this grades cannot desync from the dedup chain."""
+    body = """,
+sym0 AS (SELECT id_a AS node, id_b AS nbr FROM verified
+         UNION SELECT id_b, id_a FROM verified)"""
+    prev = "sym0"
+    for r in range(rounds):
+        body += f""",
+d{r} AS (SELECT node, COUNT(*) AS deg FROM {prev} GROUP BY node),
+k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+sym{r + 1} AS (SELECT s.node, s.nbr FROM {prev} s
+               JOIN k{r} x ON x.node = s.node
+               JOIN k{r} y ON y.node = s.nbr)"""
+        prev = f"sym{r + 1}"
+    return (
+        f"WITH RECURSIVE {_minhash_cand_ctes()}"
+        f"{_char_jaccard_verified_ctes(threshold)}"
+        f"{body}\n"
+        f"SELECT CAST(node AS BIGINT) AS doc_id,\n"
+        f"       CAST(COUNT(*) AS BIGINT) AS core_deg\n"
+        f"FROM {prev} GROUP BY node ORDER BY doc_id"
+    )
+
+
 def ngram_jaccard_pairs_sql(threshold: float = 0.3, n: int = 3) -> str:
     """LSH candidates verified by word-n-gram Jaccard, matching
     stages/dedup.verify_pairs_ngram_jaccard (n-grams as strings; < n

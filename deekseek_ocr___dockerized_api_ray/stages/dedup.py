@@ -1394,3 +1394,92 @@ def lsh_recall_eval(docs_ds, threshold: float = 0.3, n: int = 3,
         "lsh_precision": [n_hit / float(n_lsh) if n_lsh else 0.0],
     })
     return rd.from_pandas(out)
+
+
+def neardup_kcore(docs_ds, k: int = 2, rounds: int = 2,
+                  threshold: float = 0.8, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 16):
+    """Bounded-round k-core peeling over the verified near-dup graph:
+    nodes are docs, edges are MinHash-verified pairs (char-shingle
+    Jaccard >= threshold); each round drops nodes whose degree < k and
+    the edges incident to them. The surviving subgraph after ``rounds``
+    peels is the DENSE duplicate core -- pairwise near-dup clusters
+    peel away, template/boilerplate families (every member similar to
+    every other) survive. Fixed round count keeps the op deterministic
+    and lets the SQL oracle unroll the same rounds.
+
+    Scale shape: degrees via combiner-reduced grouped counts at node
+    grain; each peel is two ``checkpointed_join`` semi-joins (node
+    side, then nbr side) with the edge table materialized between
+    rounds (the Ray 2.49 chained-join rule); partition counts derive
+    from live row counts (the empty-hash-partition rule). Nothing
+    touches the driver beyond per-round scalar counts.
+
+    Output: (doc_id, core_deg) -- survivors with their degree INSIDE
+    the surviving subgraph -- sorted by doc_id.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+    from ..stages.joins import checkpointed_join, default_num_partitions
+
+    def _empty():
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "core_deg": pd.Series([], dtype="int64"),
+        }))
+
+    pairs = verify_pairs_jaccard(
+        lsh_candidate_pairs(docs_ds, id_col=id_col, text_col=text_col),
+        docs_ds, threshold=threshold, id_col=id_col, text_col=text_col)
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("id_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(t.column("id_b").to_pylist(), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a, b]), type=pa.int64()),
+             pa.array(np.concatenate([b, a]), type=pa.int64())],
+            names=["node", "nbr"])
+
+    sym = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+    n_edges = sym.count()  # bound: scalar per round (peeling progress)
+    if n_edges == 0:
+        return _empty()
+
+    def _deg(edges):
+        return grouped_agg(
+            edges.map_batches(
+                lambda df: df.assign(one=np.ones(len(df), dtype=np.int64)),
+                batch_format="pandas"),
+            ["node"], {"deg": ("one", "sum")}, n_buckets=n_buckets)
+
+    for _ in range(rounds):
+        keep = _deg(sym).map_batches(
+            lambda df: df[df["deg"] >= k][["node"]],
+            batch_format="pandas").materialize()
+        n_keep = keep.count()  # bound: scalar per round
+        if n_keep == 0:
+            return _empty()
+        nparts = default_num_partitions(n_edges, n_keep)
+        half = checkpointed_join(sym, keep, on=("node",),
+                                 num_partitions=nparts,
+                                 left_cols=["node", "nbr"],
+                                 right_cols=["node"]).materialize()
+        n_half = half.count()
+        if n_half == 0:
+            return _empty()
+        sym = checkpointed_join(
+            half, keep.map_batches(
+                lambda df: df.rename(columns={"node": "nbr"}),
+                batch_format="pandas"),
+            on=("nbr",), num_partitions=default_num_partitions(n_half, n_keep),
+            left_cols=["node", "nbr"], right_cols=["nbr"]).materialize()
+        n_edges = sym.count()
+        if n_edges == 0:
+            return _empty()
+
+    return (_deg(sym).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "core_deg": df["deg"].astype("int64")}),
+        batch_format="pandas").sort("doc_id"))

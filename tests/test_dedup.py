@@ -456,3 +456,37 @@ def test_lsh_recall_eval_counts_consistent(ray_session):
     assert got["lsh_precision"] == 1.0
     assert got["lsh_recall"] == n_lsh / float(n_exact)
     assert 0.0 < got["lsh_recall"] <= 1.0
+
+
+def test_neardup_kcore_matches_local_peel(ray_session):
+    """The distributed bounded-round peel equals a single-process
+    recompute over the same verified pairs, and the core is a strict
+    subset of the near-dup nodes (pairwise dups peel away)."""
+    import collections
+
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        lsh_candidate_pairs,
+        neardup_kcore,
+        verify_pairs_jaccard,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = verify_pairs_jaccard(lsh_candidate_pairs(docs), docs,
+                                 threshold=0.8).to_pandas()
+    edges = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    k = 2
+    for _ in range(2):
+        deg = collections.Counter(a for a, _ in sym)
+        keep = {n for n, d in deg.items() if d >= k}
+        sym = {(a, b) for a, b in sym if a in keep and b in keep}
+    deg = collections.Counter(a for a, _ in sym)
+    expect = sorted(deg.items())
+
+    got = neardup_kcore(docs, k=2, rounds=2, threshold=0.8).to_pandas()
+    assert list(zip(got["doc_id"], got["core_deg"])) == expect
+    all_nodes = {n for e in edges for n in e}
+    assert 0 < len(got) < len(all_nodes)
