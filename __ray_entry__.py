@@ -790,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_drift": text.source_length_drift,
         "events_windowed_funnel": analytics.events_windowed_funnel,
         "bm25_search_topk": curation.bm25_search_topk,
+        "hybrid_search_rrf": curation.hybrid_search_rrf,
         "term_graph_triangles": curation.term_graph_triangles,
         "term_graph_assortativity": curation.term_graph_assortativity,
         "term_label_propagation": curation.term_label_propagation,
@@ -4468,5 +4469,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bm25 DESC, doc_id) AS rk
           FROM ({out["doc_bm25"]}))
         WHERE rk <= 10 ORDER BY rk
+    """
+    # hybrid-search RRF: composed from the BM25 oracle's own SQL plus
+    # the shared exact-cosine builder, so the fusion cannot desync from
+    # the rankings it fuses; 1/(60+rank) contributions, two-term sums
+    # are commutative-exact, r6 on output only
+    out["hybrid_search_rrf"] = f"""
+        WITH lex AS ({out["bm25_search_topk"]}),
+        vec AS ({_oracles.ann_exact_topk_sql([0], k=10)}),
+        u AS (
+          SELECT doc_id, 1.0 / (60 + rk) AS c FROM lex
+          UNION ALL
+          SELECT vec_id AS doc_id, 1.0 / (60 + rank) AS c FROM vec),
+        s AS (SELECT doc_id, SUM(c) AS score FROM u GROUP BY doc_id)
+        SELECT doc_id, ROUND(score, 6) AS rrf_score,
+               CAST(rn AS BIGINT) AS rk FROM (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM s)
+        WHERE rn <= 10
     """
     return out

@@ -1292,6 +1292,47 @@ def bm25_search_topk(sf_dir: str, k: int = 10):
     return add_rank(top.to_pandas())
 
 
+def hybrid_search_rrf(sf_dir: str, k: int = 10, kk: int = 60):
+    """HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the lexical BM25 top-k and the embedding-cosine top-k over the
+    shared doc/vec id space -- score(d) = sum over rankings of
+    1/(kk + rank_r(d)), the standard zero-training fusion every hybrid
+    search stack runs (kk = 60 per the paper). The lexical leg is the
+    fixed BM25 query; the vector leg is the fixed query vector
+    (vec_id 0) -- the two faces of one user query on this fixture.
+
+    Shape: both legs run their normal distributed rankings (sort+limit
+    and broadcast-matmul top-k); the fusion itself touches only the
+    <= 2k surviving rows.
+
+    Output: (doc_id, rrf_score r6, rk 1..k) by (score desc, doc_id).
+    """
+    import ray.data as rd
+
+    from ..stages.similarity import brute_force_topk
+
+    lex = bm25_search_topk(sf_dir, k=k)  # bound: k rows (the limit)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # bound: k rows (the limit)
+    vec = brute_force_topk(emb, [0], k=k).to_pandas()
+
+    contrib = pd.concat([
+        pd.DataFrame({"doc_id": lex["doc_id"].astype("int64"),
+                      "c": 1.0 / (kk + lex["rk"].to_numpy(np.float64))}),
+        pd.DataFrame({"doc_id": vec["vec_id"].astype("int64"),
+                      "c": 1.0 / (kk + vec["rank"].to_numpy(np.float64))}),
+    ], ignore_index=True)
+    s = contrib.groupby("doc_id", as_index=False)["c"].sum()
+    s = (s.sort_values(["c", "doc_id"], ascending=[False, True])
+         .head(k).reset_index(drop=True))
+    out = pd.DataFrame({
+        "doc_id": s["doc_id"].astype("int64"),
+        "rrf_score": round_series(s["c"], 6),
+        "rk": np.arange(1, len(s) + 1, dtype=np.int64),
+    })
+    return rd.from_pandas(out)
+
+
 def _term_edges(sf_dir: str, n_buckets: int = 16):
     """Distinct undirected term co-occurrence edges (src < dst) as a
     MATERIALIZED Dataset -- per-doc term pairs combiner-reduced through

@@ -535,3 +535,36 @@ def test_source_epoch_plan_conserves_budget(ray_session, tmp_path):
     # gets more tokens but FEWER epochs per token mass
     assert got.loc["big", "target_tokens"] > got.loc["small", "target_tokens"]
     assert got.loc["big", "epochs"] < got.loc["small", "epochs"]
+
+
+def test_hybrid_search_rrf_fuses_both_rankings(ray_session):
+    """RRF output contains docs from BOTH legs, scores equal the
+    reciprocal-rank algebra over the legs' own rankings, and a doc in
+    both legs outranks same-rank single-leg docs."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        bm25_search_topk,
+        hybrid_search_rrf,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        brute_force_topk,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = hybrid_search_rrf(SF, k=10).to_pandas()
+    lex = bm25_search_topk(SF, k=10)
+    vec = brute_force_topk(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), [0], k=10).to_pandas()
+
+    contrib = {}
+    for d, r in zip(lex["doc_id"], lex["rk"]):
+        contrib[int(d)] = contrib.get(int(d), 0.0) + 1.0 / (60 + int(r))
+    for d, r in zip(vec["vec_id"], vec["rank"]):
+        contrib[int(d)] = contrib.get(int(d), 0.0) + 1.0 / (60 + int(r))
+    expect = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [int(d) for d, _ in expect] == got["doc_id"].tolist()
+    for (_, c), s in zip(expect, got["rrf_score"]):
+        assert abs(round(c, 6) - s) < 1e-9
+    assert set(got["doc_id"]) & set(lex["doc_id"].astype(int))
+    assert set(got["doc_id"]) & set(vec["vec_id"].astype(int))
