@@ -814,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental watermark variant; must equal the batch output
         "streaming_tumbling_hour": windows.streaming_tumbling_hour,
         "events_late_data": windows.events_late_data,
+        "events_ewma_alerts": windows.events_ewma_alerts,
         "part_filter_topk": relational.part_filter_topk,
         "distinct_flag_status": distinct_flag_status,
         "orders_semi_join": relational.orders_semi_join,
@@ -2835,6 +2836,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_matches,
                    CAST(MIN(i) AS BIGINT) AS first_pos
             FROM hits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_ewma_alerts": """
+            -- EWMA control chart over hourly volume; identical
+            -- recursion operand order as the engine's driver scan
+            -- (s = (2/10)*x + (1-(2/10))*s_prev, resid = x - s_prev);
+            -- the alert compares r6-rounded operands on both engines
+            WITH RECURSIVE c AS (
+              SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS hour_s,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1),
+            o AS (SELECT hour_s, n,
+                         row_number() OVER (ORDER BY hour_s) AS rn
+                  FROM c),
+            w(rn, hour_s, n, s, resid) AS (
+              SELECT rn, hour_s, n, CAST(n AS DOUBLE),
+                     CAST(0.0 AS DOUBLE)
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.hour_s, o.n,
+                     (2.0/10.0) * o.n + (1.0 - (2.0/10.0)) * w.s,
+                     o.n - w.s
+              FROM o JOIN w ON o.rn = w.rn + 1),
+            sg AS (SELECT ROUND(3 * sqrt(SUM(resid * resid)
+                     / (SELECT GREATEST(1, COUNT(*) - 1) FROM o)), 6)
+                     AS gate
+                   FROM w WHERE rn > 1)
+            SELECT hour_s, CAST(n AS BIGINT) AS n_events,
+                   ROUND(s, 6) AS ewma, ROUND(resid, 6) AS resid,
+                   ABS(ROUND(resid, 6)) > sg.gate AS is_alert
+            FROM w, sg ORDER BY hour_s
         """,
         "events_late_data": """
             WITH a AS (

@@ -737,3 +737,65 @@ def events_late_data(sf_dir: str, lateness_s: int = 120,
 
     return (prepped.groupby("hour")
             .map_groups(tag, batch_format="pandas").sort("event_id"))
+
+
+def events_ewma_alerts(sf_dir: str, lam_num: int = 2, lam_den: int = 10,
+                       n_sigma: int = 3):
+    """EWMA control chart over the hourly event-volume series -- the
+    streaming-monitoring op every ingest pipeline runs (is this hour's
+    traffic anomalous given the smoothed history?). s_0 = x_0;
+    s_t = lam*x_t + (1-lam)*s_{t-1}; the residual is the one-step
+    prediction error x_t - s_{t-1}, and an hour ALERTS when
+    |residual| exceeds n_sigma times the RMS residual (population, over
+    hours t >= 1). The flag compares r6-rounded operands on both
+    engines so the boolean cannot flip on a summation-order ulp.
+
+    Scale shape: hourly counts are a combiner-reduced aggregate
+    (bound-static: calendar grain); the EWMA recursion is a single
+    driver scan over the bucket summaries -- the same
+    state-on-the-driver pattern as the watermark op, O(hours) not
+    O(events). The SQL oracle runs the identical recursion as a
+    recursive CTE with the same operand order.
+
+    Output: (hour_s, n_events, ewma r6, resid r6, is_alert) by hour_s.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (np.asarray(df["ts"], dtype="datetime64[us]")
+                .astype(np.int64) // 3_600_000_000) * 3600
+        return pd.DataFrame({"hour_s": hour,
+                             "one": np.ones(len(df), dtype=np.int64)})
+
+    counts = grouped_agg(
+        ev.map_batches(prep, batch_format="pandas", batch_size=131072),
+        ["hour_s"], {"n_events": ("one", "sum")},
+        # bound-static: calendar grain (one row per hour)
+        n_buckets=16).to_pandas().sort_values("hour_s").reset_index(drop=True)
+
+    lam = lam_num / lam_den
+    x = counts["n_events"].to_numpy(dtype=np.float64)
+    s = np.empty(len(x), dtype=np.float64)
+    resid = np.zeros(len(x), dtype=np.float64)
+    for t in range(len(x)):
+        if t == 0:
+            s[t] = x[t]
+        else:
+            resid[t] = x[t] - s[t - 1]
+            s[t] = lam * x[t] + (1.0 - lam) * s[t - 1]
+    sigma = float(np.sqrt((resid[1:] ** 2).sum() / max(1, len(x) - 1)))
+    gate = round_half_away(n_sigma * sigma, 6)
+    r6 = np.asarray([round_half_away(float(v), 6) for v in resid])
+    out = pd.DataFrame({
+        "hour_s": counts["hour_s"].astype("int64"),
+        "n_events": counts["n_events"].astype("int64"),
+        "ewma": [round_half_away(float(v), 6) for v in s],
+        "resid": r6,
+        "is_alert": np.abs(r6) > gate,
+    })
+    return rd.from_pandas(out)

@@ -267,3 +267,39 @@ def test_events_late_data_grain_invariant(ray_session):
     minute = (events_late_data(SF, grain_s=60)
               .to_pandas().reset_index(drop=True))
     pd.testing.assert_frame_equal(hour, minute)
+
+
+def test_events_ewma_alerts_matches_local_recursion(ray_session):
+    """The distributed hour-count + driver-scan EWMA equals a local
+    pandas recompute with the same recursion; alerts are exactly the
+    |resid| > 3*RMS rows on r6-rounded operands."""
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_ewma_alerts,
+    )
+
+    got = events_ewma_alerts(SF).to_pandas()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    hour = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // 3_600_000_000) * 3600
+    counts = (pd.Series(hour).value_counts().sort_index())
+    x = counts.to_numpy(dtype=np.float64)
+    lam = 2 / 10
+    s = np.empty(len(x)); resid = np.zeros(len(x))
+    for t in range(len(x)):
+        if t == 0:
+            s[t] = x[t]
+        else:
+            resid[t] = x[t] - s[t - 1]
+            s[t] = lam * x[t] + (1.0 - lam) * s[t - 1]
+    assert got["hour_s"].tolist() == counts.index.tolist()
+    assert got["n_events"].tolist() == counts.to_numpy(np.int64).tolist()
+    assert got["ewma"].tolist() == [round_half_away(float(v), 6) for v in s]
+    gate = round_half_away(3 * float(np.sqrt((resid[1:] ** 2).sum()
+                                             / max(1, len(x) - 1))), 6)
+    r6 = np.asarray([round_half_away(float(v), 6) for v in resid])
+    assert got["is_alert"].tolist() == (np.abs(r6) > gate).tolist()
+    assert not got["is_alert"].iloc[0]
