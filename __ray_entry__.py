@@ -981,29 +981,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof", "events_nearest_order_join",
         "events_ks_test",
     ]
-    # Slots 38-48: the queries NEW this round (final round: external
-    # validation of fresh operators outranks rotation breadth; q2/q12
-    # stay oracled outside the window, and the TPC-H family keeps
-    # q1/q3 inside it). Slot 49: one seeded-rotation pick over every
-    # other oracled query (seed = round number, inferred from the
-    # CORRECTNESS_r*.json artifacts already on disk) -- r4 VERDICT #8.
+    # Slots 38-49: the 12 queries NEW this round (final round: external
+    # validation of fresh operators outranks the r4 rotation scheme --
+    # every slot the rotation would sample is already oracled in the
+    # committed full sweep; q2/q12 leave the window but stay oracled,
+    # and the TPC-H family keeps q1/q3 inside it).
     head += [
         "media_dedup", "repeated_media_census", "doc_media_stats",
         "quality_classifier_gate", "quality_keep_rate",
         "ann_recall_at_k", "source_unigram_kl", "minhash_recall_eval",
         "source_epoch_plan", "neardup_kcore", "hybrid_search_rrf",
+        "events_ewma_alerts",
     ]
-    import glob
-    import random
-    import re as _re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [int(m.group(1)) for f in glob.glob(
-        os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", f))]
-    rnd = (max(rounds) + 1) if rounds else 1
-    pool = sorted(set(oracle_sql()) & set(q) - set(head))
-    head += random.Random(f"window:{rnd}").sample(pool, 1)
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 
