@@ -1383,9 +1383,10 @@ def lsh_recall_eval(docs_ds, threshold: float = 0.3, n: int = 3,
 
     sums = pair_grain.map_batches(_ind, batch_format="pandas").sum(
         ["ex", "ls", "hit"])  # bound: three scalars (distributed sum)
-    n_exact = int(sums["sum(ex)"] or 0)
-    n_lsh = int(sums["sum(ls)"] or 0)
-    n_hit = int(sums["sum(hit)"] or 0)
+    sums = sums or {}  # Ray returns None on an all-empty dataset
+    n_exact = int(sums.get("sum(ex)") or 0)
+    n_lsh = int(sums.get("sum(ls)") or 0)
+    n_hit = int(sums.get("sum(hit)") or 0)
     out = pd.DataFrame({
         "n_exact": np.asarray([n_exact], dtype=np.int64),
         "n_lsh": np.asarray([n_lsh], dtype=np.int64),
