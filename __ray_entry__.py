@@ -578,6 +578,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ivf_trained_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def emb_norm_outliers(sf_dir: str):
+        # inf-norm hygiene band: one pass + ONE sort (ppl_buckets pattern)
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            emb_norm_outliers as _outliers,
+        )
+
+        return _outliers(_emb_ds(sf_dir), q_lo_pm=10, q_hi_pm=990)
+
+    def ann_shard_plan(sf_dir: str):
+        # IVF shard packing: Lloyd cell census -> greedy LPT over cells
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            ann_shard_plan as _plan,
+        )
+
+        return _plan(_emb_ds(sf_dir), n_clusters=6, n_shards=3)
+
     def ann_recall_at_k(sf_dir: str):
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
             ann_recall_at_k as _recall,
@@ -707,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
         "ann_recall_at_k": ann_recall_at_k,
+        "ann_shard_plan": ann_shard_plan,
+        "emb_norm_outliers": emb_norm_outliers,
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_bpe_encode": doc_bpe_encode,
         "emb_neardup": emb_neardup,
@@ -1819,6 +1837,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
         "ann_ivf_trained": _oracles.ann_ivf_trained_sql(_QUERY_IDS, k=10),
         "ann_recall_at_k": _oracles.ann_recall_sql(_QUERY_IDS, k=10),
+        "ann_shard_plan": _oracles.ann_shard_plan_sql(n_clusters=6,
+                                                      n_shards=3),
+        "emb_norm_outliers": _oracles.emb_norm_outliers_sql(q_lo_pm=10,
+                                                            q_hi_pm=990),
         "ann_topk_filtered": f"""
             WITH q AS (
               SELECT vec_id AS query_id, label AS qlabel,

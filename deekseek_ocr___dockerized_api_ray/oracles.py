@@ -1247,3 +1247,64 @@ def quality_keep_rate_sql() -> str:
 SELECT ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS keep_rate
 FROM ({quality_classifier_gate_sql()})"""
+
+
+def ann_shard_plan_sql(n_clusters: int = 6, n_shards: int = 3) -> str:
+    """stages/similarity.ann_shard_plan: the cell census comes from the
+    shared ``lloyd_assign_ctes`` fit (ground truth cannot desync from
+    the trained-IVF oracle), and the greedy LPT packing -- cells in
+    descending (n_vecs, cl) order, each to the lightest shard, first
+    (= lowest-id) shard on ties -- is a RECURSIVE CTE whose state is
+    the per-shard load list (list_position(loads, list_min(loads))
+    picks the same argmin as the engine's (load, shard-id) min)."""
+    return f"""
+WITH RECURSIVE {lloyd_assign_ctes(n_clusters)},
+census AS (
+  SELECT t.cl, COALESCE(a.n, 0) AS n_vecs
+  FROM (SELECT unnest(range({n_clusters})) AS cl) t
+  LEFT JOIN (SELECT cl, COUNT(*) AS n FROM assign GROUP BY cl) a
+         USING (cl)),
+ordered AS (
+  SELECT cl, n_vecs, row_number() OVER (ORDER BY n_vecs DESC, cl) AS rn
+  FROM census),
+pack(rn, cl, n_vecs, shard, loads) AS (
+  SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT),
+         list_transform(range({n_shards}), x -> CAST(0 AS BIGINT))
+  UNION ALL
+  SELECT o.rn, o.cl, o.n_vecs,
+         CAST(list_position(p.loads, list_min(p.loads)) - 1 AS BIGINT),
+         list_transform(range(1, {n_shards} + 1),
+           i -> p.loads[i]
+                + CASE WHEN i = list_position(p.loads, list_min(p.loads))
+                       THEN o.n_vecs ELSE CAST(0 AS BIGINT) END)
+  FROM pack p JOIN ordered o ON o.rn = p.rn + 1)
+SELECT cl, CAST(n_vecs AS BIGINT) AS n_vecs, shard
+FROM pack WHERE rn > 0 ORDER BY cl"""
+
+
+def emb_norm_outliers_sql(q_lo_pm: int = 10, q_hi_pm: int = 990) -> str:
+    """stages/similarity.emb_norm_outliers: the L-infinity norm is a
+    pure per-row abs+max (no float summation, bit-identical to numpy),
+    rounded r6 before ranking; the band edges are the same order
+    statistics (per-mille edge ranks in INTEGER ceil-division, ascending
+    and descending via QUALIFY row_number), and membership is the
+    identical strict compare."""
+    return f"""
+WITH norms AS MATERIALIZED (
+  SELECT vec_id,
+         ROUND(list_max(list_transform(embedding::DOUBLE[],
+                                       x -> abs(x))), 6) AS inf_norm
+  FROM embeddings),
+n AS (SELECT COUNT(*) AS n FROM norms),
+lo AS (SELECT inf_norm AS v FROM norms, n
+       QUALIFY row_number() OVER (ORDER BY inf_norm)
+               = GREATEST(1, (n.n * {q_lo_pm} + 999) // 1000)),
+hi AS (SELECT inf_norm AS v FROM norms, n
+       QUALIFY row_number() OVER (ORDER BY inf_norm DESC)
+               = GREATEST(1, (n.n * (1000 - {q_hi_pm}) + 999) // 1000))
+SELECT vec_id, inf_norm,
+       CASE WHEN inf_norm < (SELECT v FROM lo) THEN 'low' ELSE 'high' END AS tag
+FROM norms
+WHERE inf_norm < (SELECT v FROM lo) OR inf_norm > (SELECT v FROM hi)
+ORDER BY vec_id"""

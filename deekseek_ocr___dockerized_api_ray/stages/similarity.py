@@ -1363,3 +1363,135 @@ def pq_adc_topk(emb_ds, query_ids, k: int = 10, m: int = 2,
 
     return (cand.groupby("query_id").map_groups(_final, batch_format="pandas")
             .sort(["query_id", "rank"]))
+
+
+def ann_shard_plan(emb_ds, n_clusters: int = 6, n_shards: int = 3,
+                   iters: int = 2, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """IVF shard-packing plan: fit the shared ``lloyd_codebook``, count
+    vectors per cell with a streaming census, then pack the cells into
+    ``n_shards`` shards with the greedy LPT heuristic (Graham 1969:
+    cells in descending size order, each to the currently-lightest
+    shard, ties to the lowest ids). This is the index-build planning
+    step a sharded ANN service runs before writing posting lists --
+    the shard map decides which node serves which cells.
+
+    Scale shape: the census is one (<= n_clusters)-row partial per
+    batch folded on the driver (bounded by the codebook like
+    ``lloyd_codebook``'s own round partials); LPT runs driver-side over
+    n_clusters rows (cell grain -- corpus-independent). Empty cells
+    still appear in the plan (count 0) so every posting list has a
+    home.
+
+    Output: (cl, n_vecs, shard) sorted by cl.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    centroids = lloyd_codebook(emb_ds, n_clusters, iters, id_col, emb_col)
+    cent_ref = ray.put(centroids)
+
+    def census(batch: pa.Table):
+        import pandas as pd
+
+        c = ray.get(cent_ref)
+        mat = _batch_matrix(batch, emb_col)
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        near = np.argmin(dist, axis=1)
+        cnt = np.bincount(near, minlength=n_clusters)
+        return pd.DataFrame({"cl": np.arange(n_clusters, dtype=np.int64),
+                             "cnt": cnt.astype(np.int64)})
+
+    # bound: one (<= n_clusters)-row partial per block, not the corpus
+    parts = emb_ds.map_batches(census, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+    counts = (parts.groupby("cl", sort=True)["cnt"].sum()
+              .reindex(range(n_clusters), fill_value=0)
+              .to_numpy(np.int64))
+
+    # greedy LPT over cell grain (n_clusters rows; driver-side by design)
+    order = sorted(range(n_clusters), key=lambda c: (-int(counts[c]), c))
+    loads = [0] * n_shards
+    shard_of = [0] * n_clusters
+    for c in order:
+        s = min(range(n_shards), key=lambda i: (loads[i], i))
+        shard_of[c] = s
+        loads[s] += int(counts[c])
+
+    out = pd.DataFrame({
+        "cl": np.arange(n_clusters, dtype=np.int64),
+        "n_vecs": counts,
+        "shard": np.asarray(shard_of, dtype=np.int64),
+    })
+    return rd.from_pandas(out)
+
+
+def emb_norm_outliers(emb_ds, q_lo_pm: int = 10, q_hi_pm: int = 990,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Embedding hygiene gate: flag vectors whose L-INFINITY norm (max
+    |component|) falls outside the corpus's [q_lo, q_hi] order-statistic
+    band. The fixture's vectors are unit-L2 (their L2 norm is
+    degenerate -- constant 1.0), so the inf-norm measures how
+    CONCENTRATED a unit vector's mass is: spikes (one coordinate
+    dominating -- collapsed/one-hot-ish encoder outputs) and overly
+    flat vectors both retrieve poorly, so an ingest pipeline
+    quarantines the tails before indexing.
+
+    Determinism: the inf-norm is a pure per-row abs+max (NO float
+    summation anywhere -- bit-identical in numpy and SQL), rounded to 6
+    decimals (half-away, the DuckDB ROUND convention) BEFORE ranking;
+    the two band edges are exact order statistics of that rounded
+    multiset (rank ceil(q_lo_pm*n/1000) from the bottom, rank
+    ceil((1000-q_hi_pm)*n/1000) from the top, both in integer
+    arithmetic), and membership is a strict value compare -- ties at an
+    edge stay inside the band in both engines.
+
+    Scale shape: the norm table is one streaming vectorized pass (vec
+    grain); BOTH band edges come from ONE distributed sort of it --
+    ``split_at_indices`` on the materialized sorted result is block
+    slicing by global row index, not another exchange (the ppl_buckets
+    pattern); tagging is a stateless broadcast-threshold filter.
+
+    Output: (vec_id, inf_norm r6, tag in {'low','high'}) -- outlier rows
+    only, sorted by vec_id.
+    """
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+
+    def norms(batch: pa.Table):
+        import pandas as pd
+
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _batch_matrix(batch, emb_col)
+        nrm = np.abs(mat).max(axis=1)
+        return pd.DataFrame({id_col: ids,
+                             "inf_norm": round_series(pd.Series(nrm), 6)})
+
+    nt = emb_ds.map_batches(norms, batch_format="pyarrow",
+                            batch_size=8192).materialize()
+    n = nt.count()
+    lo_k = max(1, (n * q_lo_pm + 999) // 1000)           # 1-based, ascending
+    hi_k = max(1, (n * (1000 - q_hi_pm) + 999) // 1000)  # from the top
+
+    # the ONE sort; edge rows sliced by global index
+    snt = nt.sort("inf_norm").materialize()
+    parts = snt.split_at_indices([lo_k - 1, lo_k, n - hi_k, n - hi_k + 1])
+
+    def edge(part) -> float:
+        # bound: 1 row (single-index slice of the sorted table)
+        return float(part.take_all()[0]["inf_norm"])
+
+    lo_val, hi_val = edge(parts[1]), edge(parts[3])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["inf_norm"].to_numpy(np.float64)
+        keep = (v < lo_val) | (v > hi_val)
+        out = df.loc[keep, [id_col, "inf_norm"]].copy()
+        out["tag"] = np.where(out["inf_norm"].to_numpy(np.float64) < lo_val,
+                              "low", "high")
+        return out
+
+    return nt.map_batches(tag, batch_format="pandas").sort(id_col)

@@ -427,3 +427,68 @@ def test_ann_recall_at_k_consistent_and_full_probe_is_exact(emb_ds):
     full = (ann_recall_at_k(ds, qids, k=k, n_lists=8, n_probe=8)
             .to_pandas())
     assert (full["recall_at_k"] == 1.0).all()
+
+
+def test_ann_shard_plan_matches_local_lpt(emb_ds):
+    """The plan's census equals a local centroid-assignment count and
+    the shard map equals a brute-force LPT re-run over that census;
+    shard loads are within max-cell-size of each other (the LPT bound
+    witness on this fixture)."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        ann_shard_plan,
+        lloyd_codebook,
+    )
+
+    ds, m = emb_ds
+    k, ns = 5, 3
+    plan = ann_shard_plan(ds, n_clusters=k, n_shards=ns).to_pandas()
+    assert list(plan.columns) == ["cl", "n_vecs", "shard"]
+    assert list(plan["cl"]) == list(range(k))
+    assert plan["n_vecs"].sum() == N
+
+    # local census from the SAME deterministic fit
+    cents = lloyd_codebook(ds, k, 2)
+    mm = m.astype(np.float64)
+    d = ((mm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    counts = np.bincount(np.argmin(d, axis=1), minlength=k)
+    assert list(plan["n_vecs"]) == counts.tolist()
+
+    # brute-force LPT reference
+    loads = [0] * ns
+    shard_of = {}
+    for c in sorted(range(k), key=lambda c: (-counts[c], c)):
+        s = min(range(ns), key=lambda i: (loads[i], i))
+        shard_of[c] = s
+        loads[s] += int(counts[c])
+    assert list(plan["shard"]) == [shard_of[c] for c in range(k)]
+    assert max(loads) - min(loads) <= counts.max()
+
+
+def test_emb_norm_outliers_band_semantics(emb_ds):
+    """Outlier rows are exactly the rows strictly outside the
+    order-statistic band of the rounded inf-norms, with per-mille
+    integer edge ranks and ties-stay-inside semantics."""
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_series,
+    )
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        emb_norm_outliers,
+    )
+    import pandas as pd
+
+    ds, m = emb_ds
+    got = emb_norm_outliers(ds, q_lo_pm=50, q_hi_pm=950).to_pandas()
+    assert list(got.columns) == ["vec_id", "inf_norm", "tag"]
+
+    nrm = round_series(
+        pd.Series(np.abs(m.astype(np.float64)).max(axis=1)), 6
+    ).to_numpy()
+    srt = np.sort(nrm)
+    lo_k = max(1, (N * 50 + 999) // 1000)
+    hi_k = max(1, (N * 50 + 999) // 1000)
+    lo_val, hi_val = srt[lo_k - 1], srt[N - hi_k]
+    outside = (nrm < lo_val) | (nrm > hi_val)
+    assert sorted(got["vec_id"]) == sorted(np.flatnonzero(outside).tolist())
+    for _, r in got.iterrows():
+        assert r["tag"] == ("low" if r["inf_norm"] < lo_val else "high")
+        assert r["inf_norm"] == nrm[int(r["vec_id"])]
