@@ -3320,14 +3320,22 @@ def oracle_sql() -> dict[str, str]:
             FROM p2 ORDER BY pr DESC, term
         """,
         "weighted_sample_topk": """
+            -- rank on the RAW key, round only for display: a bare
+            -- ORDER BY skey here would resolve to the ROUND(...) OUTPUT
+            -- alias (SQL alias shadowing) and rank on the rounded key,
+            -- which diverges from the engine whenever a rounded tie
+            -- crosses the top-k boundary (observed at sf0.1)
             WITH keyed AS (
               SELECT doc_id, n_chars,
                      ln(((md5_number_lower(doc_id::VARCHAR)
                           % 9007199254740992) + 1)
                         / 9007199254740992.0) / n_chars AS skey
-              FROM documents)
+              FROM documents),
+            top AS (
+              SELECT doc_id, n_chars, skey
+              FROM keyed ORDER BY skey DESC, doc_id LIMIT 100)
             SELECT doc_id, n_chars, ROUND(skey, 6) AS skey
-            FROM keyed ORDER BY skey DESC, doc_id LIMIT 100
+            FROM top ORDER BY doc_id
         """,
         "lang_top_terms": """
             WITH t AS (
