@@ -1920,10 +1920,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _oracles.ann_exact_topk_sql(_QUERY_IDS, k=10),
         "q1_pricing_summary": """
+            -- money terms integerize per row (exact decimal cents /
+            -- 1e-4 units) so the sums are order-independent integer
+            -- sums: a raw float SUM over ~0.5M rows drifts past the
+            -- half-cent guard between engines (observed at sf0.1)
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * 100.0)
+                                  AS BIGINT)) / 100.0, 2) AS sum_base_price,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                        * 10000.0)
+                                  AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
                    ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem

@@ -32,6 +32,15 @@ def _epoch_seconds(series: pd.Series) -> np.ndarray:
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary with partial pre-aggregation.
 
+    Money columns are DECIMAL quantities stored as doubles, so the
+    price terms integerize per row BEFORE aggregation (price*(1-disc)
+    is exactly a 4-decimal number; the double product is bit-identical
+    in numpy and SQL, and floor(x*1e4 + 0.5) recovers the exact decimal
+    integer). Integer sums are order-independent, so the result is
+    bit-deterministic under ANY partitioning -- a raw float sum of
+    ~0.5M terms at 1e9 magnitude drifts by more than the half-cent
+    rounding guard between engines (observed at sf0.1).
+
     Output: (l_returnflag, l_linestatus, sum_qty, sum_base_price,
     sum_disc_price, avg_qty, count_order), sums/avg rounded to 2.
     """
@@ -48,7 +57,12 @@ def q1_pricing_summary(sf_dir: str):
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff]
-        return df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        price = df["l_extendedprice"].to_numpy(np.float64)
+        dp = price * (1.0 - df["l_discount"].to_numpy(np.float64))
+        return df.assign(
+            price_c=np.floor(price * 100.0 + 0.5).astype(np.int64),
+            disc_price_u=np.floor(dp * 10000.0 + 0.5).astype(np.int64),
+        )
 
     prepped = ds.map_batches(prep, batch_format="pandas", batch_size=131072)
     final = grouped_agg(
@@ -56,16 +70,19 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty": ("l_quantity", "sum"),
-            "sum_base_price": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
+            "sum_base_price": ("price_c", "sum"),
+            "sum_disc_price": ("disc_price_u", "sum"),
             "count_order": ("l_quantity", "size"),
         },
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["avg_qty"] = round_series(df["sum_qty"] / df["count_order"], 2)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = round_series(df[c], 2)
+        df["sum_qty"] = round_series(df["sum_qty"], 2)
+        df["sum_base_price"] = round_series(
+            df["sum_base_price"].astype(np.float64) / 100.0, 2)
+        df["sum_disc_price"] = round_series(
+            df["sum_disc_price"].astype(np.float64) / 10000.0, 2)
         df["count_order"] = df["count_order"].astype("int64")
         return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
                    "sum_disc_price", "avg_qty", "count_order"]]
