@@ -896,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_skew_join": relational.segment_revenue_skew_join,
         # corpus curation (SQL-oracled)
         "decontaminate": curation.decontaminate,
+        # scale path: Bloom prune + exact verify join; same rows, same
+        # oracle as decontaminate (never broadcasts the raw shingle set)
+        "decontaminate_bloom": curation.decontaminate_bloom,
         "dsir_importance_weights": curation.dsir_importance_weights,
         "ppl_buckets": curation.ppl_buckets,
         "doc_tfidf_top_terms": curation.doc_tfidf_top_terms,
@@ -3617,6 +3620,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "decontaminate": _oracles.decontaminate_sql(),
+        "decontaminate_bloom": _oracles.decontaminate_sql(),
         "dsir_importance_weights": """
             WITH tk AS (
               SELECT doc_id, lang,

@@ -94,6 +94,169 @@ def decontaminate(sf_dir: str, k: int = 5, num: int = 9, den: int = 10):
                           batch_size=4096).sort("doc_id")
 
 
+def decontaminate_bloom(sf_dir: str, k: int = 5, num: int = 9,
+                        den: int = 10, m_bits: int = 1 << 26,
+                        n_probes: int = 3, num_partitions: int = 8):
+    """Scale-path decontamination: IDENTICAL rows to ``decontaminate``
+    without ever broadcasting the raw benchmark shingle set -- the
+    shape for when the heldout suite is itself large (a union of many
+    benchmarks) so its shingle table no longer fits a ray.put:
+
+    1. one streaming pass folds the benchmark shingles into an m-bit
+       Bloom filter (per-batch distinct bit-index partials; only set
+       bits cross the driver, bounded by m, never by the shingle rows);
+    2. the scoring pass probes the broadcast filter: shingles the
+       filter rejects are DEFINITELY not benchmark (no false
+       negatives) and drop immediately, so almost no (doc, shingle)
+       pair survives at realistic benchmark/corpus ratios;
+    3. the surviving candidates verify EXACTLY against the
+       hash-partitioned DISTINCT benchmark shingle table (one inner
+       join + a doc-grain count) -- Bloom false positives die in the
+       join, so the output is exact. This is scale_ops'
+       ``orders_bloom_semi_join`` pattern applied to text shingles.
+
+    Size m to the benchmark: FP rate ~= (1 - e^(-j*n/m))^j; the 2^26
+    default holds ~5M distinct shingles at <1% FP. Shingles compute
+    twice (own-counts pass + candidate pass) -- the price of never
+    materializing the per-doc shingle stream.
+
+    Same oracle as ``decontaminate`` (the outputs are equal by
+    construction); path-equivalence pinned in tests/test_curation.py.
+
+    Output: (doc_id, n_overlap, n_shingles, contaminated) sorted by
+    doc_id.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import shingle_hashes
+    from ..stages.agg import grouped_agg
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import checkpointed_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def probe_idx(h: np.ndarray) -> np.ndarray:
+        # double hashing: idx_t = (h1 + t*h2) % m, h2 forced odd so the
+        # probe stride never degenerates
+        m = np.uint64(m_bits)
+        h1 = (h % m).astype(np.int64)
+        h2 = (((h >> np.uint64(32)) | np.uint64(1)) % m).astype(np.int64)
+        t = np.arange(n_probes, dtype=np.int64)[:, None]
+        return (h1[None, :] + t * h2[None, :]) % m_bits  # (n_probes, n)
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        hs = [shingle_hashes(t, k=k) for did, t in zip(ids, texts)
+              if did % _BENCH_MOD == 0]
+        h = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, dtype=np.uint64))
+        return pa.Table.from_arrays([pa.array(h, type=pa.uint64())],
+                                    names=["h"])
+
+    bench_h = ds.map_batches(bench_shingles, batch_format="pyarrow",
+                             batch_size=8192)
+
+    def bit_partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        idx = (np.unique(probe_idx(h.astype(np.uint64)))
+               if len(h) else np.empty(0, dtype=np.int64))
+        return pa.Table.from_arrays([pa.array(idx, type=pa.int64())],
+                                    names=["i"])
+
+    # bound: set-bit indices only (<= m_bits total, the filter itself)
+    bits = bench_h.map_batches(bit_partial,
+                               batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(m_bits, dtype=bool)
+    if len(bits):
+        bloom[bits["i"].to_numpy(np.int64)] = True
+    bloom_ref = ray.put(bloom)
+
+    # DISTINCT benchmark shingles, hash-partitioned in the object store
+    # (the exact-verify side; never collected to the driver)
+    bench_distinct = distinct_rows(bench_h, ["h"],
+                                   n_buckets=64).materialize()
+
+    def own_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_n = [], []
+        for did, text in zip(ids, texts):
+            if did % _BENCH_MOD == 0:
+                continue
+            out_id.append(int(did))
+            out_n.append(len(shingle_hashes(text, k=k)))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, type=pa.int64()),
+             pa.array(out_n, type=pa.int64())],
+            names=["doc_id", "n_shingles"])
+
+    own = ds.map_batches(own_counts, batch_format="pyarrow",
+                         batch_size=8192)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_doc, out_h = [], []
+        for did, text in zip(ids, texts):
+            if did % _BENCH_MOD == 0:
+                continue
+            h = shingle_hashes(text, k=k)
+            if not len(h):
+                continue
+            hit = bl[probe_idx(h)].all(axis=0)
+            n_hit = int(hit.sum())
+            if n_hit:
+                out_doc.extend([int(did)] * n_hit)
+                out_h.extend(h[hit].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_doc, type=pa.int64()),
+             pa.array(out_h, type=pa.uint64())],
+            names=["doc_id", "h"])
+
+    # candidate grain = true overlaps + Bloom FPs (object store only;
+    # materialized to derive live partition counts for the verify join)
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          batch_size=8192).materialize()
+    n_cand = cand.count()
+
+    if n_cand == 0:
+        def zero(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["n_overlap"] = np.int64(0)
+            df["contaminated"] = 0 * den >= num * df["n_shingles"]
+            return df[["doc_id", "n_overlap", "n_shingles",
+                       "contaminated"]]
+
+        return own.map_batches(zero, batch_format="pandas").sort("doc_id")
+
+    nb = bench_distinct.count()
+    np_verify = max(2, min(num_partitions, n_cand, nb))
+    verified = checkpointed_join(
+        cand, bench_distinct, on=("h",), num_partitions=np_verify,
+        left_cols=["doc_id", "h"], right_cols=["h"])
+    ov = grouped_agg(verified, ["doc_id"], {"n_overlap": ("h", "size")})
+
+    joined = checkpointed_join(
+        own, ov, on=("doc_id",), join_type="left_outer",
+        num_partitions=max(2, num_partitions),
+        left_cols=["doc_id", "n_shingles"],
+        right_cols=["doc_id", "n_overlap"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_overlap"] = df["n_overlap"].fillna(0).astype("int64")
+        df["n_shingles"] = df["n_shingles"].astype("int64")
+        df["contaminated"] = (df["n_overlap"] * den
+                              >= num * df["n_shingles"])
+        return df[["doc_id", "n_overlap", "n_shingles", "contaminated"]]
+
+    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
 def doc_tfidf_top_terms(sf_dir: str):
     """Per-document top TF-IDF candidate: the term with the highest
     in-doc frequency (ties -> lexicographically smallest), its document

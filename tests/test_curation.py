@@ -568,3 +568,23 @@ def test_hybrid_search_rrf_fuses_both_rankings(ray_session):
         assert abs(round(c, 6) - s) < 1e-9
     assert set(got["doc_id"]) & set(lex["doc_id"].astype(int))
     assert set(got["doc_id"]) & set(vec["vec_id"].astype(int))
+
+
+@needs_data
+def test_decontaminate_bloom_path_equivalence(ray_session):
+    """The Bloom-pruned exact-verify path emits EXACTLY the exact
+    broadcast path's rows (no false negatives by the Bloom property;
+    false positives die in the verify join) -- including with a tiny
+    filter whose high FP rate floods the verify join with candidates."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    exact = (decontaminate(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    for m_bits in (1 << 22, 1 << 12):  # healthy filter; saturated filter
+        bloom = (decontaminate_bloom(SF, m_bits=m_bits).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            exact, bloom[exact.columns], check_dtype=False)
