@@ -833,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_tumbling_hour": windows.streaming_tumbling_hour,
         "events_late_data": windows.events_late_data,
         "events_ewma_alerts": windows.events_ewma_alerts,
+        "events_theil_sen": windows.events_theil_sen,
+        "events_holt_forecast": windows.events_holt_forecast,
         "part_filter_topk": relational.part_filter_topk,
         "distinct_flag_status": distinct_flag_status,
         "orders_semi_join": relational.orders_semi_join,
@@ -905,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": curation.semdedup,
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
+        "cdc_duplicate_chunks": curation.cdc_duplicate_chunks,
         "dedup_chunks_global": curation.dedup_chunks_global,
         "doc_novelty_rate": curation.doc_novelty_rate,
         "soft_dedup": curation.soft_dedup,
@@ -995,18 +998,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph", "ann_hard_negatives",
         "doc_bpe_encode", "pack_plan", "jsonl_shards",
         "stratified_sample", "lang_sample_exact_k",
-        "temperature_mixture_sample", "train_test_split",
+        "temperature_mixture_sample", "cdc_duplicate_chunks",
         "q1_pricing_summary", "q3_shipping_priority",
         "events_sessionize", "events_late_data",
         "events_windowed_funnel", "streaming_tumbling_hour",
-        "events_last_order_asof", "events_nearest_order_join",
-        "events_ks_test",
+        "events_last_order_asof", "events_theil_sen",
+        "events_holt_forecast",
     ]
     # Slots 38-49: the 12 queries NEW this round (final round: external
     # validation of fresh operators outranks the r4 rotation scheme --
     # every slot the rotation would sample is already oracled in the
     # committed full sweep; q2/q12 leave the window but stay oracled,
-    # and the TPC-H family keeps q1/q3 inside it).
+    # and the TPC-H family keeps q1/q3 inside it). The three late-r5
+    # ops (cdc_duplicate_chunks, events_theil_sen, events_holt_forecast)
+    # take the train_test_split / events_nearest_order_join /
+    # events_ks_test slots above -- each vacated family keeps another
+    # representative in the window (leakage_safe_split,
+    # events_last_order_asof, theil_sen itself is the stats rep).
     head += [
         "media_dedup", "repeated_media_census", "doc_media_stats",
         "quality_classifier_gate", "quality_keep_rate",
@@ -2889,6 +2897,74 @@ def oracle_sql() -> dict[str, str]:
                    ABS(ROUND(resid, 6)) > sg.gate AS is_alert
             FROM w, sg ORDER BY hour_s
         """,
+        "events_theil_sen": """
+            -- Theil-Sen: median pairwise slope over hourly counts; the
+            -- median uses the engine's exact formula (0-based picks
+            -- (m-1)//2 and m//2, averaged as (a+b)/2.0) so no quantile
+            -- interpolation convention is involved
+            WITH c AS (
+              SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS hour_s,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1),
+            x AS (SELECT (hour_s - (SELECT MIN(hour_s) FROM c)) // 3600
+                           AS hx, n
+                  FROM c),
+            pr AS (SELECT (b.n - a.n) / CAST(b.hx - a.hx AS DOUBLE)
+                            AS slope
+                   FROM x a JOIN x b ON b.hx > a.hx),
+            m1 AS (SELECT slope,
+                          row_number() OVER (ORDER BY slope) AS rn,
+                          COUNT(*) OVER () AS m
+                   FROM pr),
+            ms AS (SELECT (MIN(slope) + MAX(slope)) / 2.0 AS slope
+                   FROM m1 WHERE rn IN ((m + 1) // 2, m // 2 + 1)),
+            r AS (SELECT x.n - ms.slope * x.hx AS resid FROM x, ms),
+            m2 AS (SELECT resid,
+                          row_number() OVER (ORDER BY resid) AS rn,
+                          COUNT(*) OVER () AS m
+                   FROM r),
+            mi AS (SELECT (MIN(resid) + MAX(resid)) / 2.0 AS icpt
+                   FROM m2 WHERE rn IN ((m + 1) // 2, m // 2 + 1))
+            SELECT (SELECT COUNT(*) FROM c) AS n_hours,
+                   ROUND(ms.slope, 6) AS slope,
+                   ROUND(mi.icpt, 6) AS intercept
+            FROM ms, mi
+        """,
+        "events_holt_forecast": """
+            -- Holt double-exponential smoothing; identical recursion
+            -- operand order as the engine (alpha=3/10, beta=1/10);
+            -- f_0 := x_0 so the first error is 0
+            WITH RECURSIVE c AS (
+              SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       AS hour_s,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1),
+            o AS (SELECT hour_s, n,
+                         row_number() OVER (ORDER BY hour_s) AS rn
+                  FROM c),
+            w(rn, hour_s, n, l, b) AS (
+              SELECT rn, hour_s, n, CAST(n AS DOUBLE),
+                     CAST((SELECT n FROM o WHERE rn = 2) - n AS DOUBLE)
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT rn, hour_s, n, ln_,
+                     (1.0/10.0) * (ln_ - lp) + (1.0 - 1.0/10.0) * bp
+              FROM (SELECT o.rn, o.hour_s, o.n,
+                           (3.0/10.0) * o.n
+                             + (1.0 - 3.0/10.0) * (w.l + w.b) AS ln_,
+                           w.l AS lp, w.b AS bp
+                    FROM o JOIN w ON o.rn = w.rn + 1))
+            SELECT hour_s, CAST(n AS BIGINT) AS n_events,
+                   ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+                   ROUND(COALESCE(lag(l) OVER (ORDER BY rn)
+                                  + lag(b) OVER (ORDER BY rn),
+                                  CAST(n AS DOUBLE)), 6) AS forecast,
+                   ROUND(n - COALESCE(lag(l) OVER (ORDER BY rn)
+                                      + lag(b) OVER (ORDER BY rn),
+                                      CAST(n AS DOUBLE)), 6) AS err
+            FROM w ORDER BY hour_s
+        """,
         "events_late_data": """
             WITH a AS (
               SELECT event_id, epoch_us(ts) AS ts_us,
@@ -3543,6 +3619,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT doc_id) AS n_docs,
                    MIN(doc_id) AS first_doc
             FROM c GROUP BY chunk
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY chunk
+        """,
+        "cdc_duplicate_chunks": r"""
+            -- content-defined chunking: word i (1-based) closes a chunk
+            -- iff i >= 3 and md5_number_lower (the engine's _hash64
+            -- twin) of the 3-gram ending at i is 0 mod 8; a word's
+            -- chunk id = boundaries strictly before it in its doc
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+              FROM documents),
+            p AS (SELECT doc_id, ws, i
+                  FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+            b AS (SELECT doc_id, i, ws[i] AS word,
+                         CASE WHEN i >= 3 AND md5_number_lower(
+                                array_to_string(ws[i-2:i], ' ')) % 8 = 0
+                              THEN 1 ELSE 0 END AS is_b
+                  FROM p),
+            c AS (SELECT doc_id, i, word,
+                         COALESCE(SUM(is_b) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cid
+                  FROM b),
+            ch AS (SELECT doc_id, cid,
+                          string_agg(word, ' ' ORDER BY i) AS chunk
+                   FROM c GROUP BY 1, 2)
+            SELECT chunk, COUNT(*) AS n_occur,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS first_doc
+            FROM ch GROUP BY 1
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY chunk
         """,

@@ -2122,3 +2122,101 @@ def quality_keep_rate(sf_dir: str):
     k, n = int(parts["k"].sum()), int(parts["n"].sum())
     rate = float(round_series(pd.Series([k / n if n else 0.0]), 6).iloc[0])
     return pd.DataFrame({"keep_rate": [rate]})
+
+
+def cdc_duplicate_chunks(sf_dir: str, k: int = 3, divisor: int = 8,
+                         min_docs: int = 2, n_buckets: int = 64):
+    """Content-defined chunking (CDC) duplicate report -- the
+    storage-dedup flavor the fixed-stride chunkers miss: word position i
+    (0-based) CLOSES a chunk iff i >= k-1 and the 64-bit hash of the
+    k-gram ending at i is 0 mod ``divisor``, so chunk boundaries depend
+    only on local CONTENT. Inserting one word near the start of a doc
+    shifts every fixed-stride chunk (``duplicate_chunks`` finds nothing
+    downstream) but leaves every CDC boundary after the edit point
+    intact -- the Rabin/LBFS chunking insight (Muthitacharoen et al.
+    2001), word-grain here.
+
+    Determinism contract: the boundary hash is the repo's
+    ``md5_number_lower`` twin (functions/hashing._hash64) so the SQL
+    oracle reproduces the exact same cut points. At 100 TB the
+    oracle-parity md5 would yield to the polynomial rolling hash
+    (functions/hashing.shingle_hashes' machinery) -- same algorithm,
+    cheaper hash; divisor sets the expected chunk length (~divisor
+    words) and the trailing unbounded-chunk tail risk is the standard
+    CDC max-length caveat, irrelevant at word grain over documents.
+
+    Shape: chunk assembly is vectorized per batch (flat word array,
+    shifted-array gram concat, one cumsum for chunk ids -- the only
+    per-token Python is the md5 map, the documented oracle-parity
+    cost); per-batch partial counts slim the shuffle to one row per
+    (chunk, doc); then two grouped_aggs exactly like
+    ``duplicate_chunks``.
+
+    Output: (chunk, n_occur, n_docs, first_doc) for chunks in >=
+    ``min_docs`` distinct docs, sorted by chunk.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+
+    kk = int(k)
+    dv = np.uint64(int(divisor))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def chunks_of(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        words = df["text"].str.split()
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.empty(0, dtype=object), *words.to_numpy()])
+        if len(flat) == 0:
+            return pd.DataFrame({"chunk": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "n_occur": pd.Series([], dtype="int64")})
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        # k-gram ending at flat index j, built from shifted copies of the
+        # flat array; valid only where the whole gram sits in one doc
+        valid = pos >= kk - 1
+        gram = pd.Series(
+            np.concatenate((np.full(kk - 1, "", dtype=object),
+                            flat[:len(flat) - (kk - 1)])), dtype="object")
+        for s in range(kk - 2, -1, -1):
+            shifted = (flat if s == 0 else np.concatenate(
+                (np.full(s, "", dtype=object), flat[:len(flat) - s])))
+            gram = gram + " " + pd.Series(shifted, dtype="object")
+        boundary = np.zeros(len(flat), dtype=bool)
+        vidx = np.flatnonzero(valid)
+        if vidx.size:
+            h = gram.iloc[vidx].map(_hash64).to_numpy(dtype=np.uint64)
+            boundary[vidx] = (h % dv) == 0
+        # chunk id of word j = boundaries strictly before j in its doc
+        b_before = np.concatenate(([False], boundary[:-1]))
+        cs = np.cumsum(b_before)
+        cid = cs - np.repeat(cs[starts], lens)
+        part = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "cid": cid,
+            "word": flat,
+        })
+        ch = (part.groupby(["doc_id", "cid"], sort=False)["word"]
+              .agg(" ".join).reset_index(name="chunk"))
+        return (ch.groupby(["chunk", "doc_id"], as_index=False, sort=False)
+                .agg(n_occur=("doc_id", "size")))
+
+    per_doc = grouped_agg(
+        ds.map_batches(chunks_of, batch_format="pyarrow", batch_size=8192),
+        ["chunk", "doc_id"], {"n_occur": ("n_occur", "sum")},
+        n_buckets=n_buckets)
+    per_chunk = grouped_agg(
+        per_doc, ["chunk"],
+        {"n_occur": ("n_occur", "sum"), "n_docs": ("doc_id", "size"),
+         "first_doc": ("doc_id", "min")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_docs"] >= min_docs]
+        return out.astype({"n_occur": "int64", "n_docs": "int64",
+                           "first_doc": "int64"})
+
+    return (per_chunk.map_batches(finish, batch_format="pandas")
+                     .sort("chunk"))

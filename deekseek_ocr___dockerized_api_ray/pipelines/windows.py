@@ -799,3 +799,136 @@ def events_ewma_alerts(sf_dir: str, lam_num: int = 2, lam_den: int = 10,
         "is_alert": np.abs(r6) > gate,
     })
     return rd.from_pandas(out)
+
+
+def events_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend estimate over the hourly event-volume
+    series -- the median of all pairwise slopes (Theil 1950, Sen 1968),
+    the outlier-resistant alternative to the OLS trend
+    (``events_trend_ols``): a burst hour drags the OLS slope but moves
+    only one slope sample past the median.
+
+    Determinism contract: x is the integer hour index since the first
+    observed hour, every slope is one int-int double division
+    (bit-identical in numpy and SQL), and the median uses the SAME
+    explicit formula on both engines -- sort, pick elements (m-1)//2 and
+    m//2 (0-based), average as (a + b) / 2.0 -- so no quantile
+    interpolation-convention ulp exists. Precondition: >= 2 observed
+    hours (any fixture scale).
+
+    Scale shape: hourly counts are a combiner-reduced aggregate
+    (bound-static: calendar grain); the O(H^2) pairwise-slope median
+    runs on the driver over H <= time-span hours, corpus-independent.
+    At multi-year spans the standard mitigation is Sen's subsample
+    estimator at the same grain.
+
+    Output: one row (n_hours, slope r6, intercept r6).
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (np.asarray(df["ts"], dtype="datetime64[us]")
+                .astype(np.int64) // 3_600_000_000) * 3600
+        return pd.DataFrame({"hour_s": hour,
+                             "one": np.ones(len(df), dtype=np.int64)})
+
+    counts = grouped_agg(
+        ev.map_batches(prep, batch_format="pandas", batch_size=131072),
+        ["hour_s"], {"n_events": ("one", "sum")},
+        # bound-static: calendar grain (one row per hour)
+        n_buckets=16).to_pandas().sort_values("hour_s").reset_index(drop=True)
+
+    hour_s = counts["hour_s"].to_numpy(dtype=np.int64)
+    hx = (hour_s - hour_s.min()) // 3600
+    n = counts["n_events"].to_numpy(dtype=np.int64)
+
+    def _median_same_formula(v: np.ndarray) -> float:
+        v = np.sort(v)
+        m = len(v)
+        return (float(v[(m - 1) // 2]) + float(v[m // 2])) / 2.0
+
+    i, j = np.triu_indices(len(n), k=1)
+    slopes = (n[j] - n[i]).astype(np.float64) / (hx[j] - hx[i]).astype(
+        np.float64)
+    slope = _median_same_formula(slopes)
+    resid = n.astype(np.float64) - slope * hx.astype(np.float64)
+    icpt = _median_same_formula(resid)
+    out = pd.DataFrame({
+        "n_hours": np.asarray([len(n)], dtype=np.int64),
+        "slope": [round_half_away(slope, 6)],
+        "intercept": [round_half_away(icpt, 6)],
+    })
+    return rd.from_pandas(out)
+
+
+def events_holt_forecast(sf_dir: str, alpha_num: int = 3,
+                         alpha_den: int = 10, beta_num: int = 1,
+                         beta_den: int = 10):
+    """Holt double-exponential smoothing (Holt 1957) over the hourly
+    event-volume series -- the trend-aware sibling of the EWMA chart
+    (``events_ewma_alerts``): level l_t and trend b_t evolve as
+
+        l_0 = x_0;  b_0 = x_1 - x_0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    and the one-step forecast is f_t = l_{t-1} + b_{t-1} (f_0 := x_0 so
+    the first error is 0). The SQL oracle runs the identical recursion
+    as a recursive CTE with the same operand order; outputs round r6 on
+    both engines. Precondition: >= 2 observed hours. The series is the
+    OBSERVED hours in order (no gap fill), matching the EWMA op.
+
+    Scale shape: identical to the EWMA chart -- combiner-reduced hourly
+    counts (bound-static: calendar grain) + one O(hours) driver scan.
+
+    Output: (hour_s, n_events, level r6, trend r6, forecast r6, err r6)
+    by hour_s.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (np.asarray(df["ts"], dtype="datetime64[us]")
+                .astype(np.int64) // 3_600_000_000) * 3600
+        return pd.DataFrame({"hour_s": hour,
+                             "one": np.ones(len(df), dtype=np.int64)})
+
+    counts = grouped_agg(
+        ev.map_batches(prep, batch_format="pandas", batch_size=131072),
+        ["hour_s"], {"n_events": ("one", "sum")},
+        # bound-static: calendar grain (one row per hour)
+        n_buckets=16).to_pandas().sort_values("hour_s").reset_index(drop=True)
+
+    alpha = alpha_num / alpha_den
+    beta = beta_num / beta_den
+    x = counts["n_events"].to_numpy(dtype=np.float64)
+    h = len(x)
+    lvl = np.empty(h, dtype=np.float64)
+    trd = np.empty(h, dtype=np.float64)
+    fct = np.empty(h, dtype=np.float64)
+    lvl[0] = x[0]
+    trd[0] = float(counts["n_events"].iloc[1] - counts["n_events"].iloc[0])
+    fct[0] = x[0]
+    for t in range(1, h):
+        fct[t] = lvl[t - 1] + trd[t - 1]
+        l_new = alpha * x[t] + (1.0 - alpha) * (lvl[t - 1] + trd[t - 1])
+        trd[t] = beta * (l_new - lvl[t - 1]) + (1.0 - beta) * trd[t - 1]
+        lvl[t] = l_new
+    out = pd.DataFrame({
+        "hour_s": counts["hour_s"].astype("int64"),
+        "n_events": counts["n_events"].astype("int64"),
+        "level": [round_half_away(float(v), 6) for v in lvl],
+        "trend": [round_half_away(float(v), 6) for v in trd],
+        "forecast": [round_half_away(float(v), 6) for v in fct],
+        "err": [round_half_away(float(v - f), 6) for v, f in zip(x, fct)],
+    })
+    return rd.from_pandas(out)

@@ -588,3 +588,45 @@ def test_decontaminate_bloom_path_equivalence(ray_session):
                  .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(
             exact, bloom[exact.columns], check_dtype=False)
+
+
+@needs_data
+def test_cdc_duplicate_chunks_matches_local_reference(ray_session):
+    """The distributed CDC chunker equals a per-doc local recompute with
+    the same boundary rule (md5_number_lower(3-gram) % 8 == 0 closes a
+    chunk), and boundaries are content-defined: identical word suffixes
+    in different docs chunk identically past the first k-1 words."""
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        cdc_duplicate_chunks,
+    )
+
+    got = cdc_duplicate_chunks(SF).to_pandas().reset_index(drop=True)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split()
+        chunks, cur = [], []
+        for i, w in enumerate(words):
+            cur.append(w)
+            if i >= 2 and _hash64(" ".join(words[i - 2:i + 1])) % 8 == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        rows += [(c, doc_id) for c in chunks]
+    ref = pd.DataFrame(rows, columns=["chunk", "doc_id"])
+    agg = (ref.groupby("chunk")
+           .agg(n_occur=("doc_id", "size"), n_docs=("doc_id", "nunique"),
+                first_doc=("doc_id", "min"))
+           .reset_index())
+    agg = (agg[agg["n_docs"] >= 2].sort_values("chunk")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, agg.astype({"n_occur": "int64", "n_docs": "int64",
+                         "first_doc": "int64"}))
+    # expected chunk length ~ divisor words; nothing pathological
+    assert (got["chunk"].str.split(" ").str.len() >= 1).all()
+    assert len(got) > 0

@@ -303,3 +303,78 @@ def test_events_ewma_alerts_matches_local_recursion(ray_session):
     r6 = np.asarray([round_half_away(float(v), 6) for v in resid])
     assert got["is_alert"].tolist() == (np.abs(r6) > gate).tolist()
     assert not got["is_alert"].iloc[0]
+
+
+@needs_data
+def test_events_theil_sen_matches_local(ray_session):
+    """The distributed hourly-count + driver pairwise-slope median
+    equals a local recompute with the identical median formula, and the
+    estimator is the median of slopes (bounded by their extremes)."""
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_theil_sen,
+    )
+
+    got = events_theil_sen(SF).to_pandas()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    hour = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // 3_600_000_000) * 3600
+    counts = pd.Series(hour).value_counts().sort_index()
+    hx = (counts.index.to_numpy(dtype=np.int64)
+          - int(counts.index.min())) // 3600
+    n = counts.to_numpy(dtype=np.int64)
+
+    def med(v):
+        v = np.sort(v)
+        m = len(v)
+        return (float(v[(m - 1) // 2]) + float(v[m // 2])) / 2.0
+
+    i, j = np.triu_indices(len(n), k=1)
+    slopes = (n[j] - n[i]).astype(np.float64) / (hx[j] - hx[i]).astype(
+        np.float64)
+    slope = med(slopes)
+    icpt = med(n.astype(np.float64) - slope * hx.astype(np.float64))
+    assert int(got["n_hours"].iloc[0]) == len(n)
+    assert float(got["slope"].iloc[0]) == round_half_away(slope, 6)
+    assert float(got["intercept"].iloc[0]) == round_half_away(icpt, 6)
+    assert slopes.min() <= slope <= slopes.max()
+
+
+@needs_data
+def test_events_holt_forecast_matches_local_recursion(ray_session):
+    """The distributed hour-count + driver Holt recursion equals a local
+    pandas recompute; the first forecast is defined as x_0 (err 0) and
+    every later forecast is level+trend of the previous hour."""
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.windows import (
+        events_holt_forecast,
+    )
+
+    got = events_holt_forecast(SF).to_pandas()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    hour = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // 3_600_000_000) * 3600
+    counts = pd.Series(hour).value_counts().sort_index()
+    x = counts.to_numpy(dtype=np.float64)
+    alpha, beta = 3 / 10, 1 / 10
+    lvl = np.empty(len(x)); trd = np.empty(len(x)); fct = np.empty(len(x))
+    lvl[0] = x[0]; trd[0] = float(int(x[1]) - int(x[0])); fct[0] = x[0]
+    for t in range(1, len(x)):
+        fct[t] = lvl[t - 1] + trd[t - 1]
+        l_new = alpha * x[t] + (1.0 - alpha) * (lvl[t - 1] + trd[t - 1])
+        trd[t] = beta * (l_new - lvl[t - 1]) + (1.0 - beta) * trd[t - 1]
+        lvl[t] = l_new
+    assert got["hour_s"].tolist() == counts.index.tolist()
+    assert got["level"].tolist() == [round_half_away(float(v), 6)
+                                     for v in lvl]
+    assert got["trend"].tolist() == [round_half_away(float(v), 6)
+                                     for v in trd]
+    assert got["forecast"].tolist() == [round_half_away(float(v), 6)
+                                        for v in fct]
+    assert float(got["err"].iloc[0]) == 0.0
