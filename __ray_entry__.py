@@ -908,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": curation.doc_bm25,
         "duplicate_chunks": curation.duplicate_chunks,
         "cdc_duplicate_chunks": curation.cdc_duplicate_chunks,
+        "winnowing_fingerprints": curation.winnowing_fingerprints,
+        "winnowing_pairs": curation.winnowing_pairs,
         "dedup_chunks_global": curation.dedup_chunks_global,
         "doc_novelty_rate": curation.doc_novelty_rate,
         "soft_dedup": curation.soft_dedup,
@@ -3652,6 +3654,83 @@ def oracle_sql() -> dict[str, str]:
             FROM ch GROUP BY 1
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY chunk
+        """,
+        "winnowing_fingerprints": r"""
+            -- winnowing (Schleimer et al. 2003, simple variant): every
+            -- length-4 window of word-3-gram md5_number_lower hashes
+            -- (the engine's _hash64 twin) selects its minimum with the
+            -- RIGHTMOST tie-break; a doc shorter than one window keeps
+            -- one truncated window over all its grams (the frame below
+            -- truncates at the partition end); n_fp = distinct selected
+            -- hash values
+            WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '\S+')
+                               AS ws
+                        FROM documents),
+            g AS (SELECT doc_id, i AS pos,
+                         md5_number_lower(ws[i] || ' ' || ws[i+1]
+                                          || ' ' || ws[i+2]) AS h,
+                         len(ws) - 2 AS ng
+                  FROM w0, unnest(range(1, len(ws) - 1)) AS u(i)
+                  WHERE len(ws) >= 3),
+            wm0 AS (SELECT doc_id, pos AS j, ng,
+                           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN CURRENT ROW
+                                                 AND 3 FOLLOWING) AS mh
+                    FROM g),
+            wm AS (SELECT * FROM wm0 WHERE j <= GREATEST(ng - 3, 1)),
+            sel0 AS (SELECT wm.doc_id, wm.j, MAX(g2.pos) AS spos
+                     FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+                                      AND g2.pos BETWEEN wm.j AND wm.j + 3
+                                      AND g2.h = wm.mh
+                     GROUP BY wm.doc_id, wm.j),
+            selpos AS (SELECT DISTINCT doc_id, spos FROM sel0),
+            fp AS (SELECT DISTINCT s.doc_id, g.h
+                   FROM selpos s JOIN g ON g.doc_id = s.doc_id
+                                       AND g.pos = s.spos)
+            SELECT fp.doc_id, ANY_VALUE(g.ng) AS n_grams,
+                   COUNT(DISTINCT fp.h) AS n_fp,
+                   ROUND(COUNT(DISTINCT fp.h)
+                         / CAST(ANY_VALUE(g.ng) AS DOUBLE), 6) AS density
+            FROM fp JOIN g ON g.doc_id = fp.doc_id
+            GROUP BY fp.doc_id ORDER BY fp.doc_id
+        """,
+        "winnowing_pairs": r"""
+            -- MOSS overlap pairs over the winnowed fingerprint sets:
+            -- fingerprints in > 20 distinct docs are dropped first (the
+            -- boilerplate defense); pairs share >= 2 of the survivors
+            WITH w0 AS (SELECT doc_id, regexp_extract_all(text, '\S+')
+                               AS ws
+                        FROM documents),
+            g AS (SELECT doc_id, i AS pos,
+                         md5_number_lower(ws[i] || ' ' || ws[i+1]
+                                          || ' ' || ws[i+2]) AS h,
+                         len(ws) - 2 AS ng
+                  FROM w0, unnest(range(1, len(ws) - 1)) AS u(i)
+                  WHERE len(ws) >= 3),
+            wm0 AS (SELECT doc_id, pos AS j, ng,
+                           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN CURRENT ROW
+                                                 AND 3 FOLLOWING) AS mh
+                    FROM g),
+            wm AS (SELECT * FROM wm0 WHERE j <= GREATEST(ng - 3, 1)),
+            sel0 AS (SELECT wm.doc_id, wm.j, MAX(g2.pos) AS spos
+                     FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+                                      AND g2.pos BETWEEN wm.j AND wm.j + 3
+                                      AND g2.h = wm.mh
+                     GROUP BY wm.doc_id, wm.j),
+            selpos AS (SELECT DISTINCT doc_id, spos FROM sel0),
+            fp AS (SELECT DISTINCT s.doc_id, g.h
+                   FROM selpos s JOIN g ON g.doc_id = s.doc_id
+                                       AND g.pos = s.spos),
+            dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df
+                    FROM fp GROUP BY h),
+            fpf AS (SELECT fp.doc_id, fp.h
+                    FROM fp JOIN dfc USING (h) WHERE dfc.df <= 20)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared
+            FROM fpf a JOIN fpf b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY doc_a, doc_b
         """,
         "doc_novelty_rate": r"""
             WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws

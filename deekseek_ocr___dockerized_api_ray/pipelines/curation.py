@@ -2220,3 +2220,191 @@ def cdc_duplicate_chunks(sf_dir: str, k: int = 3, divisor: int = 8,
 
     return (per_chunk.map_batches(finish, batch_format="pandas")
                      .sort("chunk"))
+
+
+def _winnow_selected(df: pd.DataFrame, k: int, w: int) -> pd.DataFrame:
+    """Per-batch winnowing (Schleimer et al. 2003, simple variant with
+    the rightmost-minimum tie-break): word k-gram hashes per doc, then
+    every length-w window of consecutive gram hashes selects its
+    minimum (rightmost position on ties); a doc shorter than one full
+    window selects the rightmost minimum of all its grams. Returns the
+    DISTINCT (doc_id, fp) fingerprint rows plus each doc's gram count
+    -- global-distinct because a document is one input row, so all its
+    grams live in this batch.
+
+    Vectorized: flat word array + forward-shifted gram assembly + ONE
+    sliding_window_view over the flat hash array (windows crossing a
+    doc boundary masked out); the only per-token Python is the md5 map,
+    the documented oracle-parity cost (md5_number_lower twin -- prod
+    would swap in functions.hashing's polynomial rolling hash).
+    """
+    from ..functions.hashing import _hash64
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "fp": pd.Series([], dtype="uint64"),
+                          "n_grams": pd.Series([], dtype="int64")})
+    words = df["text"].str.split()
+    lens = words.str.len().to_numpy(dtype=np.int64)
+    keep = lens >= k
+    if not keep.any():
+        return empty
+    words, lens = words[keep], lens[keep]
+    doc_ids = df["doc_id"].to_numpy()[keep]
+    flat = np.concatenate([np.empty(0, dtype=object), *words.to_numpy()])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(len(flat)) - np.repeat(starts, lens)
+    # gram STARTING at flat index j spans words j..j+k-1; valid only
+    # where it sits entirely inside one doc
+    valid = pos <= np.repeat(lens, lens) - k
+    gram = pd.Series(flat, dtype="object")
+    for s in range(1, k):
+        shifted = np.concatenate((flat[s:], np.full(s, "", dtype=object)))
+        gram = gram + " " + pd.Series(shifted, dtype="object")
+    vidx = np.flatnonzero(valid)
+    vh = gram.iloc[vidx].map(_hash64).to_numpy(dtype=np.uint64)
+    vdoc = np.repeat(doc_ids, lens)[vidx]
+    n = len(vh)
+    sel_doc, sel_fp = [], []
+    if n >= w:
+        win = np.lib.stride_tricks.sliding_window_view(vh, w)
+        full = vdoc[: n - w + 1] == vdoc[w - 1:]
+        # rightmost argmin: argmin over the reversed window finds the
+        # LAST minimum of the original orientation
+        ra = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        sidx = (np.flatnonzero(full) + ra[full])
+        sel_doc.append(vdoc[sidx])
+        sel_fp.append(vh[sidx])
+    # docs with fewer than w grams: one truncated window = all grams
+    gcount = lens - k + 1
+    short = gcount < w
+    if short.any():
+        sdocs = set(doc_ids[short].tolist())
+        m = np.isin(vdoc, list(sdocs))
+        sd = pd.DataFrame({"doc_id": vdoc[m], "h": vh[m],
+                           "p": np.arange(len(vdoc))[m]})
+        mins = sd.groupby("doc_id")["h"].transform("min")
+        picks = (sd[sd["h"] == mins].groupby("doc_id", as_index=False)
+                 .agg(p=("p", "max")))
+        sel_doc.append(picks.merge(sd, on=["doc_id", "p"])["doc_id"]
+                       .to_numpy())
+        sel_fp.append(picks.merge(sd, on=["doc_id", "p"])["h"]
+                      .to_numpy(dtype=np.uint64))
+    out = pd.DataFrame({
+        "doc_id": np.concatenate(sel_doc),
+        "fp": np.concatenate(sel_fp).astype(np.uint64),
+    }).drop_duplicates()
+    ng = pd.DataFrame({"doc_id": doc_ids, "n_grams": gcount})
+    return out.merge(ng, on="doc_id").astype({"doc_id": "int64",
+                                              "n_grams": "int64"})
+
+
+def winnowing_fingerprints(sf_dir: str, k: int = 3, w: int = 4):
+    """Per-doc winnowing fingerprint census (Schleimer et al. 2003 --
+    the MOSS local document fingerprinting algorithm, word-k-gram
+    grain): n_grams, n_fp = distinct selected fingerprint hashes, and
+    the selection density n_fp / n_grams (the paper's expected density
+    for random input is 2/(w+1)).
+
+    Determinism contract: gram hash = the repo's md5_number_lower twin
+    (functions/hashing._hash64); tie-break = rightmost minimum, so the
+    selected set is position-exact in both engines; density is one
+    int/int double division rounded r6.
+
+    Scale shape: ZERO shuffle -- a document is one row, so the whole
+    fingerprint selection is batch-local; only the final doc-grain sort
+    exchanges. Output: (doc_id, n_grams, n_fp, density) by doc_id.
+    Docs with fewer than k words have no grams and are excluded (the
+    fixture minimum is far above k).
+    """
+    import ray.data as rd
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        fp = _winnow_selected(df, k, w)
+        if fp.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_fp": pd.Series([], dtype="int64"),
+                                 "density": pd.Series([], dtype="float64")})
+        g = (fp.groupby(["doc_id", "n_grams"], as_index=False)
+             .agg(n_fp=("fp", "nunique")))
+        g["density"] = round_series(
+            g["n_fp"].astype(np.float64) / g["n_grams"].astype(np.float64), 6)
+        return g[["doc_id", "n_grams", "n_fp", "density"]].astype(
+            {"n_grams": "int64", "n_fp": "int64"})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(census, batch_format="pandas",
+                          batch_size=8192).sort("doc_id")
+
+
+def winnowing_pairs(sf_dir: str, k: int = 3, w: int = 4,
+                    max_df: int = 20, min_shared: int = 2,
+                    n_buckets: int = 64):
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (the MOSS overlap-detection shape, Schleimer et al. 2003): each
+    doc's winnowed fingerprint set (see ``winnowing_fingerprints``)
+    joins on fingerprint value; fingerprints appearing in more than
+    ``max_df`` distinct docs are dropped first -- MOSS's own
+    boilerplate defense, and the hot-key bound that caps the pair
+    blow-up at max_df^2/2 per fingerprint regardless of corpus size.
+
+    Scale shape: batch-local fingerprint selection (zero shuffle), ONE
+    keyed shuffle on fp % n_buckets (each group sees every doc holding
+    its fingerprints, so the df gate is exact-global inside the group),
+    vectorized per-fingerprint pair expansion, then a pair-keyed
+    combiner groupby. n_shared counts DISTINCT shared fingerprints.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b, sorted.
+    """
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg as _gagg
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        out = _winnow_selected(df, k, w)[["doc_id", "fp"]]
+        out["bucket"] = (out["fp"].to_numpy(dtype=np.uint64)
+                         % np.uint64(n_buckets)).astype(np.int32)
+        return out
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        df_per_fp = g.groupby("fp")["doc_id"].transform("nunique")
+        g = g[df_per_fp <= max_df].sort_values(["fp", "doc_id"])
+        a_all, b_all = [], []
+        for _, docs in g.groupby("fp", sort=False)["doc_id"]:
+            d = docs.to_numpy()
+            if len(d) < 2:
+                continue
+            ia, ib = np.triu_indices(len(d), k=1)
+            a_all.append(d[ia])
+            b_all.append(d[ib])
+        if not a_all:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        p = pd.DataFrame({"doc_a": np.concatenate(a_all),
+                          "doc_b": np.concatenate(b_all)})
+        return (p.groupby(["doc_a", "doc_b"], as_index=False)
+                .agg(n_shared=("doc_a", "size"))
+                .astype({"doc_a": "int64", "doc_b": "int64",
+                         "n_shared": "int64"}))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    fp = ds.map_batches(fps, batch_format="pandas", batch_size=8192)
+    partial = fp.groupby("bucket").map_groups(pairs_in_bucket,
+                                              batch_format="pandas")
+    tot = _gagg(partial, ["doc_a", "doc_b"],
+                {"n_shared": ("n_shared", "sum")}, n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_shared"] >= min_shared]
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "n_shared": "int64"})
+
+    return (tot.map_batches(finish, batch_format="pandas")
+               .sort(["doc_a", "doc_b"]))

@@ -630,3 +630,110 @@ def test_cdc_duplicate_chunks_matches_local_reference(ray_session):
     # expected chunk length ~ divisor words; nothing pathological
     assert (got["chunk"].str.split(" ").str.len() >= 1).all()
     assert len(got) > 0
+
+
+def _naive_winnow(text: str, k: int = 3, w: int = 4):
+    """Straight-from-the-paper winnowing: hash every word k-gram, slide
+    a w-window, select the rightmost minimum per window."""
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+
+    words = text.split()
+    if len(words) < k:
+        return set(), 0
+    hs = [_hash64(" ".join(words[i:i + k]))
+          for i in range(len(words) - k + 1)]
+    sel = set()
+    if len(hs) < w:
+        m = min(hs)
+        sel.add(max(i for i, h in enumerate(hs) if h == m))
+    else:
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            sel.add(j + max(i for i, h in enumerate(win) if h == m))
+    return {hs[p] for p in sel}, len(hs)
+
+
+@needs_data
+def test_winnowing_fingerprints_matches_naive(ray_session):
+    """The vectorized flat-array winnowing equals the per-doc textbook
+    loop, and density stays near the paper's 2/(w+1) expectation."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        winnowing_fingerprints,
+    )
+
+    got = winnowing_fingerprints(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ref = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        fps, ng = _naive_winnow(text)
+        if ng:
+            ref.append((doc_id, ng, len(fps), round(len(fps) / ng, 6)))
+    ref = pd.DataFrame(ref, columns=["doc_id", "n_grams", "n_fp",
+                                     "density"]).sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref.reset_index(drop=True).astype(
+            {"n_grams": "int64", "n_fp": "int64"}),
+        check_dtype=False, atol=1e-9)
+    # winnowing guarantee: at least one selection per window; density
+    # for random input concentrates near 2/(w+1) = 0.4
+    assert 0.1 < got["density"].mean() < 0.8
+
+
+@needs_data
+def test_winnowing_pairs_matches_naive(ray_session):
+    """The distributed fp-bucketed pair expansion equals a local
+    recompute from the naive per-doc fingerprint sets (df gate
+    included), and every pair is ordered doc_a < doc_b."""
+    from collections import Counter, defaultdict
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        winnowing_pairs,
+    )
+
+    got = winnowing_pairs(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    holders = defaultdict(list)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        fps, _ = _naive_winnow(text)
+        for h in fps:
+            holders[h].append(doc_id)
+    shared = Counter()
+    for h, ds_ in holders.items():
+        if len(ds_) > 20:           # max_df boilerplate gate
+            continue
+        ds_ = sorted(ds_)
+        for x in range(len(ds_)):
+            for y in range(x + 1, len(ds_)):
+                shared[(ds_[x], ds_[y])] += 1
+    ref = (pd.DataFrame([(a, b, n) for (a, b), n in shared.items()
+                         if n >= 2],
+                        columns=["doc_a", "doc_b", "n_shared"])
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref,
+                                  check_dtype=False)
+    assert (got["doc_a"] < got["doc_b"]).all()
+
+
+def test_winnow_selected_short_doc_edge():
+    """A doc with fewer grams than the window width selects exactly the
+    rightmost minimum of all its grams; a doc below k words is
+    excluded."""
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        _winnow_selected,
+    )
+
+    short = "alpha beta gamma delta"            # 2 grams < w=4
+    tiny = "alpha beta"                         # < k words: no grams
+    df = pd.DataFrame({"doc_id": [7, 8], "text": [short, tiny]})
+    out = _winnow_selected(df, 3, 4)
+    assert set(out["doc_id"]) == {7}
+    hs = [_hash64("alpha beta gamma"), _hash64("beta gamma delta")]
+    m = min(hs)
+    want = {hs[max(i for i, h in enumerate(hs) if h == m)]}
+    assert set(out["fp"]) == want
+    assert out["n_grams"].tolist() == [2]
