@@ -858,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi_join": scale_ops.orders_bloom_semi_join,
         "token_doc_freq": scale_ops.token_doc_freq,
         "cms_top_ngrams": scale_ops.cms_top_ngrams,
+        "mg_heavy_hitters": scale_ops.mg_heavy_hitters,
         "label_centroids": scale_ops.label_centroids,
         "label_silhouette": scale_ops.label_silhouette,
         "hist_length_quantiles": scale_ops.hist_length_quantiles,
@@ -3130,6 +3131,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM w, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2)
             SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram
             ORDER BY n_occurrences DESC, gram ASC LIMIT 30
+        """,
+        "mg_heavy_hitters": r"""
+            -- exact phi-heavy hitters (count > N/800 of bigrams); the
+            -- engine's Misra-Gries pass only PRUNES candidates, so the
+            -- final gate is this plain integer comparison
+            WITH w AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+            g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+                  FROM w, unnest(range(1, len(ws))) u(i) WHERE len(ws) >= 2),
+            c AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram)
+            SELECT gram, CAST(n_occurrences AS BIGINT) AS n_occurrences
+            FROM c WHERE n_occurrences * 800 > (SELECT SUM(n_occurrences) FROM c) * 1
+            ORDER BY gram
         """,
         "label_centroids": """
             SELECT label, i AS dim, ROUND(AVG(embedding[i]), 6) AS centroid

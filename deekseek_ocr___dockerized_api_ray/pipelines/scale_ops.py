@@ -973,3 +973,106 @@ def emb_whiten(sf_dir: str, eps: float = 1e-6):
 
     return ds.map_batches(project, batch_format="pyarrow",
                           batch_size=8192).sort(["vec_id", "dim"])
+
+
+def mg_compress(counts: Counter, k: int) -> Counter:
+    """Misra-Gries compression of an exact counter to at most ``k``
+    entries: subtract the (k+1)-th largest count from every entry and
+    keep the positive remainders. By the mergeable-summaries theorem
+    (Agarwal et al. 2012) this equals running the classic MG stream
+    algorithm with k counters over the same items, so every item with
+    frequency > N/(k+1) in the counted stream survives."""
+    if len(counts) <= k:
+        return Counter(counts)
+    off = sorted(counts.values(), reverse=True)[k]
+    return Counter({g: c - off for g, c in counts.items() if c > off})
+
+
+def mg_heavy_hitters(sf_dir: str, phi_num: int = 1, phi_den: int = 800,
+                     mg_k: int = 1600, n: int = 2):
+    """EXACT phi-heavy hitters (grams with count > N * phi) via a
+    two-pass Misra-Gries plan (Misra & Gries 1982; merge rule from
+    Agarwal et al. 2012) -- the deterministic counterpart of the
+    CMS-pruned ``cms_top_ngrams``:
+
+    Pass 1: each batch exact-counts its grams, MG-compresses to at most
+    ``mg_k`` survivors (``mg_compress``), and emits ONE row (survivor
+    keys + the batch token total). Any item with global count
+    > N/(mg_k+1) must exceed N_b/(mg_k+1) in at least one batch (sum
+    argument), so the UNION of batch survivor sets is a certified
+    superset of the phi-heavy hitters whenever mg_k + 1 > phi_den /
+    phi_num -- enforced below. Driver state is bounded: batches x mg_k
+    keys, corpus-independent per batch.
+
+    Pass 2: exact recount of the broadcast candidate set only (tiny
+    shuffle: one row per (candidate, bucket)), then the integer-exact
+    gate count * phi_den > N * phi_num.
+
+    At 100 TB this replaces a full gram-vocabulary shuffle (billions of
+    keys) with a bounded candidate recount; the fixture's bigram
+    vocabulary is smaller than mg_k, so compression is a no-op here --
+    the MG pruning itself is pinned by a synthetic-skew unit test.
+
+    Output: (gram, n_occurrences) for grams with count > N*phi, by gram.
+    """
+    import ray
+    import ray.data as rd
+
+    if mg_k + 1 <= phi_den // max(phi_num, 1):
+        raise ValueError("mg_k too small for phi: superset guarantee "
+                         "needs mg_k + 1 > phi_den/phi_num")
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column("text").to_pylist():
+            words = TOKEN_RE.findall(t)
+            grams = [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+            total += len(grams)
+            c.update(grams)
+        surv = mg_compress(c, mg_k)
+        return pa.Table.from_arrays(
+            [pa.array([list(surv.keys())], type=pa.list_(pa.string())),
+             pa.array([total], type=pa.int64())],
+            names=["cands", "n_tokens"],
+        )
+
+    rows = ds.map_batches(mg_partial, batch_format="pyarrow",
+                          # bound: one <=mg_k-key row per block
+                          batch_size=16384).take_all()
+    cands: set = set()
+    total_n = 0
+    for row in rows:
+        cands.update(row["cands"])
+        total_n += int(row["n_tokens"])
+    keep_ref = ray.put(cands)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        wanted = _ray.get(keep_ref)
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            words = TOKEN_RE.findall(t)
+            c.update(g for i in range(len(words) - n + 1)
+                     if (g := " ".join(words[i:i + n])) in wanted)
+        return pa.Table.from_arrays(
+            [pa.array(list(c.keys()), type=pa.string()),
+             pa.array(list(c.values()), type=pa.int64())],
+            names=["gram", "n_occurrences"],
+        )
+
+    partials = ds.map_batches(exact_partial, batch_format="pyarrow")
+    total = grouped_agg(partials, ["gram"],
+                        {"n_occurrences": ("n_occurrences", "sum")},
+                        n_buckets=16)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_occurrences"].astype("int64") * phi_den
+                 > total_n * phi_num]
+        return out.astype({"n_occurrences": "int64"})
+
+    return (total.map_batches(gate, batch_format="pandas").sort("gram"))

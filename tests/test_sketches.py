@@ -226,3 +226,61 @@ def test_emb_whiten_decorrelates(ray_session):
     off = zc - np.diag(np.diag(zc))
     assert np.abs(off).max() < 1e-3
     assert np.allclose(np.diag(zc), 1.0, atol=1e-2)
+
+
+def test_mg_compress_guarantee_and_bound():
+    """Misra-Gries compression: at most k survivors, every survivor's
+    residual underestimates its true count by at most N/(k+1), and any
+    item with count > N/(k+1) survives -- on a synthetic Zipf-skewed
+    stream whose vocabulary is far larger than k (so pruning really
+    runs, unlike the fixture's small bigram vocab)."""
+    from collections import Counter
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        mg_compress,
+    )
+
+    rng = np.random.default_rng(7)
+    items = rng.zipf(1.3, size=200_000)
+    items = items[items < 50_000]
+    c = Counter(items.tolist())
+    k = 100
+    assert len(c) > 10 * k  # pruning is actually exercised
+    surv = mg_compress(c, k)
+    n_total = sum(c.values())
+    assert len(surv) <= k
+    bound = n_total / (k + 1)
+    for g, r in surv.items():
+        assert 0 < r <= c[g]
+        assert c[g] - r <= bound + 1e-9
+    for g, true in c.items():
+        if true > bound:
+            assert g in surv
+
+
+@needs_data
+def test_mg_heavy_hitters_equals_exact(ray_session):
+    """The two-pass MG plan returns EXACTLY the bigrams with count >
+    N*phi (recomputed locally), independent of mg_k as long as the
+    superset precondition holds; an undersized mg_k raises."""
+    from collections import Counter
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        mg_heavy_hitters,
+    )
+
+    got = mg_heavy_hitters(SF).to_pandas()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for t in docs["text"]:
+        ws = t.split()
+        c.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    n = sum(c.values())
+    ref = (pd.DataFrame([(g, v) for g, v in c.items() if v * 800 > n],
+                        columns=["gram", "n_occurrences"])
+           .sort_values("gram").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref,
+                                  check_dtype=False)
+    with pytest.raises(ValueError):
+        mg_heavy_hitters(SF, phi_num=1, phi_den=800, mg_k=700)
