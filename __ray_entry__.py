@@ -674,6 +674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis over documents (SQL-oracled)
         "doc_token_stats": text.doc_token_stats,
         "doc_quality": text.doc_quality,
+        "doc_readability": text.doc_readability,
+        "source_distinct_ngrams": text.source_distinct_ngrams,
+        "cross_source_vocab_overlap": text.cross_source_vocab_overlap,
+        "doc_oov_rate": text.doc_oov_rate,
         "doc_clean_text": text.doc_clean_text,
         "doc_fingerprint": text.doc_fingerprint,
         "doc_repetition": text.doc_repetition,
@@ -992,14 +996,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # than whichever families happen to be registered first.
     head = [
         "extract_interleaved", "grounding_boxes",
-        "doc_clean_text", "doc_token_stats", "doc_quality",
+        "doc_clean_text", "doc_readability", "doc_quality",
         "doc_char_entropy", "langid_predict", "doc_scrub_pii",
         "exact_dedup_docs", "minhash_candidates", "duplicated_substring_spans",
         "neardup_clusters", "prefix_ngram_pairs_exact", "tfidf_cosine_pairs",
         "leakage_safe_split", "dsir_importance_weights",
         "ann_topk", "ann_pq_adc", "ann_ivf_trained", "emb_neardup",
         "knn_graph", "ann_hard_negatives",
-        "doc_bpe_encode", "pack_plan", "jsonl_shards",
+        "doc_bpe_encode", "pack_plan", "source_distinct_ngrams",
         "stratified_sample", "lang_sample_exact_k",
         "temperature_mixture_sample", "cdc_duplicate_chunks",
         "q1_pricing_summary", "q3_shipping_priority",
@@ -1008,6 +1012,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof", "events_theil_sen",
         "events_holt_forecast",
     ]
+    # Closing-session swaps: doc_token_stats -> doc_readability and
+    # jsonl_shards -> source_distinct_ngrams (both swapped-in ops are
+    # new and oracled; doc_token_stats was driver-validated in r4 and
+    # its counts are subsumed by doc_quality/doc_readability in-window;
+    # jsonl_shards was rows-only so the swap strictly raises the
+    # window's oracled coverage, and pack_plan keeps a non-SQL rep).
     # Slots 38-49: the 12 queries NEW this round (final round: external
     # validation of fresh operators outranks the r4 rotation scheme --
     # every slot the rotation would sample is already oracled in the
@@ -1119,6 +1129,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        # same regexes + operand order as pipelines/text.py:doc_readability
+        "doc_readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE
+                     ROUND(206.835
+                           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+                   END AS flesch,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE
+                     ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                           + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                           - 15.59, 6)
+                   END AS fk_grade
+            FROM c
+        """,
+        # same \S+ tokens + ws[i]||' '||ws[i+1] grams as corpus_top_ngrams
+        "source_distinct_ngrams": r"""
+            WITH w AS (SELECT source, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            u AS (SELECT source, 1 AS gram_order, ws[i] AS gram
+                  FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+            b AS (SELECT source, 2 AS gram_order, ws[i] || ' ' || ws[i+1] AS gram
+                  FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+            g AS (SELECT * FROM u UNION ALL SELECT * FROM b)
+            SELECT source,
+                   CAST(gram_order AS BIGINT) AS gram_order,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+                   ROUND(CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+            FROM g
+            GROUP BY source, gram_order
+            ORDER BY source, gram_order
+        """,
+        # same \S+ distinct-unigram vocab per source as
+        # pipelines/text.py:cross_source_vocab_overlap; inner join drops
+        # zero-overlap pairs in both engines
+        "cross_source_vocab_overlap": r"""
+            WITH w AS (SELECT source, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            t AS (SELECT DISTINCT source, ws[i] AS term
+                  FROM w, unnest(range(1, len(ws) + 1)) x(i)),
+            m AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+            p AS (SELECT a.source AS src_a, b.source AS src_b,
+                         count(*) AS n_common
+                  FROM t a JOIN t b ON a.term = b.term
+                                    AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT p.src_a, p.src_b,
+                   CAST(ma.n AS BIGINT) AS n_a,
+                   CAST(mb.n AS BIGINT) AS n_b,
+                   CAST(p.n_common AS BIGINT) AS n_common,
+                   ROUND(CAST(p.n_common AS DOUBLE)
+                         / CAST(ma.n + mb.n - p.n_common AS DOUBLE), 6) AS jaccard,
+                   ROUND(CAST(p.n_common AS DOUBLE)
+                         / CAST(LEAST(ma.n, mb.n) AS DOUBLE), 6) AS containment
+            FROM p
+            JOIN m ma ON ma.source = p.src_a
+            JOIN m mb ON mb.source = p.src_b
+            ORDER BY p.src_a, p.src_b
+        """,
+        # rare threshold = integer ceil(100 * n_docs / 1000), identical
+        # ceil-division to pipelines/text.py:doc_oov_rate; zero-token
+        # docs absent in both (rows derive from the token table)
+        "doc_oov_rate": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            tok AS (SELECT doc_id, ws[i] AS term
+                    FROM w, unnest(range(1, len(ws) + 1)) x(i)),
+            dt AS (SELECT doc_id, term, count(*) AS cnt
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+            thr AS (SELECT (100 * count(*) + 999) // 1000 AS t
+                    FROM documents)
+            SELECT dt.doc_id,
+                   CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN df.df <= thr.t THEN dt.cnt ELSE 0 END) AS BIGINT) AS n_rare,
+                   ROUND(CAST(sum(CASE WHEN df.df <= thr.t THEN dt.cnt ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(dt.cnt) AS DOUBLE), 6) AS rare_rate
+            FROM dt JOIN df USING (term) CROSS JOIN thr
+            GROUP BY dt.doc_id
         """,
         "lang_count": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_scrub_pii": r"""

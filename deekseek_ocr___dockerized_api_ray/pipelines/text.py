@@ -2232,3 +2232,325 @@ def tokenizer_fertility(sf_dir: str, n_buckets: int = 4):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def doc_readability(sf_dir: str):
+    """Flesch reading-ease + Flesch-Kincaid grade per document (Flesch
+    1948; Kincaid et al. 1975) from three deterministic counts:
+    words = \\S+ runs, sentences = [.!?]+ runs (min 1 so fragments get
+    a denominator), syllables = [aeiouy]+ vowel groups of the lowered
+    text (the standard regex syllable proxy). Zero-word docs emit 0.0
+    for both scores (mirrored by CASE WHEN in the oracle).
+
+    Shape: stateless vectorized map_batches, zero shuffle -- the same
+    ship-at-100x shape as doc_quality. Scores are double arithmetic in
+    the SAME operand order as the oracle SQL, r6-rounded half-away.
+
+    Output: (doc_id, n_words, n_sentences, n_syllables, flesch r6,
+    fk_grade r6), one row per document.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import TOKEN_RE
+
+    sent_re = re.compile(r"[.!?]+")
+    vowel_re = re.compile(r"[aeiouy]+")
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scores(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column("text").to_pylist()
+        w = np.array([len(TOKEN_RE.findall(t)) for t in texts], dtype=np.int64)
+        s = np.array([max(len(sent_re.findall(t)), 1) for t in texts], dtype=np.int64)
+        y = np.array([len(vowel_re.findall(t.lower())) for t in texts], dtype=np.int64)
+        wf = w.astype(np.float64)
+        sf = s.astype(np.float64)
+        yf = y.astype(np.float64)
+        safe_w = np.where(w > 0, wf, 1.0)
+        wps = wf / sf
+        spw = yf / safe_w
+        flesch = np.where(w > 0, 206.835 - 1.015 * wps - 84.6 * spw, 0.0)
+        fk = np.where(w > 0, 0.39 * wps + 11.8 * spw - 15.59, 0.0)
+        return pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_words": w,
+            "n_sentences": s,
+            "n_syllables": y,
+            "flesch": round_series(pd.Series(flesch), 6),
+            "fk_grade": round_series(pd.Series(fk), 6),
+        })
+
+    return ds.map_batches(scores, batch_format="pyarrow")
+
+
+def source_distinct_ngrams(sf_dir: str, n_buckets: int = 32):
+    """Distinct-n lexical diversity per source (Li et al. 2016's
+    distinct-1/distinct-2, the standard corpus-diversity diagnostic):
+    for gram_order in {1, 2}, the share of n-gram OCCURRENCES that are
+    unique strings within the source. Low distinct_ratio flags
+    template/boilerplate-heavy sources before they flood a mixture.
+
+    Shape: per-batch combiner counts at (source, gram_order, gram)
+    grain (one output row per distinct gram per batch), ONE keyed
+    exchange to global gram grain, then each post-reduce row IS one
+    distinct gram so the source-grain rollup is a row-count + sum --
+    a second tiny grouped_agg. No distinct-set ever materializes in
+    one place. At 100 TB the gram aggregate wants the dsir-style
+    capped-vocab guard; at fixture vocab it is exact.
+
+    Output: (source, gram_order, n_grams, n_distinct, distinct_ratio
+    r6) sorted by (source, gram_order) -- long format, two rows per
+    source, so no driver-side pivot exists.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import TOKEN_RE
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def gram_counts(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        src_out: list = []
+        order_out: list = []
+        gram_out: list = []
+        for src, t in zip(srcs, texts):
+            toks = TOKEN_RE.findall(t)
+            src_out.extend([src] * (len(toks) + max(len(toks) - 1, 0)))
+            order_out.extend([1] * len(toks))
+            gram_out.extend(toks)
+            if len(toks) >= 2:
+                order_out.extend([2] * (len(toks) - 1))
+                gram_out.extend([a + " " + b for a, b in zip(toks, toks[1:])])
+        if not gram_out:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "gram_order": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"source": src_out,
+                           "gram_order": np.asarray(order_out, dtype=np.int64),
+                           "gram": gram_out})
+        return (df.groupby(["source", "gram_order", "gram"], as_index=False,
+                           sort=False).agg(n=("gram", "size")))
+
+    cells = grouped_agg(
+        ds.map_batches(gram_counts, batch_format="pyarrow", batch_size=8192),
+        ["source", "gram_order", "gram"], {"n": ("n", "sum")},
+        n_buckets=n_buckets)
+
+    rolled = grouped_agg(
+        cells, ["source", "gram_order"],
+        {"n_distinct": ("gram", "size"), "n_grams": ("n", "sum")},
+        # bound-static: |sources| x 2 rows
+        n_buckets=4).to_pandas()
+    rolled = rolled.sort_values(["source", "gram_order"]).reset_index(drop=True)
+    out = pd.DataFrame({
+        "source": rolled["source"],
+        "gram_order": rolled["gram_order"].astype("int64"),
+        "n_grams": rolled["n_grams"].astype("int64"),
+        "n_distinct": rolled["n_distinct"].astype("int64"),
+        "distinct_ratio": round_series(
+            rolled["n_distinct"].astype(np.float64)
+            / rolled["n_grams"].astype(np.float64), 6),
+    })
+    return rd.from_pandas(out)
+
+
+def cross_source_vocab_overlap(sf_dir: str, n_buckets: int = 32):
+    """Pairwise vocabulary overlap between sources: for each unordered
+    source pair that shares at least one unigram, the distinct-unigram
+    Jaccard and containment (|common| / min vocab). The corpus-mixture
+    redundancy diagnostic: a pair with high containment means one
+    source's vocabulary is (nearly) subsumed by another's -- a signal
+    the mixture over-weights one register.
+
+    Shape: per-batch distinct (source, term) combiner rows, ONE
+    term-hash-bucketed exchange; inside each bucket group a vectorized
+    self-merge on term yields pair-count partials and the per-source
+    marginal partials (the bucket partitions the vocabulary, so both
+    are exact partial sums). A tiny grouped sum at pair grain + a
+    driver-side finish over <= |sources|^2 rows (bound: source-pair
+    grain, corpus-size-independent). No vocabulary set ever
+    materializes in one place.
+
+    Output: (src_a, src_b, n_a, n_b, n_common, jaccard r6,
+    containment r6) with src_a < src_b, sorted; pairs with zero shared
+    terms are absent (mirrored by the oracle's inner join).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import TOKEN_RE
+    from ..stages.agg import _bucket_of, grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                          "term": pd.Series([], dtype=object),
+                          "bucket": pd.Series([], dtype=np.int32)})
+
+    def batch_vocab(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        s_out: list = []
+        t_out: list = []
+        for src, t in zip(srcs, texts):
+            toks = set(TOKEN_RE.findall(t))
+            s_out.extend([src] * len(toks))
+            t_out.extend(toks)
+        if not t_out:
+            return empty.copy()
+        df = pd.DataFrame({"source": s_out, "term": t_out})
+        df = df.drop_duplicates(ignore_index=True)
+        df["bucket"] = _bucket_of(df, ["term"], n_buckets)
+        return df
+
+    sv = ds.map_batches(batch_vocab, batch_format="pyarrow",
+                        batch_size=8192)
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["source", "term"]].drop_duplicates()
+        marg = d.groupby("source", as_index=False).agg(n=("term", "size"))
+        m = pd.DataFrame({"src_a": marg["source"], "src_b": "",
+                          "n": marg["n"].astype(np.int64)})
+        p = d.merge(d, on="term", suffixes=("_a", "_b"))
+        p = p[p["source_a"] < p["source_b"]]
+        if len(p):
+            pc = p.groupby(["source_a", "source_b"], as_index=False).size()
+            pairs = pd.DataFrame({"src_a": pc["source_a"],
+                                  "src_b": pc["source_b"],
+                                  "n": pc["size"].astype(np.int64)})
+            return pd.concat([m, pairs], ignore_index=True)
+        return m
+
+    parts = sv.groupby("bucket").map_groups(bucket_stats,
+                                            batch_format="pandas")
+    # bound: |sources|^2 rows (pair grain + per-source marginals)
+    agg = grouped_agg(parts, ["src_a", "src_b"], {"n": ("n", "sum")},
+                      n_buckets=4).to_pandas()
+    marg = (agg[agg["src_b"] == ""].set_index("src_a")["n"]
+            .astype(np.int64))
+    pairs = agg[agg["src_b"] != ""].copy()
+    pairs = pairs.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    n_a = pairs["src_a"].map(marg).astype(np.int64)
+    n_b = pairs["src_b"].map(marg).astype(np.int64)
+    n_common = pairs["n"].astype(np.int64)
+    out = pd.DataFrame({
+        "src_a": pairs["src_a"],
+        "src_b": pairs["src_b"],
+        "n_a": n_a,
+        "n_b": n_b,
+        "n_common": n_common,
+        "jaccard": round_series(
+            n_common.astype(np.float64)
+            / (n_a + n_b - n_common).astype(np.float64), 6),
+        "containment": round_series(
+            n_common.astype(np.float64)
+            / np.minimum(n_a, n_b).astype(np.float64), 6),
+    })
+    return rd.from_pandas(out)
+
+
+def doc_oov_rate(sf_dir: str, rare_permille: int = 100,
+                 n_buckets: int = 32):
+    """Per-document rare-term (OOV-risk) rate: the share of a doc's
+    token OCCURRENCES whose corpus document frequency is at or below
+    ceil(rare_permille * n_docs / 1000) documents -- integer
+    ceil-division so DuckDB reproduces the threshold exactly. Docs
+    dominated by corpus-rare terms are tokenizer-hostile (long BPE
+    splits) and frequent memorization outliers; this is the per-doc
+    counterpart of lang_hapax_rate.
+
+    Shape: per-batch (doc_id, term, cnt) counts (each doc is one row,
+    so the counts are exact batch-locally), ONE term-hash-bucketed
+    exchange in which each bucket group computes df per term (all rows
+    of a term co-locate) and collapses to per-(doc, bucket) partials
+    (n_tok_partial, n_rare_partial), then a doc-grain grouped sum and
+    a stateless ratio map. Two keyed exchanges, both at bounded grain;
+    the rare-term set never materializes centrally (at web scale it is
+    most of the vocabulary).
+
+    Output: (doc_id, n_tokens, n_rare, rare_rate r6), one row per doc
+    with >= 1 token (zero-token docs are absent -- mirrored by the
+    oracle, which derives rows from the token table).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..functions.text_stats import TOKEN_RE
+    from ..stages.agg import _bucket_of, grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata count, no scan
+    threshold = (rare_permille * n_docs + 999) // 1000
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "term": pd.Series([], dtype=object),
+                          "cnt": pd.Series([], dtype=np.int64),
+                          "bucket": pd.Series([], dtype=np.int32)})
+
+    def doc_terms(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        id_out: list = []
+        t_out: list = []
+        for doc_id, t in zip(ids, texts):
+            toks = TOKEN_RE.findall(t)
+            id_out.extend([doc_id] * len(toks))
+            t_out.extend(toks)
+        if not t_out:
+            return empty.copy()
+        df = pd.DataFrame({"doc_id": np.asarray(id_out, dtype=np.int64),
+                           "term": t_out})
+        df = df.groupby(["doc_id", "term"], as_index=False,
+                        sort=False).agg(cnt=("term", "size"))
+        df["cnt"] = df["cnt"].astype(np.int64)
+        df["bucket"] = _bucket_of(df, ["term"], n_buckets)
+        return df
+
+    dt = docs.map_batches(doc_terms, batch_format="pyarrow",
+                          batch_size=8192)
+
+    def bucket_rare(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_term = g.groupby("term")["doc_id"].transform("size")
+        rare = (df_per_term <= threshold).to_numpy()
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_tok": cnt,
+                             "n_rare": np.where(rare, cnt, 0)})
+        return part.groupby("doc_id", as_index=False).agg(
+            n_tok=("n_tok", "sum"), n_rare=("n_rare", "sum"))
+
+    parts = dt.groupby("bucket").map_groups(bucket_rare,
+                                            batch_format="pandas")
+    per_doc = grouped_agg(parts, ["doc_id"],
+                          {"n_tokens": ("n_tok", "sum"),
+                           "n_rare": ("n_rare", "sum")},
+                          n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_tokens": df["n_tokens"].astype(np.int64),
+            "n_rare": df["n_rare"].astype(np.int64),
+            "rare_rate": round_series(
+                df["n_rare"].astype(np.float64)
+                / df["n_tokens"].astype(np.float64), 6),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pandas")

@@ -354,3 +354,243 @@ def test_tokenizer_fertility_zero_word_language(ray_session, tmp_path):
     assert got.loc["zz", "fertility"] == 0.0
     assert got.loc["zz", "chars_per_subtoken"] == 0.0
     assert got.loc["en", "fertility"] == 1.0
+
+
+def test_doc_readability_matches_naive(ray_session):
+    import os
+    import re
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import doc_readability
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    got = doc_readability(sf).to_pandas().set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ws = re.compile(r"\S+")
+    sent = re.compile(r"[.!?]+")
+    vow = re.compile(r"[aeiouy]+")
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        w = len(ws.findall(t))
+        s = max(len(sent.findall(t)), 1)
+        y = len(vow.findall(t.lower()))
+        row = got.loc[doc_id]
+        assert row["n_words"] == w
+        assert row["n_sentences"] == s
+        assert row["n_syllables"] == y
+        if w > 0:
+            assert row["flesch"] == round_half_away(
+                206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+            assert row["fk_grade"] == round_half_away(
+                0.39 * (w / s) + 11.8 * (y / w) - 15.59, 6)
+        else:
+            assert row["flesch"] == 0.0 and row["fk_grade"] == 0.0
+
+
+def test_doc_readability_edge_cases(ray_session, tmp_path):
+    """Zero-word docs emit 0.0 scores (not NaN/inf); fragments without
+    sentence punctuation use the min-1 sentence denominator; vowel-free
+    text yields 0 syllables but finite scores."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import doc_readability
+
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["", "no sentence punctuation here",
+                 "Tsk tsk. Hmm!", "One. Two? Three!"],
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = doc_readability(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_words"] == 0
+    assert got.loc[0, "n_sentences"] == 1
+    assert got.loc[0, "flesch"] == 0.0 and got.loc[0, "fk_grade"] == 0.0
+    assert got.loc[1, "n_sentences"] == 1  # fragment denominator
+    assert got.loc[2, "n_syllables"] == 0  # tsk/hmm: no aeiouy groups
+    assert np.isfinite(got["flesch"]).all() and np.isfinite(got["fk_grade"]).all()
+    # doc 3: 3 words, 3 sentences, 4 vowel groups (o-n-e counts two)
+    assert got.loc[3, "n_words"] == 3 and got.loc[3, "n_sentences"] == 3
+    assert got.loc[3, "n_syllables"] == 4
+    assert got.loc[3, "flesch"] == round_half_away(
+        206.835 - 1.015 * (3 / 3) - 84.6 * (4 / 3), 6)
+
+
+def test_source_distinct_ngrams_matches_naive(ray_session, tmp_path):
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        source_distinct_ngrams,
+    )
+
+    # src a: heavy repetition (distinct-2 < 1); src b: all-unique text;
+    # src c: single one-word doc (no bigrams -> no gram_order=2 row).
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y x y", "x y", "p q r", "solo"],
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = source_distinct_ngrams(str(tmp_path)).to_pandas()
+    got = got.set_index(["source", "gram_order"]).sort_index()
+    # src a unigrams: 6 occurrences {x,y} -> 2 distinct
+    assert got.loc[("a", 1), "n_grams"] == 6
+    assert got.loc[("a", 1), "n_distinct"] == 2
+    assert got.loc[("a", 1), "distinct_ratio"] == round_half_away(2 / 6, 6)
+    # src a bigrams: "x y","y x","x y" + "x y" -> 4 occurrences, 2 distinct
+    assert got.loc[("a", 2), "n_grams"] == 4
+    assert got.loc[("a", 2), "n_distinct"] == 2
+    # src b: fully diverse
+    assert got.loc[("b", 1), "distinct_ratio"] == 1.0
+    assert got.loc[("b", 2), "distinct_ratio"] == 1.0
+    # src c: one word, no bigram row
+    assert got.loc[("c", 1), "n_grams"] == 1
+    assert ("c", 2) not in got.index
+
+
+def test_source_distinct_ngrams_sf0001_recount(ray_session):
+    import os
+    import re
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        source_distinct_ngrams,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    got = source_distinct_ngrams(sf).to_pandas()
+    got = got.set_index(["source", "gram_order"]).sort_index()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    ws = re.compile(r"\S+")
+    for src, g in docs.groupby("source"):
+        uni, bi = [], []
+        for t in g["text"]:
+            toks = ws.findall(t)
+            uni.extend(toks)
+            bi.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+        assert got.loc[(src, 1), "n_grams"] == len(uni)
+        assert got.loc[(src, 1), "n_distinct"] == len(set(uni))
+        if bi:
+            assert got.loc[(src, 2), "n_grams"] == len(bi)
+            assert got.loc[(src, 2), "n_distinct"] == len(set(bi))
+
+
+def test_cross_source_vocab_overlap_small(ray_session, tmp_path):
+    """Hand-computable vocabularies; zero-overlap pairs absent."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        cross_source_vocab_overlap,
+    )
+
+    pd.DataFrame({
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y z", "x q", "x y", "unique only"],
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = cross_source_vocab_overlap(str(tmp_path)).to_pandas()
+    got = got.set_index(["src_a", "src_b"]).sort_index()
+    # a vocab {x,y,z,q} (4), b vocab {x,y} (2): common 2
+    assert got.loc[("a", "b"), "n_a"] == 4
+    assert got.loc[("a", "b"), "n_b"] == 2
+    assert got.loc[("a", "b"), "n_common"] == 2
+    assert got.loc[("a", "b"), "jaccard"] == 0.5
+    assert got.loc[("a", "b"), "containment"] == 1.0
+    # c shares nothing with a or b -> pairs absent
+    assert ("a", "c") not in got.index
+    assert ("b", "c") not in got.index
+    assert len(got) == 1
+
+
+def test_cross_source_vocab_overlap_sf0001_recount(ray_session):
+    import os
+    import re
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        cross_source_vocab_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    got = cross_source_vocab_overlap(sf).to_pandas()
+    got = got.set_index(["src_a", "src_b"]).sort_index()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["source", "text"])
+    ws = re.compile(r"\S+")
+    vocab = {src: set().union(*(ws.findall(t) for t in g["text"]))
+             for src, g in docs.groupby("source")}
+    srcs = sorted(vocab)
+    n_pairs = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            common = vocab[a] & vocab[b]
+            if not common:
+                assert (a, b) not in got.index
+                continue
+            n_pairs += 1
+            row = got.loc[(a, b)]
+            assert row["n_a"] == len(vocab[a])
+            assert row["n_b"] == len(vocab[b])
+            assert row["n_common"] == len(common)
+            assert row["jaccard"] == round_half_away(
+                len(common) / len(vocab[a] | vocab[b]), 6)
+            assert row["containment"] == round_half_away(
+                len(common) / min(len(vocab[a]), len(vocab[b])), 6)
+    assert len(got) == n_pairs
+
+
+def test_doc_oov_rate_small(ray_session, tmp_path):
+    """4 docs: threshold = ceil(100*4/1000) = 1, so rare = df == 1."""
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import doc_oov_rate
+
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["common common rare1", "common", "common rare2 rare2", ""],
+    }).to_parquet(tmp_path / "documents.parquet")
+    got = doc_oov_rate(str(tmp_path)).to_pandas().set_index("doc_id")
+    # df: common=3, rare1=1, rare2=1; threshold 1
+    assert got.loc[0, "n_tokens"] == 3 and got.loc[0, "n_rare"] == 1
+    assert got.loc[0, "rare_rate"] == round_half_away(1 / 3, 6)
+    assert got.loc[1, "n_rare"] == 0 and got.loc[1, "rare_rate"] == 0.0
+    assert got.loc[2, "n_tokens"] == 3 and got.loc[2, "n_rare"] == 2
+    assert 3 not in got.index  # zero-token doc absent
+    assert len(got) == 3
+
+
+def test_doc_oov_rate_sf0001_recount(ray_session):
+    import os
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import doc_oov_rate
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    got = doc_oov_rate(sf).to_pandas().set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ws = re.compile(r"\S+")
+    per_doc = {d: Counter(ws.findall(t))
+               for d, t in zip(docs["doc_id"], docs["text"])}
+    df = Counter()
+    for c in per_doc.values():
+        df.update(c.keys())
+    thr = (100 * len(docs) + 999) // 1000
+    for d, c in per_doc.items():
+        n_tok = sum(c.values())
+        if n_tok == 0:
+            assert d not in got.index
+            continue
+        n_rare = sum(v for t, v in c.items() if df[t] <= thr)
+        assert got.loc[d, "n_tokens"] == n_tok
+        assert got.loc[d, "n_rare"] == n_rare
+        assert got.loc[d, "rare_rate"] == round_half_away(n_rare / n_tok, 6)
