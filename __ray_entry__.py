@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from deekseek_ocr___dockerized_api_ray.pipelines import (
         analytics,
         audit,
+        c4,
         curation,
         media,
         relational,
@@ -848,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_followups_range": relational.events_followups_range,
         "events_user_reach": relational.events_user_reach,
         "events_user_reach_hll": relational.events_user_reach_hll,
+        "events_user_reach_kmv": relational.events_user_reach_kmv,
         "orders_first_per_customer": relational.orders_first_per_customer,
         # windowed analytics + TPC-H-shaped reports (SQL-oracled)
         "events_lag_delta": analytics.events_lag_delta,
@@ -928,6 +930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": media.media_dedup,
         "repeated_media_census": media.repeated_media_census,
         "doc_media_stats": media.doc_media_stats,
+        "media_simhash_pairs": media.media_simhash_pairs,
+        "c4_filter": c4.c4_filter,
+        "c4_keep_rate": c4.c4_keep_rate,
         "quality_classifier_gate": curation.quality_classifier_gate,
         "quality_keep_rate": curation.quality_keep_rate,
         "doc_chunks": curation.doc_chunks,
@@ -2955,6 +2960,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "media_dedup": _oracles.media_dedup_sql(),
+        "media_simhash_pairs": _oracles.media_simhash_pairs_sql(),
+        "c4_filter": _oracles.c4_filter_sql(),
+        "c4_keep_rate": _oracles.c4_keep_rate_sql(),
         "repeated_media_census": _oracles.repeated_media_census_sql(),
         "doc_media_stats": _oracles.doc_media_stats_sql(),
         "quality_classifier_gate": _oracles.quality_classifier_gate_sql(),
@@ -3125,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
+        "events_user_reach_kmv": _oracles.events_user_reach_kmv_sql(),
         "orders_first_per_customer": """
             SELECT o_custkey, first_orderkey, first_order_epoch_s FROM (
               SELECT o_custkey, o_orderkey AS first_orderkey,

@@ -1308,3 +1308,176 @@ SELECT vec_id, inf_norm,
 FROM norms
 WHERE inf_norm < (SELECT v FROM lo) OR inf_norm > (SELECT v FROM hi)
 ORDER BY vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (pipelines/relational.events_user_reach_kmv)
+# ---------------------------------------------------------------------------
+
+def events_user_reach_kmv_sql(k: int = 8) -> str:
+    """Rebuilds the bottom-k sketch exactly: distinct md5_number_lower
+    user hashes per type, the k smallest, h_k = their max; estimate
+    (k-1) * 2^64 / h_k (or the sketch size when it holds the whole set)
+    with the engine's operand order, r6 on the final projection only."""
+    return f"""
+WITH d AS (SELECT DISTINCT event_type,
+                  md5_number_lower(user_id::VARCHAR) AS h
+           FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM d),
+s AS (SELECT event_type, any_value(n_exact) AS n_exact,
+             count(*) AS n_sketch, max(h) AS h_k
+      FROM r WHERE rn <= {k} GROUP BY event_type),
+e AS (SELECT event_type, n_exact, n_sketch, h_k,
+             CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS DOUBLE)
+                  ELSE ({k - 1} * 18446744073709551616.0)
+                       / CAST(h_k AS DOUBLE) END AS est
+      FROM s)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_sketch AS BIGINT) AS n_sketch,
+       h_k,
+       ROUND(est, 6) AS est_users,
+       ROUND((est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         AS rel_err
+FROM e ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# C4 page cleaning (pipelines/c4.py)
+# ---------------------------------------------------------------------------
+
+_C4_JS = "enable javascript to view the full article content here."
+_C4_LOREM = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+             "sed do.")
+_C4_BRACE = "window config block { colors: dark } end."
+
+
+def c4_lines_ctes() -> str:
+    """CTE chain ending in ``c4f(doc_id, line_idx, line, kept)``: the
+    deterministic raw-page line view of pipelines/c4.page_lines (12-word
+    body lines + hash-drawn terminal punctuation + hash-gated
+    boilerplate lines) with the per-line C4 keep predicate."""
+    return f"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+       FROM documents),
+c4body AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+         array_to_string(list_slice(ws, i * 12 + 1, i * 12 + 12), ' ')
+         || CASE md5_number_lower(doc_id::VARCHAR || ':p' || i::VARCHAR) % 8
+              WHEN 3 THEN '!' WHEN 4 THEN '?' WHEN 5 THEN '"'
+              WHEN 6 THEN '' WHEN 7 THEN '' ELSE '.' END AS line
+  FROM w, unnest(range(0, (len(ws) + 11) // 12)) t(i)),
+c4extra AS (
+  SELECT doc_id, CAST(10000000 AS BIGINT) AS line_idx,
+         '{_C4_JS}' AS line
+  FROM documents
+  WHERE md5_number_lower(doc_id::VARCHAR || ':js') % 5 = 0
+  UNION ALL
+  SELECT doc_id, CAST(10000001 AS BIGINT), '{_C4_LOREM}'
+  FROM documents
+  WHERE md5_number_lower(doc_id::VARCHAR || ':lorem') % 11 = 0
+  UNION ALL
+  SELECT doc_id, CAST(10000002 AS BIGINT), '{_C4_BRACE}'
+  FROM documents
+  WHERE md5_number_lower(doc_id::VARCHAR || ':brace') % 13 = 0),
+c4ln AS (SELECT * FROM c4body UNION ALL SELECT * FROM c4extra),
+c4f AS (SELECT doc_id, line_idx, line,
+               len(regexp_extract_all(line, '\\S+')) >= 3
+               AND right(line, 1) IN ('.', '!', '?', '"')
+               AND NOT contains(lower(line), 'javascript') AS kept
+        FROM c4ln)"""
+
+
+def c4_filter_sql() -> str:
+    return f"""
+WITH {c4_lines_ctes()},
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         count(*) FILTER (WHERE kept) AS n_kept,
+         COALESCE(string_agg(line, chr(10) ORDER BY line_idx)
+                  FILTER (WHERE kept), '') AS clean_text,
+         contains(lower(string_agg(line, chr(10) ORDER BY line_idx)),
+                  'lorem ipsum') AS has_lorem,
+         contains(string_agg(line, chr(10) ORDER BY line_idx), '{{')
+           AS has_brace
+  FROM c4f GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(regexp_extract_all(COALESCE(a.clean_text, ''), '[.!?]'))
+            AS BIGINT) AS n_sentences,
+       COALESCE(a.has_lorem, FALSE) AS has_lorem,
+       COALESCE(a.has_brace, FALSE) AS has_brace,
+       NOT COALESCE(a.has_lorem, FALSE) AND NOT COALESCE(a.has_brace, FALSE)
+       AND len(regexp_extract_all(COALESCE(a.clean_text, ''), '[.!?]')) >= 5
+         AS keep,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def c4_keep_rate_sql() -> str:
+    """Composes c4_filter_sql verbatim (the shared-builder rule): the
+    per-source rollup cannot desync from the per-doc gate."""
+    return f"""
+WITH c4 AS ({c4_filter_sql()}),
+j AS (SELECT d.source, c4.keep, c4.n_lines, c4.n_kept
+      FROM c4 JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+       ROUND(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+       ROUND(CAST(sum(n_kept) AS DOUBLE)
+             / CAST(sum(n_lines) AS DOUBLE), 6) AS kept_line_share
+FROM j GROUP BY source ORDER BY source"""
+
+
+# ---------------------------------------------------------------------------
+# Media near-dup SimHash (pipelines/media.media_simhash_pairs)
+# ---------------------------------------------------------------------------
+
+def media_simhash_pairs_sql(max_hamming: int = 10,
+                            n_variants: int = 3) -> str:
+    """Rebuilds the variant payload hex inline (media_fixture_ctes +
+    the 1-byte variant tail), then the byte-4-gram SimHash with the
+    shared bitsum algebra (_simhash_ctes convention) and exact all-pairs
+    hamming -- the engine's 16x4-bit banding is pigeonhole-lossless for
+    hamming <= 15 so no band logic is needed here."""
+    w = "64 + (asset_id % 8) * 16"
+    h = "48 + (asset_id % 5) * 32"
+    return f"""
+WITH {media_fixture_ctes()},
+mv AS (SELECT DISTINCT asset_id,
+              CAST(md5_number_lower(doc_id::VARCHAR || ':mv' || j::VARCHAR)
+                   % {n_variants} AS BIGINT) AS v
+       FROM mr),
+px AS (SELECT asset_id, v,
+              '46414b45504e4730' || {_le32_hex(w)} || {_le32_hex(h)}
+              || sha256('asset:' || asset_id::VARCHAR)
+              || lower(lpad(to_hex(v), 2, '0')) AS hx
+       FROM mv),
+g AS (SELECT asset_id, v,
+             md5_number_lower(substr(hx, CAST(i * 2 + 1 AS INTEGER), 8)) AS h
+      FROM px, unnest(range(0, (length(hx) - 8) // 2 + 1)) t(i)),
+bitsum AS (SELECT asset_id, v, j,
+                  sum(CASE WHEN (h >> j::INTEGER) & 1 = 1
+                           THEN 1 ELSE -1 END) AS s
+           FROM g CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+           GROUP BY asset_id, v, j),
+sig AS (SELECT asset_id, v,
+               CAST(sum(CASE WHEN s > 0 THEN (1::HUGEINT << j::INTEGER)
+                             ELSE 0 END) % 18446744073709551616
+                    AS UBIGINT) AS sim
+        FROM bitsum GROUP BY asset_id, v),
+keyed AS (SELECT p.asset_id, sha256(p.hx) AS content_key, s.sim
+          FROM px p JOIN sig s ON s.asset_id = p.asset_id AND s.v = p.v)
+SELECT a.content_key AS key_a, b.content_key AS key_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming,
+       a.asset_id = b.asset_id AS same_asset
+FROM keyed a JOIN keyed b ON a.content_key < b.content_key
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY key_a, key_b"""

@@ -1,0 +1,181 @@
+"""C4-style page cleaning (Raffel et al. 2020, section 2.2): the
+published line- and page-level heuristics every web-scale text pipeline
+runs before quality scoring --
+
+  line rules (drop the line):   fewer than 3 words; does not end in a
+                                terminal punctuation mark (. ! ? ");
+                                contains the word "javascript"
+  page rules (drop the page):   contains "lorem ipsum"; contains a
+                                curly bracket; fewer than 5 sentences
+                                after line filtering
+
+The fixture documents are clean single-line text, so -- like the media
+table (pipelines/media.py) and the rendered HTML pages
+(stages/boilerplate.py) -- the raw-page LINE view is synthesized
+DETERMINISTICALLY from each document: words pack into fixed 12-word
+lines, each line draws its terminal punctuation from
+md5_number_lower(doc_id:p{i}) % 8 (25% of lines get none, so the punct
+rule actually fires), and three hash-gated boilerplate lines are
+appended ("enable javascript ...", "lorem ipsum ...", a curly-brace
+config line) so every rule has real positives. The SQL oracle rebuilds
+the identical line table inline and applies the same predicates, so
+the whole gate is value-checked end to end.
+
+Scale shape: the line view is a pure function of (doc_id, text) --
+stateless vectorized map_batches, ZERO shuffle; at 100 TB this is one
+streaming pass like doc_quality/gopher_gate.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import _hash64
+
+#: fixed word stride -- SQL replicates the packing with list_slice
+LINE_WORDS = 12
+
+#: md5 % 8 -> terminal char (6, 7 -> none); index by residue
+_PUNCT = [".", ".", ".", "!", "?", '"', "", ""]
+
+_JS_LINE = "enable javascript to view the full article content here."
+_LOREM_LINE = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do."
+_BRACE_LINE = "window config block { colors: dark } end."
+
+_TERMINAL = (".", "!", "?", '"')
+
+
+def page_lines(doc_id: int, text: str) -> List[str]:
+    """The deterministic raw-page line view of one document: 12-word
+    body lines with hash-drawn terminal punctuation, then the
+    hash-gated boilerplate lines (javascript gate 1-in-5, lorem
+    1-in-11, curly brace 1-in-13)."""
+    words = text.split()
+    lines = []
+    for i in range(0, max(len(words) + LINE_WORDS - 1, 0) // LINE_WORDS):
+        body = " ".join(words[i * LINE_WORDS:(i + 1) * LINE_WORDS])
+        p = _PUNCT[_hash64(f"{doc_id}:p{i}") % 8]
+        lines.append(body + p)
+    if _hash64(f"{doc_id}:js") % 5 == 0:
+        lines.append(_JS_LINE)
+    if _hash64(f"{doc_id}:lorem") % 11 == 0:
+        lines.append(_LOREM_LINE)
+    if _hash64(f"{doc_id}:brace") % 13 == 0:
+        lines.append(_BRACE_LINE)
+    return lines
+
+
+def clean_page(doc_id: int, text: str) -> Tuple[int, int, int, bool, bool, bool, str]:
+    """Apply the C4 rules to one page; returns (n_lines, n_kept,
+    n_sentences, has_lorem, has_brace, keep, clean_text)."""
+    lines = page_lines(doc_id, text)
+    kept = [
+        ln for ln in lines
+        if len(ln.split()) >= 3
+        and ln.endswith(_TERMINAL)
+        and "javascript" not in ln.lower()
+    ]
+    page_text = "\n".join(lines)
+    clean_text = "\n".join(kept)
+    n_sentences = sum(clean_text.count(c) for c in ".!?")
+    has_lorem = "lorem ipsum" in page_text.lower()
+    has_brace = "{" in page_text
+    keep = (not has_lorem) and (not has_brace) and n_sentences >= 5
+    return (len(lines), len(kept), n_sentences, has_lorem, has_brace,
+            keep, clean_text)
+
+
+def c4_filter(sf_dir: str):
+    """The C4 cleaning gate over the synthesized raw-page view: per-doc
+    line stats, the three page-level flags, the keep decision and the
+    cleaned text (kept lines joined by newline).
+
+    Output: (doc_id, n_lines, n_kept, n_sentences, has_lorem,
+    has_brace, keep, clean_text) sorted by doc_id.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        rows = [clean_page(int(d), t) for d, t in zip(ids, texts)]
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_lines": pd.Series(cols[0], dtype="int64"),
+            "n_kept": pd.Series(cols[1], dtype="int64"),
+            "n_sentences": pd.Series(cols[2], dtype="int64"),
+            "has_lorem": pd.Series(cols[3], dtype=bool),
+            "has_brace": pd.Series(cols[4], dtype=bool),
+            "keep": pd.Series(cols[5], dtype=bool),
+            "clean_text": pd.Series(cols[6], dtype=object),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          batch_size=8192).sort("doc_id")
+
+
+def c4_keep_rate(sf_dir: str):
+    """Per-source C4 keep rate + mean kept-line share -- the corpus
+    health view of the gate (what fraction of each source survives C4,
+    and how much of each page's text the line rules keep). One combiner
+    pass at source grain, zero wide shuffle.
+
+    Output: (source, n_docs, n_keep, keep_rate r6, kept_line_share r6)
+    sorted by source.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_series
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        n_docs, n_keep, n_lines, n_kept = {}, {}, {}, {}
+        for d, t, s in zip(ids, texts, srcs):
+            nl, nk, _, _, _, keep, _ = clean_page(int(d), t)
+            n_docs[s] = n_docs.get(s, 0) + 1
+            n_keep[s] = n_keep.get(s, 0) + int(keep)
+            n_lines[s] = n_lines.get(s, 0) + nl
+            n_kept[s] = n_kept.get(s, 0) + nk
+        return pd.DataFrame({
+            "source": list(n_docs),
+            "n_docs": np.array(list(n_docs.values()), dtype=np.int64),
+            "n_keep": np.array(list(n_keep.values()), dtype=np.int64),
+            "n_lines": np.array(list(n_lines.values()), dtype=np.int64),
+            "n_kept": np.array(list(n_kept.values()), dtype=np.int64),
+        })
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=8192),
+                      ["source"],
+                      {"n_docs": ("n_docs", "sum"),
+                       "n_keep": ("n_keep", "sum"),
+                       "n_lines": ("n_lines", "sum"),
+                       "n_kept": ("n_kept", "sum")},
+                      # bound-static: source grain
+                      n_buckets=8).to_pandas().sort_values("source")
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "n_keep": agg["n_keep"].astype("int64"),
+        "keep_rate": round_series(
+            agg["n_keep"].astype(np.float64)
+            / agg["n_docs"].astype(np.float64), 6),
+        "kept_line_share": round_series(
+            agg["n_kept"].astype(np.float64)
+            / agg["n_lines"].astype(np.float64), 6),
+    }).reset_index(drop=True)
+    return rd.from_pandas(out)

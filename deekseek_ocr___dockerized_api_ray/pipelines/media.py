@@ -203,6 +203,139 @@ def repeated_media_census(sf_dir: str, min_refs: int = 2,
                                           batch_size=1 << 20)
 
 
+def variant_payload(asset_id: int, v: int) -> bytes:
+    """A near-duplicate VARIANT of a pool asset: the asset payload plus
+    a 1-byte variant tail (think re-encode / metadata touch of the same
+    image). Variants of one asset differ in 1 of 49 bytes, so their
+    byte-gram SimHashes land within hamming ~1-8 while distinct assets
+    sit at ~19-39 (measured on the pool) -- the separation a near-dup
+    threshold exploits."""
+    return asset_payload(asset_id) + bytes([v])
+
+
+def _simhash_hex(hx: str, k: int = 4) -> int:
+    """64-bit SimHash over byte k-grams of a payload's lowercase-hex
+    serialization (stride 1 byte = 2 hex chars), each gram hashed with
+    _hash64 (DuckDB's md5_number_lower) and counted per occurrence --
+    the byte-level twin of functions/hashing.simhash64, replicable in
+    SQL with substr + the shared bitsum algebra."""
+    acc = np.zeros(64, dtype=np.int64)
+    one = np.uint64(1)
+    for i in range(0, len(hx) - 2 * k + 2, 2):
+        h = np.uint64(_hash64(hx[i:i + 2 * k]))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & one).astype(np.int64)
+        acc += 2 * bits - 1
+    sig = 0
+    for j in range(64):
+        if acc[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+def media_simhash_pairs(sf_dir: str, max_hamming: int = 10,
+                        n_variants: int = 3, bands: int = 16):
+    """Near-duplicate MEDIA detection: SimHash over payload byte-grams,
+    banded candidate generation, exact hamming verify -- the media twin
+    of the text simhash_pairs family, catching re-encoded / lightly
+    edited copies of the same asset that exact content-key dedup
+    (media_dedup) cannot see.
+
+    Fixture extension: each media ref carries a deterministic VARIANT
+    v = md5(doc:mv{j}) % n_variants of its pool asset, so the distinct
+    payload pool is N_ASSETS x n_variants and same-asset variant pairs
+    are genuine near-dups (1 differing byte of 49).
+
+    Scale shape: (1) batch-distinct (asset, variant) combiner rows ->
+    one keyed reduce at PAYLOAD grain (bounded by the pool, never the
+    corpus); (2) per-payload SimHash; (3) band exchange -- 16 x 4-bit
+    bands, pigeonhole-lossless for hamming <= 15 >= the threshold, so
+    the banded candidate set provably contains the full hamming ball
+    and the oracle needs no band logic; (4) exact hamming + distinct.
+    With an unbounded payload pool the same chain holds: only the band
+    groupby is corpus-sized.
+
+    Output: (key_a, key_b, hamming, same_asset) at distinct-payload
+    grain (keys = content_key of the variant payload), sorted.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import hamming64, simhash_bands
+    from ..stages.agg import grouped_agg
+    from ..stages.dedup import distinct_rows
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def variants(batch: pa.Table) -> pd.DataFrame:
+        rows_a, rows_v = [], []
+        for d in batch.column("doc_id").to_numpy():
+            d = int(d)
+            n_m = _hash64(f"{d}:nm") % MAX_MEDIA_PER_DOC
+            for j in range(n_m):
+                rows_a.append(_hash64(f"{d}:m{j}") % N_ASSETS)
+                rows_v.append(_hash64(f"{d}:mv{j}") % n_variants)
+        df = pd.DataFrame({"asset_id": pd.Series(rows_a, dtype="int64"),
+                           "v": pd.Series(rows_v, dtype="int64")})
+        return df.drop_duplicates()
+
+    pool = grouped_agg(ds.map_batches(variants, batch_format="pyarrow",
+                                      batch_size=8192),
+                       ["asset_id", "v"], {"n": ("asset_id", "size")},
+                       # bound-static: payload-pool grain (<= N_ASSETS * n_variants)
+                       n_buckets=16)
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keys, sigs = [], []
+        for a, v in zip(df["asset_id"], df["v"]):
+            hx = variant_payload(int(a), int(v)).hex()
+            keys.append(content_key(bytes.fromhex(hx)))
+            sigs.append(_simhash_hex(hx))
+        return pd.DataFrame({"asset_id": df["asset_id"].astype("int64"),
+                             "content_key": pd.Series(keys, dtype="string"),
+                             "sim": pd.Series(sigs, dtype="uint64")})
+
+    sigs = pool.map_batches(sig_rows, batch_format="pandas",
+                            batch_size=1 << 20)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_a, out_s, out_b, out_bk = [], [], [], [], []
+        for a, ck, s in zip(df["asset_id"], df["content_key"], df["sim"]):
+            for bi, bk in enumerate(simhash_bands(int(s), bands)):
+                out_k.append(ck)
+                out_a.append(a)
+                out_s.append(s)
+                out_b.append(bi)
+                out_bk.append(bk)
+        return pd.DataFrame({"content_key": pd.Series(out_k, dtype="string"),
+                             "asset_id": pd.Series(out_a, dtype="int64"),
+                             "sim": pd.Series(out_s, dtype="uint64"),
+                             "band_id": pd.Series(out_b, dtype="int64"),
+                             "band_key": pd.Series(out_bk, dtype="uint64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(df["content_key"], df["asset_id"],
+                              df["sim"])))
+        a, b, hm, sa = [], [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = hamming64(int(rows[i][2]), int(rows[j][2]))
+                if d <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    hm.append(d)
+                    sa.append(rows[i][1] == rows[j][1])
+        return pd.DataFrame({"key_a": pd.Series(a, dtype="string"),
+                             "key_b": pd.Series(b, dtype="string"),
+                             "hamming": pd.Series(hm, dtype="int64"),
+                             "same_asset": pd.Series(sa, dtype=bool)})
+
+    cand = sigs.map_batches(explode, batch_format="pandas") \
+               .groupby(["band_id", "band_key"]) \
+               .map_groups(pairs, batch_format="pandas")
+    return distinct_rows(cand,
+                         ["key_a", "key_b", "hamming", "same_asset"]) \
+        .sort(["key_a", "key_b"])
+
+
 def doc_media_stats(sf_dir: str):
     """Per-doc distinct-media stats: how many media refs a doc embeds,
     how many DISTINCT payloads that is, and how many refs are

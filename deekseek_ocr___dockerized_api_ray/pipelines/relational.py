@@ -500,6 +500,109 @@ def events_user_reach_hll(sf_dir: str, p: int = 12):
             lambda t: merge(t.drop_columns(["bucket"])), batch_format="pyarrow")
 
 
+def events_user_reach_kmv(sf_dir: str, k: int = 8):
+    """KMV / bottom-k distinct-count sketch per event_type (Bar-Yossef
+    et al. 2002; Beyer et al. 2007 "Distinct-value synopses"): keep the
+    k smallest DISTINCT 64-bit hashes of the user ids; the estimator is
+    (k-1) * 2^64 / h_(k). The sketch is mergeable -- the union's
+    bottom-k is the bottom-k of the union of per-batch bottom-k sets --
+    so each batch ships <= k rows per type and the keyed reduce is
+    exact on the sketch. The deterministic counterpart of
+    events_user_reach_hll: same reach question, but every intermediate
+    is a plain hash value a SQL oracle can rebuild.
+
+    Evaluation-op pattern (ann_recall_at_k): the output carries the
+    EXACT distinct count next to the estimate plus rel_err, so the
+    driver oracle certifies the estimator's VALUE, not just execution.
+    Hash = md5_number_lower(user_id) (functions/hashing._hash64); when
+    a type has fewer than k distinct hashes the sketch IS the exact set
+    and the estimate is its size (the standard KMV small-cardinality
+    convention), CASE-mirrored in the oracle. h_k -> double and the
+    division run in the same operand order on both sides.
+
+    Output: (event_type, n_exact, n_sketch, h_k, est_users r6,
+    rel_err r6) sorted by event_type.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+    from ..functions.rounding import round_half_away
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"]).copy()
+        d["h"] = np.array([_hash64(str(int(u))) for u in d["user_id"]],
+                          dtype=np.uint64)
+        rows = []
+        for et, g in d.groupby("event_type", sort=False):
+            hs = np.unique(g["h"].to_numpy())[:k]
+            rows.append(pd.DataFrame({"event_type": et, "h": hs}))
+        if not rows:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "h": pd.Series(dtype=np.uint64)})
+        return pd.concat(rows, ignore_index=True)
+
+    def sketch_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            hs = np.unique(g["h"].to_numpy())[:k]
+            rows.append({"event_type": et, "n_sketch": len(hs),
+                         "h_k": hs[-1]})
+        return pd.DataFrame(rows)
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def exact_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"]).groupby(
+            "event_type", as_index=False).agg(n_exact=("user_id", "size"))
+        return out
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text_stats import sha1_64
+
+        df = df.copy()
+        df["bucket"] = [sha1_64(v) % 8 for v in df["event_type"]]
+        return df
+
+    sk = ev.map_batches(sketch_partial, batch_format="pandas",
+                        batch_size=131072) \
+           .map_batches(bucket, batch_format="pandas") \
+           .groupby("bucket").map_groups(
+               lambda df: sketch_reduce(df.drop(columns=["bucket"])),
+               batch_format="pandas")
+    ex = ev.map_batches(exact_partial, batch_format="pandas",
+                        batch_size=131072) \
+           .map_batches(bucket, batch_format="pandas") \
+           .groupby("bucket").map_groups(
+               lambda df: exact_reduce(df.drop(columns=["bucket"])),
+               batch_format="pandas")
+
+    # bound: event_type grain (combiner-reduced sketch + count rows)
+    skd = sk.to_pandas()
+    # bound: event_type grain (combiner-reduced distinct counts)
+    exd = ex.to_pandas()
+    out = exd.merge(skd, on="event_type").sort_values("event_type") \
+             .reset_index(drop=True)
+    n_sk = out["n_sketch"].to_numpy(dtype=np.int64)
+    h_k = out["h_k"].to_numpy(dtype=np.uint64).astype(np.float64)
+    n_ex = out["n_exact"].to_numpy(dtype=np.float64)
+    est = np.where(n_sk < k, n_sk.astype(np.float64),
+                   ((k - 1) * 18446744073709551616.0)
+                   / np.where(h_k > 0, h_k, 1.0))
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "n_exact": out["n_exact"].astype("int64"),
+        "n_sketch": out["n_sketch"].astype("int64"),
+        "h_k": out["h_k"].astype("uint64"),
+        "est_users": [round_half_away(v, 6) for v in est],
+        "rel_err": [round_half_away(v, 6) for v in (est - n_ex) / n_ex],
+    })
+    return rd.from_pandas(res)
+
+
 def events_last_order_asof(sf_dir: str, n_buckets: int = 64):
     """AS-OF JOIN: for each event, the user's most recent order at event
     time (greatest o_orderdate <= ts; ties on date broken by MIN

@@ -93,3 +93,56 @@ def test_doc_media_stats_consistency(ray_session, brute):
     # docs with zero media still appear
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
     assert len(got) == len(docs)
+
+
+def test_media_simhash_pairs_matches_bruteforce(ray_session):
+    """Banded near-dup pairs == exact all-pairs hamming ball over the
+    distinct variant-payload pool (banding losslessness at the chosen
+    threshold), and the threshold separates: every surviving pair is a
+    same-asset variant pair."""
+    import numpy as np
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import (
+        _hash64,
+        hamming64,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.media import (
+        MAX_MEDIA_PER_DOC,
+        N_ASSETS,
+        _simhash_hex,
+        content_key,
+        media_simhash_pairs,
+        variant_payload,
+    )
+
+    got = media_simhash_pairs(SF).to_pandas()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    pool = set()
+    for d in docs["doc_id"]:
+        d = int(d)
+        for j in range(_hash64(f"{d}:nm") % MAX_MEDIA_PER_DOC):
+            pool.add((_hash64(f"{d}:m{j}") % N_ASSETS,
+                      _hash64(f"{d}:mv{j}") % 3))
+    rows = []
+    for a, v in sorted(pool):
+        p = variant_payload(a, v)
+        rows.append((content_key(p), a, _simhash_hex(p.hex())))
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            x, y = sorted((rows[i], rows[j]))
+            d = hamming64(x[2], y[2])
+            if d <= 10:
+                want.append((x[0], y[0], d, x[1] == y[1]))
+    want_df = (pd.DataFrame(want, columns=["key_a", "key_b", "hamming",
+                                           "same_asset"])
+               .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want_df, check_dtype=False)
+    assert len(got) > 0
+    # separation: the hamming-10 ball contains only same-asset variants
+    assert got["same_asset"].all()
+    # distinct payloads only (hamming 0 is fine -- a 1-byte variant can
+    # leave every sign-sum unflipped -- but the keys must differ)
+    assert (got["key_a"] != got["key_b"]).all()

@@ -284,3 +284,45 @@ def test_mg_heavy_hitters_equals_exact(ray_session):
                                   check_dtype=False)
     with pytest.raises(ValueError):
         mg_heavy_hitters(SF, phi_num=1, phi_den=800, mg_k=700)
+
+
+def test_kmv_reach_matches_naive_and_merges(ray_session):
+    """events_user_reach_kmv == a driver-side KMV over the whole events
+    table; the bottom-k of unioned per-half bottom-k sets equals the
+    global bottom-k (mergeability); small cardinalities fall back to
+    the exact count."""
+    import numpy as np
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_user_reach_kmv,
+    )
+
+    k = 8
+    got = events_user_reach_kmv(SF, k=k).to_pandas().set_index("event_type")
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    for et, g in ev.groupby("event_type"):
+        users = sorted(set(int(u) for u in g["user_id"]))
+        hs = np.unique(np.array([_hash64(str(u)) for u in users],
+                                dtype=np.uint64))
+        sk = hs[:k]
+        row = got.loc[et]
+        assert row["n_exact"] == len(hs)
+        assert row["n_sketch"] == len(sk)
+        assert row["h_k"] == sk[-1]
+        if len(sk) < k:
+            est = float(len(sk))
+        else:
+            est = (k - 1) * 18446744073709551616.0 / np.float64(sk[-1])
+        assert row["est_users"] == round_half_away(est, 6)
+        assert row["rel_err"] == round_half_away(
+            (est - len(hs)) / len(hs), 6)
+        # mergeability: bottom-k of the union of per-half bottom-k
+        half = len(hs) // 2
+        merged = np.unique(np.concatenate([hs[:half][:k], hs[half:][:k]]))[:k]
+        assert (merged == sk).all()
