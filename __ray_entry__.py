@@ -933,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_simhash_pairs": media.media_simhash_pairs,
         "c4_filter": c4.c4_filter,
         "c4_keep_rate": c4.c4_keep_rate,
+        "boilerplate_lines": c4.boilerplate_lines,
+        "line_dedup_clean": c4.line_dedup_clean,
         "quality_classifier_gate": curation.quality_classifier_gate,
         "quality_keep_rate": curation.quality_keep_rate,
         "doc_chunks": curation.doc_chunks,
@@ -1034,12 +1036,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # representative in the window (leakage_safe_split,
     # events_last_order_asof, theil_sen itself is the stats rep).
     head += [
-        "media_dedup", "repeated_media_census", "doc_media_stats",
-        "quality_classifier_gate", "quality_keep_rate",
+        "media_dedup", "media_simhash_pairs", "events_user_reach_kmv",
+        "quality_classifier_gate", "c4_filter",
         "ann_recall_at_k", "source_unigram_kl", "minhash_recall_eval",
         "source_epoch_plan", "neardup_kcore", "hybrid_search_rrf",
         "events_ewma_alerts",
     ]
+    # Post-r5-session-5 swaps (all three swapped-in ops are new and
+    # oracled; each vacated op stays oracled in the committed sweep and
+    # its family keeps an in-window rep): repeated_media_census ->
+    # events_user_reach_kmv (first in-window SKETCH rep; media keeps
+    # media_dedup + the new simhash pairs), doc_media_stats ->
+    # media_simhash_pairs (media near-dup flavor), quality_keep_rate ->
+    # c4_filter (the C4 gate; classifier gate keeps the learned-gate
+    # slot, and c4_keep_rate composes c4_filter's SQL verbatim).
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 
@@ -2963,6 +2973,8 @@ def oracle_sql() -> dict[str, str]:
         "media_simhash_pairs": _oracles.media_simhash_pairs_sql(),
         "c4_filter": _oracles.c4_filter_sql(),
         "c4_keep_rate": _oracles.c4_keep_rate_sql(),
+        "boilerplate_lines": _oracles.boilerplate_lines_sql(),
+        "line_dedup_clean": _oracles.line_dedup_clean_sql(),
         "repeated_media_census": _oracles.repeated_media_census_sql(),
         "doc_media_stats": _oracles.doc_media_stats_sql(),
         "quality_classifier_gate": _oracles.quality_classifier_gate_sql(),

@@ -1481,3 +1481,38 @@ SELECT a.content_key AS key_a, b.content_key AS key_b,
 FROM keyed a JOIN keyed b ON a.content_key < b.content_key
 WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 ORDER BY key_a, key_b"""
+
+
+def boilerplate_lines_sql(min_docs: int = 2) -> str:
+    """Composes c4_lines_ctes verbatim: the census cannot desync from
+    the c4 gate's line view."""
+    return f"""
+WITH {c4_lines_ctes()}
+SELECT line,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM c4ln GROUP BY line
+HAVING count(DISTINCT doc_id) >= {min_docs}
+ORDER BY line"""
+
+
+def line_dedup_clean_sql(min_docs: int = 5) -> str:
+    return f"""
+WITH {c4_lines_ctes()},
+dupl AS (SELECT line FROM c4ln GROUP BY line
+         HAVING count(DISTINCT doc_id) >= {min_docs}),
+keepln AS (SELECT doc_id, line_idx, line FROM c4ln
+           WHERE line NOT IN (SELECT line FROM dupl)),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM c4ln GROUP BY doc_id),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        FROM keepln GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.n_lines, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""

@@ -179,3 +179,184 @@ def c4_keep_rate(sf_dir: str):
             / agg["n_lines"].astype(np.float64), 6),
     }).reset_index(drop=True)
     return rd.from_pandas(out)
+
+
+def _line_explode(sf_dir: str):
+    """(doc_id, line_idx, line) rows of the raw-page view. A document
+    is one input row, so its lines never span batches -- per-batch
+    distinct-doc partials sum to exact global distinct-doc counts (the
+    repeated_media_census argument)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        out_d, out_i, out_l = [], [], []
+        for d, t in zip(batch.column("doc_id").to_numpy(),
+                        batch.column("text").to_pylist()):
+            for i, ln in enumerate(page_lines(int(d), t)):
+                out_d.append(int(d))
+                out_i.append(i)
+                out_l.append(ln)
+        return pd.DataFrame({"doc_id": pd.Series(out_d, dtype="int64"),
+                             "line_idx": pd.Series(out_i, dtype="int64"),
+                             "line": pd.Series(out_l, dtype=object)})
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+
+
+def _line_census(sf_dir: str, min_docs: int, n_buckets: int = 64):
+    """Lines whose distinct-doc frequency >= min_docs, with occurrence
+    counts: per-batch (line -> n_occurrences, n_docs) partials, ONE
+    keyed reduce at line grain. The shuffle moves one row per distinct
+    line per batch, never page text."""
+    from ..stages.agg import grouped_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"line": pd.Series(dtype=object),
+                                 "n_occurrences": pd.Series(dtype="int64"),
+                                 "n_docs": pd.Series(dtype="int64")})
+        return df.groupby("line", as_index=False).agg(
+            n_occurrences=("doc_id", "size"),
+            n_docs=("doc_id", "nunique"))
+
+    agg = grouped_agg(
+        _line_explode(sf_dir).map_batches(partial, batch_format="pandas",
+                                          batch_size=131072),
+        ["line"],
+        {"n_occurrences": ("n_occurrences", "sum"),
+         "n_docs": ("n_docs", "sum")},
+        n_buckets=n_buckets)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_docs"] >= min_docs].copy()
+        df["n_occurrences"] = df["n_occurrences"].astype("int64")
+        df["n_docs"] = df["n_docs"].astype("int64")
+        return df[["line", "n_docs", "n_occurrences"]]
+
+    return agg.map_batches(keep, batch_format="pandas")
+
+
+def boilerplate_lines(sf_dir: str, min_docs: int = 2):
+    """Cross-document LINE census (the CCNet paragraph-hash / RefinedWeb
+    duplicated-lines signal): lines of the raw-page view that occur in
+    >= min_docs distinct documents -- the nav/footer/notice boilerplate
+    a line-level dedup pass removes. The injected page furniture
+    (javascript / lorem / brace lines) repeats across 8-20% of docs, so
+    the census has guaranteed positives at every scale.
+
+    Output: (line, n_docs, n_occurrences) sorted by line.
+    """
+    return _line_census(sf_dir, min_docs).sort("line")
+
+
+def line_dedup_clean(sf_dir: str, min_docs: int = 5,
+                     broadcast_lines: int = 2_000_000,
+                     n_buckets: int = 64):
+    """Line-level cross-document dedup (CCNet, Wenzek et al. 2020;
+    RefinedWeb, Penedo et al. 2023): delete every line that occurs in
+    >= min_docs distinct documents, keeping the page otherwise intact.
+
+    Scale shape: the duplicated-line set broadcasts once (``ray.put``)
+    when it has <= broadcast_lines rows -- boilerplate is by definition
+    high-frequency, so the >= min_docs census is tiny relative to the
+    corpus; above the gate the removal set hash-joins back to the
+    exploded lines and the removed line_idx list packs per doc (the
+    substring_dedup_clean two-path shape).
+
+    Output: (doc_id, n_lines, n_removed, clean_text) sorted by doc_id.
+    """
+    import ray
+    import ray.data as rd
+
+    dup = _line_census(sf_dir, min_docs, n_buckets) \
+        .select_columns(["line"]).materialize()
+    n_dup = dup.count()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def rebuild(df: pd.DataFrame, removed_idx: dict) -> pd.DataFrame:
+        out = {"doc_id": [], "n_lines": [], "n_removed": [],
+               "clean_text": []}
+        for d, t in zip(df["doc_id"].to_numpy(), df["text"]):
+            d = int(d)
+            lines = page_lines(d, t)
+            rm = removed_idx.get(d, ())
+            kept = [ln for i, ln in enumerate(lines) if i not in rm]
+            out["doc_id"].append(d)
+            out["n_lines"].append(len(lines))
+            out["n_removed"].append(len(lines) - len(kept))
+            out["clean_text"].append("\n".join(kept))
+        res = pd.DataFrame(out)
+        res["doc_id"] = res["doc_id"].astype("int64")
+        res["n_lines"] = res["n_lines"].astype("int64")
+        res["n_removed"] = res["n_removed"].astype("int64")
+        return res
+
+    if n_dup <= broadcast_lines:
+        # bound: gated at broadcast_lines census rows (hash join back
+        # to the exploded lines above the gate)
+        dset = set(r["line"] for r in dup.iter_rows())
+        dref = ray.put(dset)
+
+        def clean_local(df: pd.DataFrame) -> pd.DataFrame:
+            ds_ = ray.get(dref)
+            out = {"doc_id": [], "n_lines": [], "n_removed": [],
+                   "clean_text": []}
+            for d, t in zip(df["doc_id"].to_numpy(), df["text"]):
+                lines = page_lines(int(d), t)
+                kept = [ln for ln in lines if ln not in ds_]
+                out["doc_id"].append(int(d))
+                out["n_lines"].append(len(lines))
+                out["n_removed"].append(len(lines) - len(kept))
+                out["clean_text"].append("\n".join(kept))
+            res = pd.DataFrame(out)
+            for c in ("doc_id", "n_lines", "n_removed"):
+                res[c] = res[c].astype("int64")
+            return res
+
+        return docs.map_batches(clean_local, batch_format="pandas",
+                                batch_size=8192).sort("doc_id")
+
+    from ..stages.joins import default_num_partitions
+
+    removed = _line_explode(sf_dir).join(
+        dup, join_type="inner",
+        num_partitions=default_num_partitions(n_dup),
+        on=("line",), right_on=("line",)).select_columns(
+            ["doc_id", "line_idx"])
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "idx_enc": pd.Series(dtype=object)})
+        g = df.copy()
+        g["idx_enc"] = g["line_idx"].astype(str)
+        return g.groupby("doc_id", as_index=False, sort=False).agg(
+            idx_enc=("idx_enc", ",".join))
+
+    packed = (removed.map_batches(pack, batch_format="pandas",
+                                  batch_size=131072)
+              .groupby("doc_id").map_groups(
+                  lambda df: pd.DataFrame(
+                      {"doc_id": [df["doc_id"].iloc[0]],
+                       "idx_enc": [",".join(df["idx_enc"])]})
+                  if len(df) else df,
+                  batch_format="pandas"))
+    joined = docs.join(packed, join_type="left_outer",
+                       num_partitions=default_num_partitions(n_dup),
+                       on=("doc_id",), right_on=("doc_id",))
+
+    def clean_joined(df: pd.DataFrame) -> pd.DataFrame:
+        by_doc = {}
+        for doc_id, enc in zip(df["doc_id"].to_numpy(),
+                               df["idx_enc"].to_numpy()):
+            if isinstance(enc, str) and enc:
+                by_doc[int(doc_id)] = {int(x) for x in enc.split(",")}
+        return rebuild(df, by_doc)
+
+    return joined.map_batches(clean_joined, batch_format="pandas",
+                              batch_size=8192).sort("doc_id")

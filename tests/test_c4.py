@@ -102,3 +102,56 @@ def test_c4_keep_rate_consistency(ray_session):
         assert rate.loc[src, "n_docs"] == len(g)
         assert rate.loc[src, "n_keep"] == int(g["keep"].sum())
     assert ((rate["keep_rate"] >= 0) & (rate["keep_rate"] <= 1)).all()
+
+
+def test_boilerplate_lines_census_matches_naive(ray_session):
+    from collections import Counter
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.c4 import (
+        boilerplate_lines,
+    )
+
+    got = boilerplate_lines(SF).to_pandas().set_index("line")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    occ, dd = Counter(), Counter()
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        lines = page_lines(int(d), t)
+        occ.update(lines)
+        dd.update(set(lines))
+    want = {ln for ln, n in dd.items() if n >= 2}
+    assert set(got.index) == want
+    for ln in want:
+        assert got.loc[ln, "n_docs"] == dd[ln]
+        assert got.loc[ln, "n_occurrences"] == occ[ln]
+    # the injected page furniture is always in the census
+    assert {_JS_LINE, _LOREM_LINE, _BRACE_LINE} <= want
+
+
+def test_line_dedup_clean_paths_equivalent(ray_session):
+    """broadcast path (gate open) == join path (broadcast_lines=0) --
+    the two-path shape is pinned byte-identical, and removed lines are
+    exactly the >= min_docs census."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.c4 import (
+        boilerplate_lines,
+        line_dedup_clean,
+    )
+
+    a = line_dedup_clean(SF, min_docs=5).to_pandas()
+    b = line_dedup_clean(SF, min_docs=5, broadcast_lines=0).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    dup = set(boilerplate_lines(SF, min_docs=5).to_pandas()["line"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    g = a.set_index("doc_id")
+    removed_total = 0
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        lines = page_lines(int(d), t)
+        kept = [ln for ln in lines if ln not in dup]
+        row = g.loc[int(d)]
+        assert row["n_lines"] == len(lines)
+        assert row["n_removed"] == len(lines) - len(kept)
+        assert row["clean_text"] == "\n".join(kept)
+        removed_total += row["n_removed"]
+    assert removed_total > 0
