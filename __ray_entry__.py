@@ -648,6 +648,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 0.4 is the "near" threshold that actually fires on them
         return embedding_neardup_pairs(_emb_ds(sf_dir), threshold=0.4)
 
+    def emb_neardup_recall_eval(sf_dir: str):
+        # evaluation op: banded-LSH recall vs the exact all-pairs
+        # baseline (the embedding twin of minhash_recall_eval)
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            emb_recall_eval,
+        )
+
+        return emb_recall_eval(_emb_ds(sf_dir), threshold=0.4)
+
     def emb_neardup_exact(sf_dir: str):
         # exact all-pairs baseline (SQL-oracled); LSH variant above is the
         # scale path this one validates
@@ -733,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": doc_bpe_tokens,
         "doc_bpe_encode": doc_bpe_encode,
         "emb_neardup": emb_neardup,
+        "emb_neardup_recall_eval": emb_neardup_recall_eval,
         "emb_neardup_exact": emb_neardup_exact,
         # relational (SQL-oracled)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -935,6 +945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_keep_rate": c4.c4_keep_rate,
         "boilerplate_lines": c4.boilerplate_lines,
         "line_dedup_clean": c4.line_dedup_clean,
+        "training_shuffle_plan": sequences.training_shuffle_plan,
+        "shard_balance_report": sequences.shard_balance_report,
         "quality_classifier_gate": curation.quality_classifier_gate,
         "quality_keep_rate": curation.quality_keep_rate,
         "doc_chunks": curation.doc_chunks,
@@ -1962,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
                                                m=2, n_clusters=4),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),
         "emb_neardup": _oracles.emb_neardup_sql(threshold=0.4),
+        "emb_neardup_recall_eval": _oracles.emb_recall_sql(threshold=0.4),
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),
         "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
         "ann_ivf_trained": _oracles.ann_ivf_trained_sql(_QUERY_IDS, k=10),
@@ -2975,6 +2988,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_keep_rate": _oracles.c4_keep_rate_sql(),
         "boilerplate_lines": _oracles.boilerplate_lines_sql(),
         "line_dedup_clean": _oracles.line_dedup_clean_sql(),
+        "training_shuffle_plan": _oracles.training_shuffle_plan_sql(),
+        "shard_balance_report": _oracles.shard_balance_report_sql(),
         "repeated_media_census": _oracles.repeated_media_census_sql(),
         "doc_media_stats": _oracles.doc_media_stats_sql(),
         "quality_classifier_gate": _oracles.quality_classifier_gate_sql(),

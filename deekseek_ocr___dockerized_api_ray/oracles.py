@@ -1516,3 +1516,50 @@ FROM documents d
 LEFT JOIN tot t USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+def training_shuffle_plan_sql(n_shards: int = 16, seed: int = 42) -> str:
+    """md5_number_lower is _hash64's twin; rank within shard by
+    (hash, doc_id) exactly as the engine's per-shard mergesort."""
+    return f"""
+WITH h AS (SELECT doc_id,
+                  md5_number_lower('{seed}:' || doc_id::VARCHAR) AS h
+           FROM documents)
+SELECT doc_id,
+       CAST(h % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {n_shards}
+                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h ORDER BY shard, pos"""
+
+
+def shard_balance_report_sql(n_shards: int = 16, seed: int = 42) -> str:
+    return f"""
+SELECT CAST(md5_number_lower('{seed}:' || doc_id::VARCHAR)
+            % {n_shards} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY shard ORDER BY shard"""
+
+
+def emb_recall_sql(threshold: float = 0.4) -> str:
+    """Embedding-LSH recall/precision vs the exact all-pairs baseline
+    (stages/similarity.emb_recall_eval): composes emb_neardup_exact_sql
+    and emb_neardup_sql verbatim so the evaluation cannot drift from
+    the pipelines it grades."""
+    return f"""
+WITH exact AS ({emb_neardup_exact_sql(threshold)}),
+lsh AS ({emb_neardup_sql(threshold)}),
+ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+nl AS (SELECT COUNT(*) AS n_lsh FROM lsh),
+h AS (SELECT COUNT(*) AS n_hit
+      FROM exact e JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b)
+SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(nl.n_lsh AS BIGINT) AS n_lsh,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       CASE WHEN ne.n_exact > 0
+            THEN CAST(h.n_hit AS DOUBLE) / ne.n_exact ELSE 0.0 END
+         AS lsh_recall,
+       CASE WHEN nl.n_lsh > 0
+            THEN CAST(h.n_hit AS DOUBLE) / nl.n_lsh ELSE 0.0 END
+         AS lsh_precision
+FROM ne, nl, h"""

@@ -1546,3 +1546,96 @@ def events_hour_anova(sf_dir: str, n_buckets: int = 8):
     # 24 hour cells: the finish legitimately runs in one tiny batch
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=1 << 20))
+
+
+def training_shuffle_plan(sf_dir: str, n_shards: int = 16, seed: int = 42):
+    """Deterministic pseudorandom GLOBAL SHUFFLE PLAN for training-data
+    sharding: shard = md5(seed:doc_id) % n_shards, position = rank of
+    the hash within the shard. At 100 TB you never ``random_shuffle``
+    the corpus -- you assign a pseudorandom key at read time and sort
+    WITHIN shards (each shard bounded at corpus/n_shards, sorted in
+    parallel, resumable per shard), which yields exactly one keyed
+    exchange and a per-shard-local ordering. Deterministic in seed, so
+    a killed job re-derives the identical plan (the checkpoint story
+    for shuffles).
+
+    Output: (doc_id, shard, pos) sorted by (shard, pos); pos is dense
+    0..len(shard)-1.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        h = np.array([_hash64(f"{seed}:{int(d)}") for d in ids],
+                     dtype=np.uint64)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "shard": pd.Series((h % np.uint64(n_shards)).astype(np.int64),
+                               dtype="int64"),
+            "h": pd.Series(h, dtype="uint64"),
+        })
+
+    def order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort") \
+               .reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "shard": df["shard"].astype("int64"),
+            "pos": pd.Series(np.arange(len(df), dtype=np.int64),
+                             dtype="int64"),
+        })
+
+    return ds.map_batches(assign, batch_format="pandas",
+                          batch_size=131072) \
+             .groupby("shard").map_groups(order, batch_format="pandas") \
+             .sort(["shard", "pos"])
+
+
+def shard_balance_report(sf_dir: str, n_shards: int = 16, seed: int = 42):
+    """Per-shard balance of the training shuffle plan: doc and char
+    counts per shard (the skew check a sharded writer runs before
+    committing a layout). Pure combiner aggregation at shard grain --
+    the plan's hash assignment is recomputed per batch, so NO join
+    against the plan is needed and nothing but n_shards rows per batch
+    crosses the wire.
+
+    Output: (shard, n_docs, n_chars) sorted by shard.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+    from ..stages.agg import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        h = np.array([_hash64(f"{seed}:{int(d)}") for d in ids],
+                     dtype=np.uint64)
+        g = pd.DataFrame({"shard": (h % np.uint64(n_shards)).astype(np.int64),
+                          "n_docs": np.ones(len(ids), dtype=np.int64),
+                          "n_chars": df["n_chars"].to_numpy(dtype=np.int64)})
+        return g.groupby("shard", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"))
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas",
+                                     batch_size=131072),
+                      ["shard"],
+                      {"n_docs": ("n_docs", "sum"),
+                       "n_chars": ("n_chars", "sum")},
+                      # bound-static: shard grain
+                      n_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("shard").reset_index(drop=True)
+        for c in ("shard", "n_docs", "n_chars"):
+            df[c] = df[c].astype("int64")
+        return df[["shard", "n_docs", "n_chars"]]
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=1 << 20)

@@ -1495,3 +1495,69 @@ def emb_norm_outliers(emb_ds, q_lo_pm: int = 10, q_hi_pm: int = 990,
         return out
 
     return nt.map_batches(tag, batch_format="pandas").sort(id_col)
+
+
+def emb_recall_eval(emb_ds, threshold: float = 0.4, bands: int = 6,
+                    rows_per_band: int = 3, n_buckets: int = 16):
+    """Recall/precision of the banded-LSH embedding near-dup chain
+    (embedding_neardup_pairs) against the exact all-pairs baseline
+    (embedding_neardup_exact) -- the embedding counterpart of
+    stages/dedup.lsh_recall_eval: the knob it grades is bands x
+    rows_per_band. Precision is 1.0 by construction (candidates verify
+    with the same exact cosine) but is COMPUTED, not assumed.
+
+    Shape: both pair pipelines run their normal distributed plans; one
+    pair-keyed combiner groupby + a distributed sum reduce to three
+    scalar counts -- the pair tables never collect.
+
+    Output: one row (n_exact, n_lsh, n_hit, lsh_recall, lsh_precision);
+    ratios are single double ops on integer counts (exact-float
+    comparable).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.agg import grouped_agg
+
+    exact = embedding_neardup_exact(emb_ds, threshold=threshold)
+    approx = embedding_neardup_pairs(emb_ds, threshold=threshold,
+                                     bands=bands,
+                                     rows_per_band=rows_per_band)
+
+    def _tag(side: str):
+        def f(t: pa.Table) -> pd.DataFrame:
+            # bound: per-batch conversion inside map_batches (pair ids
+            # only, two int64 columns)
+            df = t.select(["id_a", "id_b"]).to_pandas()
+            df["ex"] = np.int64(1 if side == "exact" else 0)
+            df["ls"] = np.int64(0 if side == "exact" else 1)
+            return df
+        return f
+
+    both = exact.map_batches(_tag("exact"), batch_format="pyarrow").union(
+        approx.map_batches(_tag("lsh"), batch_format="pyarrow"))
+    pair_grain = grouped_agg(both, ["id_a", "id_b"],
+                             {"ex": ("ex", "sum"), "ls": ("ls", "sum")},
+                             n_buckets=n_buckets)
+
+    def _ind(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ex": (df["ex"] > 0).astype(np.int64),
+            "ls": (df["ls"] > 0).astype(np.int64),
+            "hit": ((df["ex"] > 0) & (df["ls"] > 0)).astype(np.int64),
+        })
+
+    sums = pair_grain.map_batches(_ind, batch_format="pandas").sum(
+        ["ex", "ls", "hit"])  # bound: three scalars (distributed sum)
+    sums = sums or {}  # Ray returns None on an all-empty dataset
+    n_exact = int(sums.get("sum(ex)") or 0)
+    n_lsh = int(sums.get("sum(ls)") or 0)
+    n_hit = int(sums.get("sum(hit)") or 0)
+    out = pd.DataFrame({
+        "n_exact": pd.Series([n_exact], dtype="int64"),
+        "n_lsh": pd.Series([n_lsh], dtype="int64"),
+        "n_hit": pd.Series([n_hit], dtype="int64"),
+        "lsh_recall": [float(n_hit) / n_exact if n_exact else 0.0],
+        "lsh_precision": [float(n_hit) / n_lsh if n_lsh else 0.0],
+    })
+    return rd.from_pandas(out)

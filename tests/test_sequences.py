@@ -378,3 +378,38 @@ def test_events_holt_forecast_matches_local_recursion(ray_session):
     assert got["forecast"].tolist() == [round_half_away(float(v), 6)
                                         for v in fct]
     assert float(got["err"].iloc[0]) == 0.0
+
+
+def test_training_shuffle_plan_properties(ray_session):
+    """Deterministic in seed, dense per-shard positions, hash-ordered
+    within shard, and the balance report equals the plan's own
+    per-shard rollup."""
+    import numpy as np
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.pipelines.sequences import (
+        shard_balance_report,
+        training_shuffle_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = training_shuffle_plan(sf).to_pandas()
+    b = training_shuffle_plan(sf).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # same seed -> identical plan
+    c = training_shuffle_plan(sf, seed=7).to_pandas()
+    assert not a["shard"].equals(c["shard"])  # seed moves the plan
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    assert len(a) == len(docs) and a["doc_id"].is_unique
+    for shard, g in a.groupby("shard"):
+        assert (g["pos"].to_numpy() == np.arange(len(g))).all()
+        hs = np.array([_hash64(f"42:{int(d)}") for d in g["doc_id"]],
+                      dtype=np.uint64)
+        assert (np.sort(hs) == hs).all()
+
+    rep = shard_balance_report(sf).to_pandas().set_index("shard")
+    j = a.merge(docs, on="doc_id")
+    for shard, g in j.groupby("shard"):
+        assert rep.loc[shard, "n_docs"] == len(g)
+        assert rep.loc[shard, "n_chars"] == g["n_chars"].sum()

@@ -492,3 +492,28 @@ def test_emb_norm_outliers_band_semantics(emb_ds):
     for _, r in got.iterrows():
         assert r["tag"] == ("low" if r["inf_norm"] < lo_val else "high")
         assert r["inf_norm"] == nrm[int(r["vec_id"])]
+
+
+def test_emb_recall_eval_matches_pair_ops(ray_session):
+    """The eval row recomputes from the two pair pipelines it grades;
+    precision is computed (and equals 1.0 here because the banded chain
+    verifies with the same exact cosine)."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        emb_recall_eval,
+        embedding_neardup_exact,
+        embedding_neardup_pairs,
+    )
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = emb_recall_eval(emb, threshold=0.4).to_pandas().iloc[0]
+    exact = set(map(tuple, embedding_neardup_exact(emb, threshold=0.4)
+                    .to_pandas()[["id_a", "id_b"]].to_numpy()))
+    lsh = set(map(tuple, embedding_neardup_pairs(emb, threshold=0.4)
+                  .to_pandas()[["id_a", "id_b"]].to_numpy()))
+    assert got["n_exact"] == len(exact)
+    assert got["n_lsh"] == len(lsh)
+    assert got["n_hit"] == len(exact & lsh)
+    assert got["lsh_recall"] == len(exact & lsh) / len(exact)
+    assert got["lsh_precision"] == 1.0 and lsh <= exact
