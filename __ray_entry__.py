@@ -579,6 +579,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ivf_trained_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_ivf_pq(sf_dir: str):
+        # the canonical 100 TB ANN index: coarse IVF lists + PQ codes of
+        # the RESIDUALS + per-(query, probed list) ADC lookup tables
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            ivf_pq_topk,
+        )
+
+        return ivf_pq_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10, n_lists=6,
+                           m=2, n_clusters=4, n_probe=2)
+
     def emb_norm_outliers(sf_dir: str):
         # inf-norm hygiene band: one pass + ONE sort (ppl_buckets pattern)
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
+        "ann_ivf_pq": ann_ivf_pq,
         "ann_recall_at_k": ann_recall_at_k,
         "ann_shard_plan": ann_shard_plan,
         "emb_norm_outliers": emb_norm_outliers,
@@ -1978,6 +1989,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _oracles.ann_lsh_sql(_QUERY_IDS, k=10),
         "ann_ivf": _oracles.ann_ivf_sql(_QUERY_IDS, k=10),
         "ann_ivf_trained": _oracles.ann_ivf_trained_sql(_QUERY_IDS, k=10),
+        "ann_ivf_pq": _oracles.ivf_pq_topk_sql(_QUERY_IDS, k=10, dim=64,
+                                               n_lists=6, m=2,
+                                               n_clusters=4, n_probe=2),
         "ann_recall_at_k": _oracles.ann_recall_sql(_QUERY_IDS, k=10),
         "ann_shard_plan": _oracles.ann_shard_plan_sql(n_clusters=6,
                                                       n_shards=3),

@@ -1563,3 +1563,108 @@ SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
             THEN CAST(h.n_hit AS DOUBLE) / nl.n_lsh ELSE 0.0 END
          AS lsh_precision
 FROM ne, nl, h"""
+
+
+def lloyd_resid_ctes_slice(n_clusters: int, lo: int, hi: int,
+                           prefix: str) -> str:
+    """``lloyd_assign_ctes_slice`` re-based onto the ``resid`` long
+    table (vec_id, i, rv) -- the residual-subspace building block of
+    the IVF+PQ oracle.  Seeds are the residual SLICES of
+    vec_id < n_clusters, matching the engine's per-subspace
+    lloyd_codebook fit over the residual view."""
+    p = prefix
+    dims = f"i BETWEEN {lo} AND {hi}"
+    return f"""{p}c0 AS MATERIALIZED (
+  SELECT vec_id AS cl, i, rv AS cv FROM resid
+  WHERE vec_id < {n_clusters} AND {dims}),
+{p}d1 AS (
+  SELECT r.vec_id, c.cl, SUM((r.rv - c.cv) ^ 2) AS dist
+  FROM resid r JOIN {p}c0 c ON c.i = r.i GROUP BY 1, 2),
+{p}a1 AS (
+  SELECT vec_id, cl FROM {p}d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+{p}n1 AS (
+  SELECT a.cl, r.i, AVG(r.rv) AS cv
+  FROM {p}a1 a JOIN resid r USING (vec_id)
+  WHERE {dims} GROUP BY 1, 2),
+{p}c1 AS MATERIALIZED (
+  SELECT {p}c0.cl, {p}c0.i, COALESCE({p}n1.cv, {p}c0.cv) AS cv
+  FROM {p}c0 LEFT JOIN {p}n1 ON {p}n1.cl = {p}c0.cl AND {p}n1.i = {p}c0.i),
+{p}d2 AS (
+  SELECT r.vec_id, c.cl, SUM((r.rv - c.cv) ^ 2) AS dist
+  FROM resid r JOIN {p}c1 c ON c.i = r.i GROUP BY 1, 2),
+{p}a2 AS (
+  SELECT vec_id, cl FROM {p}d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+{p}n2 AS (
+  SELECT a.cl, r.i, AVG(r.rv) AS cv
+  FROM {p}a2 a JOIN resid r USING (vec_id)
+  WHERE {dims} GROUP BY 1, 2),
+{p}c2 AS MATERIALIZED (
+  SELECT {p}c1.cl, {p}c1.i, COALESCE({p}n2.cv, {p}c1.cv) AS cv
+  FROM {p}c1 LEFT JOIN {p}n2 ON {p}n2.cl = {p}c1.cl AND {p}n2.i = {p}c1.i),
+{p}d3 AS MATERIALIZED (
+  SELECT r.vec_id, c.cl, SUM((r.rv - c.cv) ^ 2) AS dist
+  FROM resid r JOIN {p}c2 c ON c.i = r.i GROUP BY 1, 2),
+{p}assign AS (
+  SELECT vec_id, cl FROM {p}d3
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1)"""
+
+
+def ivf_pq_topk_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10, dim: int = 64,
+                    n_lists: int = 6, m: int = 2, n_clusters: int = 4,
+                    n_probe: int = 2) -> str:
+    """IVF+PQ asymmetric-distance top-k (stages/similarity.ivf_pq_topk,
+    the Jegou et al. 2011 IVFADC index): the coarse unrolled Lloyd
+    (``lloyd_assign_ctes`` -- shared with the trained-IVF oracle, so
+    the list structure cannot desync), a residual long table against
+    the final coarse centroids, per-subspace residual Lloyd fits
+    (``lloyd_resid_ctes_slice``), per-(query, probed list) ADC lookup
+    tables, and the (adc, vec_id)-ranked top-k over probed lists with
+    self excluded."""
+    assert dim % m == 0
+    w = dim // m
+    qs = ",".join(str(int(q)) for q in query_ids)
+    sub = [lloyd_resid_ctes_slice(n_clusters, j * w + 1, (j + 1) * w,
+                                  f"s{j}_") for j in range(m)]
+    luts = [f"""lut{j} AS (
+  SELECT p.query_id, p.cl AS pcell, b.cl AS code,
+         SUM((CAST(e.embedding[b.i] AS DOUBLE) - cc.cv - b.cv) ^ 2) AS d
+  FROM probes p
+  JOIN embeddings e ON e.vec_id = p.query_id
+  JOIN c2 cc ON cc.cl = p.cl
+  JOIN s{j}_c2 b ON b.i = cc.i
+  GROUP BY 1, 2, 3)""" for j in range(m)]
+    code_joins = "\n".join(
+        f"  JOIN s{j}_assign a{j} ON a{j}.vec_id = c.vec_id"
+        for j in range(m))
+    lut_joins = "\n".join(
+        f"  JOIN lut{j} l{j} ON l{j}.query_id = c.query_id"
+        f" AND l{j}.pcell = c.cl AND l{j}.code = a{j}.cl"
+        for j in range(m))
+    adc_sum = " + ".join(f"l{j}.d" for j in range(m))
+    return f"""
+WITH {lloyd_assign_ctes(n_lists)},
+resid AS MATERIALIZED (
+  SELECT e.vec_id, c.i, CAST(e.embedding[c.i] AS DOUBLE) - c.cv AS rv
+  FROM embeddings e JOIN assign a USING (vec_id)
+  JOIN c2 c ON c.cl = a.cl),
+{",".join(sub)},
+probes AS (
+  SELECT vec_id AS query_id, cl FROM d3 WHERE vec_id IN ({qs})
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl)
+          <= {n_probe}),
+{",".join(luts)},
+cand AS (
+  SELECT p.query_id, a.vec_id, a.cl FROM probes p JOIN assign a USING (cl)),
+adc AS (
+  SELECT c.query_id, c.vec_id, {adc_sum} AS adc
+  FROM cand c
+{code_joins}
+{lut_joins})
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+  FROM adc WHERE vec_id <> query_id)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -1561,3 +1561,146 @@ def emb_recall_eval(emb_ds, threshold: float = 0.4, bands: int = 6,
         "lsh_precision": [float(n_hit) / n_lsh if n_lsh else 0.0],
     })
     return rd.from_pandas(out)
+
+
+def ivf_pq_topk(emb_ds, query_ids, k: int = 10, n_lists: int = 6,
+                m: int = 2, n_clusters: int = 4, n_probe: int = 2,
+                iters: int = 2, id_col: str = "vec_id",
+                emb_col: str = "embedding"):
+    """IVF+PQ asymmetric-distance top-k -- the canonical 100 TB ANN
+    index (Jegou et al. 2011 IVFADC): a coarse ``lloyd_codebook``
+    partitions the corpus into inverted lists, each vector stores only
+    its PQ code of the RESIDUAL to its list centroid, and a query
+    probes its ``n_probe`` nearest lists with a per-(query, list) ADC
+    lookup table over the residual codebooks.  Composition of the
+    existing ``ivf_trained_topk`` (coarse probe) and ``pq_adc_topk``
+    (ADC scan), with the residual encoding that makes the combination
+    the published index rather than two independent tricks.
+
+    Scale shape: the index build is 1 + m bounded Lloyd fits (k x dim
+    partials, never the corpus; the residual pass is a stateless
+    streaming map against the broadcast coarse codebook).  The search
+    is one streaming scan that touches only rows in probed lists
+    (m code lookups + adds per row), batch-local top-(k+1) partials,
+    then ONE bounded query-keyed groupby.  No shuffle anywhere else.
+
+    Determinism: every argmin ties to the lowest cluster and the final
+    ranking ties on vec_id ascending, so the oracle's unrolled-Lloyd
+    SQL reproduces the result exactly.  Self-match excluded.
+
+    Output: (query_id, vec_id, rank 1..k) sorted by query_id, rank.
+    """
+    import pandas as pd
+    import ray
+
+    # --- coarse codebook + residual view ---------------------------------
+    cents = lloyd_codebook(emb_ds, n_lists, iters, id_col, emb_col)
+    cref = ray.put(cents)
+    # bound-static: 1 row (dim probe)
+    dim = len(emb_ds.limit(1).take_all()[0][emb_col])
+    assert dim % m == 0, (dim, m)
+    w = dim // m
+
+    def _coarse(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        return np.argmin(dist, axis=1)  # ties -> lowest list
+
+    def _resid_slice_ds(j: int):
+        lo, hi = j * w, (j + 1) * w
+
+        def cut(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            ids = batch.column(id_col)
+            mat = _batch_matrix(batch, emb_col)
+            res = (mat - c[_coarse(mat, c)])[:, lo:hi]
+            return pa.Table.from_arrays(
+                [ids, pa.array(res.tolist(), type=pa.list_(pa.float64()))],
+                names=[id_col, emb_col])
+
+        return emb_ds.map_batches(cut, batch_format="pyarrow")
+
+    # --- m residual sub-codebooks (seeds = residuals of vec_id < k) ------
+    books = np.stack([lloyd_codebook(_resid_slice_ds(j), n_clusters, iters,
+                                     id_col, emb_col)
+                      for j in range(m)])  # (m, k, w)
+    bref = ray.put(books)
+
+    # --- query rows -> per-(query, probed list) residual-ADC LUTs --------
+    qset = set(int(q) for q in query_ids)
+
+    def _pick_q(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in qset for v in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    # bound: |query_ids| rows (point filter)
+    qrows = emb_ds.map_batches(_pick_q, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: int(r[id_col]))
+    qids = np.asarray([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qmat = np.asarray([np.asarray(r[emb_col], dtype=np.float64)
+                       for r in qrows])
+    qdiff = qmat[:, None, :] - cents[None, :, :]
+    qdist = np.einsum("nkd,nkd->nk", qdiff, qdiff)
+    # stable argsort == order by (dist, list): ties to the lowest list
+    probes = np.argsort(qdist, axis=1, kind="stable")[:, :n_probe]  # (nq, p)
+    # LUT[q, p, j, c] = || (query_q - coarse_centroid_{probes[q,p]})_j
+    #                      - residual_codeword_jc ||^2
+    targets = qmat[:, None, :] - cents[probes]           # (nq, p, dim)
+    lut = np.stack([
+        ((targets[:, :, None, j * w:(j + 1) * w]
+          - books[j][None, None, :, :]) ** 2).sum(axis=3)
+        for j in range(m)], axis=2)                      # (nq, p, m, k)
+    pref = ray.put((probes, lut))
+
+    # --- streaming ADC scan over probed lists ----------------------------
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)
+        b = ray.get(bref)
+        pr, lt = ray.get(pref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _batch_matrix(batch, emb_col)
+        cl = _coarse(mat, c)
+        res = mat - c[cl]
+        codes = np.empty((m, len(ids)), dtype=np.int64)
+        for j in range(m):
+            sub = res[:, j * w:(j + 1) * w]
+            diff = sub[:, None, :] - b[j][None, :, :]
+            dist = np.einsum("nkd,nkd->nk", diff, diff)
+            codes[j] = np.argmin(dist, axis=1)  # ties -> lowest code
+        kk = k + 1
+        out = []
+        for qi, qid in enumerate(qids):
+            for pi in range(pr.shape[1]):
+                mask = cl == pr[qi, pi]
+                if not mask.any():
+                    continue
+                adc = np.zeros(int(mask.sum()), dtype=np.float64)
+                for j in range(m):
+                    adc += lt[qi, pi, j][codes[j][mask]]
+                mids = ids[mask]
+                order = np.lexsort((mids, adc))[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "vec_id": mids[order],
+                    "adc": adc[order]}))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "adc": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    cand = emb_ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        g = group[group["vec_id"] != qid]
+        g = g.sort_values(["adc", "vec_id"]).head(k)
+        return pd.DataFrame({"query_id": qid,
+                             "vec_id": g["vec_id"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1,
+                                               dtype=np.int64)})
+
+    # bound: one keyed groupby at query grain (|Q| x (k+1) x n_probe rows)
+    return (cand.groupby("query_id").map_groups(_final,
+                                                batch_format="pandas")
+            .sort(["query_id", "rank"]))

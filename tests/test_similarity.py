@@ -517,3 +517,69 @@ def test_emb_recall_eval_matches_pair_ops(ray_session):
     assert got["n_hit"] == len(exact & lsh)
     assert got["lsh_recall"] == len(exact & lsh) / len(exact)
     assert got["lsh_precision"] == 1.0 and lsh <= exact
+
+
+def test_ivf_pq_topk_matches_local_reference(emb_ds):
+    """IVF+PQ (IVFADC) ranking equals a single-process recompute of the
+    full chain: coarse Lloyd lists, residual sub-codebooks, per-(query,
+    probed list) LUTs, (adc, vec_id) rank with self excluded; the
+    planted near-dup surfaces for its query because it shares the
+    coarse cell and a near-zero residual distance."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import ivf_pq_topk
+
+    ds, m0 = emb_ds
+    n_lists, m_sub, k_c, n_probe, k = 4, 2, 3, 2, 8
+    qids = [0, 5, 17]
+    got = ivf_pq_topk(ds, qids, k=k, n_lists=n_lists, m=m_sub,
+                      n_clusters=k_c, n_probe=n_probe).to_pandas()
+
+    mat = m0.astype(np.float64)
+
+    def _lloyd(x, kk):
+        cents = x[:kk].copy()
+        for _ in range(2):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(kk):
+                if (a == c).any():
+                    cents[c] = x[a == c].mean(axis=0)
+        return cents
+
+    coarse = _lloyd(mat, n_lists)
+    dist = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cl = np.argmin(dist, axis=1)
+    res = mat - coarse[cl]
+    w = DIM // m_sub
+    books, codes = [], []
+    for j in range(m_sub):
+        sub = res[:, j * w:(j + 1) * w]
+        b = _lloyd(sub, k_c)
+        books.append(b)
+        codes.append(np.argmin(((sub[:, None, :] - b[None, :, :]) ** 2)
+                               .sum(axis=2), axis=1))
+    ids = np.arange(N)
+    for q in qids:
+        probe = np.argsort(dist[q], kind="stable")[:n_probe]
+        rows, adcs = [], []
+        for cell in probe:
+            mask = cl == cell
+            t = mat[q] - coarse[cell]
+            adc = np.zeros(int(mask.sum()))
+            for j in range(m_sub):
+                lut = ((t[j * w:(j + 1) * w][None, :]
+                        - books[j]) ** 2).sum(axis=1)
+                adc += lut[codes[j][mask]]
+            rows.append(ids[mask])
+            adcs.append(adc)
+        rows = np.concatenate(rows)
+        adcs = np.concatenate(adcs)
+        keep = rows != q
+        order = rows[keep][np.lexsort((rows[keep], adcs[keep]))][:k]
+        mine = got[got["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert mine == order.tolist(), f"query {q}"
+    # with a 3x3 residual codebook every code-tuple-mate ties exactly on
+    # adc and the vec_id tie-break decides (the pq_adc precedent), so pin
+    # the deterministic invariant instead: the planted pair quantizes
+    # IDENTICALLY -- same coarse list and same residual code tuple.
+    assert cl[250] == cl[0]
+    assert all(codes[j][250] == codes[j][0] for j in range(m_sub))
