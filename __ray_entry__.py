@@ -954,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_simhash_pairs": media.media_simhash_pairs,
         "c4_filter": c4.c4_filter,
         "c4_keep_rate": c4.c4_keep_rate,
+        "badword_gate": c4.badword_gate,
         "boilerplate_lines": c4.boilerplate_lines,
         "line_dedup_clean": c4.line_dedup_clean,
         "training_shuffle_plan": sequences.training_shuffle_plan,
@@ -3000,6 +3001,21 @@ def oracle_sql() -> dict[str, str]:
         "media_simhash_pairs": _oracles.media_simhash_pairs_sql(),
         "c4_filter": _oracles.c4_filter_sql(),
         "c4_keep_rate": _oracles.c4_keep_rate_sql(),
+        # blocklist membership = md5 hash gate at unique-term grain
+        # (pipelines/c4.py:badword_gate -- the static-list stand-in)
+        "badword_gate": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN md5_number_lower('naughty:' || term)
+                                      % 37 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+                   SUM(CASE WHEN md5_number_lower('naughty:' || term) % 37 = 0
+                       THEN 1 ELSE 0 END) = 0 AS keep
+            FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
         "boilerplate_lines": _oracles.boilerplate_lines_sql(),
         "line_dedup_clean": _oracles.line_dedup_clean_sql(),
         "training_shuffle_plan": _oracles.training_shuffle_plan_sql(),

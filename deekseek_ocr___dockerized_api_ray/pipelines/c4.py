@@ -360,3 +360,50 @@ def line_dedup_clean(sf_dir: str, min_docs: int = 5,
 
     return joined.map_batches(clean_joined, batch_format="pandas",
                               batch_size=8192).sort("doc_id")
+
+
+def badword_gate(sf_dir: str, salt: str = "naughty", modulus: int = 37):
+    """C4's word-blocklist page filter (Raffel et al. 2020, section
+    2.2: any page containing a word from the "List of Dirty, Naughty,
+    Obscene or Otherwise Bad Words" is removed).  The published list is
+    a STATIC lexicon; this fixture stands it in with a deterministic
+    hash gate -- a token is on the blocklist iff
+    ``md5_number_lower(salt:token) % modulus == 0`` -- so the oracle
+    reproduces membership without external data (the repo-wide
+    hash-gated-fixture convention; at the defaults exactly one corpus
+    vocabulary word is "bad" and both keeps and drops are well
+    populated at every scale).
+
+    Scale shape: membership is a pure function of the token, so the
+    gate is ONE stateless vectorized streaming pass, zero shuffle --
+    identical to production, where the static list broadcasts once
+    (``ray.put`` of a frozenset / Bloom filter) and the per-batch test
+    is the same unique-term membership probe.
+
+    Output: (doc_id, n_tokens, n_bad, keep) sorted by doc_id; keep is
+    the C4 decision (no blocklist occurrence).
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        toks = [t.split() for t in texts]
+        lens = np.asarray([len(t) for t in toks], dtype=np.int64)
+        flat = np.asarray([w for t in toks for w in t], dtype=object)
+        didx = np.repeat(np.arange(len(ids)), lens)
+        n_bad = np.zeros(len(ids), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            # membership probe at UNIQUE-term grain (the broadcast-set
+            # lookup in production); ~vocab hashes per batch, not per token
+            bad = np.asarray([_hash64(f"{salt}:{u}") % modulus == 0
+                              for u in uniq])
+            np.add.at(n_bad, didx, bad[inv].astype(np.int64))
+        return pd.DataFrame({"doc_id": ids, "n_tokens": lens,
+                             "n_bad": n_bad, "keep": n_bad == 0})
+
+    return docs.map_batches(gate, batch_format="pyarrow").sort("doc_id")

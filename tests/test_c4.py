@@ -155,3 +155,23 @@ def test_line_dedup_clean_paths_equivalent(ray_session):
         assert row["clean_text"] == "\n".join(kept)
         removed_total += row["n_removed"]
     assert removed_total > 0
+
+
+def test_badword_gate_matches_naive(ray_session):
+    """Engine gate equals the per-doc naive recompute of the hash-gated
+    blocklist; both keeps and drops are populated on the fixture."""
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.c4 import badword_gate
+
+    got = badword_gate(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    for r in docs[:50]:
+        toks = r["text"].split()
+        n_bad = sum(1 for w in toks if _hash64(f"naughty:{w}") % 37 == 0)
+        row = got[got["doc_id"] == r["doc_id"]].iloc[0]
+        assert int(row["n_tokens"]) == len(toks)
+        assert int(row["n_bad"]) == n_bad
+        assert bool(row["keep"]) == (n_bad == 0)
+    assert got["keep"].any() and (~got["keep"]).any()
