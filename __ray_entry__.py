@@ -1032,7 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs", "minhash_candidates", "duplicated_substring_spans",
         "neardup_clusters", "prefix_ngram_pairs_exact", "tfidf_cosine_pairs",
         "leakage_safe_split", "dsir_importance_weights",
-        "ann_topk", "ann_pq_adc", "ann_ivf_trained", "emb_neardup",
+        "ann_topk", "ann_pq_adc", "ann_ivf_pq", "emb_neardup",
         "knn_graph", "ann_hard_negatives",
         "doc_bpe_encode", "pack_plan", "source_distinct_ngrams",
         "stratified_sample", "lang_sample_exact_k",
@@ -1074,6 +1074,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # media_simhash_pairs (media near-dup flavor), quality_keep_rate ->
     # c4_filter (the C4 gate; classifier gate keeps the learned-gate
     # slot, and c4_keep_rate composes c4_filter's SQL verbatim).
+    # Closing swap: ann_ivf_trained -> ann_ivf_pq (the IVFADC composition
+    # is new and never driver-seen; its oracle composes the SAME
+    # lloyd_assign_ctes as the trained-IVF oracle, so the vacated op's
+    # machinery stays externally validated through it -- and
+    # ann_ivf_trained itself was driver-validated in r4 and stays green
+    # in the committed sweep).
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 
