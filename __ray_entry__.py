@@ -579,6 +579,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ivf_trained_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def ann_ivf_pq_recall(sf_dir: str):
+        # recall@k of the compressed-code path vs exact: measures the
+        # coarse probe miss AND the PQ quantization loss together
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            ivf_pq_recall_at_k,
+        )
+
+        return ivf_pq_recall_at_k(_emb_ds(sf_dir), _QUERY_IDS, k=10,
+                                  n_lists=6, m=2, n_clusters=4, n_probe=2)
+
     def ann_ivf_pq(sf_dir: str):
         # the canonical 100 TB ANN index: coarse IVF lists + PQ codes of
         # the RESIDUALS + per-(query, probed list) ADC lookup tables
@@ -747,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
         "ann_ivf_pq": ann_ivf_pq,
+        "ann_ivf_pq_recall": ann_ivf_pq_recall,
         "ann_recall_at_k": ann_recall_at_k,
         "ann_shard_plan": ann_shard_plan,
         "emb_norm_outliers": emb_norm_outliers,
@@ -1999,6 +2010,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq": _oracles.ivf_pq_topk_sql(_QUERY_IDS, k=10, dim=64,
                                                n_lists=6, m=2,
                                                n_clusters=4, n_probe=2),
+        "ann_ivf_pq_recall": _oracles.ivf_pq_recall_sql(
+            _QUERY_IDS, k=10, dim=64, n_lists=6, m=2, n_clusters=4,
+            n_probe=2),
         "ann_recall_at_k": _oracles.ann_recall_sql(_QUERY_IDS, k=10),
         "ann_shard_plan": _oracles.ann_shard_plan_sql(n_clusters=6,
                                                       n_shards=3),

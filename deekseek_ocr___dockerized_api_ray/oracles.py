@@ -1668,3 +1668,23 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
   FROM adc WHERE vec_id <> query_id)
 WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def ivf_pq_recall_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                      dim: int = 64, n_lists: int = 6, m: int = 2,
+                      n_clusters: int = 4, n_probe: int = 2) -> str:
+    """Recall@k of the IVF+PQ path vs the exact baseline
+    (stages/similarity.ivf_pq_recall_at_k): composes ann_exact_topk_sql
+    and ivf_pq_topk_sql verbatim (the ann_recall_sql pattern), so the
+    evaluation oracle can never drift from the rankings it grades."""
+    exact = ann_exact_topk_sql(query_ids, k)
+    approx = ivf_pq_topk_sql(query_ids, k, dim, n_lists, m, n_clusters,
+                             n_probe)
+    return f"""
+WITH exact AS ({exact}),
+approx AS ({approx})
+SELECT e.query_id,
+       CAST(COUNT(a.vec_id) AS DOUBLE) / {k} AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id ORDER BY e.query_id"""

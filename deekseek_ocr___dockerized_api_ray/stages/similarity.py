@@ -610,6 +610,13 @@ def ann_recall_at_k(emb_ds, query_ids: Sequence[int], k: int = 10,
     exact = brute_force_topk(emb_ds, query_ids, k, id_col, emb_col)
     approx = ivf_topk(emb_ds, query_ids, k, n_lists, n_probe,
                       id_col, emb_col, seed)
+    return _recall_eval(exact, approx, k)
+
+
+def _recall_eval(exact, approx, k: int):
+    """Shared recall@k core: union of two tagged (query_id, vec_id)
+    rankings + ONE keyed groupby at query grain (nothing corpus-sized
+    moves after the rankings themselves)."""
 
     def _tag(src: int):
         def f(t: pa.Table) -> pa.Table:
@@ -1704,3 +1711,24 @@ def ivf_pq_topk(emb_ds, query_ids, k: int = 10, n_lists: int = 6,
     return (cand.groupby("query_id").map_groups(_final,
                                                 batch_format="pandas")
             .sort(["query_id", "rank"]))
+
+
+def ivf_pq_recall_at_k(emb_ds, query_ids, k: int = 10, n_lists: int = 6,
+                       m: int = 2, n_clusters: int = 4, n_probe: int = 2,
+                       iters: int = 2, id_col: str = "vec_id",
+                       emb_col: str = "embedding"):
+    """Recall@k of the IVF+PQ (IVFADC) index vs the exact brute-force
+    baseline -- the evaluation twin of ``ann_recall_at_k`` for the
+    compressed-code path, measuring BOTH loss sources at once (the
+    coarse probe miss AND the PQ quantization error). At 100 TB this is
+    the curve that trades code bytes (m, n_clusters) and probe budget
+    against recall. Same shape as ``ann_recall_at_k``: the two rankings
+    run as their normal distributed pipelines; the comparison is the
+    shared ``_recall_eval`` union + one query-grain groupby.
+
+    Output: (query_id, recall_at_k) -- integer count / k.
+    """
+    exact = brute_force_topk(emb_ds, query_ids, k, id_col, emb_col)
+    approx = ivf_pq_topk(emb_ds, query_ids, k, n_lists, m, n_clusters,
+                         n_probe, iters, id_col, emb_col)
+    return _recall_eval(exact, approx, k)

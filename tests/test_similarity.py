@@ -583,3 +583,26 @@ def test_ivf_pq_topk_matches_local_reference(emb_ds):
     # IDENTICALLY -- same coarse list and same residual code tuple.
     assert cl[250] == cl[0]
     assert all(codes[j][250] == codes[j][0] for j in range(m_sub))
+
+
+def test_ivf_pq_recall_consistent_with_rankings(emb_ds):
+    """ivf_pq_recall_at_k equals the intersection count of its two
+    constituent rankings (the eval cannot desync from what it grades)."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+        ivf_pq_recall_at_k,
+        ivf_pq_topk,
+    )
+
+    ds, _ = emb_ds
+    qids, k = [0, 5, 17], 8
+    kw = dict(n_lists=4, m=2, n_clusters=3, n_probe=2)
+    rec = ivf_pq_recall_at_k(ds, qids, k=k, **kw).to_pandas()
+    exact = brute_force_topk(ds, qids, k=k).to_pandas()
+    approx = ivf_pq_topk(ds, qids, k=k, **kw).to_pandas()
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        want = len(e & a) / k
+        got = float(rec[rec["query_id"] == q]["recall_at_k"].iloc[0])
+        assert got == want, q
+        assert 0.0 <= got <= 1.0
