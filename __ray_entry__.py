@@ -882,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_reach": relational.events_user_reach,
         "events_user_reach_hll": relational.events_user_reach_hll,
         "events_user_reach_kmv": relational.events_user_reach_kmv,
+        "events_quantile_sketch": relational.events_quantile_sketch,
         "orders_first_per_customer": relational.orders_first_per_customer,
         # windowed analytics + TPC-H-shaped reports (SQL-oracled)
         "events_lag_delta": analytics.events_lag_delta,
@@ -3211,6 +3212,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "events_user_reach_kmv": _oracles.events_user_reach_kmv_sql(),
+        "events_quantile_sketch": _oracles.events_quantile_sketch_sql(),
         "orders_first_per_customer": """
             SELECT o_custkey, first_orderkey, first_order_epoch_s FROM (
               SELECT o_custkey, o_orderkey AS first_orderkey,

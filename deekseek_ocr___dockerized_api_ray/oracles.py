@@ -1688,3 +1688,36 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id ORDER BY e.query_id"""
+
+
+def events_quantile_sketch_sql(s: int = 256) -> str:
+    """Rebuilds the bottom-s hash sample exactly (row_number over
+    (hash, event_id)), picks p25/p50/p75 by the engine's integer
+    sorted-pick index ((n-1)*p) // 4 on BOTH the sample and the full
+    table, r6 on the final projection with the engine's operand order
+    (pipelines/relational.events_quantile_sketch)."""
+    return f"""
+WITH h AS (SELECT event_id, value,
+                  md5_number_lower(CAST(event_id AS VARCHAR)) AS h
+           FROM events),
+samp AS (SELECT value FROM h
+         QUALIFY row_number() OVER (ORDER BY h, event_id) <= {s}),
+sv AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM samp),
+ns AS (SELECT count(*) AS n FROM samp),
+evv AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+ne AS (SELECT count(*) AS n FROM events),
+ps(p, q) AS (VALUES (1, 'p25'), (2, 'p50'), (3, 'p75')),
+est AS (SELECT ps.p, ps.q, sv.value AS est
+        FROM ps CROSS JOIN ns
+        JOIN sv ON sv.rn = ((ns.n - 1) * ps.p) // 4 + 1),
+ex AS (SELECT ps.p, evv.value AS exact
+       FROM ps CROSS JOIN ne
+       JOIN evv ON evv.rn = ((ne.n - 1) * ps.p) // 4 + 1)
+SELECT est.q,
+       CAST(ne.n AS BIGINT) AS n_total,
+       CAST(ns.n AS BIGINT) AS n_sample,
+       ROUND(est.est, 6) AS est,
+       ROUND(ex.exact, 6) AS exact,
+       ROUND(ABS(est.est - ex.exact), 6) AS abs_err
+FROM est JOIN ex USING (p) CROSS JOIN ne CROSS JOIN ns
+ORDER BY est.q"""

@@ -1191,3 +1191,85 @@ def events_next_purchase_asof(sf_dir: str, n_buckets: int = 64):
     return (both.groupby("bucket").map_groups(asof_bucket,
                                               batch_format="pandas")
             .sort("event_id"))
+
+
+def events_quantile_sketch(sf_dir: str, s: int = 256, n_buckets: int = 8):
+    """Sample-based quantile sketch with certified error -- the
+    mergeable quantile-estimation pattern (the quantile counterpart of
+    ``events_user_reach_kmv``): a deterministic uniform sample of the
+    events table is the s smallest rows by 64-bit hash rank
+    (``md5_number_lower(event_id)`` -- bottom-s of a union is the
+    bottom-s of per-batch bottom-s partials, so the sketch is mergeable
+    and every batch ships <= s rows), and the p25/p50/p75 of ``value``
+    are estimated by explicit sorted-pick over the sample (integer
+    index ((n-1)*p) // 4, no interpolation convention to desync).
+
+    Evaluation-op pattern: the output carries the EXACT quantile (the
+    same sorted-pick over the full table, computed from ONE distributed
+    sort sliced at the three global indices -- the emb_norm_outliers /
+    ppl_buckets one-sort shape) next to the estimate plus abs_err, so
+    the oracle certifies the estimator's VALUE, not just execution.
+
+    Scale shape: sample side = per-batch bottom-s partials, one
+    hash-bucketed keyed reduce (per-bucket bottom-s), driver merge of
+    <= n_buckets*s rows; exact side = ONE distributed sort + 3
+    single-index slices. At 100 TB the exact side is the expensive leg
+    you run once to calibrate s, then drop.
+
+    Output: (q 'p25'|'p50'|'p75', n_total, n_sample, est r6, exact r6,
+    abs_err r6) sorted by q.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import _hash64
+    from ..functions.rounding import round_half_away
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def sample_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["h"] = np.array([_hash64(str(int(e))) for e in d["event_id"]],
+                          dtype=np.uint64)
+        d = d.sort_values(["h", "event_id"]).head(s)
+        d["bucket"] = (d["h"] % n_buckets).astype(np.int64)
+        return d[["bucket", "h", "event_id", "value"]]
+
+    def bucket_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["h", "event_id"]).head(s)
+                [["h", "event_id", "value"]])
+
+    samp = (ev.map_batches(sample_partial, batch_format="pandas",
+                           batch_size=131072)
+            .groupby("bucket")
+            .map_groups(bucket_reduce, batch_format="pandas"))
+    # bound: <= n_buckets * s rows (per-bucket bottom-s partials)
+    sd = samp.to_pandas().sort_values(["h", "event_id"]).head(s)
+    sv = np.sort(sd["value"].to_numpy(np.float64))
+    n_s = len(sv)
+
+    # exact side: ONE distributed sort, sliced at the 3 global indices
+    vt = ev.select_columns(["value"]).materialize()
+    n = vt.count()
+    idx0 = sorted({((n - 1) * p) // 4 for p in (1, 2, 3)})
+    cuts: list = []
+    for i in idx0:
+        cuts.extend([i, i + 1])
+    snt = vt.sort("value").materialize()
+    parts = snt.split_at_indices(cuts)
+    exact_at = {}
+    for j, i in enumerate(idx0):
+        # bound: 1 row (single-index slice of the sorted table)
+        exact_at[i] = float(parts[2 * j + 1].take_all()[0]["value"])
+
+    rows = []
+    for p, q in ((1, "p25"), (2, "p50"), (3, "p75")):
+        est = float(sv[((n_s - 1) * p) // 4])
+        exact = exact_at[((n - 1) * p) // 4]
+        rows.append({"q": q, "n_total": np.int64(n),
+                     "n_sample": np.int64(n_s),
+                     "est": round_half_away(est, 6),
+                     "exact": round_half_away(exact, 6),
+                     "abs_err": round_half_away(abs(est - exact), 6)})
+    out = pd.DataFrame(rows).sort_values("q").reset_index(drop=True)
+    return rd.from_pandas(out)

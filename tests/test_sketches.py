@@ -326,3 +326,41 @@ def test_kmv_reach_matches_naive_and_merges(ray_session):
         half = len(hs) // 2
         merged = np.unique(np.concatenate([hs[:half][:k], hs[half:][:k]]))[:k]
         assert (merged == sk).all()
+
+
+def test_quantile_sketch_matches_naive(ray_session):
+    """events_quantile_sketch == a driver-side recompute: the sample is
+    the TRUE global bottom-s by hash rank (mergeability of bottom-s),
+    estimates are sorted-pick over it, exact values are sorted-pick over
+    the full column, abs_err is their difference."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.relational import (
+        events_quantile_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = 64
+    got = events_quantile_sketch(sf, s=s).to_pandas().set_index("q")
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "value"]).to_pandas()
+    h = np.array([_hash64(str(int(e))) for e in t["event_id"]],
+                 dtype=np.uint64)
+    order = np.lexsort((t["event_id"].to_numpy(), h))
+    sample = np.sort(t["value"].to_numpy(np.float64)[order[:s]])
+    full = np.sort(t["value"].to_numpy(np.float64))
+    n, n_s = len(full), len(sample)
+    for p, q in ((1, "p25"), (2, "p50"), (3, "p75")):
+        est = round_half_away(float(sample[((n_s - 1) * p) // 4]), 6)
+        exact = round_half_away(float(full[((n - 1) * p) // 4]), 6)
+        row = got.loc[q]
+        assert row["est"] == est and row["exact"] == exact, q
+        assert row["abs_err"] == round_half_away(abs(
+            float(sample[((n_s - 1) * p) // 4])
+            - float(full[((n - 1) * p) // 4])), 6)
+        assert int(row["n_total"]) == n and int(row["n_sample"]) == n_s
