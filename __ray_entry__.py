@@ -845,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_drift": text.source_length_drift,
         "events_windowed_funnel": analytics.events_windowed_funnel,
         "bm25_search_topk": curation.bm25_search_topk,
+        "bm25_prf_search": curation.bm25_prf_search,
         "hybrid_search_rrf": curation.hybrid_search_rrf,
         "term_graph_triangles": curation.term_graph_triangles,
         "term_graph_assortativity": curation.term_graph_assortativity,
@@ -4917,6 +4918,82 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             ORDER BY bm25 DESC, doc_id) AS rk
           FROM ({out["doc_bm25"]}))
+        WHERE rk <= 10 ORDER BY rk
+    """
+    # Rocchio pseudo-relevance feedback (pipelines/curation.bm25_prf_search):
+    # base ranking re-stated over the SHARED toks/dl/n/ad CTEs (the
+    # doc_bm25 algebra; DuckDB rejects re-binding the composed SQL's CTE
+    # names inside this WITH), feedback = its top-f, expansion = top-e
+    # candidate terms by r6-rounded feedback-tf x BM25-idf (corpus df),
+    # then the same scoring algebra re-run with the term filter joined
+    # against the dynamic expanded-query CTE instead of a literal list
+    out["bm25_prf_search"] = f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          WHERE term != ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        ad AS (SELECT SUM(dl) / (SELECT n_docs FROM n) AS avgdl FROM dl),
+        tf0 AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term IN ('join', 'sort', 'window')
+          GROUP BY doc_id, term),
+        df0 AS (SELECT term, COUNT(*) AS df FROM tf0 GROUP BY term),
+        scored0 AS (
+          SELECT tf0.doc_id,
+                 ln(1 + ((SELECT n_docs FROM n) - df0.df + 0.5)
+                        / (df0.df + 0.5))
+                 * tf0.tf * (1.2 + 1)
+                 / (tf0.tf + 1.2 * (1 - 0.75
+                    + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS part
+          FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id)),
+        base_rank AS (
+          SELECT dl.doc_id, ROUND(COALESCE(SUM(s.part), 0.0), 6) AS bm25
+          FROM dl LEFT JOIN scored0 s USING (doc_id)
+          GROUP BY dl.doc_id),
+        fb AS (
+          SELECT doc_id FROM base_rank
+          ORDER BY bm25 DESC, doc_id LIMIT 5),
+        ctf AS (
+          SELECT term, COUNT(*) AS tf_fb
+          FROM toks JOIN fb USING (doc_id)
+          WHERE term NOT IN ('join', 'sort', 'window')
+          GROUP BY term),
+        cdf AS (
+          SELECT t.term, COUNT(DISTINCT t.doc_id) AS df
+          FROM toks t JOIN ctf USING (term) GROUP BY t.term),
+        w AS (
+          SELECT term,
+                 ROUND(tf_fb * ln(1 + ((SELECT n_docs FROM n) - df + 0.5)
+                                      / (df + 0.5)), 6) AS w
+          FROM ctf JOIN cdf USING (term)),
+        expq AS (SELECT term FROM w ORDER BY w DESC, term LIMIT 3),
+        qterms AS (
+          SELECT term FROM expq
+          UNION SELECT unnest(['join', 'sort', 'window']) AS term),
+        tf1 AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term IN (SELECT term FROM qterms)
+          GROUP BY doc_id, term),
+        df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+        scored1 AS (
+          SELECT tf1.doc_id,
+                 ln(1 + ((SELECT n_docs FROM n) - df1.df + 0.5)
+                        / (df1.df + 0.5))
+                 * tf1.tf * (1.2 + 1)
+                 / (tf1.tf + 1.2 * (1 - 0.75
+                    + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS part
+          FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id)),
+        per_doc AS (
+          SELECT dl.doc_id, CAST(dl.dl AS BIGINT) AS dl,
+                 ROUND(COALESCE(SUM(s.part), 0.0), 6) AS bm25
+          FROM dl LEFT JOIN scored1 s USING (doc_id)
+          GROUP BY dl.doc_id, dl.dl)
+        SELECT doc_id, dl, bm25, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+          FROM per_doc)
         WHERE rk <= 10 ORDER BY rk
     """
     # hybrid-search RRF: composed from the BM25 oracle's own SQL plus

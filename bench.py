@@ -307,8 +307,9 @@ def run_bench() -> dict:
     from deekseek_ocr___dockerized_api_ray.stages.similarity import ivf_pq_topk
 
     t0 = time.perf_counter()
-    ivf_pq_topk(emb, [0, 1, 2, 3, 4], k=10, n_lists=6, m=2,
-                n_clusters=4, n_probe=2).count()
+    queries["ann_ivf_pq_recall"] = _recall(
+        ivf_pq_topk(emb, [0, 1, 2, 3, 4], k=10, n_lists=6, m=2,
+                    n_clusters=4, n_probe=2).take_all())
     queries["ann_ivf_pq"] = round(time.perf_counter() - t0, 3)
 
     from deekseek_ocr___dockerized_api_ray.pipelines.text import gopher_gate

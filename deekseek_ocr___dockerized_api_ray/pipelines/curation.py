@@ -2408,3 +2408,99 @@ def winnowing_pairs(sf_dir: str, k: int = 3, w: int = 4,
 
     return (tot.map_batches(finish, batch_format="pandas")
                .sort(["doc_a", "doc_b"]))
+
+
+def bm25_prf_search(sf_dir: str, k: int = 10, f: int = 5, e: int = 3,
+                    terms: tuple = _BM25_TERMS):
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971, the classic
+    query-expansion loop every lexical search stack runs): rank with
+    the base BM25 query, take the top-``f`` documents as feedback,
+    score every candidate term by summed feedback tf x the BM25 idf
+    (corpus df), expand the query with the top-``e`` new terms, and
+    re-rank the corpus with the expanded query.
+
+    Shape: the feedback set is ``f`` rows (driver-side by
+    construction); candidate-term weights need ONE extra corpus pass
+    (per-batch distinct-doc partials reduced at term-bucket grain,
+    restricted to the <= f x doclen candidate vocabulary that
+    broadcasts as closure state); the final ranking is ``doc_bm25``
+    itself over the expanded term tuple -- so the whole loop is three
+    streaming passes and no shuffle beyond term-grain combiners.
+
+    Determinism: expansion ranks on the r6-ROUNDED weight with a term
+    tie-break, so both engines pick identical expansion sets.
+
+    Output: (doc_id, dl, bm25 r6, rk 1..k) for the EXPANDED query,
+    ranked by (bm25 desc, doc_id).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    base = tuple(terms)
+
+    # --- stage 1: base ranking -> feedback set (f rows) -------------------
+    fb = bm25_search_topk(sf_dir, k=f)  # bound: f rows (the limit)
+    fb_ids = set(int(d) for d in fb["doc_id"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _pick_fb(batch: pa.Table) -> pa.Table:
+        keep = [int(v) in fb_ids for v in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    # bound: f rows (point filter on the feedback ids)
+    fb_rows = ds.map_batches(_pick_fb, batch_format="pyarrow").take_all()
+    cand_tf: dict = {}
+    for r in fb_rows:
+        for t in r["text"].split(" "):
+            if t and t not in base:
+                cand_tf[t] = cand_tf.get(t, 0) + 1
+    cand = set(cand_tf)
+
+    # --- stage 2: corpus df for the candidate vocabulary ------------------
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["doc_id", "term"]].explode("term"))
+        hit = ex[ex["term"].isin(cand)].drop_duplicates()
+        return (hit.groupby("term", as_index=False, sort=False)
+                .agg(df=("doc_id", "size")))
+
+    # bound: candidate-vocabulary grain (<= f x doclen terms)
+    dfreq = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=8192),
+        ["term"], {"df": ("df", "sum")}, n_buckets=4).to_pandas()
+    dfmap = {t: int(v) for t, v in zip(dfreq["term"], dfreq["df"])}
+
+    # --- stage 3: expansion pick + re-ranked search ------------------------
+    weights = sorted(
+        ((round_half_away(
+            cand_tf[t] * float(np.log(1.0 + (n_docs - dfmap.get(t, 0) + 0.5)
+                                      / (dfmap.get(t, 0) + 0.5))), 6), t)
+         for t in cand),
+        key=lambda wt: (-wt[0], wt[1]))
+    expansion = tuple(t for _, t in weights[:e])
+
+    return bm25_search_topk(sf_dir, k=k) if not expansion else (
+        _ranked_topk(doc_bm25(sf_dir, terms=base + expansion), k))
+
+
+def _ranked_topk(scored, k: int) -> "pd.DataFrame":
+    """(bm25 desc, doc_id asc) distributed sort+limit with 1..k ranks --
+    the bm25_search_topk finish, shared with the PRF re-rank."""
+    top = (scored.sort(["bm25", "doc_id"], descending=[True, False])
+           .limit(k))
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["bm25", "doc_id"], ascending=[False, True])
+              .reset_index(drop=True))
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    # bound: k rows (the limit)
+    return add_rank(top.to_pandas())

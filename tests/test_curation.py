@@ -737,3 +737,52 @@ def test_winnow_selected_short_doc_edge():
     want = {hs[max(i for i, h in enumerate(hs) if h == m)]}
     assert set(out["fp"]) == want
     assert out["n_grams"].tolist() == [2]
+
+
+def test_bm25_prf_expansion_and_rerank(ray_session):
+    """bm25_prf_search == doc_bm25 re-ranked over base + the expansion a
+    naive driver-side Rocchio recompute picks; the expansion is disjoint
+    from the base query and ranks are 1..k."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        _BM25_TERMS,
+        _ranked_topk,
+        bm25_prf_search,
+        bm25_search_topk,
+        doc_bm25,
+    )
+
+    k, f, e = 10, 5, 3
+    got = bm25_prf_search(SF, k=k, f=f, e=e)
+    assert got["rk"].tolist() == list(range(1, k + 1))
+
+    # naive Rocchio: feedback top-f -> tf x idf weights -> top-e terms
+    fb_ids = set(bm25_search_topk(SF, k=f)["doc_id"].astype(int))
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pylist()
+    n_docs = len(t)
+    cand_tf, docs_of = {}, {}
+    for r in t:
+        toks = [w for w in r["text"].split(" ") if w]
+        for w in set(toks):
+            docs_of.setdefault(w, set()).add(r["doc_id"])
+        if r["doc_id"] in fb_ids:
+            for w in toks:
+                if w not in _BM25_TERMS:
+                    cand_tf[w] = cand_tf.get(w, 0) + 1
+    weights = sorted(
+        ((round_half_away(
+            tf * float(np.log(1.0 + (n_docs - len(docs_of[w]) + 0.5)
+                              / (len(docs_of[w]) + 0.5))), 6), w)
+         for w, tf in cand_tf.items()),
+        key=lambda x: (-x[0], x[1]))
+    expansion = tuple(w for _, w in weights[:e])
+    assert expansion and not set(expansion) & set(_BM25_TERMS)
+    want = _ranked_topk(doc_bm25(SF, terms=_BM25_TERMS + expansion), k)
+    assert got[["doc_id", "dl", "bm25", "rk"]].values.tolist() == \
+        want[["doc_id", "dl", "bm25", "rk"]].values.tolist()
