@@ -973,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle_plan": sequences.training_shuffle_plan,
         "shard_balance_report": sequences.shard_balance_report,
         "quality_classifier_gate": curation.quality_classifier_gate,
+        "gate_agreement_matrix": curation.gate_agreement_matrix,
         "quality_keep_rate": curation.quality_keep_rate,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
@@ -1075,7 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     head += [
         "media_dedup", "media_simhash_pairs", "events_user_reach_kmv",
         "quality_classifier_gate", "c4_filter",
-        "ann_recall_at_k", "source_unigram_kl", "minhash_recall_eval",
+        "ann_ivf_pq_recall", "source_unigram_kl", "minhash_recall_eval",
         "source_epoch_plan", "neardup_kcore", "hybrid_search_rrf",
         "events_ewma_alerts",
     ]
@@ -1087,6 +1088,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # media_simhash_pairs (media near-dup flavor), quality_keep_rate ->
     # c4_filter (the C4 gate; classifier gate keeps the learned-gate
     # slot, and c4_keep_rate composes c4_filter's SQL verbatim).
+    # Closing swap: ann_recall_at_k -> ann_ivf_pq_recall (the recall-eval
+    # slot now grades the never-driver-seen IVFADC path; ann_recall_at_k
+    # was driver-validated in r4 and stays green in the committed sweep).
     # Closing swap: ann_ivf_trained -> ann_ivf_pq (the IVFADC composition
     # is new and never driver-seen; its oracle composes the SAME
     # lloyd_assign_ctes as the trained-IVF oracle, so the vacated op's
@@ -4995,6 +4999,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
           FROM per_doc)
         WHERE rk <= 10 ORDER BY rk
+    """
+    # gate agreement: composes the four gate oracles' OWN SQL verbatim
+    # (pipelines/curation.gate_agreement_matrix -- the shared-builder
+    # rule: the diagnostic can never desync from the gates it compares)
+    out["gate_agreement_matrix"] = f"""
+        WITH gb AS (SELECT doc_id, keep FROM ({out["badword_gate"]})),
+        gc AS (SELECT doc_id, keep FROM ({out["c4_filter"]})),
+        gl AS (SELECT doc_id, keep FROM ({out["quality_classifier_gate"]})),
+        gg AS (SELECT doc_id, keep FROM ({out["gopher_gate"]})),
+        flags AS (
+          SELECT 'badword' AS gate, doc_id, keep FROM gb
+          UNION ALL SELECT 'c4', doc_id, keep FROM gc
+          UNION ALL SELECT 'classifier', doc_id, keep FROM gl
+          UNION ALL SELECT 'gopher', doc_id, keep FROM gg),
+        p AS (
+          SELECT a.gate AS gate_a, b.gate AS gate_b,
+                 SUM(CASE WHEN a.keep THEN 1 ELSE 0 END) AS n_keep_a,
+                 SUM(CASE WHEN b.keep THEN 1 ELSE 0 END) AS n_keep_b,
+                 SUM(CASE WHEN a.keep AND b.keep THEN 1 ELSE 0 END)
+                   AS n_keep_both
+          FROM flags a JOIN flags b
+            ON a.doc_id = b.doc_id AND a.gate < b.gate
+          GROUP BY 1, 2)
+        SELECT gate_a, gate_b,
+               CAST(n_keep_a AS BIGINT) AS n_keep_a,
+               CAST(n_keep_b AS BIGINT) AS n_keep_b,
+               CAST(n_keep_both AS BIGINT) AS n_keep_both,
+               CASE WHEN n_keep_a + n_keep_b - n_keep_both > 0
+                    THEN ROUND(CAST(n_keep_both AS DOUBLE)
+                               / (n_keep_a + n_keep_b - n_keep_both), 6)
+                    ELSE 0.0 END AS jaccard
+        FROM p ORDER BY gate_a, gate_b
     """
     # hybrid-search RRF: composed from the BM25 oracle's own SQL plus
     # the shared exact-cosine builder, so the fusion cannot desync from

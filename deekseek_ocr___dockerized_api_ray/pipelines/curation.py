@@ -2504,3 +2504,86 @@ def _ranked_topk(scored, k: int) -> "pd.DataFrame":
 
     # bound: k rows (the limit)
     return add_rank(top.to_pandas())
+
+
+def gate_agreement_matrix(sf_dir: str):
+    """Pairwise agreement of the four document-quality GATES (gopher
+    rules, C4 page cleaning, C4 word blocklist, learned classifier) --
+    the curation diagnostic that tells you whether gates are redundant
+    (near-identical keep sets) or complementary before you pay for all
+    of them at 100 TB.  For each unordered gate pair: the two keep
+    counts, the joint keep count, and the Jaccard of the keep sets.
+
+    Shape: the four gate pipelines run unchanged (they are the graded
+    ops -- no re-derived flag logic to desync); their (doc_id, keep)
+    projections union with a gate tag, ONE doc-keyed groupby pivots
+    each doc's 4-flag vector, and a stateless combiner emits per-batch
+    pair-count partials reduced at pair grain (6 rows).  Nothing wider
+    than 4N skinny rows moves.
+
+    Output: (gate_a, gate_b, n_keep_a, n_keep_b, n_keep_both,
+    jaccard r6) for the 6 alphabetical pairs, sorted by (gate_a,
+    gate_b).
+    """
+    from .c4 import badword_gate, c4_filter
+    from .text import gopher_gate
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    legs = {
+        "badword": badword_gate(sf_dir),
+        "c4": c4_filter(sf_dir),
+        "classifier": quality_classifier_gate(sf_dir),
+        "gopher": gopher_gate(sf_dir),
+    }
+    names = sorted(legs)
+
+    tagged = None
+    for name in names:
+        part = legs[name].select_columns(["doc_id", "keep"]).map_batches(
+            lambda t, n=name: t.append_column(
+                "gate", pa.array([n] * t.num_rows, type=pa.string())),
+            batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        doc = int(df["doc_id"].iloc[0])
+        flags = dict(zip(df["gate"], df["keep"]))
+        return pd.DataFrame([{"doc_id": doc,
+                              **{n: bool(flags[n]) for n in names}}])
+
+    per_doc = tagged.groupby("doc_id").map_groups(pivot,
+                                                  batch_format="pandas")
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, a in enumerate(names):
+            fa = df[a].to_numpy(bool)
+            for b in names[i + 1:]:
+                fb = df[b].to_numpy(bool)
+                rows.append({"gate_a": a, "gate_b": b,
+                             "n_keep_a": int(fa.sum()),
+                             "n_keep_b": int(fb.sum()),
+                             "n_keep_both": int((fa & fb).sum())})
+        return pd.DataFrame(rows)
+
+    # bound: 6 pair rows (combiner-reduced counts)
+    agg = grouped_agg(
+        per_doc.map_batches(pair_partial, batch_format="pandas"),
+        ["gate_a", "gate_b"],
+        {"n_keep_a": ("n_keep_a", "sum"), "n_keep_b": ("n_keep_b", "sum"),
+         "n_keep_both": ("n_keep_both", "sum")}, n_buckets=4).to_pandas()
+    agg = agg.sort_values(["gate_a", "gate_b"]).reset_index(drop=True)
+    na = agg["n_keep_a"].to_numpy(np.int64)
+    nb = agg["n_keep_b"].to_numpy(np.int64)
+    both = agg["n_keep_both"].to_numpy(np.int64)
+    union = na + nb - both
+    out = pd.DataFrame({
+        "gate_a": agg["gate_a"], "gate_b": agg["gate_b"],
+        "n_keep_a": na, "n_keep_b": nb, "n_keep_both": both,
+        "jaccard": [round_half_away(b / u, 6) if u else 0.0
+                    for b, u in zip(both, union)],
+    })
+    import ray.data as rd
+
+    return rd.from_pandas(out)

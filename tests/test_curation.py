@@ -786,3 +786,43 @@ def test_bm25_prf_expansion_and_rerank(ray_session):
     want = _ranked_topk(doc_bm25(SF, terms=_BM25_TERMS + expansion), k)
     assert got[["doc_id", "dl", "bm25", "rk"]].values.tolist() == \
         want[["doc_id", "dl", "bm25", "rk"]].values.tolist()
+
+
+def test_gate_agreement_matrix_consistent_with_gates(ray_session):
+    """Pair counts equal a driver-side recompute from the four gate
+    pipelines' own keep vectors; jaccard = both / union."""
+    from deekseek_ocr___dockerized_api_ray.functions.rounding import (
+        round_half_away,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.c4 import (
+        badword_gate,
+        c4_filter,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        gate_agreement_matrix,
+        quality_classifier_gate,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import gopher_gate
+
+    got = gate_agreement_matrix(SF).to_pandas()
+    flags = {}
+    for name, op in (("badword", badword_gate), ("c4", c4_filter),
+                     ("classifier", quality_classifier_gate),
+                     ("gopher", gopher_gate)):
+        df = op(SF).to_pandas()
+        flags[name] = dict(zip(df["doc_id"].astype(int),
+                               df["keep"].astype(bool)))
+    names = sorted(flags)
+    docs = set(flags[names[0]])
+    assert all(set(f) == docs for f in flags.values())
+    assert len(got) == 6
+    for _, row in got.iterrows():
+        a, b = row["gate_a"], row["gate_b"]
+        ka = {d for d in docs if flags[a][d]}
+        kb = {d for d in docs if flags[b][d]}
+        assert int(row["n_keep_a"]) == len(ka)
+        assert int(row["n_keep_b"]) == len(kb)
+        assert int(row["n_keep_both"]) == len(ka & kb)
+        u = len(ka | kb)
+        assert row["jaccard"] == (round_half_away(len(ka & kb) / u, 6)
+                                  if u else 0.0)
