@@ -2567,11 +2567,11 @@ def gate_agreement_matrix(sf_dir: str):
                              "n_keep_both": int((fa & fb).sum())})
         return pd.DataFrame(rows)
 
-    # bound: 6 pair rows (combiner-reduced counts)
     agg = grouped_agg(
         per_doc.map_batches(pair_partial, batch_format="pandas"),
         ["gate_a", "gate_b"],
         {"n_keep_a": ("n_keep_a", "sum"), "n_keep_b": ("n_keep_b", "sum"),
+         # bound: 6 pair rows (combiner-reduced counts)
          "n_keep_both": ("n_keep_both", "sum")}, n_buckets=4).to_pandas()
     agg = agg.sort_values(["gate_a", "gate_b"]).reset_index(drop=True)
     na = agg["n_keep_a"].to_numpy(np.int64)
