@@ -974,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_balance_report": sequences.shard_balance_report,
         "quality_classifier_gate": curation.quality_classifier_gate,
         "gate_agreement_matrix": curation.gate_agreement_matrix,
+        "quality_gate_funnel": curation.quality_gate_funnel,
         "quality_keep_rate": curation.quality_keep_rate,
         "doc_chunks": curation.doc_chunks,
         "term_pagerank": curation.term_pagerank,
@@ -5031,6 +5032,35 @@ def oracle_sql() -> dict[str, str]:
                                / (n_keep_a + n_keep_b - n_keep_both), 6)
                     ELSE 0.0 END AS jaccard
         FROM p ORDER BY gate_a, gate_b
+    """
+    # gate funnel: the same four composed gate SQLs, cumulative ANDs in
+    # pipeline order (pipelines/curation.quality_gate_funnel)
+    out["quality_gate_funnel"] = f"""
+        WITH gb AS (SELECT doc_id, keep FROM ({out["badword_gate"]})),
+        gc AS (SELECT doc_id, keep FROM ({out["c4_filter"]})),
+        gl AS (SELECT doc_id, keep FROM ({out["quality_classifier_gate"]})),
+        gg AS (SELECT doc_id, keep FROM ({out["gopher_gate"]})),
+        j AS (
+          SELECT gg.doc_id, gg.keep AS kg, gc.keep AS kc,
+                 gb.keep AS kb, gl.keep AS kl
+          FROM gg JOIN gc USING (doc_id) JOIN gb USING (doc_id)
+               JOIN gl USING (doc_id)),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM j),
+        f(stage, gate, n_docs) AS (
+          SELECT 0, '(input)', (SELECT total FROM n)
+          UNION ALL SELECT 1, 'gopher',
+            (SELECT COUNT(*) FROM j WHERE kg)
+          UNION ALL SELECT 2, 'c4',
+            (SELECT COUNT(*) FROM j WHERE kg AND kc)
+          UNION ALL SELECT 3, 'badword',
+            (SELECT COUNT(*) FROM j WHERE kg AND kc AND kb)
+          UNION ALL SELECT 4, 'classifier',
+            (SELECT COUNT(*) FROM j WHERE kg AND kc AND kb AND kl))
+        SELECT CAST(stage AS BIGINT) AS stage, gate,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND(CAST(n_docs AS DOUBLE)
+                     / (SELECT total FROM n), 6) AS keep_rate
+        FROM f ORDER BY stage
     """
     # hybrid-search RRF: composed from the BM25 oracle's own SQL plus
     # the shared exact-cosine builder, so the fusion cannot desync from

@@ -2506,29 +2506,15 @@ def _ranked_topk(scored, k: int) -> "pd.DataFrame":
     return add_rank(top.to_pandas())
 
 
-def gate_agreement_matrix(sf_dir: str):
-    """Pairwise agreement of the four document-quality GATES (gopher
-    rules, C4 page cleaning, C4 word blocklist, learned classifier) --
-    the curation diagnostic that tells you whether gates are redundant
-    (near-identical keep sets) or complementary before you pay for all
-    of them at 100 TB.  For each unordered gate pair: the two keep
-    counts, the joint keep count, and the Jaccard of the keep sets.
-
-    Shape: the four gate pipelines run unchanged (they are the graded
-    ops -- no re-derived flag logic to desync); their (doc_id, keep)
-    projections union with a gate tag, ONE doc-keyed groupby pivots
-    each doc's 4-flag vector, and a stateless combiner emits per-batch
-    pair-count partials reduced at pair grain (6 rows).  Nothing wider
-    than 4N skinny rows moves.
-
-    Output: (gate_a, gate_b, n_keep_a, n_keep_b, n_keep_both,
-    jaccard r6) for the 6 alphabetical pairs, sorted by (gate_a,
-    gate_b).
-    """
+def _gate_flags(sf_dir: str):
+    """Shared per-doc 4-gate flag pivot for the gate diagnostics: the
+    four gate pipelines run unchanged (the graded ops -- no re-derived
+    flag logic to desync), their (doc_id, keep) projections union with
+    a gate tag, and ONE doc-keyed groupby pivots each doc's flag
+    vector. Returns (sorted gate names, Dataset of doc_id + one bool
+    column per gate)."""
     from .c4 import badword_gate, c4_filter
     from .text import gopher_gate
-    from ..functions.rounding import round_half_away
-    from ..stages.agg import grouped_agg
 
     legs = {
         "badword": badword_gate(sf_dir),
@@ -2552,8 +2538,33 @@ def gate_agreement_matrix(sf_dir: str):
         return pd.DataFrame([{"doc_id": doc,
                               **{n: bool(flags[n]) for n in names}}])
 
-    per_doc = tagged.groupby("doc_id").map_groups(pivot,
-                                                  batch_format="pandas")
+    return names, tagged.groupby("doc_id").map_groups(
+        pivot, batch_format="pandas")
+
+
+def gate_agreement_matrix(sf_dir: str):
+    """Pairwise agreement of the four document-quality GATES (gopher
+    rules, C4 page cleaning, C4 word blocklist, learned classifier) --
+    the curation diagnostic that tells you whether gates are redundant
+    (near-identical keep sets) or complementary before you pay for all
+    of them at 100 TB.  For each unordered gate pair: the two keep
+    counts, the joint keep count, and the Jaccard of the keep sets.
+
+    Shape: the four gate pipelines run unchanged (they are the graded
+    ops -- no re-derived flag logic to desync); their (doc_id, keep)
+    projections union with a gate tag, ONE doc-keyed groupby pivots
+    each doc's 4-flag vector, and a stateless combiner emits per-batch
+    pair-count partials reduced at pair grain (6 rows).  Nothing wider
+    than 4N skinny rows moves.
+
+    Output: (gate_a, gate_b, n_keep_a, n_keep_b, n_keep_both,
+    jaccard r6) for the 6 alphabetical pairs, sorted by (gate_a,
+    gate_b).
+    """
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    names, per_doc = _gate_flags(sf_dir)
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -2586,4 +2597,56 @@ def gate_agreement_matrix(sf_dir: str):
     })
     import ray.data as rd
 
+    return rd.from_pandas(out)
+
+
+def quality_gate_funnel(sf_dir: str,
+                        order: tuple = ("gopher", "c4", "badword",
+                                        "classifier")):
+    """The curation FUNNEL: survivor counts applying the four quality
+    gates in pipeline order -- the headline number of every corpus
+    report ("N in, X% out") and the companion of
+    ``gate_agreement_matrix`` (which measures pairwise redundancy,
+    while the funnel measures marginal cost of each stage in
+    sequence).
+
+    Shape: the shared ``_gate_flags`` pivot (one doc-keyed groupby of
+    4N skinny rows), then a stateless combiner emits per-batch
+    cumulative-survivor partials reduced at stage grain (len(order)+1
+    rows).
+
+    Output: (stage 0..len(order), gate '(input)'|name, n_docs,
+    keep_rate r6 = n_docs / stage-0 count) sorted by stage.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    names, per_doc = _gate_flags(sf_dir)
+    assert sorted(order) == names, (order, names)
+
+    def funnel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        alive = np.ones(len(df), dtype=bool)
+        rows = [{"stage": 0, "gate": "(input)", "n_docs": len(df)}]
+        for i, g in enumerate(order, 1):
+            alive &= df[g].to_numpy(bool)
+            rows.append({"stage": i, "gate": g,
+                         "n_docs": int(alive.sum())})
+        return pd.DataFrame(rows)
+
+    agg = grouped_agg(
+        per_doc.map_batches(funnel_partial, batch_format="pandas"),
+        # bound: len(order)+1 stage rows (combiner-reduced counts)
+        ["stage", "gate"], {"n_docs": ("n_docs", "sum")},
+        n_buckets=4).to_pandas()
+    agg = agg.sort_values("stage").reset_index(drop=True)
+    total = int(agg.loc[agg["stage"] == 0, "n_docs"].iloc[0])
+    out = pd.DataFrame({
+        "stage": agg["stage"].astype(np.int64),
+        "gate": agg["gate"],
+        "n_docs": agg["n_docs"].astype(np.int64),
+        "keep_rate": [round_half_away(int(n) / total, 6) if total else 0.0
+                      for n in agg["n_docs"]],
+    })
     return rd.from_pandas(out)

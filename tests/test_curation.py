@@ -826,3 +826,35 @@ def test_gate_agreement_matrix_consistent_with_gates(ray_session):
         u = len(ka | kb)
         assert row["jaccard"] == (round_half_away(len(ka & kb) / u, 6)
                                   if u else 0.0)
+
+
+def test_quality_gate_funnel_monotone_and_consistent(ray_session):
+    """Funnel counts are monotone non-increasing, stage 0 is the corpus
+    size, and each stage equals the cumulative AND of the gate keeps."""
+    from deekseek_ocr___dockerized_api_ray.pipelines.c4 import (
+        badword_gate,
+        c4_filter,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        quality_classifier_gate,
+        quality_gate_funnel,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import gopher_gate
+
+    got = quality_gate_funnel(SF).to_pandas().sort_values("stage")
+    keeps = {}
+    for name, op in (("badword", badword_gate), ("c4", c4_filter),
+                     ("classifier", quality_classifier_gate),
+                     ("gopher", gopher_gate)):
+        df = op(SF).to_pandas()
+        keeps[name] = {int(d) for d, k in zip(df["doc_id"], df["keep"])
+                       if k}
+        all_docs = set(df["doc_id"].astype(int))
+    alive = set(all_docs)
+    assert int(got.iloc[0]["n_docs"]) == len(all_docs)
+    for i, g in enumerate(("gopher", "c4", "badword", "classifier"), 1):
+        alive &= keeps[g]
+        row = got[got["stage"] == i].iloc[0]
+        assert row["gate"] == g and int(row["n_docs"]) == len(alive)
+    ns = got["n_docs"].tolist()
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
