@@ -520,6 +520,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pq_adc_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10, m=2,
                            n_clusters=4)
 
+    def ann_sq8(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import sq8_topk
+
+        return sq8_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
+
     def ann_topk_filtered(sf_dir: str):
         # metadata pre-filter: only corpus rows with the query's label
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
@@ -753,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize": scale_ops.emb_quantize,
         "emb_pq_encode": emb_pq_encode,
         "ann_pq_adc": ann_pq_adc,
+        "ann_sq8": ann_sq8,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -2006,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN mm USING (dim)
         """,
         "emb_pq_encode": _oracles.pq_encode_sql(dim=64, m=2, n_clusters=4),
+        "ann_sq8": _oracles.sq8_topk_sql(_QUERY_IDS, k=10),
         "ann_pq_adc": _oracles.pq_adc_topk_sql(_QUERY_IDS, k=10, dim=64,
                                                m=2, n_clusters=4),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),

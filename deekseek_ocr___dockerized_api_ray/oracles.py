@@ -1721,3 +1721,47 @@ SELECT est.q,
        ROUND(ABS(est.est - ex.exact), 6) AS abs_err
 FROM est JOIN ex USING (p) CROSS JOIN ne CROSS JOIN ns
 ORDER BY est.q"""
+
+
+def sq8_quantize_ctes() -> str:
+    """Shared SQ8 scalar-quantization CTEs (the emb_quantize affine):
+    per-dim global (min, max) + q = ROUND((v - mn)/(mx - mn) * 255) as
+    BIGINT, 0 where the dim is constant. Factored so emb_quantize-style
+    codes and the SQ8 ANN ranking cannot desync."""
+    return """
+e8 AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+mm8 AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e8 GROUP BY 1),
+q8 AS (
+  SELECT vec_id, e8.dim,
+         CASE WHEN mx > mn
+              THEN CAST(ROUND((v - mn) / (mx - mn) * 255) AS BIGINT)
+              ELSE 0 END AS q
+  FROM e8 JOIN mm8 USING (dim))"""
+
+
+def sq8_topk_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10) -> str:
+    """SQ8 scalar-quantized ANN top-k (stages/similarity.sq8_topk):
+    squared L2 distance between 0..255 codes, rank (dist ASC, vec_id
+    ASC) per query excluding self. The distance is an int64 sum --
+    exact and order-independent -- so engine/oracle agree
+    bit-for-bit."""
+    qs = ",".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH {sq8_quantize_ctes()},
+qq AS (SELECT vec_id AS query_id, dim, q FROM q8 WHERE vec_id IN ({qs})),
+s AS (
+  SELECT qq.query_id, c.vec_id,
+         SUM((c.q - qq.q) * (c.q - qq.q)) AS dist
+  FROM q8 c JOIN qq ON c.dim = qq.dim AND c.vec_id <> qq.query_id
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -606,3 +606,39 @@ def test_ivf_pq_recall_consistent_with_rankings(emb_ds):
         got = float(rec[rec["query_id"] == q]["recall_at_k"].iloc[0])
         assert got == want, q
         assert 0.0 <= got <= 1.0
+
+
+def test_sq8_topk_matches_local_reference(emb_ds):
+    """sq8_topk vs a single-process numpy reference of the same
+    algorithm (global per-dim min/max affine -> 0..255 codes -> int64
+    code-space squared-L2 ranking), plus the planted near-dup at rank 1
+    (quantization at 8 bits cannot separate a 1% perturbation on this
+    fixture)."""
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import sq8_topk
+
+    ds, m = emb_ds
+    qids = [0, 5, 17]
+    k = 8
+    rows = sq8_topk(ds, qids, k=k).take_all()
+
+    mm = m.astype(np.float64)
+    mn, mx = mm.min(axis=0), mm.max(axis=0)
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+    codes = np.where(rng > 0,
+                     np.floor((mm - mn) / safe * 255.0 + 0.5),
+                     0.0).astype(np.int64)
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["dist"]))
+    for q in qids:
+        d = ((codes - codes[q]) ** 2).sum(axis=1)
+        ids = np.arange(N)
+        mask = ids != q
+        order = np.lexsort((ids[mask], d[mask]))[:k]
+        expected = [(int(ids[mask][j]), int(d[mask][j])) for j in order]
+        ranked = [(v, s) for _, v, s in sorted(got[q])]
+        assert ranked == expected, f"query {q}"
+    # planted near-dup (vec 250 ~ vec 0) survives 8-bit quantization
+    assert sorted(got[0])[0][1] == 250
