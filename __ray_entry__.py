@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_whiten": scale_ops.emb_whiten,
         "kmeans_fit": scale_ops.kmeans_fit,
         "events_exact_median": scale_ops.events_exact_median,
+        "zorder_layout_plan": scale_ops.zorder_layout_plan,
     }
     # The driver's correctness window covers only the FIRST 50 entries, so
     # order them to sample every operator family (extraction, cleaning,
@@ -3574,6 +3575,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(m.rev, 0.0), 2) AS revenue
             FROM g LEFT JOIN m USING (mi) ORDER BY 1, 2
         """,
+        "zorder_layout_plan": _oracles.zorder_layout_plan_sql(n_files=8,
+                                                              bits=12),
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN md5_number_lower(doc_id::VARCHAR) % 100 < 80

@@ -1765,3 +1765,56 @@ FROM (
   FROM s)
 WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def zorder_layout_plan_sql(n_files: int = 8, bits: int = 12) -> str:
+    """Z-order layout plan (pipelines/scale_ops.zorder_layout_plan):
+    integer Morton-key ranking over (o_custkey, epoch-day(o_orderdate)),
+    ROW_NUMBER file assignment (r*K)//n, per-file zone maps + probe-box
+    hit flag. Every operand is integer, so engine/oracle agree
+    bit-for-bit. The interleave is unrolled to 2*bits shift terms --
+    the same bit algebra as the engine's _zorder_interleave."""
+    top = (1 << bits) - 1
+    zx = " + ".join(f"(((ux >> {i}) & 1) << {2 * i})" for i in range(bits))
+    zy = " + ".join(f"(((uy >> {i}) & 1) << {2 * i + 1})"
+                    for i in range(bits))
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS id, o_custkey AS x,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+  FROM orders),
+mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
+              min(y) AS ymn, max(y) AS ymx FROM base),
+u AS (
+  SELECT id, x, y,
+         CASE WHEN xmx > xmn THEN ((x - xmn) * {top}) // (xmx - xmn)
+              ELSE 0 END AS ux,
+         CASE WHEN ymx > ymn THEN ((y - ymn) * {top}) // (ymx - ymn)
+              ELSE 0 END AS uy
+  FROM base, mm),
+z AS (SELECT id, x, y, ({zx}) + ({zy}) AS zkey FROM u),
+r AS (
+  SELECT x, y,
+         row_number() OVER (ORDER BY zkey * {1 << 38} + id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM z),
+f AS (SELECT x, y, (rn * {n_files}) // n AS file_id FROM r),
+zones AS (
+  SELECT file_id, count(*) AS n_rows,
+         min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max
+  FROM f GROUP BY 1),
+probe AS (
+  SELECT xmn + ((xmx - xmn) * 3) // 8 AS qxlo,
+         xmn + ((xmx - xmn) * 5) // 8 AS qxhi,
+         ymn + ((ymx - ymn) * 3) // 8 AS qylo,
+         ymn + ((ymx - ymn) * 5) // 8 AS qyhi
+  FROM mm)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+       CAST(y_min AS BIGINT) AS y_min, CAST(y_max AS BIGINT) AS y_max,
+       CAST(NOT (x_max < qxlo OR x_min > qxhi
+                 OR y_max < qylo OR y_min > qyhi) AS BIGINT) AS probe_hit
+FROM zones, probe
+ORDER BY file_id"""

@@ -1076,3 +1076,146 @@ def mg_heavy_hitters(sf_dir: str, phi_num: int = 1, phi_den: int = 800,
         return out.astype({"n_occurrences": "int64"})
 
     return (total.map_batches(gate, batch_format="pandas").sort("gram"))
+
+
+def _zorder_interleave(ux: np.ndarray, uy: np.ndarray,
+                       bits: int = 12) -> np.ndarray:
+    """Morton (z-order) bit interleave of two ``bits``-bit ints:
+    bit i of ux lands at position 2i, bit i of uy at 2i+1."""
+    z = np.zeros_like(ux)
+    for i in range(bits):
+        z |= ((ux >> i) & 1) << (2 * i)
+        z |= ((uy >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_layout_plan(sf_dir: str, n_files: int = 8, bits: int = 12):
+    """Z-order (Morton-curve) data-layout plan over orders -- the
+    OPTIMIZE ZORDER BY (custkey, orderdate) shape every lakehouse table
+    format ships (Delta/Iceberg/Hudi): co-locate rows that are close in
+    BOTH dimensions so per-file min/max zone maps prune 2-D predicates,
+    which a single-column sort cannot do. At 100 TB this plan IS the
+    file layout; here it reports, per planned file, the row count, the
+    min/max zone map of both dimensions, and whether a fixed probe box
+    (the middle quarter of each dimension's range) can prune the file.
+
+    Everything in the ranking key is integer math, so the plan is
+    bit-deterministic and DuckDB-oracleable:
+
+    - dims: x = o_custkey, y = epoch-day of o_orderdate;
+    - pass 1 (combiner): global (min, max) of each dim -- one 4-value
+      partial per batch;
+    - quantize each dim to ``bits`` bits by integer floor division,
+      interleave to the Morton key z, composite = z * 2^38 + o_orderkey
+      (unique -> total order; orderkey < 2^38 asserted);
+    - pass 2: ONE distributed sort by composite; the K-1 file-boundary
+      composites are rows at global ranks ceil(f*n/K) picked by
+      ``split_at_indices`` (index slicing on the sorted materialization,
+      not an exchange -- the events_exact_median pattern);
+    - pass 3: streams the table once more, assigns
+      file = searchsorted(boundaries, composite, 'right') against the
+      broadcast K-1 boundary keys, and emits per-(batch, file) zone-map
+      partials -- <= K rows per batch -- combined on the driver.
+
+    Output: (file_id, n_rows, x_min, x_max, y_min, y_max, probe_hit)
+    sorted by file_id; probe_hit = 1 iff the file's zone map intersects
+    the probe box (the files a zone-map reader must open).
+    """
+    import ray
+    import ray.data as rd
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def _xy(batch: pa.Table):
+        x = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = us // 86_400_000_000  # epoch day (dates are post-1970)
+        return x, y
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        x, y = _xy(batch)
+        return pa.Table.from_arrays(
+            [pa.array([int(x.min())]), pa.array([int(x.max())]),
+             pa.array([int(y.min())]), pa.array([int(y.max())])],
+            names=["xmn", "xmx", "ymn", "ymx"],
+        )
+
+    # bound: one 4-value partial row per block
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow",
+                        batch_size=131072).to_pandas()
+    xmn, xmx = int(mm["xmn"].min()), int(mm["xmx"].max())
+    ymn, ymx = int(mm["ymn"].min()), int(mm["ymx"].max())
+    top = (1 << bits) - 1
+
+    def _composite(batch: pa.Table) -> pa.Table:
+        x, y = _xy(batch)
+        keys = np.asarray(
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        assert keys.max(initial=0) < (1 << 38), "orderkey exceeds 38 bits"
+        ux = ((x - xmn) * top) // (xmx - xmn) if xmx > xmn \
+            else np.zeros_like(x)
+        uy = ((y - ymn) * top) // (ymx - ymn) if ymx > ymn \
+            else np.zeros_like(y)
+        z = _zorder_interleave(ux, uy, bits)
+        return pa.Table.from_arrays(
+            [pa.array(z * (1 << 38) + keys, type=pa.int64()),
+             pa.array(x), pa.array(y)],
+            names=["composite", "x", "y"],
+        )
+
+    zt = ds.map_batches(_composite, batch_format="pyarrow").materialize()
+    n = zt.count()
+    k = min(n_files, n)
+    # 0-based rank r -> file (r*k)//n; boundary f starts at ceil(f*n/k)
+    bounds_idx = sorted({(f * n + k - 1) // k for f in range(1, k)})
+    cuts: list = []
+    for i in bounds_idx:
+        cuts.extend([i, i + 1])
+    snt = zt.sort("composite").materialize()
+    parts = snt.split_at_indices(cuts)
+    boundaries = np.asarray(
+        # bound: 1 row each (single-index slices of the sorted table)
+        [parts[2 * j + 1].take_all()[0]["composite"]
+         for j in range(len(bounds_idx))], dtype=np.int64)
+    bref = ray.put(boundaries)
+
+    def zone_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        comp = batch.column("composite").to_numpy(zero_copy_only=False)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        fid = np.searchsorted(b, comp, side="right").astype(np.int64)
+        df = pd.DataFrame({"file_id": fid, "x": x, "y": y})
+        g = df.groupby("file_id").agg(
+            n_rows=("x", "size"),
+            x_min=("x", "min"), x_max=("x", "max"),
+            y_min=("y", "min"), y_max=("y", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # bound: <= n_files zone-map partial rows per block
+    zones = (zt.map_batches(zone_partial, batch_format="pyarrow",
+                            batch_size=131072)
+             .to_pandas()
+             .groupby("file_id")
+             .agg(n_rows=("n_rows", "sum"),
+                  x_min=("x_min", "min"), x_max=("x_max", "max"),
+                  y_min=("y_min", "min"), y_max=("y_max", "max"))
+             .reset_index())
+
+    # fixed probe box: the middle quarter of each dimension's range
+    qxlo = xmn + ((xmx - xmn) * 3) // 8
+    qxhi = xmn + ((xmx - xmn) * 5) // 8
+    qylo = ymn + ((ymx - ymn) * 3) // 8
+    qyhi = ymn + ((ymx - ymn) * 5) // 8
+    hit = ~((zones["x_max"] < qxlo) | (zones["x_min"] > qxhi)
+            | (zones["y_max"] < qylo) | (zones["y_min"] > qyhi))
+    zones["probe_hit"] = hit.astype(np.int64)
+    for c in zones.columns:
+        zones[c] = zones[c].astype(np.int64)
+    out = zones.sort_values("file_id").reset_index(drop=True)
+    return rd.from_pandas(out)

@@ -364,3 +364,52 @@ def test_quantile_sketch_matches_naive(ray_session):
             float(sample[((n_s - 1) * p) // 4])
             - float(full[((n - 1) * p) // 4])), 6)
         assert int(row["n_total"]) == n and int(row["n_sample"]) == n_s
+
+
+def test_zorder_interleave_and_plan_prunes(ray_session, tmp_path):
+    """_zorder_interleave vs a bit-by-bit reference, and the full plan
+    on a synthetic 2-D grid: every file's zone map must be consistent
+    (min<=max, counts sum to n) and the z-layout must let the middle
+    probe box prune at least one file -- the property a single-column
+    sort cannot guarantee on the anti-correlated diagonal."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.scale_ops import (
+        _zorder_interleave,
+        zorder_layout_plan,
+    )
+
+    rng = np.random.RandomState(3)
+    ux = rng.randint(0, 4096, size=200).astype(np.int64)
+    uy = rng.randint(0, 4096, size=200).astype(np.int64)
+    z = _zorder_interleave(ux, uy, bits=12)
+    for j in (0, 17, 101):
+        expect = 0
+        for i in range(12):
+            expect |= ((int(ux[j]) >> i) & 1) << (2 * i)
+            expect |= ((int(uy[j]) >> i) & 1) << (2 * i + 1)
+        assert int(z[j]) == expect
+
+    # synthetic orders: x uniform, date spanning two years
+    n = 3000
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    x = rng.randint(1, 1500, size=n).astype(np.int64)
+    days = rng.randint(8000, 8730, size=n).astype(np.int64)
+    ts = (days * 86_400_000_000).astype("datetime64[us]")
+    t = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(x), pa.array(ts)],
+        names=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    out = zorder_layout_plan(str(tmp_path), n_files=8).to_pandas()
+    assert len(out) == 8
+    assert int(out["n_rows"].sum()) == n
+    assert (out["x_min"] <= out["x_max"]).all()
+    assert (out["y_min"] <= out["y_max"]).all()
+    # the probe box is the middle quarter of each dim: on a z-layout
+    # some files are fully outside it
+    assert int(out["probe_hit"].sum()) < 8
+    assert int(out["probe_hit"].sum()) >= 1
