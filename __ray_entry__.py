@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mixing_weights": curation.lang_mixing_weights,
         "source_unigram_kl": curation.source_unigram_kl,
         "source_epoch_plan": curation.source_epoch_plan,
+        "unimax_mixing_plan": curation.unimax_mixing_plan,
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
@@ -2066,6 +2067,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(((pow(n_tokens, 0.5) / psum) * 10000000.0)
                          / n_tokens, 6) AS epochs
             FROM c, t ORDER BY source
+        """,
+        "unimax_mixing_plan": """
+            -- UniMax waterfill: ascending-capacity visit order, each
+            -- source takes min(cap, remaining // sources_left) -- all
+            -- integer; the recursion carries `remaining` exactly as
+            -- the engine's driver loop does
+            WITH RECURSIVE tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            c AS (SELECT source, COUNT(*) AS n_tokens
+                  FROM tok WHERE term != '' GROUP BY 1),
+            caps AS (
+              SELECT source, n_tokens, n_tokens * 4 AS cap_tokens,
+                     row_number() OVER
+                       (ORDER BY n_tokens * 4, source) AS i,
+                     count(*) OVER () AS s
+              FROM c),
+            fill AS (
+              SELECT i, source, n_tokens, cap_tokens, s,
+                     LEAST(cap_tokens, 10000000 // s) AS alloc_tokens,
+                     10000000 - LEAST(cap_tokens, 10000000 // s)
+                       AS remaining
+              FROM caps WHERE i = 1
+              UNION ALL
+              SELECT cp.i, cp.source, cp.n_tokens, cp.cap_tokens, cp.s,
+                     LEAST(cp.cap_tokens,
+                           f.remaining // (cp.s - cp.i + 1)),
+                     f.remaining
+                       - LEAST(cp.cap_tokens,
+                               f.remaining // (cp.s - cp.i + 1))
+              FROM caps cp JOIN fill f ON cp.i = f.i + 1)
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cap_tokens AS BIGINT) AS cap_tokens,
+                   CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+                   ROUND(alloc_tokens * 1.0 / n_tokens, 6) AS epochs
+            FROM fill ORDER BY source
         """,
         "source_unigram_kl": """
             -- KL(P_source || P_corpus) over whitespace unigrams; each

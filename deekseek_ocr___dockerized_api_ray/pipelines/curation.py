@@ -2650,3 +2650,62 @@ def quality_gate_funnel(sf_dir: str,
                       for n in agg["n_docs"]],
     })
     return rd.from_pandas(out)
+
+
+def unimax_mixing_plan(sf_dir: str, budget_tokens: int = 10_000_000,
+                       epoch_cap: int = 4):
+    """UniMax mixing plan (Chung et al. 2023): allocate a fixed token
+    budget as UNIFORMLY as possible across sources subject to a
+    per-source epoch cap -- the published alternative to temperature
+    sampling (``source_epoch_plan``) that provably never over-repeats a
+    low-resource source. Waterfill: visit sources in ascending order of
+    capacity cap_s = n_tokens_s * epoch_cap; each takes
+    min(cap_s, remaining // sources_left). Sources too small to absorb
+    the fair share are capped, and their unused share is redistributed
+    over the rest -- all integer arithmetic, so the plan is
+    bit-deterministic and the oracle's recursive CTE matches exactly
+    (only the epochs column divides, r6-rounded on both sides).
+
+    Shape: one combiner-reduced token count per source crosses the wire
+    (the source_epoch_plan pass); the waterfill runs on the handful of
+    source rows on the driver.
+
+    Output: (source, n_tokens, cap_tokens, alloc_tokens, epochs r6)
+    sorted by source.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(term=df["text"].str.split(" "))
+              .loc[:, ["source", "term"]].explode("term"))
+        ex = ex[ex["term"] != ""]
+        return ex.groupby("source", as_index=False).agg(
+            n_tokens=("term", "size"))
+
+    counts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         ["source"], {"n_tokens": ("n_tokens", "sum")},
+                         # bound: source grain
+                         n_buckets=4).to_pandas()
+    counts["n_tokens"] = counts["n_tokens"].astype("int64")
+    counts["cap_tokens"] = counts["n_tokens"] * int(epoch_cap)
+    counts = (counts.sort_values(["cap_tokens", "source"])
+              .reset_index(drop=True))
+
+    remaining = int(budget_tokens)
+    s = len(counts)
+    alloc = np.zeros(s, dtype=np.int64)
+    for i in range(s):
+        share = remaining // (s - i)
+        alloc[i] = min(int(counts["cap_tokens"].iloc[i]), share)
+        remaining -= int(alloc[i])
+    counts["alloc_tokens"] = alloc
+    counts["epochs"] = round_series(
+        counts["alloc_tokens"].astype(np.float64)
+        / counts["n_tokens"].astype(np.float64), 6)
+    out = (counts[["source", "n_tokens", "cap_tokens", "alloc_tokens",
+                   "epochs"]]
+           .sort_values("source").reset_index(drop=True))
+    return rd.from_pandas(out)

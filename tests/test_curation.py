@@ -858,3 +858,44 @@ def test_quality_gate_funnel_monotone_and_consistent(ray_session):
         assert row["gate"] == g and int(row["n_docs"]) == len(alive)
     ns = got["n_docs"].tolist()
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_unimax_waterfill_invariants(ray_session, tmp_path):
+    """unimax_mixing_plan vs a hand-computed waterfill on a 3-source
+    corpus where one source is too small to absorb the fair share: its
+    surplus must redistribute to the larger sources, nothing may exceed
+    its epoch cap, and the whole budget is spent when capacity allows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        unimax_mixing_plan,
+    )
+
+    # sources with 2 / 10 / 30 tokens per doc-set
+    rows = (
+        [("a", "w w")]                        # 2 tokens
+        + [("b", "w w w w w")] * 2            # 10 tokens
+        + [("c", "w w w w w w")] * 5          # 30 tokens
+    )
+    t = pa.Table.from_arrays(
+        [pa.array([f"d{i}" for i in range(len(rows))]),
+         pa.array([s for s, _ in rows]),
+         pa.array([x for _, x in rows])],
+        names=["doc_id", "source", "text"],
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = (unimax_mixing_plan(str(tmp_path), budget_tokens=100,
+                              epoch_cap=4)
+           .to_pandas().set_index("source"))
+    # caps: a=8, b=40, c=120; ascending visit a,b,c with budget 100:
+    #   a: min(8, 100//3=33) = 8, rem 92
+    #   b: min(40, 92//2=46) = 40, rem 52
+    #   c: min(120, 52//1)   = 52
+    assert int(out.loc["a", "alloc_tokens"]) == 8
+    assert int(out.loc["b", "alloc_tokens"]) == 40
+    assert int(out.loc["c", "alloc_tokens"]) == 52
+    assert int(out["alloc_tokens"].sum()) == 100
+    assert (out["alloc_tokens"] <= out["cap_tokens"]).all()
+    assert float(out.loc["a", "epochs"]) == 4.0
