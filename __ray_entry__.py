@@ -421,6 +421,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return prefix_filter_ngram_pairs(_docs_ds(sf_dir), threshold=0.3, n=3)
 
+    def neardup_threshold_sweep(sf_dir: str):
+        # dedup-threshold calibration: verified pair counts per grid cut
+        from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+            neardup_threshold_sweep as _sweep,
+        )
+
+        return _sweep(_docs_ds(sf_dir))
+
     def minhash_recall_eval(sf_dir: str):
         # evaluation op: banding recall vs the exact join ground truth
         from deekseek_ocr___dockerized_api_ray.stages.dedup import (
@@ -744,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_substring_spans": _substr_spans,
         "substring_dedup_clean": _substr_clean,
         "prefix_ngram_pairs_exact": prefix_ngram_pairs_exact,
+        "neardup_threshold_sweep": neardup_threshold_sweep,
         "minhash_recall_eval": minhash_recall_eval,
         "similar_docs_topk": similar_docs_topk_q,
         "ngram_containment_pairs": ngram_containment_pairs,
@@ -1966,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
                                                             n=3),
         "prefix_ngram_pairs_exact": _oracles.exact_ngram_pairs_sql(
             threshold=0.3, n=3),
+        "neardup_threshold_sweep": _oracles.neardup_threshold_sweep_sql(),
         "minhash_recall_eval": _oracles.minhash_recall_sql(
             threshold=0.3, n=3),
         # verified near-dup pairs (identical machinery/config as

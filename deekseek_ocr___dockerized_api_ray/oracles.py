@@ -1818,3 +1818,22 @@ SELECT CAST(file_id AS BIGINT) AS file_id,
                  OR y_max < qylo OR y_min > qyhi) AS BIGINT) AS probe_hit
 FROM zones, probe
 ORDER BY file_id"""
+
+
+def neardup_threshold_sweep_sql(grid_pcts=(20, 30, 40, 50, 60, 70, 80),
+                                n: int = 3) -> str:
+    """Threshold calibration curve (stages/dedup.neardup_threshold_sweep):
+    composes exact_ngram_pairs_sql at the grid minimum verbatim, then
+    counts surviving pairs per grid threshold (rounded-jaccard >=
+    pct/100.0, the same comparison the engine runs)."""
+    pcts = sorted(int(p) for p in grid_pcts)
+    lo = min(pcts) / 100.0
+    vals = ", ".join(f"({p})" for p in pcts)
+    return f"""
+WITH pairs AS ({exact_ngram_pairs_sql(lo, n)}),
+grid(threshold_pct) AS (VALUES {vals})
+SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+       CAST((SELECT count(*) FROM pairs
+             WHERE ngram_jaccard >= threshold_pct / 100.0) AS BIGINT)
+         AS n_pairs
+FROM grid ORDER BY threshold_pct"""

@@ -1484,3 +1484,48 @@ def neardup_kcore(docs_ds, k: int = 2, rounds: int = 2,
         lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
                                  "core_deg": df["deg"].astype("int64")}),
         batch_format="pandas").sort("doc_id"))
+
+
+def neardup_threshold_sweep(docs_ds, grid_pcts=(20, 30, 40, 50, 60, 70, 80),
+                            n: int = 3):
+    """Dedup-threshold calibration curve: the verified pair count at
+    each Jaccard threshold in a grid -- the diagnostic a curation run
+    consults BEFORE picking its dedup threshold (too low over-merges
+    templated families, too high leaves near-dups in). One exact pair
+    join at the grid minimum (PPJoin-filtered prefix join) produces the
+    pair table; the sweep is then a single streaming pass emitting a
+    grid-length count partial per batch -- nothing else touches the
+    corpus.
+
+    Comparisons happen on the r6-ROUNDED jaccard (the pair table's
+    published value) against pct/100.0 double literals, identical on
+    both engine and oracle sides.
+
+    Output: (threshold_pct int, n_pairs int) sorted by threshold_pct.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    lo = min(grid_pcts) / 100.0
+    pairs = prefix_filter_ngram_pairs(docs_ds, threshold=lo, n=n)
+    pcts = sorted(int(p) for p in grid_pcts)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        j = df["ngram_jaccard"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "threshold_pct": np.asarray(pcts, dtype=np.int64),
+            "n_pairs": np.asarray([(j >= p / 100.0).sum() for p in pcts],
+                                  dtype=np.int64),
+        })
+
+    # bound: grid-length partial per block of the (small) pair table
+    parts = pairs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("threshold_pct", as_index=False)
+           .agg(n_pairs=("n_pairs", "sum")))
+    # grid rows with zero surviving pairs must still appear
+    out = (pd.DataFrame({"threshold_pct": np.asarray(pcts, np.int64)})
+           .merge(out, on="threshold_pct", how="left")
+           .fillna({"n_pairs": 0}))
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return rd.from_pandas(out.sort_values("threshold_pct")
+                          .reset_index(drop=True))

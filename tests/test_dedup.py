@@ -490,3 +490,29 @@ def test_neardup_kcore_matches_local_peel(ray_session):
     assert list(zip(got["doc_id"], got["core_deg"])) == expect
     all_nodes = {n for e in edges for n in e}
     assert 0 < len(got) < len(all_nodes)
+
+
+def test_neardup_threshold_sweep_monotone_and_counts(ray_session):
+    """The calibration curve is non-increasing in the threshold, its
+    lowest cut equals the full pair-table size, and each count matches
+    a direct filter of the exact pair table."""
+    import numpy as np
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        neardup_threshold_sweep,
+        prefix_filter_ngram_pairs,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = (neardup_threshold_sweep(docs, grid_pcts=(20, 40, 60, 80))
+           .to_pandas().sort_values("threshold_pct"))
+    assert list(out["threshold_pct"]) == [20, 40, 60, 80]
+    n = out["n_pairs"].to_numpy()
+    assert (n[:-1] >= n[1:]).all(), "curve must be non-increasing"
+
+    pairs = prefix_filter_ngram_pairs(docs, threshold=0.2, n=3).to_pandas()
+    j = pairs["ngram_jaccard"].to_numpy(np.float64)
+    for pct, got in zip(out["threshold_pct"], n):
+        assert int(got) == int((j >= pct / 100.0).sum()), pct
