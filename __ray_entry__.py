@@ -533,6 +533,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sq8_topk(_emb_ds(sf_dir), _QUERY_IDS, k=10)
 
+    def emb_lof_outliers(sf_dir: str):
+        from deekseek_ocr___dockerized_api_ray.stages.similarity import (
+            lof_outliers,
+        )
+
+        return lof_outliers(_emb_ds(sf_dir), k=5)
+
     def ann_topk_filtered(sf_dir: str):
         # metadata pre-filter: only corpus rows with the query's label
         from deekseek_ocr___dockerized_api_ray.stages.similarity import (
@@ -768,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_encode": emb_pq_encode,
         "ann_pq_adc": ann_pq_adc,
         "ann_sq8": ann_sq8,
+        "emb_lof_outliers": emb_lof_outliers,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -2025,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_pq_encode": _oracles.pq_encode_sql(dim=64, m=2, n_clusters=4),
         "ann_sq8": _oracles.sq8_topk_sql(_QUERY_IDS, k=10),
+        "emb_lof_outliers": _oracles.emb_lof_sql(k=5),
         "ann_pq_adc": _oracles.pq_adc_topk_sql(_QUERY_IDS, k=10, dim=64,
                                                m=2, n_clusters=4),
         "emb_neardup_exact": _oracles.emb_neardup_exact_sql(threshold=0.4),

@@ -1837,3 +1837,38 @@ SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
              WHERE ngram_jaccard >= threshold_pct / 100.0) AS BIGINT)
          AS n_pairs
 FROM grid ORDER BY threshold_pct"""
+
+
+def emb_lof_sql(k: int = 5) -> str:
+    """Local Outlier Factor (stages/similarity.lof_outliers): the
+    integer-ppm variant -- d = 1e6 - r6-cosine-ppm (the emb_neardup
+    boundary convention), N_k = rank 1..k under (d, dst), reach floored
+    at 1 ppm, lrd_ppm = ROUND(k*1e12/sum_reach), LOF r6. Every operand
+    integer until the two final divisions, so agreement is bit-exact
+    given the r6 cosine agreement the emb_neardup family already
+    certifies."""
+    return f"""
+WITH e AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         1000000 - CAST(ROUND(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, d,
+             row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rnk
+      FROM e),
+knn AS (SELECT src, dst, d FROM r WHERE rnk <= {k}),
+kd AS (SELECT src AS id, d AS kdist FROM r WHERE rnk = {k}),
+s AS (SELECT knn.src, SUM(GREATEST(kd.kdist, knn.d, 1)) AS sr
+      FROM knn JOIN kd ON kd.id = knn.dst GROUP BY knn.src),
+lrd AS (SELECT src AS id,
+               CAST(ROUND({k} * 1e12 / CAST(sr AS DOUBLE)) AS BIGINT)
+                 AS lrd_ppm
+        FROM s),
+agg AS (SELECT knn.src, SUM(l.lrd_ppm) AS slrd
+        FROM knn JOIN lrd l ON l.id = knn.dst GROUP BY knn.src)
+SELECT a.src AS vec_id, lp.lrd_ppm,
+       ROUND(CAST(a.slrd AS DOUBLE) / ({k} * CAST(lp.lrd_ppm AS DOUBLE)), 6)
+         AS lof
+FROM agg a JOIN lrd lp ON lp.id = a.src
+ORDER BY vec_id"""

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1888,3 +1889,260 @@ def sq8_topk(emb_ds, query_ids: Sequence[int], k: int = 10,
     return (cand.groupby("query_id").map_groups(_final,
                                                 batch_format="pyarrow")
             .sort(["query_id", "rank"]))
+
+
+def _cos_ppm(sims: np.ndarray) -> np.ndarray:
+    """Vectorized half-away r6 cosine in integer PPM units: the exact
+    quantity emb_neardup's boundary convention already pins cross-engine
+    (ROUND(list_cosine_similarity(..), 6) * 1e6 in DuckDB)."""
+    return np.where(sims >= 0,
+                    np.floor(sims * 1e6 + 0.5),
+                    -np.floor(-sims * 1e6 + 0.5)).astype(np.int64)
+
+
+def _lof_edges_broadcast(emb_ds, kk: int, id_col: str, emb_col: str):
+    """Exact kNN edge list (vec_id, neighbor_id, d, rnk) with
+    d = 1e6 - r6-cosine-ppm (integer cosine DISTANCE in ppm units);
+    corpus matrix broadcast once (the knn_graph exact-path shape)."""
+    import ray
+
+    ids_list, mats = [], []
+    for b in emb_ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids_list.append(np.asarray(b.column(id_col).to_pylist(),
+                                   dtype=np.int64))
+        mats.append(_normalize(_batch_matrix(b, emb_col)))
+    corpus_ids = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+    corpus = np.vstack(mats) if mats else np.empty((0, 0))
+    ref = ray.put((corpus_ids, corpus))
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        dmat = 1_000_000 - _cos_ppm(m @ cmat.T)
+        out_v, out_n, out_d, out_r = [], [], [], []
+        for row, rid in enumerate(rids):
+            drow = dmat[row]
+            order = np.lexsort((cids, drow))
+            order = order[cids[order] != rid][:kk]
+            out_v.extend([int(rid)] * len(order))
+            out_n.extend(cids[order].tolist())
+            out_d.extend(drow[order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+        return pa.Table.from_arrays(
+            [pa.array(out_v, type=pa.int64()),
+             pa.array(out_n, type=pa.int64()),
+             pa.array(out_d, type=pa.int64()),
+             pa.array(out_r, type=pa.int64())],
+            names=["vec_id", "neighbor_id", "d", "rnk"],
+        )
+
+    return emb_ds.map_batches(_topk, batch_format="pyarrow")
+
+
+def _lof_edges_ivf(emb_ds, kk: int, id_col: str, emb_col: str,
+                   n_clusters: int, n_probe: int, iters: int):
+    """Scale path for the LOF edge list: trained-IVF cell cogroups
+    (the knn_graph scale-path construction) emitting integer ppm
+    cosine distances; EXACT when n_probe == n_clusters (total probe
+    coverage -- the path-equivalence test's configuration)."""
+    import ray
+
+    centroids = lloyd_codebook(emb_ds, n_clusters, iters, id_col, emb_col)
+    cent_ref = ray.put(centroids)
+    probe = min(n_probe, n_clusters)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _batch_matrix(batch, emb_col)
+        rids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        diff = mat[:, None, :] - c[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        order = np.argsort(dist, axis=1, kind="stable")[:, :probe]
+        packed = _normalize(mat)
+        blobs = [packed[i].tobytes() for i in range(len(rids))]
+        out_cl, out_id, out_bin, out_mem = [], [], [], []
+        for j in range(probe):
+            out_cl.extend(order[:, j].tolist())
+            out_id.extend(rids.tolist())
+            out_bin.extend(blobs)
+            out_mem.extend([j == 0] * len(rids))
+        return pa.Table.from_arrays(
+            [pa.array(out_cl, type=pa.int32()),
+             pa.array(out_id, type=pa.int64()),
+             pa.array(out_bin, type=pa.binary()),
+             pa.array(out_mem, type=pa.bool_())],
+            names=["cluster", id_col, "embin", "is_member"],
+        )
+
+    def _cell_topk(group: pa.Table) -> pa.Table:
+        mem_mask = np.asarray(group.column("is_member").to_pylist())
+        ids_all = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.int64())],
+            names=["vec_id", "neighbor_id", "d"])
+        if not mem_mask.any():
+            return empty
+        mat_all = np.vstack([np.frombuffer(b, dtype=np.float64)
+                             for b in group.column("embin").to_pylist()])
+        m_ids, m_mat = ids_all[mem_mask], mat_all[mem_mask]
+        dmat = 1_000_000 - _cos_ppm(mat_all @ m_mat.T)
+        out_v, out_n, out_d = [], [], []
+        cap = min(kk, len(m_ids))
+        for row in range(len(ids_all)):
+            drow = dmat[row]
+            order = np.lexsort((m_ids, drow))
+            order = order[m_ids[order] != ids_all[row]][:cap]
+            out_v.extend([int(ids_all[row])] * len(order))
+            out_n.extend(m_ids[order].tolist())
+            out_d.extend(drow[order].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_v, type=pa.int64()),
+             pa.array(out_n, type=pa.int64()),
+             pa.array(out_d, type=pa.int64())],
+            names=["vec_id", "neighbor_id", "d"],
+        )
+
+    cand = (emb_ds.map_batches(_expand, batch_format="pyarrow")
+            .groupby("cluster").map_groups(_cell_topk,
+                                           batch_format="pyarrow"))
+
+    def _final(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id")[0].as_py()
+        nids = np.asarray(group.column("neighbor_id").to_pylist(),
+                          dtype=np.int64)
+        dd = np.asarray(group.column("d").to_pylist(), dtype=np.int64)
+        nids, uniq_idx = np.unique(nids, return_index=True)
+        dd = dd[uniq_idx]
+        order = np.lexsort((nids, dd))[:kk]
+        n = len(order)
+        return pa.Table.from_arrays(
+            [pa.array([vid] * n, type=pa.int64()),
+             pa.array(nids[order].tolist(), type=pa.int64()),
+             pa.array(dd[order].tolist(), type=pa.int64()),
+             pa.array(list(range(1, n + 1)), type=pa.int64())],
+            names=["vec_id", "neighbor_id", "d", "rnk"],
+        )
+
+    return cand.groupby("vec_id").map_groups(_final, batch_format="pyarrow")
+
+
+def lof_outliers(emb_ds, k: int = 5, id_col: str = "vec_id",
+                 emb_col: str = "embedding", broadcast_rows: int = 200_000,
+                 n_clusters: int = 16, n_probe: int = 4, iters: int = 2):
+    """Local Outlier Factor (Breunig et al. 2000) over the embedding
+    column -- DENSITY-based outlier detection, the curation complement
+    of ``emb_norm_outliers`` (magnitude) and ``semdedup`` (redundancy):
+    LOF >> 1 flags vectors whose local density is far below their
+    neighbors' (mislabeled/garbage embeddings), LOF ~ 1 is inlier.
+
+    Variant pinned here (the oracle's twin, integer-exact throughout):
+
+    - distance d(p,o) = 1e6 - round6(cos(p,o))*1e6, an INTEGER ppm
+      cosine distance (reuses the r6-cosine boundary convention the
+      emb_neardup family already pins cross-engine);
+    - N_k(p) = the exact rank-1..k neighbor set under (d, neighbor_id)
+      order (no tie expansion -- deterministic both engines);
+    - reach_k(p,o) = max(kdist(o), d(p,o), 1) -- the 1-ppm floor
+      removes the classic LOF duplicate-point singularity;
+    - lrd_ppm(p)  = round(k * 1e12 / sum_o reach_k(p,o))  (int64);
+    - LOF(p)      = round6(sum_o lrd_ppm(o) / (k * lrd_ppm(p))).
+
+    Scale shape: edge construction is SIZE-GATED like ``knn_graph``
+    (corpus-matrix broadcast below ``broadcast_rows``, trained-IVF
+    probe cogroups above -- exact at n_probe == n_clusters); the LOF
+    algebra itself is ALWAYS distributed and collects nothing: kdist
+    attach = one hash join at edge grain, lrd = one combiner-reduced
+    grouped sum, neighbor-lrd attach = one more join + grouped sum,
+    finish = one point-grain join. All operands integer until the two
+    final divisions, so the oracle matches bit-for-bit.
+
+    Output: (vec_id, lrd_ppm, lof r6) sorted by vec_id.
+    """
+    from .agg import grouped_agg
+    from .joins import checkpointed_join, default_num_partitions
+
+    n = emb_ds.count()
+    kk = min(k, max(0, n - 1))
+    if kk == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.float64())],
+            names=["vec_id", "lrd_ppm", "lof"]))
+
+    if n <= broadcast_rows:
+        # bound: gated at broadcast_rows vectors (knn_graph exact twin)
+        edges = _lof_edges_broadcast(emb_ds, kk, id_col, emb_col)
+    else:
+        edges = _lof_edges_ivf(emb_ds, kk, id_col, emb_col,
+                               n_clusters, n_probe, iters)
+    edges = edges.materialize()
+
+    parts = default_num_partitions(n)
+
+    # kdist(o) = the rank-k distance; keyed by neighbor_id for the join
+    def _kd(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.equal(batch.column("rnk"), kk))
+        return pa.Table.from_arrays(
+            [m.column("vec_id"), m.column("d")],
+            names=["neighbor_id", "kdist"])
+
+    kd = edges.map_batches(_kd, batch_format="pyarrow")
+
+    slim = edges.select_columns(["vec_id", "neighbor_id", "d"])
+    j1 = checkpointed_join(slim, kd, on=("neighbor_id",),
+                           num_partitions=parts,
+                           left_cols=["vec_id", "neighbor_id", "d"],
+                           right_cols=["neighbor_id", "kdist"])
+
+    def _reach(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.maximum.reduce([df["kdist"].to_numpy(np.int64),
+                               df["d"].to_numpy(np.int64),
+                               np.ones(len(df), dtype=np.int64)])
+        return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                             "reach": pd.Series(r, dtype="int64")})
+
+    sums = grouped_agg(j1.map_batches(_reach, batch_format="pandas"),
+                       ["vec_id"], {"sr": ("reach", "sum")},
+                       n_buckets=max(4, parts))
+
+    def _lrd(keyname):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            sr = df["sr"].to_numpy(np.float64)
+            lrd = np.floor(kk * 1e12 / sr + 0.5).astype(np.int64)
+            return pd.DataFrame({keyname: df["vec_id"].astype("int64"),
+                                 "lrd_ppm": pd.Series(lrd, dtype="int64")})
+        return fn
+
+    lrd_n = sums.map_batches(_lrd("neighbor_id"), batch_format="pandas")
+    lrd_v = sums.map_batches(_lrd("vec_id"), batch_format="pandas")
+
+    j2 = checkpointed_join(slim.select_columns(["vec_id", "neighbor_id"]),
+                           lrd_n, on=("neighbor_id",),
+                           num_partitions=parts,
+                           left_cols=["vec_id", "neighbor_id"],
+                           right_cols=["neighbor_id", "lrd_ppm"])
+    slrd = grouped_agg(j2.map_batches(
+        lambda df: pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                                 "s": df["lrd_ppm"].astype("int64")}),
+        batch_format="pandas"),
+        ["vec_id"], {"slrd": ("s", "sum")}, n_buckets=max(4, parts))
+
+    j3 = checkpointed_join(slrd, lrd_v, on=("vec_id",),
+                           num_partitions=parts,
+                           left_cols=["vec_id", "slrd"],
+                           right_cols=["vec_id", "lrd_ppm"])
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        lof = df["slrd"].to_numpy(np.float64) / (
+            kk * df["lrd_ppm"].to_numpy(np.float64))
+        lof = np.floor(lof * 1e6 + 0.5) / 1e6  # lof > 0 always
+        return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                             "lrd_ppm": df["lrd_ppm"].astype("int64"),
+                             "lof": pd.Series(lof, dtype="float64")})
+
+    return j3.map_batches(_finish, batch_format="pandas").sort("vec_id")

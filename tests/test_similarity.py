@@ -642,3 +642,41 @@ def test_sq8_topk_matches_local_reference(emb_ds):
         assert ranked == expected, f"query {q}"
     # planted near-dup (vec 250 ~ vec 0) survives 8-bit quantization
     assert sorted(got[0])[0][1] == 250
+
+
+def test_lof_paths_equivalent_and_flags_outlier(ray_session):
+    """lof_outliers: the IVF edge path with total probe coverage
+    (n_probe == n_clusters) must equal the broadcast exact path, and a
+    planted isolated point must carry the corpus-max LOF."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.stages.similarity import lof_outliers
+
+    rng = np.random.RandomState(3)
+    n, dim = 120, 8
+    m = rng.normal(size=(n, dim))
+    # two tight clusters + one far isolated point (index n-1)
+    m[: n // 2] = m[: n // 2] * 0.05 + 1.0
+    m[n // 2:] = m[n // 2:] * 0.05 - 1.0
+    m[n - 1] = np.array([5.0, -5.0] * (dim // 2))
+    t = pa.Table.from_arrays(
+        [pa.array(range(n), type=pa.int64()),
+         pa.array([r.tolist() for r in m], type=pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"],
+    )
+    ds = rd.from_arrow(t)
+
+    exact = lof_outliers(ds, k=4).to_pandas()
+    ivf = lof_outliers(ds, k=4, broadcast_rows=10,
+                       n_clusters=4, n_probe=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        exact.sort_values("vec_id").reset_index(drop=True),
+        ivf.sort_values("vec_id").reset_index(drop=True))
+
+    assert len(exact) == n
+    top = exact.sort_values("lof", ascending=False).iloc[0]
+    assert int(top["vec_id"]) == n - 1
+    assert float(top["lof"]) > 1.5
+    # cluster cores are inliers: median LOF ~ 1
+    assert abs(float(exact["lof"].median()) - 1.0) < 0.2
