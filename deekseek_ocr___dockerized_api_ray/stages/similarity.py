@@ -2106,9 +2106,11 @@ def lof_outliers(emb_ds, k: int = 5, id_col: str = "vec_id",
         return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
                              "reach": pd.Series(r, dtype="int64")})
 
+    # materialized once: consumed by BOTH lrd projections below (point
+    # grain, object store only -- without this the kdist join re-runs)
     sums = grouped_agg(j1.map_batches(_reach, batch_format="pandas"),
                        ["vec_id"], {"sr": ("reach", "sum")},
-                       n_buckets=max(4, parts))
+                       n_buckets=max(4, parts)).materialize()
 
     def _lrd(keyname):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
