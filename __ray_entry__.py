@@ -982,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_unigram_kl": curation.source_unigram_kl,
         "source_epoch_plan": curation.source_epoch_plan,
         "unimax_mixing_plan": curation.unimax_mixing_plan,
+        "curriculum_plan": curation.curriculum_plan,
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
@@ -3115,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_media_stats": _oracles.doc_media_stats_sql(),
         "quality_classifier_gate": _oracles.quality_classifier_gate_sql(),
         "quality_keep_rate": _oracles.quality_keep_rate_sql(),
+        "curriculum_plan": _oracles.curriculum_plan_sql(n_stages=4, seed=42),
         "phrase_search": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),

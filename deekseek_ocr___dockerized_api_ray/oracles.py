@@ -1872,3 +1872,25 @@ SELECT a.src AS vec_id, lp.lrd_ppm,
          AS lof
 FROM agg a JOIN lrd lp ON lp.id = a.src
 ORDER BY vec_id"""
+
+
+def curriculum_plan_sql(n_stages: int = 4, seed: int = 42) -> str:
+    """Quality-curriculum ordering plan (pipelines/curation
+    .curriculum_plan): composes quality_classifier_gate_sql verbatim
+    (the shared-builder rule); stage = NTILE over (score DESC, doc_id),
+    within-stage position = rank of md5_number_lower(seed:doc_id) --
+    _hash64's twin, the training_shuffle_plan convention."""
+    return f"""
+WITH g AS ({quality_classifier_gate_sql()}),
+h AS (SELECT doc_id, score,
+             md5_number_lower('{seed}:' || doc_id::VARCHAR) AS h
+      FROM g),
+s AS (SELECT doc_id, score, h,
+             ntile({n_stages}) OVER (ORDER BY score DESC, doc_id) - 1
+               AS stage
+      FROM h)
+SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+       CAST(row_number() OVER (PARTITION BY stage ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos,
+       score
+FROM s ORDER BY doc_id"""

@@ -899,3 +899,40 @@ def test_unimax_waterfill_invariants(ray_session, tmp_path):
     assert int(out["alloc_tokens"].sum()) == 100
     assert (out["alloc_tokens"] <= out["cap_tokens"]).all()
     assert float(out.loc["a", "epochs"]) == 4.0
+
+
+def test_curriculum_plan_matches_naive(ray_session):
+    """curriculum_plan == naive NTILE-over-score + within-stage hash
+    rank recomputed in-process from the gate's own output."""
+    import numpy as np
+    import pandas as pd
+
+    from deekseek_ocr___dockerized_api_ray.functions.hashing import _hash64
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        curriculum_plan,
+        quality_classifier_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = curriculum_plan(sf, n_stages=4, seed=42).to_pandas()
+
+    g = (quality_classifier_gate(sf)
+         .select_columns(["doc_id", "score"]).to_pandas())
+    g = g.sort_values(["score", "doc_id"],
+                      ascending=[False, True]).reset_index(drop=True)
+    n, k = len(g), 4
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    g["stage"] = np.repeat(np.arange(k), sizes)
+    g["h"] = [np.uint64(_hash64(f"42:{int(d)}")) for d in g["doc_id"]]
+    g = g.sort_values(["stage", "h", "doc_id"]).reset_index(drop=True)
+    g["pos"] = g.groupby("stage").cumcount()
+    want = g[["doc_id", "stage", "pos", "score"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "stage", "pos"):
+        want[c] = want[c].astype("int64")
+
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want)
+    # positions are dense 0..size-1 per stage
+    for s, grp in got.groupby("stage"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
