@@ -983,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_epoch_plan": curation.source_epoch_plan,
         "unimax_mixing_plan": curation.unimax_mixing_plan,
         "curriculum_plan": curation.curriculum_plan,
+        "dedup_agreement_matrix": curation.dedup_agreement_matrix,
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
@@ -3117,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_gate": _oracles.quality_classifier_gate_sql(),
         "quality_keep_rate": _oracles.quality_keep_rate_sql(),
         "curriculum_plan": _oracles.curriculum_plan_sql(n_stages=4, seed=42),
+        "dedup_agreement_matrix": _oracles.dedup_agreement_sql(),
         "phrase_search": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),

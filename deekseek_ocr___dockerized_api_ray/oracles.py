@@ -1894,3 +1894,42 @@ SELECT doc_id, CAST(stage AS BIGINT) AS stage,
             AS BIGINT) AS pos,
        score
 FROM s ORDER BY doc_id"""
+
+
+def dedup_agreement_sql(mh_threshold: float = 0.8, sh_max_hamming: int = 3,
+                        ng_threshold: float = 0.3, n: int = 3) -> str:
+    """Dedup-method keep-set agreement (pipelines/curation
+    .dedup_agreement_matrix): composes the exact-dedup, minhash-
+    survivors, ngram-survivors and simhash-survivors SQL verbatim
+    (the shared-builder rule), each wrapped as a subquery so their
+    recursive CTE names cannot collide."""
+    exact = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    mh = minhash_survivors_sql(mh_threshold)
+    ng = ("WITH RECURSIVE pairs AS ("
+          + exact_ngram_pairs_sql(ng_threshold, n) + ")"
+          + _survivors_select("pairs"))
+    sh = simhash_survivors_sql(sh_max_hamming)
+    methods = [("exact", exact), ("minhash", mh), ("ngram", ng),
+               ("simhash", sh)]
+    ctes = ",\n".join(f"m_{k} AS (SELECT doc_id FROM ({sql}))"
+                      for k, sql in methods)
+    rows = []
+    for i, (a, _) in enumerate(methods):
+        for b, _ in methods[i + 1:]:
+            rows.append(f"""
+SELECT '{a}' AS method_a, '{b}' AS method_b,
+       (SELECT count(*) FROM m_{a}) AS n_keep_a,
+       (SELECT count(*) FROM m_{b}) AS n_keep_b,
+       (SELECT count(*) FROM m_{a} JOIN m_{b} USING (doc_id))
+         AS n_keep_both""")
+    body = "\nUNION ALL".join(rows)
+    return f"""
+WITH {ctes}
+SELECT method_a, method_b,
+       CAST(n_keep_a AS BIGINT) AS n_keep_a,
+       CAST(n_keep_b AS BIGINT) AS n_keep_b,
+       CAST(n_keep_both AS BIGINT) AS n_keep_both,
+       ROUND(CAST(n_keep_both AS DOUBLE)
+             / (n_keep_a + n_keep_b - n_keep_both), 6) AS jaccard
+FROM ({body})
+ORDER BY method_a, method_b"""

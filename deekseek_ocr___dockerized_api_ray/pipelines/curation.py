@@ -2826,3 +2826,101 @@ def curriculum_plan(sf_dir: str, n_stages: int = 4, seed: int = 42,
 
     return (tagged.groupby(["stage", "sub"])
             .map_groups(order, batch_format="pandas").sort("doc_id"))
+
+
+def dedup_agreement_matrix(sf_dir: str, mh_threshold: float = 0.8,
+                           sh_max_hamming: int = 3,
+                           ng_threshold: float = 0.3, n: int = 3):
+    """Pairwise agreement of four DEDUP methods' keep sets -- the dedup
+    counterpart of ``gate_agreement_matrix`` (which compares quality
+    gates): exact text dedup, MinHash-LSH survivors, SimHash survivors,
+    and exact n-gram-Jaccard (prefix-filter join) survivors. The
+    diagnostic that tells you whether a cheaper method's removals are a
+    subset of a costlier one's before you pay for both at 100 TB.
+
+    Shape: the four dedup pipelines run unchanged (they are the graded
+    ops -- no re-derived survivor logic to desync); each keep set's
+    doc_ids union with a method tag plus one '_all' base leg, ONE
+    doc-keyed groupby pivots each doc's 4-flag vector, and a stateless
+    combiner emits per-batch pair-count partials reduced at pair grain
+    (6 rows). Nothing wider than 5N skinny rows moves.
+
+    Output: (method_a, method_b, n_keep_a, n_keep_b, n_keep_both,
+    jaccard r6 of the keep sets) for the 6 alphabetical pairs.
+    """
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.dedup import (
+        minhash_dedup,
+        prefix_filter_ngram_pairs,
+        simhash_dedup,
+        survivors_from_pairs,
+    )
+    from .text import exact_dedup_docs
+
+    def docs():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    legs = {
+        "exact": exact_dedup_docs(sf_dir),
+        "minhash": minhash_dedup(docs(), threshold=mh_threshold),
+        "ngram": survivors_from_pairs(
+            docs(), prefix_filter_ngram_pairs(docs(), threshold=ng_threshold,
+                                              n=n)),
+        "simhash": simhash_dedup(docs(), max_hamming=sh_max_hamming),
+    }
+    names = sorted(legs)
+
+    def _tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "m", pa.array([name] * t.num_rows, type=pa.string()))
+        return fn
+
+    tagged = docs().select_columns(["doc_id"]).map_batches(
+        _tag("_all"), batch_format="pyarrow")
+    for name in names:
+        part = legs[name].select_columns(["doc_id"]).map_batches(
+            _tag(name), batch_format="pyarrow")
+        tagged = tagged.union(part)
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        doc = int(df["doc_id"].iloc[0])
+        present = set(df["m"])
+        return pd.DataFrame([{"doc_id": doc,
+                              **{m: (m in present) for m in names}}])
+
+    per_doc = tagged.groupby("doc_id").map_groups(pivot,
+                                                  batch_format="pandas")
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, a in enumerate(names):
+            fa = df[a].to_numpy(bool)
+            for b in names[i + 1:]:
+                fb = df[b].to_numpy(bool)
+                rows.append({"method_a": a, "method_b": b,
+                             "n_keep_a": int(fa.sum()),
+                             "n_keep_b": int(fb.sum()),
+                             "n_keep_both": int((fa & fb).sum())})
+        return pd.DataFrame(rows)
+
+    agg = grouped_agg(
+        per_doc.map_batches(pair_partial, batch_format="pandas"),
+        ["method_a", "method_b"],
+        {"n_keep_a": ("n_keep_a", "sum"), "n_keep_b": ("n_keep_b", "sum"),
+         # bound: 6 pair rows (combiner-reduced counts)
+         "n_keep_both": ("n_keep_both", "sum")}, n_buckets=4).to_pandas()
+    agg = agg.sort_values(["method_a", "method_b"]).reset_index(drop=True)
+    na = agg["n_keep_a"].to_numpy(np.int64)
+    nb = agg["n_keep_b"].to_numpy(np.int64)
+    both = agg["n_keep_both"].to_numpy(np.int64)
+    union = na + nb - both
+    out = pd.DataFrame({
+        "method_a": agg["method_a"], "method_b": agg["method_b"],
+        "n_keep_a": na, "n_keep_b": nb, "n_keep_both": both,
+        "jaccard": [round_half_away(b / u, 6) if u else 0.0
+                    for b, u in zip(both, union)],
+    })
+    return rd.from_pandas(out)

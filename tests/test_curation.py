@@ -936,3 +936,44 @@ def test_curriculum_plan_matches_naive(ray_session):
     # positions are dense 0..size-1 per stage
     for s, grp in got.groupby("stage"):
         assert sorted(grp["pos"]) == list(range(len(grp)))
+
+
+def test_dedup_agreement_matrix_composes_legs(ray_session):
+    """The matrix's counts must equal set algebra over the four dedup
+    pipelines' own keep sets (composition, not re-derivation)."""
+    import ray.data as rd
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.curation import (
+        dedup_agreement_matrix,
+    )
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import exact_dedup_docs
+    from deekseek_ocr___dockerized_api_ray.stages.dedup import (
+        minhash_dedup,
+        prefix_filter_ngram_pairs,
+        simhash_dedup,
+        survivors_from_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_agreement_matrix(sf).to_pandas()
+    assert len(got) == 6
+
+    def docs():
+        return rd.read_parquet(f"{sf}/documents.parquet")
+
+    keep = {
+        "exact": set(exact_dedup_docs(sf).to_pandas()["doc_id"]),
+        "minhash": set(minhash_dedup(docs(), threshold=0.8)
+                       .to_pandas()["doc_id"]),
+        "ngram": set(survivors_from_pairs(
+            docs(), prefix_filter_ngram_pairs(docs(), threshold=0.3, n=3))
+            .to_pandas()["doc_id"]),
+        "simhash": set(simhash_dedup(docs(), max_hamming=3)
+                       .to_pandas()["doc_id"]),
+    }
+    for _, r in got.iterrows():
+        a, b = keep[r["method_a"]], keep[r["method_b"]]
+        assert int(r["n_keep_a"]) == len(a)
+        assert int(r["n_keep_b"]) == len(b)
+        assert int(r["n_keep_both"]) == len(a & b)
+        assert 0.0 < float(r["jaccard"]) <= 1.0
