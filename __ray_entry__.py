@@ -1072,10 +1072,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clean_text", "doc_readability", "doc_quality",
         "doc_char_entropy", "langid_predict", "doc_scrub_pii",
         "exact_dedup_docs", "minhash_candidates", "duplicated_substring_spans",
-        "neardup_clusters", "prefix_ngram_pairs_exact", "tfidf_cosine_pairs",
-        "leakage_safe_split", "dsir_importance_weights",
+        "dedup_agreement_matrix", "prefix_ngram_pairs_exact",
+        "tfidf_cosine_pairs",
+        "leakage_safe_split", "curriculum_plan",
         "ann_topk", "ann_pq_adc", "ann_ivf_pq", "emb_neardup",
-        "knn_graph", "ann_hard_negatives",
+        "emb_lof_outliers", "ann_hard_negatives",
         "doc_bpe_encode", "pack_plan", "source_distinct_ngrams",
         "stratified_sample", "lang_sample_exact_k",
         "temperature_mixture_sample", "cdc_duplicate_chunks",
@@ -1125,6 +1126,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # machinery stays externally validated through it -- and
     # ann_ivf_trained itself was driver-validated in r4 and stays green
     # in the committed sweep).
+    # Session-7 swaps (three new never-driver-seen ops in; every vacated
+    # op was driver-validated in an earlier round and stays oracled in
+    # the committed sweep, and its family keeps in-window reps):
+    # neardup_clusters -> dedup_agreement_matrix (composes FOUR graded
+    # dedup pipelines, incl. the clusters' own survivor closure);
+    # dsir_importance_weights -> curriculum_plan (curation-plan family;
+    # composes quality_classifier_gate, also in-window); knn_graph ->
+    # emb_lof_outliers (embedding-graph family; LOF is built on the
+    # same exact-kNN edge construction knn_graph validates).
     assert len(head) == 50 and set(head) <= q.keys(), sorted(set(head) - q.keys())
     return {**{k: q[k] for k in head}, **{k: v for k, v in q.items() if k not in set(head)}}
 
