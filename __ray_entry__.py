@@ -987,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": text.phrase_search,
         "gopher_gate": text.gopher_gate,
         "tokenizer_fertility": text.tokenizer_fertility,
+        "vocab_coverage_curve": text.vocab_coverage_curve,
         "media_dedup": media.media_dedup,
         "repeated_media_census": media.repeated_media_census,
         "doc_media_stats": media.doc_media_stats,
@@ -3129,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_keep_rate": _oracles.quality_keep_rate_sql(),
         "curriculum_plan": _oracles.curriculum_plan_sql(n_stages=4, seed=42),
         "dedup_agreement_matrix": _oracles.dedup_agreement_sql(),
+        "vocab_coverage_curve": _oracles.vocab_coverage_sql(),
         "phrase_search": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                        FROM documents),

@@ -1933,3 +1933,26 @@ SELECT method_a, method_b,
              / (n_keep_a + n_keep_b - n_keep_both), 6) AS jaccard
 FROM ({body})
 ORDER BY method_a, method_b"""
+
+
+def vocab_coverage_sql(grid=(16, 64, 256, 1024, 4096)) -> str:
+    """Vocabulary coverage curve (pipelines/text.vocab_coverage_curve):
+    top-V term ranking by (tf DESC, term), integer covered/total token
+    counts, coverage r6. Same string_split tokenization as the
+    classifier gate / lang_top_terms."""
+    vals = ", ".join(f"({int(v)})" for v in sorted(int(v) for v in grid))
+    return f"""
+WITH tc AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tc),
+t AS (SELECT SUM(c) AS tot FROM tc),
+grid(v) AS (VALUES {vals})
+SELECT CAST(v AS BIGINT) AS vocab_size,
+       CAST(COALESCE((SELECT SUM(c) FROM r WHERE rk <= v), 0) AS BIGINT)
+         AS covered_tokens,
+       CAST(t.tot AS BIGINT) AS total_tokens,
+       ROUND(COALESCE((SELECT SUM(c) FROM r WHERE rk <= v), 0)
+             / CAST(t.tot AS DOUBLE), 6) AS coverage
+FROM grid, t ORDER BY vocab_size"""

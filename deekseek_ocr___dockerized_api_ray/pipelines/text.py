@@ -2554,3 +2554,74 @@ def doc_oov_rate(sf_dir: str, rare_permille: int = 100,
         })
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def vocab_coverage_curve(sf_dir: str, grid=(16, 64, 256, 1024, 4096)):
+    """Tokenizer VOCABULARY SIZING curve: for each candidate vocab size
+    V, the fraction of all token occurrences covered by the top-V terms
+    (tf desc, term asc) -- the number a BPE/unigram tokenizer build is
+    sized by (coverage@V flattens out = the vocab is big enough; the
+    long tail past it is what byte-fallback absorbs).
+
+    Shape: ONE combiner pass for term counts (term-grain grouped_agg),
+    ONE distributed sort of the vocab-grain table, and |grid|+1 slice
+    SUMs over ``split_at_indices`` boundaries (block slicing by global
+    row index, not another exchange -- the ppl_buckets convention).
+    Integer token counts throughout, so coverage = one double division
+    per grid row.
+
+    Output: (vocab_size, covered_tokens, total_tokens, coverage r6)
+    sorted by vocab_size.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.rounding import round_half_away
+    from ..stages.agg import grouped_agg
+
+    ds = _docs(sf_dir, ["text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ex = df["text"].str.split(" ").explode()
+        ex = ex[ex != ""]
+        g = ex.value_counts().rename_axis("term").reset_index(name="c")
+        return g[["term", "c"]]
+
+    tc = grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=8192),
+        ["term"], {"c": ("c", "sum")}, n_buckets=16)
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["negc"] = -df["c"].to_numpy(np.int64)
+        return df
+
+    srt = (tc.map_batches(neg, batch_format="pandas")
+           .sort(["negc", "term"]).materialize())
+    n_terms = srt.count()
+    gvals = sorted(int(v) for v in grid)
+    idxs = [min(v, n_terms) for v in gvals]
+    parts = srt.split_at_indices(idxs)
+
+    def _part_sum(p):
+        # bound-static: |grid|+1 scalar slice sums (distributed
+        # aggregates over index slices of the sorted vocab table)
+        s = p.sum("c") if p.count() else 0
+        return int(s or 0)
+
+    total = _part_sum(srt)
+    covered, acc = [], 0
+    for j in range(len(gvals)):
+        acc += _part_sum(parts[j])
+        covered.append(acc)
+
+    out = pd.DataFrame({
+        "vocab_size": pd.Series(gvals, dtype="int64"),
+        "covered_tokens": pd.Series(covered, dtype="int64"),
+        "total_tokens": pd.Series([total] * len(gvals), dtype="int64"),
+        "coverage": [round_half_away(cv / total, 6) if total else 0.0
+                     for cv in covered],
+    })
+    return rd.from_pandas(out)

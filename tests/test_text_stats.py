@@ -594,3 +594,33 @@ def test_doc_oov_rate_sf0001_recount(ray_session):
         assert got.loc[d, "n_tokens"] == n_tok
         assert got.loc[d, "n_rare"] == n_rare
         assert got.loc[d, "rare_rate"] == round_half_away(n_rare / n_tok, 6)
+
+
+def test_vocab_coverage_curve_naive(ray_session):
+    """vocab_coverage_curve == naive in-process recount: cumulative
+    top-V token share under (tf desc, term) order."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from deekseek_ocr___dockerized_api_ray.pipelines.text import (
+        vocab_coverage_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = vocab_coverage_curve(sf, grid=(4, 32, 100000)).to_pandas() \
+        .sort_values("vocab_size").reset_index(drop=True)
+
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    from collections import Counter
+    c = Counter(t for s in texts for t in s.split(" ") if t != "")
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    for _, r in got.iterrows():
+        v = int(r["vocab_size"])
+        cov = sum(n for _, n in ranked[:v])
+        assert int(r["covered_tokens"]) == cov
+        assert int(r["total_tokens"]) == total
+        assert abs(float(r["coverage"]) - cov / total) < 1e-6
+    # grid beyond the vocab covers everything
+    assert int(got.iloc[-1]["covered_tokens"]) == total
